@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{Relational, Etl, TextDedup, SimMm}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A join+agg pipeline (TPC-H Q3 shape) that exercises scan → broadcast
+    * join → shuffle agg → top-k. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.adopt(spark)
+    Relational.queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Etl.queries ++ TextDedup.queries ++ SimMm.queries
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Etl.oracle ++ TextDedup.oracle ++ SimMm.oracle
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for LLM-data pipelines: tokenization, quality
+  * scoring, language-ID heuristics, document fingerprints.
+  *
+  * All hashing goes through `md5` (hex string) so a SQL oracle (DuckDB) can
+  * reproduce results byte-for-byte; everything is Column expressions inside
+  * whole-stage codegen — the ops scale linearly with no driver involvement.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (single-space corpus; trim first so leading /
+    * trailing blanks don't produce empty tokens). */
+  def tokens(c: Column): Column = split(trim(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Small deterministic stopword list used by quality scoring. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(stopwords: _*))).cast("long")
+
+  /** Stopword ratio — IEEE double division of two exact longs, so the
+    * oracle reproduces it bit-for-bit. */
+  def stopwordRatio(c: Column): Column =
+    stopwordCount(c).cast("double") / tokenCount(c)
+
+  /** Punctuation-ish character count (non alnum, non space). */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[A-Za-z0-9 ]", "")).cast("long")
+
+  /** Word n-gram shingles (space-joined), empty array when too short.
+    * 1-based element_at; guarded so Spark's descending `sequence` on
+    * start>stop can never fire. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val make = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
+    when(size(toks) >= n, make).otherwise(array().cast("array<string>"))
+  }
+
+  /** Bag-of-words fingerprint: md5 over the sorted distinct token set.
+    * Catches word-order-permuted duplicates. */
+  def bowFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Winnowing-style fingerprint: minimum md5 over word-3-gram shingles. */
+  def minShingleFingerprint(c: Column, n: Int = 3): Column =
+    array_min(transform(shingles(c, n), s => md5(s)))
+
+  /** Marker-word tables for the language-ID heuristic (deterministic,
+    * chosen from the synthetic corpus vocabulary). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("join", "sort"),
+    "en" -> Seq("the", "data"),
+    "es" -> Seq("key", "row"),
+    "fr" -> Seq("merge", "scan"),
+    "zh" -> Seq("query", "hash"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers: _*))).cast("long")
+
+  /** Predicted language: arg-max marker-hit count, alphabetical-priority
+    * tiebreak — same CASE cascade the oracle uses. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(c, m) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit(null).cast("string")) { case ((l, s), acc) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.etl.{Normalize, Changelog, Upsert, Quality}
+
+/** Reference ETL semantics re-expressed Spark-first (SURVEY §2.1).
+  *
+  * Entity mapping (SURVEY §4): `customer`/`orders` stand in for the
+  * reference's `voucher` entity, `events` for `voucher_transaction` and for
+  * the `etl_logger_voucher` changelog.
+  */
+object Etl {
+
+  val queries: Map[String, Q] = Map(
+    // Voucher-style cleaning (services/etlService.js:118-156): UPPER+TRIM,
+    // enum whitelist → NULL, parseFloat-or-null (0 → NULL).
+    "etl_clean_customer" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        Normalize.upperTrim(col("c_name")).as("name_u"),
+        Normalize.enumOrNull(col("c_mktsegment"), Seq("AUTOMOBILE", "BUILDING")).as("seg"),
+        Normalize.numOrNull(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_custkey"))),
+
+    // Transaction-style cleaning (services/etlService.js:259-297): float-or-
+    // null, '1'/'0' flag, truthy 0/1, ISO date string, UPPER+TRIM.
+    "etl_clean_events" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        Normalize.numOrNull(col("value")).as("val"),
+        Normalize.flag01(when(col("event_type") === "purchase", lit("1")).otherwise(lit("0"))).as("payout"),
+        Normalize.bool01(col("event_type") === "error").as("iserr"),
+        Normalize.isoDateOrNull(col("ts")).as("d"),
+        Normalize.upperTrim(col("event_type")).as("et"))
+        .orderBy(col("event_id"))),
+
+    // CDC extract: distinct changelog keys ⋉ source (EtlLogger.js:6-17).
+    "etl_changelog_extract" -> ((s, dir) => {
+      val changelog = Tables.events(s, dir).where(col("event_type") === "signup")
+      Changelog.extract(Tables.customer(s, dir), "c_custkey", changelog, "user_id")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Keyed last-write-wins upsert (etlService.js:36-53): pending orders get
+    // a recomputed price + finalized status, merged over the base table.
+    "etl_upsert_merge" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = base.where(col("o_orderstatus") === "P")
+        .withColumn("o_orderstatus", lit("F"))
+        // 2dp×1.1 → 3 true decimal places: scale 3 avoids round-half ties
+        // (e.g. ×.x75 is exactly representable in binary).
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * lit(1.1)).cast("decimal(18,3)").cast("double"))
+      Upsert.merge(base, updates, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Key validation metrics (etlService.js:65-75).
+    "etl_validate_keys" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      Quality.keyReport(li, "lineitem",
+        Quality.keysPresent(Seq("l_orderkey", "l_linenumber")) &&
+          col("l_discount").between(0.0, 0.06))
+        .select(col("entity"), col("total"), col("processed"), col("skipped"))
+    }),
+
+    // CDC compaction: latest record per key by event time.
+    "etl_dedup_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          Normalize.isoDateTimeOrNull(col("ts")).as("ts_s"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Run-level totals report (etlService.js:572-583).
+    "etl_run_report" -> ((s, dir) => {
+      val cust = Quality.keyReport(Tables.customer(s, dir), "customer", col("c_acctbal") > 0)
+      val ord = Quality.keyReport(Tables.orders(s, dir), "orders", col("o_orderstatus").isin("F", "O"))
+      cust.unionByName(ord).orderBy(col("entity"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "etl_clean_customer" ->
+      """SELECT c_custkey, upper(trim(c_name)) AS name_u,
+        |  CASE WHEN upper(trim(c_mktsegment)) IN ('AUTOMOBILE', 'BUILDING')
+        |       THEN upper(trim(c_mktsegment)) ELSE NULL END AS seg,
+        |  nullif(c_acctbal, 0) AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "etl_clean_events" ->
+      """SELECT event_id, nullif(value, 0) AS val,
+        |  CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END AS payout,
+        |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS iserr,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |  upper(trim(event_type)) AS et
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "etl_changelog_extract" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "etl_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE) AS o_totalprice
+        |  FROM base WHERE o_orderstatus = 'P'),
+        |unioned AS (
+        |  SELECT *, 1 AS pri FROM updates
+        |  UNION ALL SELECT *, 0 AS pri FROM base),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+        |  FROM unioned)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM ranked WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "etl_validate_keys" ->
+      """SELECT 'lineitem' AS entity, count(*) AS total,
+        |  count(*) FILTER (WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_discount BETWEEN 0.0 AND 0.06) AS processed,
+        |  count(*) FILTER (WHERE NOT (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |    AND l_discount BETWEEN 0.0 AND 0.06)) AS skipped
+        |FROM lineitem""".stripMargin,
+
+    "etl_dedup_latest" ->
+      """SELECT user_id, event_id, event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "etl_run_report" ->
+      """SELECT 'customer' AS entity, count(*) AS total,
+        |  count(*) FILTER (WHERE c_acctbal > 0) AS processed,
+        |  count(*) FILTER (WHERE NOT (c_acctbal > 0)) AS skipped
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  count(*) FILTER (WHERE o_orderstatus IN ('F', 'O')),
+        |  count(*) FILTER (WHERE NOT (o_orderstatus IN ('F', 'O')))
+        |FROM orders ORDER BY entity""".stripMargin
+  )
+}

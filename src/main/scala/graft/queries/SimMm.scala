@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Similarity, Dedup, Multimodal}
+
+/** Similarity search (SURVEY §2.4) over `embeddings` + multimodal-column
+  * plumbing (§2.6) over `documents`.
+  *
+  * Cross-engine determinism: LSH bucketing uses exact DECIMAL dot products
+  * over 3-dp-quantized components (order-independent signs); cosine values
+  * are rounded to 4 dp before ranking/thresholding.
+  */
+object SimMm {
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force cosine top-k vs the vec_id=0 query vector.
+    "sim_topk_brute" -> ((s, dir) =>
+      Similarity.topKBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+
+    // Random-hyperplane LSH bucket statistics (the ANN index shape).
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.lshBucketStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8, 64)
+        .orderBy(col("bucket"))),
+
+    // ANN top-k: exact cosine ranking within the query's LSH bucket.
+    "sim_ann_search" -> ((s, dir) =>
+      Similarity.annSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8, 64)),
+
+    // Embedding-cosine near-duplicate pairs, blocked by cluster label.
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.5)
+        .orderBy(col("a"), col("b"))),
+
+    // Opaque binary payload + typed metadata (decode step stubbed —
+    // deterministic fake dims; see graft.ops.Multimodal).
+    "mm_binary_meta" -> ((s, dir) => {
+      val (w, h) = Multimodal.fakeDims("text")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Multimodal.payloadSize(col("text")).as("size_bytes"),
+        Multimodal.chunkCount(col("text")).as("n_chunks"),
+        w.as("w"), h.as("h"),
+        substring(md5(col("text")), 1, 8).as("content_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Frame/chunk sampling over binary payloads (every 4th 64-byte chunk).
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleChunks(Tables.documents(s, dir), "doc_id", "text", 4)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx")))
+  )
+
+  /** Shared SQL fragment: ordered-fold cosine over 64-dim float lists,
+    * mirroring Spark's aggregate(zip_with(...)) left-to-right double fold. */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  private val bucketsCte =
+    """comp AS (
+      |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
+      |    CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3) AS DECIMAL(7,3)) AS xq
+      |  FROM embeddings CROSS JOIN range(64) d),
+      |wp AS (
+      |  SELECT vec_id, d, CAST(p.range AS INTEGER) AS p,
+      |    strpos('0123456789abcdef',
+      |      substring(md5(CAST(p.range AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 8 AS w,
+      |    xq
+      |  FROM comp CROSS JOIN range(8) p),
+      |dots AS (SELECT vec_id, p, sum(xq * w) AS dot FROM wp GROUP BY vec_id, p),
+      |buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_brute" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
+         |      FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ann_lsh" ->
+      s"""WITH $bucketsCte
+         |SELECT bucket, count(*) AS n, min(vec_id) AS min_id
+         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "sim_ann_search" ->
+      s"""WITH $bucketsCte,
+         |q AS (SELECT b.bucket, e.embedding AS qv
+         |      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
+         |  FROM embeddings e JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""SELECT l.vec_id AS a, r.vec_id AS b,
+         |  round(${cosSql("l.embedding", "r.embedding")}, 4) AS cos
+         |FROM embeddings l JOIN embeddings r
+         |  ON l.label = r.label AND l.vec_id < r.vec_id
+         |WHERE round(${cosSql("l.embedding", "r.embedding")}, 4) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_chunks,
+        |  CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) * 16 AS INTEGER) AS w,
+        |  CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) * 16 AS INTEGER) AS h,
+        |  substring(md5(text), 1, 8) AS content_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n FROM documents),
+        |ch AS (SELECT doc_id, text, unnest(range(0, n)) AS chunk_idx FROM d)
+        |SELECT doc_id, chunk_idx,
+        |  md5(substring(text, CAST(chunk_idx * 64 + 1 AS INTEGER), 64)) AS chunk_md5
+        |FROM ch WHERE chunk_idx % 4 = 0 ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{TextAnalysis => TA, Dedup}
+
+/** Text analysis (SURVEY §2.5) + deduplication (§2.3) over `documents`.
+  * All hashes are md5 hex strings so DuckDB reproduces them exactly.
+  */
+object TextDedup {
+
+  val queries: Map[String, Q] = Map(
+    // Token counting + per-lang corpus stats.
+    "text_token_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("text_len"))
+        .orderBy(col("lang"))),
+
+    // Quality scoring: token/stopword/punctuation ratios + accept flag.
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tok"),
+        TA.stopwordCount(col("text")).as("n_stop"),
+        TA.stopwordRatio(col("text")).as("stop_ratio"),
+        TA.punctCount(col("text")).as("n_punct"),
+        when(TA.tokenCount(col("text")).between(5, 1000) &&
+             TA.stopwordRatio(col("text")) < 0.5, lit(1)).otherwise(lit(0)).as("ok"))
+        .orderBy(col("doc_id"))),
+
+    // Marker-word language-ID heuristic vs the labeled lang.
+    "text_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TA.langId(col("text")).as("pred"),
+        when(TA.langId(col("text")) === col("lang"), lit(1)).otherwise(lit(0)).as("hit"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprints: bag-of-words md5 + min-shingle-hash winnow.
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.bowFingerprint(col("text")).as("fp_bow"),
+        TA.minShingleFingerprint(col("text"), 3).as("fp_winnow"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup via content-hash groups.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("h"))),
+
+    // MinHash (k=8) + LSH banding (2 bands × 4 rows) candidate pairs.
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 8)
+      Dedup.lshCandidatePairs(sigs, 4).orderBy(col("a"), col("b"))
+    }),
+
+    // 16-bit SimHash bucket summary.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashBuckets(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("simhash"))),
+
+    // Word-3-gram Jaccard pairs over a shared-shingle inverted index.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.1)
+        .orderBy(col("a"), col("b")))
+  )
+
+  private val toks = "string_split(trim(text), ' ')"
+  private val stopIn = "('the', 'a', 'of', 'and', 'to')"
+
+  val oracle: Map[String, String] = Map(
+    "text_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(length(text)) AS BIGINT) AS text_len
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks, text FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  CAST(len(list_filter(toks, x -> x IN $stopIn)) AS BIGINT) AS n_stop,
+         |  CAST(len(list_filter(toks, x -> x IN $stopIn)) AS DOUBLE) / len(toks) AS stop_ratio,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CASE WHEN len(toks) BETWEEN 5 AND 1000
+         |        AND CAST(len(list_filter(toks, x -> x IN $stopIn)) AS DOUBLE) / len(toks) < 0.5
+         |       THEN 1 ELSE 0 END AS ok
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, x -> x IN ('join', 'sort'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'data'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('key', 'row'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('merge', 'scan'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(toks, x -> x IN ('query', 'hash'))) AS BIGINT) AS s_zh
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS pred,
+         |  CASE WHEN (CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS hit
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bow,
+         |  list_aggregate(list_transform(
+         |    list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+         |    s -> md5(s)), 'min') AS fp_winnow
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct($toks)) AS tok FROM documents),
+         |sigs AS (
+         |  SELECT doc, s.range AS seed, min(md5(CAST(s.range AS VARCHAR) || ':' || tok)) AS mh
+         |  FROM tok CROSS JOIN range(8) s GROUP BY doc, s.range),
+         |bands AS (
+         |  SELECT doc, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(mh, ',' ORDER BY seed) AS bandkey
+         |  FROM sigs GROUP BY doc, CAST(seed // 4 AS INTEGER))
+         |SELECT DISTINCT l.doc AS a, r.doc AS b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bandkey = r.bandkey
+         |WHERE l.doc < r.doc ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, md5(unnest($toks)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc, h, j.range AS j,
+         |    strpos('0123456789abcdef', substring(h, 1 + CAST(j.range // 4 AS INTEGER), 1)) - 1 AS nib
+         |  FROM tok CROSS JOIN range(16) j),
+         |votes AS (
+         |  SELECT doc, j, sum(CASE WHEN (nib >> CAST(j % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc, j),
+         |sh AS (
+         |  SELECT doc, CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc)
+         |SELECT simhash, count(*) AS n, min(doc) AS keeper
+         |FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc)
+         |SELECT a, b, inter,
+         |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1
+         |ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+package object queries {
+
+  /** Driver contract: a named query takes (session, sf-dir) → result. */
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact money sum: accumulate in DECIMAL(18,4) (exact,
+    * commutative) then cast to double — bit-identical across engines and
+    * partitionings, unlike a raw double sum. */
+  def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic 'yyyy-MM-dd' rendering (oracle twin: strftime). */
+  def iso(c: Column): Column = date_format(c, "yyyy-MM-dd")
+}

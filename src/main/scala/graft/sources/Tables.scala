@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loader for the graft testdata star schema.
+  *
+  * Reads stay narrow: callers `.select(...)` early so Catalyst pushes
+  * column pruning and predicates into the parquet scan (verify with
+  * `.explain("formatted")` → `ReadSchema` / `PushedFilters`).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table from `dir`. `events.ts` is TIMESTAMP(NANOS) in parquet,
+    * which Spark reads (under legacy.parquet.nanosAsLong) as a long of
+    * nanoseconds; normalize to a microsecond TimestampType column so all
+    * downstream operators see a real timestamp. DuckDB applies the same
+    * ns→µs truncation when casting TIMESTAMP_NS to TIMESTAMP, so the two
+    * engines agree bit-for-bit.
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+    else df
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}
