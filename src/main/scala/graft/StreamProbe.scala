@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+/** Drives StreamOps via a REAL file-source streaming query over the
+  * events table (ns-timestamp path included). */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // file streaming source needs an explicit schema; events.ts arrives as
+    // long ns under nanosAsLong → same conversion as the batch loader
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet("/tmp/events_stream_dir")
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+
+    val q1 = StreamOps.windowedAgg(stream, "ts", "event_type", "value")
+      .writeStream.outputMode("complete").format("memory").queryName("wagg").start()
+    q1.processAllAvailable(); q1.stop()
+    val agg = spark.table("wagg").orderBy(col("win_start"), col("event_type"))
+    println("WINDOWED rows=" + agg.count())
+    agg.show(5, false)
+
+    val q2 = StreamOps.dedupByKey(stream, "ts", Seq("user_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dk").start()
+    q2.processAllAvailable(); q2.stop()
+    println("DEDUP user rows=" + spark.table("dk").count() +
+      " distinct_users_batch=" + batch.select("user_id").distinct().count())
+
+    val q3 = StreamOps.cleanStream(stream)
+      .writeStream.outputMode("append").format("memory").queryName("cl").start()
+    q3.processAllAvailable(); q3.stop()
+    println("CLEAN rows=" + spark.table("cl").count())
+    spark.table("cl").show(3, false)
+
+    // PROBE: batch/stream parity — same windowed agg computed in batch mode
+    val batchAgg = batch
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))
+    val diff = batchAgg.exceptAll(spark.table("wagg")).count() +
+               spark.table("wagg").exceptAll(batchAgg).count()
+    println("PARITY batch-vs-stream diff rows=" + diff)
+    spark.stop()
+  }
+}

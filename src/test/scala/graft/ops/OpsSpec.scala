@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"),   // permutation of 1
+    (4L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("TextAnalysis.tokenCount / stopwordCount / shingles") {
+    val r = docs.where($"doc_id" === 1).select(
+      TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.stopwordCount($"text").as("s"),
+      size(TextAnalysis.shingles($"text", 3)).as("sh")).as[(Long, Long, Int)].collect().head
+    assert(r == ((9L, 2L, 7)))
+  }
+
+  test("TextAnalysis.shingles guards short docs") {
+    val r = Seq((1L, "one two")).toDF("doc_id", "text")
+      .select(size(TextAnalysis.shingles($"text", 3)).as("n")).as[Int].collect().head
+    assert(r == 0)
+  }
+
+  test("TextAnalysis.bowFingerprint is permutation-invariant") {
+    val fps = docs.select($"doc_id", TextAnalysis.bowFingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(3L) && fps(1L) != fps(4L))
+  }
+
+  test("Dedup.exactGroups groups exact duplicates") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keeper").as[(String, Long, Long)].collect()
+    assert(g.map(x => (x._2, x._3)).toSeq == Seq((2L, 1L), (1L, 3L), (1L, 4L)))
+  }
+
+  test("Dedup.minhash+LSH flags exact and permuted dups as candidates") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+    assert(sigs.count() == 4 * 8)
+    val pairs = Dedup.lshCandidatePairs(sigs, 4)
+      .as[(Long, Long)].collect().toSet
+    // permutation has identical token set → identical signature → all
+    // three of 1,2,3 pair up; 4 shares nothing.
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("Dedup.simhash16 identical for dups, stable 16-bit range") {
+    val sh = Dedup.simhash16(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("Dedup.ngramJaccardPairs: exact dup has jaccard 1.0") {
+    val p = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect().toSeq
+    assert(p == Seq((1L, 2L, 1.0)))
+  }
+
+  val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("Similarity.cosine basic geometry") {
+    val c = vecs.as("l").crossJoin(vecs.as("r"))
+      .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
+        round(Similarity.cosine($"l.embedding", $"r.embedding"), 4).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(c((0L, 0L)) == 1.0 && c((0L, 2L)) == 0.0 && c((0L, 3L)) == -1.0)
+    assert(c((0L, 1L)) > 0.99)
+  }
+
+  test("Similarity.topKBrute ranks by cosine desc") {
+    val r = Similarity.topKBrute(vecs, "vec_id", "embedding", 0L, 3)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(r == Seq(1L, 2L, 3L))
+  }
+
+  test("Similarity.lshBuckets: same direction → same bucket") {
+    // a positively-scaled copy has identical dot-product signs by
+    // construction (near-parallel is only probabilistically bucketed)
+    val scaled = Seq((5L, Array(0.5f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val b = Similarity.lshBuckets(vecs.unionByName(scaled), "vec_id", "embedding", 8, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(5L))          // same direction
+    assert(b(0L) != b(3L))          // opposite direction differs
+  }
+
+  test("Multimodal chunk plumbing") {
+    val d = Seq((1L, "x" * 130)).toDF("doc_id", "text")
+    val meta = d.select(Multimodal.payloadSize($"text").as("s"),
+      Multimodal.chunkCount($"text").as("n")).as[(Long, Long)].collect().head
+    assert(meta == ((130L, 3L)))
+    val chunks = Multimodal.sampleChunks(d, "doc_id", "text", 2)
+      .select($"chunk_idx").as[Long].collect().toSeq
+    assert(chunks == Seq(0L, 2L))
+  }
+
+  test("Events.sessionize splits on gap") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val s = Events.sessionStats(ev, "user_id", "ts", "event_id", 30)
+      .orderBy("session_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s == Seq((1L, 1L, 2L, 600L), (1L, 2L, 1L, 0L)))
+  }
+}
