@@ -1,0 +1,17 @@
+package graft
+object ProbeTiming {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    println("HEAP max MB = " + Runtime.getRuntime.maxMemory / 1024 / 1024)
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names; i <- 1 to 2) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"TIMING $q run$i ${(System.nanoTime()-t0)/1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

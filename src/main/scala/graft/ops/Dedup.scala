@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines.
   *
-  * Scale design: every variant is one-or-two shuffles with map-side partial
-  * aggregation and *no cross joins* — candidate generation always goes
-  * through equality buckets (hash, LSH band, simhash value, shared shingle)
-  * so the pairwise work is bounded by bucket sizes, not n².
+  * Scale design: signature/fingerprint computation (minhash, simhash) is
+  * expressed per-row over token arrays — an embarrassingly parallel map
+  * stage with ZERO shuffles (the naive shape explodes tokens×seeds and
+  * re-aggregates, paying two wide shuffles for what is a per-document
+  * fold). Candidate generation always goes through equality buckets
+  * (hash, LSH band, simhash value, shared shingle) so the pairwise work
+  * is bounded by bucket sizes, not n² — no cross joins anywhere.
   */
 object Dedup {
 
@@ -19,50 +22,94 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
 
-  /** MinHash signatures: k independent hash functions h_s(t) = md5(s:t),
-    * signature row per (doc, seed). Computed from the *distinct* token set
-    * with a map-side partial min — one narrow shuffle of (doc, seed).
+  /** MinHash signature as one array column per document:
+    * sig[s] = min over distinct tokens t of md5(s:t), for seeds 0..k-1.
+    * Pure map stage — each doc computes its signature locally, no
+    * explode/shuffle; at 100 TB this runs inside the scan stage.
     */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(array_distinct(tokens(col(textCol)))).as("tok"))
-    val seeds = toks.select(col("doc"), col("tok"),
-        explode(sequence(lit(0), lit(k - 1))).as("seed"))
-    seeds.groupBy(col("doc"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("tok")))).as("mh"))
-  }
+  def minhashSignatureArray(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        array_distinct(tokens(col(textCol))).as("toks"))
+      .select(col("doc"),
+        transform(sequence(lit(0), lit(k - 1)), s =>
+          array_min(transform(col("toks"), t =>
+            md5(concat(s.cast("string"), lit(":"), t))))).as("sig"))
 
-  /** LSH banding over minhash signatures: docs sharing any full band are
-    * candidate near-duplicate pairs. Join is on (band, bandkey) equality —
-    * no cross join. Returns distinct (a, b) with a < b. */
-  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
-    val bands = sigs
-      .withColumn("band", col("seed").divide(lit(rowsPerBand)).cast("int"))
-      .groupBy(col("doc"), col("band"))
-      .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-        s => s.getField("mh"))).as("bandkey"))
-    val l = bands.select(col("doc").as("a"), col("band"), col("bandkey"))
-    val r = bands.select(col("doc").as("b"), col("band"), col("bandkey"))
+  /** Long-format (doc, seed, mh) signatures — same values as the array
+    * form, exposed for inspection/joins. Still shuffle-free. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame =
+    minhashSignatureArray(docs, idCol, textCol, k)
+      .select(col("doc"), posexplode(col("sig")).as(Seq("seed", "mh")))
+
+  /** LSH bands from an array signature: band b's key is the comma-join of
+    * its `rowsPerBand` signature slots, folded to a 64-bit xxhash so the
+    * equi-join and distinct run on fixed-width longs instead of ~131-char
+    * md5 concatenations (the fold is collision-safe for any realistic
+    * corpus: P(collision) ≈ bands²/2⁶⁴). Narrow per-row explode (one row
+    * per band), no aggregation. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc"),
+      posexplode(transform(
+        sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "bandkey")))
+
+  /** Docs sharing any full band are candidate near-duplicate pairs.
+    * The join is on (band, bandkey) equality — bounded by bucket sizes,
+    * never a cross join. Returns distinct (a, b) with a < b.
+    *
+    * Dedup across bands is LOCAL: each side carries its full band-key
+    * array, and a pair is emitted only at its first matching band (later
+    * matches check whether any earlier band also matched). This replaces a
+    * `distinct()` over the pair stream — at scale that distinct is a full
+    * shuffle of the largest intermediate in the query. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val keyCols = (0 until nBands).map(b =>
+      xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as(s"k$b"))
+    val withKeys = minhashSignatureArray(docs, idCol, textCol, k)
+      .select(col("doc") +: keyCols: _*)
+    val bands = withKeys.select(
+      (col("doc") +: (0 until nBands).map(b => col(s"k$b"))) :+
+        posexplode(array((0 until nBands).map(b => col(s"k$b")): _*)).as(Seq("band", "bandkey")): _*)
+    val l = bands.select(
+      col("doc").as("a") +: col("band") +: col("bandkey") +:
+        (0 until nBands).map(b => col(s"k$b").as(s"a_k$b")): _*)
+    val r = bands.select(
+      col("doc").as("b") +: col("band") +: col("bandkey") +:
+        (0 until nBands).map(b => col(s"k$b").as(s"b_k$b")): _*)
+    // a pair is emitted only at its FIRST matching band: at band b, drop it
+    // if any earlier band b' < b also matched (statically unrolled — plain
+    // long comparisons, stays inside whole-stage codegen)
+    val dupOfEarlierBand = (1 until nBands).map(b =>
+        col("band") === b &&
+          (0 until b).map(i => col(s"a_k$i") === col(s"b_k$i")).reduce(_ || _))
+      .foldLeft(lit(false))(_ || _)
     l.join(r, Seq("band", "bandkey"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .where(col("a") < col("b") && !dupOfEarlierBand)
+      .select("a", "b")
   }
 
   /** 16-bit SimHash from md5 nibbles: per token, bit j of the hash votes
-    * ±1; the sign of each bit's vote total forms the fingerprint. Exactly
-    * reproducible in SQL via hex-digit lookup — no engine-private hash. */
+    * ±1; the sign of each bit's vote total forms the fingerprint. Computed
+    * per-row by folding over the token-hash array (bits unrolled at plan
+    * build) — no explode, no shuffle. Exactly reproducible in SQL via
+    * hex-digit lookup — no engine-private hash. */
   def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val bits = tok.select(col("doc"), col("h"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(h, 1 + (j div 4), 1)) - 1"))
-      .withColumn("vote", expr("CASE WHEN (shiftright(nib, j % 4) % 2) = 1 THEN 1 ELSE -1 END"))
-    val votes = bits.groupBy(col("doc"), col("j")).agg(sum(col("vote")).as("v"))
-    votes.groupBy(col("doc"))
-      .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, j) ELSE 0L END")).as("simhash"))
+    val hashed = docs.select(col(idCol).as("doc"),
+      transform(tokens(col(textCol)), t => md5(t)).as("hs"))
+    val sim = (0 until 16).map { j =>
+      // vote_j = Σ over token hashes h of (bit j of h set ? +1 : -1),
+      // where bit j lives in hex nibble j/4 (conv digit → 0..15).
+      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(conv(h.substr(j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2 === 1,
+          lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    hashed.select(col("doc"), sim.as("simhash"))
   }
 
   /** SimHash bucket summary: identical fingerprints = near-dup cluster. */
@@ -72,12 +119,18 @@ object Dedup {
 
   /** Word n-gram Jaccard similarity pairs. Candidates come from an
     * equality join on shared shingles (inverted-index shape), so pair work
-    * is proportional to true overlap, not n². */
+    * is proportional to true overlap, not n². Per-doc shingle counts are a
+    * map-stage `size()` (no aggregation shuffle). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // join on the 64-bit shingle hash, not the multi-word string — the
+    // inverted-index shuffle moves (doc, long) rows and the sort/probe
+    // compares longs (collision odds ≈ |shingles|²/2⁶⁴, immaterial).
     val sh = docs.select(col(idCol).as("doc"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+        explode(array_distinct(transform(
+          TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
+    val sizes = docs.select(col(idCol).as("doc"),
+      size(array_distinct(TextAnalysis.shingles(col(textCol), n))).cast("long").as("n_sh"))
     val inter = sh.select(col("doc").as("a"), col("s"))
       .join(sh.select(col("doc").as("b"), col("s")), Seq("s"))
       .where(col("a") < col("b"))
@@ -92,13 +145,18 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs, partitioned by a blocking
-    * column (e.g. cluster label) so the pairwise join stays within blocks. */
+    * column (e.g. cluster label) so the pairwise join stays within blocks.
+    * Norms are computed once per row BEFORE the join; each pair then costs
+    * a single unrolled (codegen'd) dot product. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
-    val l = emb.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(blockCol).as("blk"), col(idCol).as("b"), col(vecCol).as("vb"))
+    val l = emb.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va"),
+      Similarity.norm(col(vecCol)).as("na"))
+    val r = emb.select(col(blockCol).as("blk"), col(idCol).as("b"), col(vecCol).as("vb"),
+      Similarity.norm(col(vecCol)).as("nb"))
     l.join(r, Seq("blk")).where(col("a") < col("b"))
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+      .withColumn("cos", round(
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("cos") >= lit(threshold))
       .select(col("a"), col("b"), col("cos"))
   }

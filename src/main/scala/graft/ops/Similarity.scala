@@ -18,49 +18,65 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float arrays: elementwise product in double,
-    * left-to-right fold — deterministic for a fixed element order. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Left-to-right double fold of the elementwise product — deterministic
+    * for a fixed element order. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Vector L2 norm. Precompute this per ROW before a pair join — then
+    * each pair costs one dot product instead of three. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two float arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k by cosine against the vector of `queryId`.
-    * The single-row query side is broadcast; tiebreak on id keeps the
-    * top-k deterministic. */
+    * The single-row query side is broadcast; norms are computed once per
+    * row pre-join; tiebreak on id keeps the top-k deterministic. */
   def topKBrute(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col(idCol) === lit(queryId))
-      .select(col(vecCol).as("qvec"))
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"))
     emb.where(col(idCol) =!= lit(queryId))
+      .withColumn("vn", norm(col(vecCol)))
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(cosine(col(vecCol), col("qvec")), 4))
+      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
 
   /** Deterministic hyperplane weight for (plane p, dim d): an integer in
-    * [-7, 8] from the first md5 hex digit of "p_d". */
-  private def planeWeightExpr: String =
-    "instr('0123456789abcdef', substring(md5(concat(p, '_', d)), 1, 1)) - 8"
+    * [-7, 8] from the first md5 hex digit of "p_d" (value v → v - 7, the
+    * same as SQL `strpos('0123456789abcdef', substring(md5(p||'_'||d),1,1)) - 8`).
+    * Weights are plan-time constants, so bucket assignment is a pure
+    * per-row expression — no explode, no shuffle; at scale it fuses into
+    * the scan stage. */
+  private def planeWeight(p: Int, d: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_${d}".getBytes("UTF-8"))
+    ((h(0) >> 4) & 0xf) - 7
+  }
 
   /** Assign each vector an LSH bucket id from `planes` random hyperplanes.
-    * Output: (id, bucket). Exact decimal dot products → stable signs. */
+    * Output: (id, bucket). Components are quantized to exact milli-units
+    * (round(x,3) via DECIMAL, then ×1000 as LONG) so every dot product is
+    * integer arithmetic — signs (and so buckets) are bit-stable across
+    * engines and partitionings, with none of Decimal's codegen weight. */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
                  planes: Int, dim: Int): DataFrame = {
-    val comps = emb.select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .withColumn("xq", expr("CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3))"))
-    val withPlanes = comps.select(col("vid"), col("d"), col("xq"),
-        explode(sequence(lit(0), lit(planes - 1))).as("p"))
-      .withColumn("w", expr(planeWeightExpr))
-    val dots = withPlanes.groupBy(col("vid"), col("p"))
-      .agg(sum(col("xq") * col("w")).as("dot"))
-    dots.groupBy(col("vid"))
-      .agg(sum(expr("CASE WHEN dot > 0 THEN shiftleft(1L, p) ELSE 0L END")).as("bucket"))
-      .select(col("vid").as(idCol), col("bucket"))
+    val quant = emb.select(col(idCol),
+      transform(col(vecCol), x =>
+        (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")).as("xq"))
+    val bucket = (0 until planes).map { p =>
+      val w = typedLit((0 until dim).map(d => planeWeight(p, d).toLong))
+      val dotP = aggregate(zip_with(col("xq"), w, (x, wv) => x * wv),
+        lit(0L), (acc, v) => acc + v)
+      when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    quant.select(col(idCol), bucket.as("bucket"))
   }
 
   /** Bucket occupancy summary (the ANN index statistics). */
@@ -75,11 +91,12 @@ object Similarity {
                 queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
     val buckets = lshBuckets(emb, idCol, vecCol, planes, dim)
     val withB = emb.join(buckets, Seq(idCol))
+      .withColumn("vn", norm(col(vecCol)))
     val q = withB.where(col(idCol) === lit(queryId))
-      .select(col("bucket"), col(vecCol).as("qvec"))
+      .select(col("bucket"), col(vecCol).as("qvec"), col("vn").as("qn"))
     withB.join(broadcast(q), Seq("bucket"))
       .where(col(idCol) =!= lit(queryId))
-      .withColumn("cos", round(cosine(col(vecCol), col("qvec")), 4))
+      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -54,10 +54,9 @@ object TextDedup {
         .orderBy(col("h"))),
 
     // MinHash (k=8) + LSH banding (2 bands × 4 rows) candidate pairs.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text", 8)
-      Dedup.lshCandidatePairs(sigs, 4).orderBy(col("a"), col("b"))
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text", 8, 4)
+        .orderBy(col("a"), col("b"))),
 
     // 16-bit SimHash bucket summary.
     "dedup_simhash" -> ((s, dir) =>

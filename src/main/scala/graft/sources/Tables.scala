@@ -27,9 +27,23 @@ object Tables {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
-    else df
+    val converted =
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+      else df
+    rebalance(spark, converted)
+  }
+
+  /** Single-row-group files give the scan ONE split, serializing every
+    * downstream map stage no matter how many cores exist. When the scan
+    * yields fewer splits than the cluster's parallelism, redistribute once
+    * up front (a few MB of shuffle buys full-width compute). At real scale
+    * the scan already has >= parallelism splits and this is a no-op —
+    * no shuffle is ever added to a large input. */
+  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_REBALANCE").contains("0")) return df
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

@@ -44,7 +44,7 @@ class OpsSpec extends AnyFunSuite {
   test("Dedup.minhash+LSH flags exact and permuted dups as candidates") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
     assert(sigs.count() == 4 * 8)
-    val pairs = Dedup.lshCandidatePairs(sigs, 4)
+    val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
       .as[(Long, Long)].collect().toSet
     // permutation has identical token set → identical signature → all
     // three of 1,2,3 pair up; 4 shares nothing.
