@@ -31,7 +31,7 @@ object Tables {
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
       else df
-    rebalance(spark, converted)
+    rebalance(spark, converted, s"$dir/$name.parquet")
   }
 
   /** Single-row-group files give the scan ONE split, serializing every
@@ -39,11 +39,19 @@ object Tables {
     * yields fewer splits than the cluster's parallelism, redistribute once
     * up front (a few MB of shuffle buys full-width compute). At real scale
     * the scan already has >= parallelism splits and this is a no-op —
-    * no shuffle is ever added to a large input. */
-  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+    * no shuffle is ever added to a large input. Tiny inputs (dim tables
+    * destined for a broadcast) are left alone: redistributing them only
+    * inserts a useless exchange under the BroadcastExchange. */
+  private def rebalance(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_REBALANCE").contains("0")) return df
+    val minBytes = 256L * 1024
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val bytes =
+      try hPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(hPath).getLength
+      catch { case _: Throwable => Long.MaxValue }
+    if (bytes >= minBytes && df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
