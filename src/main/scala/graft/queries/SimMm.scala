@@ -27,6 +27,28 @@ object SimMm {
     "sim_ann_search" -> ((s, dir) =>
       Similarity.annSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8, 64)),
 
+    // Nearest-neighbor join: every vector's top-1 neighbor within its LSH
+    // bucket (the all-pairs ANN shape — candidate set bounded by buckets).
+    "sim_nn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val withB = emb.join(
+          Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 64), Seq("vec_id"))
+        .withColumn("vn", Similarity.norm(col("embedding")))
+      val l = withB.select(col("bucket"), col("vec_id").as("a"),
+        col("embedding").as("va"), col("vn").as("na"))
+      val r = withB.select(col("bucket"), col("vec_id").as("b"),
+        col("embedding").as("vb"), col("vn").as("nb"))
+      val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+      l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
+        .withColumn("cos", round(
+          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a"), col("b").as("nn"), col("cos"))
+        .orderBy(col("a"))
+    }),
+
     // Embedding-cosine near-duplicate pairs, blocked by cluster label.
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.5)
@@ -98,6 +120,20 @@ object SimMm {
          |  FROM embeddings e JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
          |  WHERE e.vec_id <> 0)
          |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_nn_join" ->
+      s"""WITH $bucketsCte,
+         |pairs AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    round(${cosSql("le.embedding", "re.embedding")}, 4) AS cos
+         |  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |  JOIN embeddings le ON le.vec_id = l.vec_id
+         |  JOIN embeddings re ON re.vec_id = r.vec_id),
+         |ranked AS (
+         |  SELECT a, b, cos,
+         |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
+         |  FROM pairs)
+         |SELECT a, b AS nn, cos FROM ranked WHERE rn = 1 ORDER BY a""".stripMargin,
 
     "dedup_embedding" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,
