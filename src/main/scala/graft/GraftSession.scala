@@ -30,6 +30,7 @@ object GraftSession {
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
     configure(SparkSession.builder().master(master).appName("graft"), shufflePartitions)
+      .withExtensions(new graft.functions.GraftExtensions()(_))
 
   /** Best-effort: apply runtime-settable graft configs to an existing session
     * (used when the harness owns session construction). */
@@ -42,6 +43,8 @@ object GraftSession {
     ).foreach { case (k, v) =>
       try spark.conf.set(k, v) catch { case _: Throwable => () }
     }
+    try graft.functions.VectorFunctions.register(spark)
+    catch { case _: Throwable => () }
     spark
   }
 }

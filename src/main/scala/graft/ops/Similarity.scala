@@ -19,18 +19,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-to-right double fold of the elementwise product — deterministic
-    * for a fixed element order. */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * for a fixed element order. Native codegen'd expression
+    * (graft.functions.VectorDot); the HOF `aggregate(zip_with(...))`
+    * equivalent is CodegenFallback and boxes every element. */
+  def dot(x: Column, y: Column): Column = graft.functions.VectorFunctions.vecDot(x, y)
 
   /** Vector L2 norm. Precompute this per ROW before a pair join — then
     * each pair costs one dot product instead of three. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity of two float arrays. */
+  /** Cosine similarity of two float arrays — one pass, three accumulators
+    * (graft.functions.VectorCosine). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.VectorFunctions.vecCosine(a, b)
 
   /** Brute-force top-k by cosine against the vector of `queryId`.
     * The single-row query side is broadcast; norms are computed once per

@@ -71,6 +71,30 @@ class OpsSpec extends AnyFunSuite {
     (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("VectorDot native expression matches the HOF fold and handles edges") {
+    import graft.functions.VectorFunctions
+    // parity vs aggregate(zip_with(...)) on real float arrays
+    val hof = aggregate(zip_with($"l.embedding", $"r.embedding",
+      (p, q) => p.cast("double") * q.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val both = vecs.as("l").crossJoin(vecs.as("r"))
+      .select(VectorFunctions.vecDot($"l.embedding", $"r.embedding").as("native"), hof.as("hof"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(both.forall { case (n, h) => n == h })
+    // unequal lengths → null (zip_with pads with null)
+    val uneq = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(VectorFunctions.vecDot($"a", $"b")).as[Option[Double]].collect().head
+    assert(uneq.isEmpty)
+    // SQL registration path (GraftExtensions)
+    val viaSql = spark.sql(
+      "SELECT vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))")
+      .as[Double].collect().head
+    assert(viaSql == 11.0)
+    val cosSql = spark.sql(
+      "SELECT vec_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))")
+      .as[Double].collect().head
+    assert(cosSql == 1.0)
+  }
+
   test("Similarity.cosine basic geometry") {
     val c = vecs.as("l").crossJoin(vecs.as("r"))
       .select($"l.vec_id".as("a"), $"r.vec_id".as("b"),
