@@ -33,6 +33,23 @@ object StreamProbe {
     println("CLEAN rows=" + spark.table("cl").count())
     spark.table("cl").show(3, false)
 
+    // Stateful sessionization (flatMapGroupsWithState) over the real file
+    // stream; closed sessions must be a subset of the batch operator's
+    // sessions (open tails aren't flushed without a watermark-advancing
+    // event).
+    val q4 = StreamOps.sessionizeStream(stream, gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    q4.processAllAvailable(); q4.stop()
+    val streamSess = spark.table("sess")
+      .select(col("user_id"), col("n_events"), col("dur_sec"))
+    val batchSess = graft.ops.Events.sessionStats(
+        batch.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long"))),
+        "user_id", "ts", "event_id", 30)
+      .select(col("user_id"), col("n_events"), col("dur_sec"))
+    val extra = streamSess.exceptAll(batchSess).count()
+    println("SESSIONS stream_closed=" + streamSess.count() +
+      " batch_total=" + batchSess.count() + " not_in_batch=" + extra)
+
     // PROBE: batch/stream parity — same windowed agg computed in batch mode
     val batchAgg = batch
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))

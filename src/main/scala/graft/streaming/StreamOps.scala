@@ -1,7 +1,21 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event consumed by the stateful sessionizer. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+
+/** Open-session state kept per user. Times are epoch SECONDS (endpoint
+  * truncation) to mirror the batch operator's `unix_timestamp` semantics —
+  * gap tests and durations must agree bit-for-bit with
+  * [[graft.ops.Events.sessionStats]]. */
+case class SessionState(startSec: Long, lastSec: Long, n: Long)
+
+/** Closed session emitted downstream. */
+case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                      n_events: Long, dur_sec: Long)
 
 /** Structured-Streaming twins of the batch operators (SURVEY §2.7).
   *
@@ -37,6 +51,57 @@ object StreamOps {
                  watermark: String = "10 minutes"): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Gap-based sessionization with custom per-key state
+    * (flatMapGroupsWithState): the streaming twin of `events_sessionize`.
+    *
+    * State per user is one open session (start, last, count); a session
+    * closes when a gap > `gapMinutes` is seen in-batch, or when the
+    * event-time watermark passes `last + gap` (timeout) — so state is
+    * bounded by active users, not history. Output is append-mode closed
+    * sessions. Micro-batch input is unordered; events are sorted by
+    * (ts, event_id) per key before folding, the same tiebreak the batch
+    * operator uses. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermark: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapSec = gapMinutes * 60L
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "event_id").as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def out(s: SessionState): SessionOut =
+            SessionOut(user, new java.sql.Timestamp(s.startSec * 1000L), s.n, s.lastSec - s.startSec)
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val closed = state.getOption.map(out).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- evs) {
+              // endpoint truncation to seconds, same as batch unix_timestamp
+              val t = Math.floorDiv(e.ts.getTime, 1000L)
+              cur match {
+                case null => cur = SessionState(t, t, 1)
+                case s if t - s.lastSec > gapSec =>
+                  closed += out(s); cur = SessionState(t, t, 1)
+                case s => cur = s.copy(lastSec = math.max(s.lastSec, t), n = s.n + 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp((cur.lastSec + gapSec) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** The batch cleaning kernel applied to a stream — identical Columns
     * (graft.etl.Normalize), proving the transforms are engine-mode

@@ -43,6 +43,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("sessionizeStream closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // user 1: events at 0 and 10 min (one session), then 50 min (gap > 30
+    // closes the first in-batch). user 2: single event at 5 min.
+    input.addData(
+      Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(10), 1, "click", 1.0),
+      Ev(3, ts(50), 1, "click", 1.0), Ev(4, ts(5), 2, "view", 1.0))
+    val q = StreamOps.sessionizeStream(input.toDF(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    q.processAllAvailable()
+    // the in-batch gap closes user 1's first session; the watermark (00:50
+    // with 0s delay) already passes user 2's timeout (00:05 + 30min), so
+    // that session flushes too. User 1's open session (last 00:50) stays.
+    val afterGap = spark.table("sess").as[SessionOut].collect().toSet
+    assert(afterGap.map(s => (s.user_id, s.n_events, s.dur_sec)) ==
+      Set((1L, 2L, 600L), (2L, 1L, 0L)))
+    // a later event advances the watermark past every open session's
+    // last + gap → the remaining sessions time out and flush
+    input.addData(Ev(5, ts(59), 3, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(6, java.sql.Timestamp.valueOf("2024-01-01 23:00:00"), 3, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val all = spark.table("sess").as[SessionOut].collect().toSet
+      .map((s: SessionOut) => (s.user_id, s.n_events, s.dur_sec))
+    assert(all.contains((1L, 1L, 0L)) && all.contains((2L, 1L, 0L)) && all.contains((3L, 1L, 0L)))
+  }
+
   test("cleanStream applies the batch Normalize kernel to a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
