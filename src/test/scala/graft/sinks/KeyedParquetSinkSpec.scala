@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.sources.Formats
+import java.nio.file.Files
+
+class KeyedParquetSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert rewrites only touched buckets and merges last-write-wins") {
+    val dir = Files.createTempDirectory("graft_sink").toString + "/table"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "name", "amount")
+    KeyedParquetSink.write(base, dir, Seq("id"), numBuckets = 8)
+
+    // record per-bucket file state to prove untouched buckets aren't rewritten
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("_bucket=")).map { d =>
+        d.getName -> d.listFiles().map(f => f.getName + ":" + f.lastModified()).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+
+    val updates = Seq((2L, "b2", 21.0), (5L, "e", 50.0)).toDF("id", "name", "amount")
+    KeyedParquetSink.upsert(spark, dir, updates, Seq("id"), numBuckets = 8)
+
+    val got = KeyedParquetSink.read(spark, dir).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0),
+      (4L, "d", 40.0), (5L, "e", 50.0)))
+
+    val after = bucketFiles()
+    val touched = {
+      val ub = updates.withColumn("b",
+        pmod(xxhash64(concat_ws(" ", col("id"))), lit(8)).cast("int"))
+      ub.select("b").distinct().as[Int].collect().toSet.map((b: Int) => s"_bucket=$b")
+    }
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "test needs at least one untouched bucket")
+    untouched.foreach { b => assert(before(b) == after(b), s"bucket $b was rewritten") }
+    touched.foreach { b => assert(before.get(b) != after.get(b), s"bucket $b unchanged") }
+  }
+
+  test("upsert is idempotent (re-delivery of the same updates)") {
+    val dir = Files.createTempDirectory("graft_sink2").toString + "/table"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "amount")
+    KeyedParquetSink.write(base, dir, Seq("id"), numBuckets = 4)
+    val updates = Seq((2L, "b2", 21.0)).toDF("id", "name", "amount")
+    KeyedParquetSink.upsert(spark, dir, updates, Seq("id"), numBuckets = 4)
+    KeyedParquetSink.upsert(spark, dir, updates, Seq("id"), numBuckets = 4)
+    val got = KeyedParquetSink.read(spark, dir).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "b2", 21.0)))
+  }
+
+  test("versioned upsert breaks same-key ties by versionCols desc") {
+    val dir = Files.createTempDirectory("graft_sink3").toString + "/table"
+    val base = Seq((1L, 0L, "v0")).toDF("id", "ver", "payload")
+    KeyedParquetSink.write(base, dir, Seq("id"), numBuckets = 2)
+    val updates = Seq((1L, 2L, "v2"), (1L, 1L, "v1")).toDF("id", "ver", "payload")
+    KeyedParquetSink.upsert(spark, dir, updates, Seq("id"), numBuckets = 2, versionCols = Seq("ver"))
+    val got = KeyedParquetSink.read(spark, dir).as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, "v2")))
+  }
+
+  test("Formats round-trips CSV and JSON lines with explicit schemas") {
+    val tmp = Files.createTempDirectory("graft_fmt").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
+    df.coalesce(1).write.option("header", "true").csv(s"$tmp/csv")
+    df.coalesce(1).write.json(s"$tmp/json")
+    val csvBack = Formats.readCsv(spark, s"$tmp/csv", df.schema)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    val jsonBack = Formats.readJsonLines(spark, s"$tmp/json", df.schema)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    val want = Seq((1L, "x", 1.5), (2L, "y", 2.5))
+    assert(csvBack == want && jsonBack == want)
+  }
+}
