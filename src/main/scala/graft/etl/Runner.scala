@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.concurrent.atomic.AtomicReference
+
+/** Pipeline runner — the reference's orchestration surface
+  * (index.js:46-355: start/force-run/status, etlService.js:416-591:
+  * retry ×3 with delay, per-entity totals) re-expressed for Spark.
+  *
+  * The reference hand-rolls batching (100k rows) and concurrency (4
+  * connections); on Spark both are the engine's job (partitions ×
+  * executors), so the runner keeps only what Spark doesn't own: stage
+  * sequencing, bounded retry with backoff, and a machine-readable run
+  * report of processed/skipped/failed per stage — the same totals the
+  * reference logs at etlService.js:572-583.
+  */
+object Runner {
+
+  /** One named unit of work: produces a DataFrame whose materialized row
+    * count is the stage's `processed` metric. */
+  case class Stage(name: String, run: SparkSession => DataFrame)
+
+  case class StageResult(stage: String, ok: Boolean, attempts: Int,
+                         rows: Long, durationMs: Long, error: String)
+
+  case class RunReport(results: Seq[StageResult]) {
+    def ok: Boolean = results.forall(_.ok)
+    def totalRows: Long = results.map(_.rows).sum
+
+    /** Report as a DataFrame (the queryable twin of etl_run_report). */
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      results.toDF()
+    }
+  }
+
+  /** Last finished run, for a status endpoint ("is the ETL running / what
+    * did the last run do" — index.js:96-141). */
+  private val lastRun = new AtomicReference[Option[RunReport]](None)
+  def status: Option[RunReport] = lastRun.get()
+
+  /** Run stages sequentially; each stage is retried up to `retries` times
+    * with linear backoff (reference: RETRY_LIMIT 3, delay between retries).
+    * A failing stage stops the pipeline (later stages typically read what
+    * earlier ones wrote). */
+  def run(spark: SparkSession, stages: Seq[Stage], retries: Int = 3,
+          backoffMs: Long = 1000): RunReport = {
+    val out = Seq.newBuilder[StageResult]
+    var halted = false
+    for (s <- stages if !halted) {
+      var attempt = 0
+      var done = false
+      var rows = 0L
+      var err = ""
+      val t0 = System.nanoTime()
+      while (!done && attempt < retries) {
+        attempt += 1
+        try { rows = s.run(spark).count(); done = true; err = "" }
+        catch {
+          case e: Throwable =>
+            err = Option(e.getMessage).getOrElse(e.getClass.getName)
+            if (attempt < retries) Thread.sleep(backoffMs * attempt)
+        }
+      }
+      val res = StageResult(s.name, done, attempt, rows,
+        (System.nanoTime() - t0) / 1000000L, err)
+      out += res
+      if (!done) halted = true
+    }
+    val report = RunReport(out.result())
+    lastRun.set(Some(report))
+    report
+  }
+}

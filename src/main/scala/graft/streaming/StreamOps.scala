@@ -103,6 +103,24 @@ object StreamOps {
       }
   }
 
+  /** Continuous CDC load: every micro-batch is upserted into a keyed
+    * parquet table (graft.sinks.KeyedParquetSink) — the streaming twin of
+    * the reference's changelog→upsert loop, with exactly-once-per-key
+    * effect because the sink merge is idempotent under re-delivery.
+    * Caller starts/stops the returned query. */
+  def upsertSink(events: DataFrame, path: String, keys: Seq[String],
+                 numBuckets: Int, checkpoint: String,
+                 versionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val exists = new java.io.File(path).exists()
+        if (!exists) graft.sinks.KeyedParquetSink.write(batch.toDF(), path, keys, numBuckets)
+        else graft.sinks.KeyedParquetSink.upsert(spark, path, batch.toDF(), keys, numBuckets, versionCols)
+      }
+      .start()
+
   /** The batch cleaning kernel applied to a stream — identical Columns
     * (graft.etl.Normalize), proving the transforms are engine-mode
     * agnostic. */
