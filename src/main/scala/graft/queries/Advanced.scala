@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.etl.Normalize
-import graft.ops.{TextAnalysis => TA}
+import graft.ops.{TextAnalysis => TA, Multimodal => Multi}
 
 /** Advanced relational + pipeline operators (SURVEY §2.8): as-of join,
   * range join, cube, exact percentiles, SCD-2 history, funnel analytics,
@@ -101,7 +101,90 @@ object Advanced {
         .where(col("n_tok").between(5, 1000) && TA.stopwordRatio(col("text")) < 0.5)
         .select(col("doc_id"), col("n_tok"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // True pivot (wide conditional aggregation with a fixed value list).
+    "q_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .orderBy(col("o_orderpriority"))),
+
+    // Correlated-subquery shape: customers above their nation's average
+    // balance (per-group avg joined back; dims broadcast by AQE).
+    "q_correlated" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val nav = c.groupBy(col("c_nationkey"))
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("nation_avg"))
+      c.join(nav, Seq("c_nationkey"))
+        .where(col("c_acctbal") > col("nation_avg"))
+        .select(col("c_custkey"), col("c_acctbal"), col("nation_avg"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Deterministic arg-max per group: lexicographic max over a struct
+    // (value, then unique keys) — stable under ties, unlike max_by.
+    "q_minmax_by" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))).as("m"))
+        .select(col("l_returnflag"), col("m.l_extendedprice").as("best_price"),
+          col("m.l_orderkey").as("best_orderkey"), col("m.l_linenumber").as("best_linenumber"))
+        .orderBy(col("l_returnflag"))),
+
+    // Top-5 word bigrams per language (corpus n-gram frequency table).
+    "text_ngram_freq" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("s"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TA.shingles(col("text"), 2)).as("s"))
+        .groupBy(col("lang"), col("s")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // Hour-over-hour retention: users active in hour h who were also
+    // active in hour h-1 (cohort-retention kernel).
+    "events_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val cur = e.select(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"),
+        col("user_id")).distinct()
+      val fromPrev = e.select(
+        date_format(date_trunc("hour", col("ts") + expr("INTERVAL 1 HOUR")), "yyyy-MM-dd HH").as("ph"),
+        col("user_id").as("pu")).distinct()
+      cur.join(fromPrev, col("h") === col("ph") && col("user_id") === col("pu"), "left")
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("active"), count(col("pu")).as("retained"))
+        .orderBy(col("h"))
+    }),
+
+    // Histogram: fixed-width value bucketing of order totals.
+    "q_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"))),
+
+    // Cross-document chunk dedup: identical payload chunks shared between
+    // documents (multimodal-column dedup at chunk granularity).
+    "mm_chunk_dedup" -> ((s, dir) =>
+      Multi.sampleChunks(Tables.documents(s, dir), "doc_id", "text", 1)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .where(col("n") > 1)
+        .orderBy(col("chunk_md5"))),
+
+    // Deterministic hash sampling (~10%): stable across engines, runs and
+    // partitionings, unlike TABLESAMPLE. Fixed-width lowercase hex compares
+    // lexicographically = numerically.
+    "q_sample_stable" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .where(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")))
   )
 
   private val toks = "string_split(trim(text), ' ')"
@@ -160,6 +243,76 @@ object Advanced {
         |    AND last_purchase > first_signup) AS n_converted,
         |  sum(n_events) AS total_events
         |FROM pu""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_correlated" ->
+      """WITH nav AS (
+        |  SELECT c_nationkey,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS nation_avg
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c_acctbal, nation_avg
+        |FROM customer JOIN nav USING (c_nationkey)
+        |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT l_returnflag, l_extendedprice AS best_price,
+        |  l_orderkey AS best_orderkey, l_linenumber AS best_linenumber
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "text_ngram_freq" ->
+      s"""WITH t AS (SELECT lang, $toks AS toksv FROM documents),
+         |bg AS (
+         |  SELECT lang, unnest(list_transform(range(1, len(toksv)),
+         |    i -> toksv[i] || ' ' || toksv[i+1])) AS s
+         |  FROM t),
+         |cnt AS (SELECT lang, s, count(*) AS n FROM bg GROUP BY lang, s),
+         |rk AS (SELECT lang, s, n,
+         |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, s) AS rn FROM cnt)
+         |SELECT lang, s, n, CAST(rn AS INTEGER) AS rn FROM rk WHERE rn <= 5
+         |ORDER BY lang, rn""".stripMargin,
+
+    "events_retention" ->
+      """WITH cur AS (
+        |  SELECT DISTINCT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H') AS h,
+        |    user_id
+        |  FROM events),
+        |prv AS (
+        |  SELECT DISTINCT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR), '%Y-%m-%d %H') AS ph,
+        |    user_id AS pu
+        |  FROM events)
+        |SELECT h, count(*) AS active, count(pu) AS retained
+        |FROM cur LEFT JOIN prv ON h = ph AND user_id = pu
+        |GROUP BY h ORDER BY h""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "mm_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS nch FROM documents),
+        |ch AS (
+        |  SELECT doc_id, text, unnest(range(0, nch)) AS ci FROM d)
+        |SELECT md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 64)) AS chunk_md5,
+        |  count(*) AS n, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
+        |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1 ORDER BY chunk_md5""".stripMargin,
+
+    "q_sample_stable" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "corpus_curate" ->
       s"""WITH k AS (
