@@ -125,7 +125,10 @@ object VectorFunctions {
       (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
 
   /** For `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
-  def inject(e: SparkSessionExtensions): Unit = descriptors.foreach(e.injectFunction)
+  def inject(e: SparkSessionExtensions): Unit = {
+    descriptors.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => CosineFusion)
+  }
 
   /** Runtime registration into an existing session (e.g. one the harness
     * built): makes `vec_dot` / `vec_cosine` callable from spark.sql. */

@@ -184,7 +184,26 @@ object Advanced {
       Tables.orders(s, dir)
         .where(substring(md5(col("o_orderkey").cast("string")), 1, 2) < "1a")
         .select(col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // HLL++ sketch distinct count (no oracle: sketch differs per engine —
+    // the driver records a rows-only check; the exact twin is
+    // q_count_distinct).
+    "q_approx_distinct" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("n_approx"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+        .orderBy(col("o_orderstatus"))),
+
+    // Approximate percentile sketch (rows-only check; exact twin is
+    // q_percentile).
+    "q_approx_quantile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("med_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")))
   )
 
   private val toks = "string_split(trim(text), ' ')"

@@ -8,8 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("every query has an oracle and every oracle has a query") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  test("every oracle has a query; only sketch queries lack an oracle") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // sketch-based ops get a rows-only check (engine-specific sketches
+    // can't be reproduced in the DuckDB oracle); everything else must
+    // have one
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_approx_distinct", "q_approx_quantile"))
   }
 
   test("entry returns rows on sf0.001") {
