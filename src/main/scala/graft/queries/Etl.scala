@@ -85,6 +85,33 @@ object Etl {
       val cust = Quality.keyReport(Tables.customer(s, dir), "customer", col("c_acctbal") > 0)
       val ord = Quality.keyReport(Tables.orders(s, dir), "orders", col("o_orderstatus").isin("F", "O"))
       cust.unionByName(ord).orderBy(col("entity"))
+    }),
+
+    // Quarantine routing: invalid records carry the FIRST failing rule as
+    // a reason (the reference logs skipped records with a warning,
+    // etlService.js:70-74 — quarantining them keeps the data auditable).
+    "etl_quarantine" -> ((s, dir) => {
+      val reason = when(col("event_type") === "error", lit("error_event"))
+        .when(col("value") < 5, lit("low_value"))
+      Tables.events(s, dir)
+        .withColumn("reason", reason)
+        .where(col("reason").isNotNull)
+        .select(col("event_id"), col("event_type"), col("reason"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Schema evolution: merge batches whose schemas drifted (a column
+    // added over time) — missing columns become NULL then defaults, the
+    // union is by NAME not position.
+    "etl_schema_evolve" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val oldBatch = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newBatch = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .withColumn("o_orderpriority", coalesce(col("o_orderpriority"), lit("UNKNOWN")))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -143,6 +170,25 @@ object Etl {
         |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "etl_quarantine" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'error' THEN 'error_event'
+        |       WHEN value < 5 THEN 'low_value' END AS reason
+        |FROM events
+        |WHERE event_type = 'error' OR value < 5
+        |ORDER BY event_id""".stripMargin,
+
+    "etl_schema_evolve" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  coalesce(o_orderpriority, 'UNKNOWN') AS o_orderpriority
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1) t
+        |ORDER BY o_orderkey""".stripMargin,
 
     "etl_run_report" ->
       """SELECT 'customer' AS entity, count(*) AS total,

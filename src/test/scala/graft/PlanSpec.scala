@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression guards: the scale properties SURVEY §5 promises
+  * must be visible in the physical plan, not just intended. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.explainString(SimpleMode)
+
+  // The ONE deliberate nested-loop join: topk broadcasts a single-row
+  // query vector against every row (that IS the brute-force baseline).
+  private val allowNestedLoop = Set("sim_topk_brute", "sim_ann_search")
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"plan of $name has no cartesian product / stray nested-loop join") {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+      if (!allowNestedLoop(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
+    }
+  }
+
+  test("q_filter_pushdown pushes both predicates into the parquet scan") {
+    val plan = SparkEntry.queries("q_filter_pushdown")(spark, TestSpark.sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_quantity"))
+  }
+
+  test("q5_multi_join broadcasts all five dimension sides") {
+    val plan = planOf("q5_multi_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 5, s"expected 5 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("narrow projections prune the scan schema") {
+    val plan = SparkEntry.queries("q_topk")(spark, TestSpark.sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // only the three needed columns are read
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate:timestamp"))
+  }
+}
