@@ -39,6 +39,28 @@ object Runner {
   private val lastRun = new AtomicReference[Option[RunReport]](None)
   def status: Option[RunReport] = lastRun.get()
 
+  /** Fixed-interval repeated runs — the reference's cron loop
+    * (index.js:75-86, node-cron schedule + force-run). Executes the
+    * pipeline `iterations` times, sleeping `intervalMs` between run
+    * STARTS (a run longer than the interval starts the next immediately,
+    * like an overrunning cron with no overlap). Returns every report.
+    * Production deployments would drive this from a real scheduler or a
+    * streaming trigger; the loop gives the library the same
+    * self-contained surface the reference exposes. */
+  def runScheduled(spark: SparkSession, stages: Seq[Stage], intervalMs: Long,
+                   iterations: Int, retries: Int = 3): Seq[RunReport] = {
+    val reports = Seq.newBuilder[RunReport]
+    for (i <- 0 until iterations) {
+      val t0 = System.currentTimeMillis()
+      reports += run(spark, stages, retries)
+      if (i < iterations - 1) {
+        val wait = intervalMs - (System.currentTimeMillis() - t0)
+        if (wait > 0) Thread.sleep(wait)
+      }
+    }
+    reports.result()
+  }
+
   /** Run stages sequentially; each stage is retried up to `retries` times
     * with linear backoff (reference: RETRY_LIMIT 3, delay between retries).
     * A failing stage stops the pipeline (later stages typically read what

@@ -37,6 +37,13 @@ class RunnerSpec extends AnyFunSuite {
     assert(report.results.head.attempts == 2 && report.results.head.error.contains("permanent"))
   }
 
+  test("runScheduled repeats the pipeline and collects every report") {
+    val calls = new AtomicInteger(0)
+    val stages = Seq(Runner.Stage("tick", s => { calls.incrementAndGet(); Seq(1).toDF("x") }))
+    val reports = Runner.runScheduled(spark, stages, intervalMs = 1, iterations = 3)
+    assert(reports.size == 3 && calls.get() == 3 && reports.forall(_.ok))
+  }
+
   test("streaming upsertSink converges the keyed table across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext

@@ -67,6 +67,31 @@ class KeyedParquetSinkSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, "v2")))
   }
 
+  test("bucketed tables join without a shuffle") {
+    for (t <- Seq("graft_bt_facts", "graft_bt_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { // stale location from an aborted run blocks CREATE
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val facts = (1L to 1000L).map(i => (i, i * 2)).toDF("id", "a")
+    val dims = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "b")
+    KeyedParquetSink.writeBucketed(facts, "graft_bt_facts", Seq("id"), 8)
+    KeyedParquetSink.writeBucketed(dims, "graft_bt_dims", Seq("id"), 8)
+    // force a sort-merge join (hint on the input) so the bucketing is
+    // what saves the shuffle, not a broadcast
+    val noBroadcast = spark.table("graft_bt_facts").hint("merge")
+      .join(spark.table("graft_bt_dims"), Seq("id"))
+    val plan = noBroadcast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(noBroadcast.count() == 1000)
+    spark.sql("DROP TABLE graft_bt_facts"); spark.sql("DROP TABLE graft_bt_dims")
+  }
+
   test("Formats round-trips CSV and JSON lines with explicit schemas") {
     val tmp = Files.createTempDirectory("graft_fmt").toString
     val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "name", "v")
