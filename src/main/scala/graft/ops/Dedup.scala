@@ -144,6 +144,29 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** Duplicate-cluster assembly from candidate pairs: `iters` rounds of
+    * min-label propagation (each node takes the least label among itself
+    * and its neighbors). Fixed iteration count keeps the operator
+    * deterministic and oracle-reproducible; components whose graph
+    * diameter exceeds `iters` hops from their minimum converge in a
+    * follow-up run. Each round is one shuffle-join + one aggregate —
+    * the standard scalable connected-components shape (no driver loop
+    * over data, only over the round counter). */
+  def minLabelClusters(pairs: DataFrame, iters: Int): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val nodes = edges.select(col("a").as("id")).distinct()
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("mn"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+    }
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs, partitioned by a blocking
     * column (e.g. cluster label) so the pairwise join stays within blocks.
     * Norms are computed once per row BEFORE the join; each pair then costs

@@ -66,7 +66,17 @@ object TextDedup {
     // Word-3-gram Jaccard pairs over a shared-shingle inverted index.
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.1)
-        .orderBy(col("a"), col("b")))
+        .orderBy(col("a"), col("b"))),
+
+    // Duplicate clusters from high-similarity pairs: 3 rounds of
+    // min-label propagation, summarized per cluster.
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+      Dedup.minLabelClusters(pairs, 3)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .orderBy(col("label"))
+    })
   )
 
   private val toks = "string_split(trim(text), ' ')"
@@ -157,6 +167,36 @@ object TextDedup {
          |  FROM votes GROUP BY doc)
          |SELECT simhash, count(*) AS n, min(doc) AS keeper
          |FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin,
+
+    "dedup_clusters" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT n.id, least(n.label, coalesce(min(l.label), n.label)) AS label
+           |  FROM l${i - 1} n
+           |  LEFT JOIN edges e ON e.a = n.id
+           |  LEFT JOIN l${i - 1} l ON l.id = e.b
+           |  GROUP BY n.id, n.label)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |$rounds
+         |SELECT label, count(*) AS n_members, min(id) AS lo, max(id) AS hi
+         |FROM l3 GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
