@@ -153,8 +153,12 @@ object Dedup {
     * the standard scalable connected-components shape (no driver loop
     * over data, only over the round counter). */
   def minLabelClusters(pairs: DataFrame, iters: Int): DataFrame = {
+    // materialize the edge list once and truncate its lineage: the loop
+    // references edges in every round, and without this the (possibly
+    // expensive) candidate-pair pipeline re-executes per reference
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
     val nodes = edges.select(col("a").as("id")).distinct()
     var labels = nodes.withColumn("label", col("id"))
     for (_ <- 1 to iters) {
