@@ -1,7 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+/** Typed metadata produced by the decode stage. */
+case class MediaMeta(doc_id: Long, size_bytes: Long, width: Int, height: Int,
+                     n_frames: Long)
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
   * `binary` columns with typed metadata, chunk ("frame") addressing, and a
@@ -34,6 +38,38 @@ object Multimodal {
   def fakeDims(textCol: String): (Column, Column) = (
     expr(s"instr('0123456789abcdef', substring(md5($textCol), 1, 1)) * 16").cast("int"),
     expr(s"instr('0123456789abcdef', substring(md5($textCol), 2, 1)) * 16").cast("int"))
+
+  /** STUB decoder over raw bytes: deterministic dims from the md5 of the
+    * payload (hex digit d1 → width 16·(d1+1), d2 → height; frames =
+    * 64-byte chunk count). A real deployment swaps this lambda for a
+    * codec call — the batch shape around it doesn't change. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    (16 * (((h(0) >> 4) & 0xf) + 1), 16 * ((h(0) & 0xf) + 1))
+  }
+
+  /** Batch-shaped decode stage: one partition of (id, payload) rows at a
+    * time through `decoder` via mapPartitions — the Spark-side plumbing
+    * (typed schema, per-partition batching, no shuffle) is exactly what a
+    * real codec needs; only the innermost lambda is a stub here. The
+    * decoder is called once per row inside the partition iterator, so a
+    * real implementation can hold per-partition state (a codec context)
+    * outside the loop. */
+  def decodeBatch(docs: DataFrame, idCol: String, textCol: String,
+                  decoder: Array[Byte] => (Int, Int) = decodeStub): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), payload(col(textCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would init a codec context here
+        it.map { case (id, bytes) =>
+          val (w, h) = decoder(bytes)
+          MediaMeta(id, bytes.length.toLong, w, h,
+            (bytes.length + ChunkBytes - 1) / ChunkBytes)
+        }
+      }
+  }
 
   /** Explode a document into sampled chunk rows (every `stride`-th chunk),
     * md5-fingerprinting each chunk — the "frame sampling" shape: one narrow

@@ -67,6 +67,13 @@ object SimMm {
         .orderBy(col("doc_id"))
     }),
 
+    // Batch-shaped decode stage: binary payloads through mapPartitions
+    // with an injectable decoder (stubbed deterministically — no codecs
+    // in this container; the plumbing is the real thing).
+    "mm_decode_batch" -> ((s, dir) =>
+      Multimodal.decodeBatch(Tables.documents(s, dir), "doc_id", "text")
+        .toDF().orderBy(col("doc_id"))),
+
     // Frame/chunk sampling over binary payloads (every 4th 64-byte chunk).
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleChunks(Tables.documents(s, dir), "doc_id", "text", 4)
@@ -150,6 +157,14 @@ object SimMm {
         |  CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) * 16 AS INTEGER) AS w,
         |  CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) * 16 AS INTEGER) AS h,
         |  substring(md5(text), 1, 8) AS content_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_batch" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |  CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1)) * 16 AS INTEGER) AS width,
+        |  CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) * 16 AS INTEGER) AS height,
+        |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_frame_sample" ->

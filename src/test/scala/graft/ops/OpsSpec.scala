@@ -122,6 +122,18 @@ class OpsSpec extends AnyFunSuite {
     assert(b(0L) != b(3L))          // opposite direction differs
   }
 
+  test("Multimodal.decodeBatch runs the injected decoder over binary batches") {
+    val d = Seq((7L, "hello world")).toDF("doc_id", "text")
+    // custom decoder proves the lambda is swappable (a real codec slots in)
+    val meta = Multimodal.decodeBatch(d, "doc_id", "text",
+      bytes => (bytes.length, 2 * bytes.length)).collect().head
+    assert(meta == MediaMeta(7L, 11L, 11, 22, 1L))
+    // stub decoder is deterministic
+    val a = Multimodal.decodeBatch(d, "doc_id", "text").collect().head
+    val b = Multimodal.decodeBatch(d, "doc_id", "text").collect().head
+    assert(a == b && a.width % 16 == 0 && a.height % 16 == 0)
+  }
+
   test("Multimodal chunk plumbing") {
     val d = Seq((1L, "x" * 130)).toDF("doc_id", "text")
     val meta = d.select(Multimodal.payloadSize($"text").as("s"),
