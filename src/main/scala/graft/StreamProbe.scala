@@ -50,6 +50,19 @@ object StreamProbe {
     println("SESSIONS stream_closed=" + streamSess.count() +
       " batch_total=" + batchSess.count() + " not_in_batch=" + extra)
 
+    // Stream-stream interval join over the real file stream vs the batch
+    // twin — pair sets must match exactly (all data fits one watermark).
+    val q5 = StreamOps.correlateEvents(stream, "purchase", "error")
+      .writeStream.outputMode("append").format("memory").queryName("corr").start()
+    q5.processAllAvailable(); q5.stop()
+    val batchCorr = StreamOps.correlateEvents(
+      batch.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long"))),
+      "purchase", "error")
+    val corrDiff = spark.table("corr").exceptAll(batchCorr).count() +
+      batchCorr.exceptAll(spark.table("corr")).count()
+    println("CORRELATE stream_pairs=" + spark.table("corr").count() +
+      " batch_pairs=" + batchCorr.count() + " diff=" + corrDiff)
+
     // PROBE: batch/stream parity — same windowed agg computed in batch mode
     val batchAgg = batch
       .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))

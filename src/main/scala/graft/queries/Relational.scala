@@ -202,7 +202,14 @@ object Relational {
     // Gap-based sessionization.
     "events_sessionize" -> ((s, dir) =>
       Events.sessionStats(Tables.events(s, dir), "user_id", "ts", "event_id", 30)
-        .orderBy(col("user_id"), col("session_id")))
+        .orderBy(col("user_id"), col("session_id"))),
+
+    // Interval correlation (batch twin of the stream-stream join):
+    // purchases paired with the same user's errors within 30 minutes.
+    "events_correlate" -> ((s, dir) =>
+      graft.streaming.StreamOps.correlateEvents(
+          Tables.events(s, dir), "purchase", "error")
+        .orderBy(col("a_id"), col("b_id")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -329,6 +336,16 @@ object Relational {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+
+    "events_correlate" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'purchase') a
+        |JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "events_sessionize" ->
       """WITH marked AS (

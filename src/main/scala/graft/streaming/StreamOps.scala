@@ -103,6 +103,27 @@ object StreamOps {
       }
   }
 
+  /** Event correlation: pair each `typeA` event with the same user's
+    * `typeB` events that follow within `within` — a watermarked
+    * stream-stream interval join when fed streaming frames (state on both
+    * sides is bounded by watermark + interval), and the identical plan
+    * shape in batch (the oracle-checked `events_correlate` twin). The
+    * range predicate rides on the user_id equi key, so there is no
+    * interval explosion. */
+  def correlateEvents(events: DataFrame, typeA: String, typeB: String,
+                      within: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    def side(t: String, p: String) = {
+      val s = events.where(col("event_type") === t)
+        .select(col("user_id").as(s"${p}_user"), col("event_id").as(s"${p}_id"),
+          col("ts").as(s"${p}_ts"))
+      if (s.isStreaming) s.withWatermark(s"${p}_ts", watermark) else s
+    }
+    side(typeA, "a").join(side(typeB, "b"),
+        expr(s"a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL $within"))
+      .select(col("a_user").as("user_id"), col("a_id"), col("b_id"))
+  }
+
   /** Continuous CDC load: every micro-batch is upserted into a keyed
     * parquet table (graft.sinks.KeyedParquetSink) — the streaming twin of
     * the reference's changelog→upsert loop, with exactly-once-per-key

@@ -72,6 +72,22 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(all.contains((1L, 1L, 0L)) && all.contains((2L, 1L, 0L)) && all.contains((3L, 1L, 0L)))
   }
 
+  test("correlateEvents stream-stream interval join pairs within the window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, ts(0), 1, "purchase", 1.0),
+      Ev(2, ts(10), 1, "error", 0.0),   // within 30 min of purchase 1 → pair
+      Ev(3, ts(45), 1, "error", 0.0),   // 45 min later → outside window
+      Ev(4, ts(5), 2, "error", 0.0))    // other user, no purchase → no pair
+    val q = StreamOps.correlateEvents(input.toDF(), "purchase", "error")
+      .writeStream.outputMode("append").format("memory").queryName("corr").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("corr").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L)))
+  }
+
   test("cleanStream applies the batch Normalize kernel to a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
