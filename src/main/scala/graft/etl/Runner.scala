@@ -39,6 +39,19 @@ object Runner {
   private val lastRun = new AtomicReference[Option[RunReport]](None)
   def status: Option[RunReport] = lastRun.get()
 
+  /** Bounded run-log history — the queryable analog of the reference's SSE
+    * log stream (index.js:200-240). */
+  private val historyRef = new AtomicReference[List[RunReport]](Nil)
+  private val HistoryLimit = 100
+  def history: Seq[RunReport] = historyRef.get()
+
+  /** Cooperative stop (index.js stop endpoint): the current run finishes
+    * its in-flight stage, skips the rest, and scheduled loops exit. */
+  private val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def requestStop(): Unit = stopFlag.set(true)
+  def clearStop(): Unit = stopFlag.set(false)
+  def stopRequested: Boolean = stopFlag.get()
+
   /** Fixed-interval repeated runs — the reference's cron loop
     * (index.js:75-86, node-cron schedule + force-run). Executes the
     * pipeline `iterations` times, sleeping `intervalMs` between run
@@ -50,13 +63,15 @@ object Runner {
   def runScheduled(spark: SparkSession, stages: Seq[Stage], intervalMs: Long,
                    iterations: Int, retries: Int = 3): Seq[RunReport] = {
     val reports = Seq.newBuilder[RunReport]
-    for (i <- 0 until iterations) {
+    var i = 0
+    while (i < iterations && !stopFlag.get()) {
       val t0 = System.currentTimeMillis()
       reports += run(spark, stages, retries)
-      if (i < iterations - 1) {
+      if (i < iterations - 1 && !stopFlag.get()) {
         val wait = intervalMs - (System.currentTimeMillis() - t0)
         if (wait > 0) Thread.sleep(wait)
       }
+      i += 1
     }
     reports.result()
   }
@@ -69,7 +84,7 @@ object Runner {
           backoffMs: Long = 1000): RunReport = {
     val out = Seq.newBuilder[StageResult]
     var halted = false
-    for (s <- stages if !halted) {
+    for (s <- stages if !halted && !stopFlag.get()) {
       var attempt = 0
       var done = false
       var rows = 0L
@@ -91,6 +106,7 @@ object Runner {
     }
     val report = RunReport(out.result())
     lastRun.set(Some(report))
+    historyRef.updateAndGet(h => (report :: h).take(HistoryLimit))
     report
   }
 }

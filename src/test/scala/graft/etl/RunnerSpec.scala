@@ -38,10 +38,24 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("runScheduled repeats the pipeline and collects every report") {
+    Runner.clearStop()
     val calls = new AtomicInteger(0)
     val stages = Seq(Runner.Stage("tick", s => { calls.incrementAndGet(); Seq(1).toDF("x") }))
     val reports = Runner.runScheduled(spark, stages, intervalMs = 1, iterations = 3)
     assert(reports.size == 3 && calls.get() == 3 && reports.forall(_.ok))
+    assert(Runner.history.size >= 3)
+  }
+
+  test("requestStop halts a scheduled loop between runs") {
+    Runner.clearStop()
+    val calls = new AtomicInteger(0)
+    val stages = Seq(Runner.Stage("tick", s => {
+      if (calls.incrementAndGet() == 1) Runner.requestStop()
+      Seq(1).toDF("x")
+    }))
+    val reports = Runner.runScheduled(spark, stages, intervalMs = 1, iterations = 10)
+    assert(reports.size == 1 && calls.get() == 1)
+    Runner.clearStop()
   }
 
   test("streaming upsertSink converges the keyed table across micro-batches") {
