@@ -80,6 +80,45 @@ object Similarity {
     quant.select(col(idCol), bucket.as("bucket"))
   }
 
+  /** IVF (inverted-file) coarse quantizer, deterministic variant: the
+    * `cells` seed vectors are the ids with the smallest md5(vec_id) (a
+    * deterministic hash sample standing in for trained centroids — the
+    * assignment/search plumbing is identical with k-means centroids).
+    * Every vector joins the broadcast seed set and takes the seed with
+    * the highest cosine (4-dp rounded, seed-id tiebreak). One broadcast
+    * + one map stage — no shuffle of the vector table. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                cells: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = emb.select(col(idCol).as("seed_id"), col(vecCol).as("seed_vec"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("seed_id")).limit(cells)
+      .select(col("seed_id"), col("seed_vec"), norm(col("seed_vec")).as("sn"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos").desc, col("seed_id"))
+    emb.withColumn("vn", norm(col(vecCol)))
+      .crossJoin(broadcast(seeds))
+      .withColumn("cos", round(dot(col(vecCol), col("seed_vec")) / (col("vn") * col("sn")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("seed_id").as("cell"), col("cos").as("cell_cos"))
+  }
+
+  /** IVF search: exact cosine top-k within the query vector's cell. */
+  def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, cells: Int): DataFrame = {
+    val assigned = emb.join(ivfAssign(emb, idCol, vecCol, cells), Seq(idCol))
+      .withColumn("vn", norm(col(vecCol)))
+    val q = assigned.where(col(idCol) === lit(queryId))
+      .select(col("cell"), col(vecCol).as("qvec"), col("vn").as("qn"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucket occupancy summary (the ANN index statistics). */
   def lshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
                      planes: Int, dim: Int): DataFrame =

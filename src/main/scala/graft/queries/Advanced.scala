@@ -196,6 +196,25 @@ object Advanced {
           countDistinct(col("o_custkey")).as("n_exact"))
         .orderBy(col("o_orderstatus"))),
 
+    // Z-score anomaly ranking: per event type, the 5 most anomalous
+    // values. Mean and variance come from exact DECIMAL sums (E[x²]−E[x]²)
+    // so the scores are bit-stable across engines and partitionings.
+    "events_zscore" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+      val stats = e.groupBy(col("event_type")).agg(
+        (dsum(col("value")) / count(lit(1))).as("mean"),
+        (sum((col("value") * col("value")).cast("decimal(28,4)")).cast("double") / count(lit(1))).as("meansq"))
+        .withColumn("std", sqrt(col("meansq") - col("mean") * col("mean")))
+      val w = Window.partitionBy(col("event_type")).orderBy(abs(col("z")).desc, col("event_id"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("event_type"), col("event_id"), col("value"), col("z"), col("rn"))
+        .orderBy(col("event_type"), col("rn"))
+    }),
+
     // Approximate percentile sketch (rows-only check; exact twin is
     // q_percentile).
     "q_approx_quantile" -> ((s, dir) =>
@@ -327,6 +346,21 @@ object Advanced {
         |SELECT md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 64)) AS chunk_md5,
         |  count(*) AS n, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
         |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1 ORDER BY chunk_md5""".stripMargin,
+
+    "events_zscore" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) / count(*) AS meansq
+        |  FROM events GROUP BY event_type),
+        |z AS (
+        |  SELECT e.event_type, e.event_id, e.value,
+        |    (e.value - s.mean) / sqrt(s.meansq - s.mean * s.mean) AS z
+        |  FROM events e JOIN stats s USING (event_type)),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY abs(z) DESC, event_id) AS rn FROM z)
+        |SELECT event_type, event_id, value, z, CAST(rn AS INTEGER) AS rn
+        |FROM rk WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin,
 
     "q_sample_stable" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -27,6 +27,18 @@ object SimMm {
     "sim_ann_search" -> ((s, dir) =>
       Similarity.annSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8, 64)),
 
+    // IVF coarse-quantizer cell assignment statistics (deterministic
+    // hash-sampled seeds stand in for trained centroids).
+    "sim_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfAssign(Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
+        .orderBy(col("cell"))),
+
+    // IVF search: exact cosine top-k within the query's cell.
+    "sim_ivf_search" -> ((s, dir) =>
+      Similarity.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8)),
+
     // Nearest-neighbor join: every vector's top-1 neighbor within its LSH
     // bucket (the all-pairs ANN shape — candidate set bounded by buckets).
     "sim_nn_join" -> ((s, dir) => {
@@ -89,6 +101,20 @@ object SimMm {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** IVF assignment CTE: hash-sampled seeds, cosine argmax per vector
+    * (mirrors Similarity.ivfAssign: 4-dp rounded cosine, seed-id tiebreak). */
+  private lazy val ivfCte =
+    s"""seeds AS (
+       |  SELECT vec_id AS seed_id, embedding AS seed_vec
+       |  FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |ass AS (
+       |  SELECT e.vec_id, s.seed_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cosSql("e.embedding", "s.seed_vec")}, 4) DESC, s.seed_id) AS rn,
+       |    s.seed_id AS cell
+       |  FROM embeddings e CROSS JOIN seeds s)""".stripMargin
+
   private val bucketsCte =
     """comp AS (
       |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
@@ -125,6 +151,22 @@ object SimMm {
          |cand AS (
          |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
          |  FROM embeddings e JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ivf_cells" ->
+      s"""WITH $ivfCte
+         |SELECT cell, count(*) AS n, min(vec_id) AS min_id
+         |FROM ass WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "sim_ivf_search" ->
+      s"""WITH $ivfCte,
+         |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
+         |q AS (SELECT c.cell, e.embedding AS qv
+         |      FROM cells c JOIN embeddings e USING (vec_id) WHERE c.vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
+         |  FROM embeddings e JOIN cells c USING (vec_id) JOIN q ON c.cell = q.cell
          |  WHERE e.vec_id <> 0)
          |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 

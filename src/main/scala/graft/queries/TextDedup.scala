@@ -68,6 +68,26 @@ object TextDedup {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.1)
         .orderBy(col("a"), col("b"))),
 
+    // Log-free TF-IDF salience: top-3 tokens per doc by tf·N/df (exact
+    // integer numerator, one IEEE division — engine-stable, unlike
+    // log-based idf whose libm differs across engines).
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tok.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // Duplicate clusters from high-similarity pairs: 3 rounds of
     // min-label propagation, summarized per cluster.
     "dedup_clusters" -> ((s, dir) => {
@@ -167,6 +187,20 @@ object TextDedup {
          |  FROM votes GROUP BY doc)
          |SELECT simhash, count(*) AS n, min(doc) AS keeper
          |FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         |    CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+         |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM scored)
+         |SELECT doc_id, tok, tf, df, score, CAST(rn AS INTEGER) AS rn
+         |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     "dedup_clusters" -> {
       val rounds = (1 to 3).map { i =>

@@ -12,9 +12,14 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, TestSpark.sf)
       .queryExecution.explainString(SimpleMode)
 
-  // The ONE deliberate nested-loop join: topk broadcasts a single-row
-  // query vector against every row (that IS the brute-force baseline).
-  private val allowNestedLoop = Set("sim_topk_brute", "sim_ann_search")
+  // Deliberate tiny-side broadcast nested-loop joins:
+  //  - sim_topk_brute / sim_ann_search: single-row query vector vs all
+  //    rows (that IS the brute-force / candidate scan),
+  //  - sim_ivf_cells / sim_ivf_search: every vector vs the 8 broadcast
+  //    seed centroids (that IS the IVF assignment),
+  //  - text_tfidf: 1-row corpus-size scalar joined to every (doc, token).
+  private val allowNestedLoop = Set("sim_topk_brute", "sim_ann_search",
+    "sim_ivf_cells", "sim_ivf_search", "text_tfidf")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
