@@ -12,7 +12,7 @@ object StreamProbe {
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val stream = spark.readStream.schema(batch.schema)
       .parquet("/tmp/events_stream_dir")
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", graft.sources.Tables.nsToTs(col("ts")))
 
     val q1 = StreamOps.windowedAgg(stream, "ts", "event_type", "value")
       .writeStream.outputMode("complete").format("memory").queryName("wagg").start()
@@ -43,7 +43,7 @@ object StreamProbe {
     val streamSess = spark.table("sess")
       .select(col("user_id"), col("n_events"), col("dur_sec"))
     val batchSess = graft.ops.Events.sessionStats(
-        batch.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long"))),
+        batch.withColumn("ts", graft.sources.Tables.nsToTs(col("ts"))),
         "user_id", "ts", "event_id", 30)
       .select(col("user_id"), col("n_events"), col("dur_sec"))
     val extra = streamSess.exceptAll(batchSess).count()
@@ -56,7 +56,7 @@ object StreamProbe {
       .writeStream.outputMode("append").format("memory").queryName("corr").start()
     q5.processAllAvailable(); q5.stop()
     val batchCorr = StreamOps.correlateEvents(
-      batch.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long"))),
+      batch.withColumn("ts", graft.sources.Tables.nsToTs(col("ts"))),
       "purchase", "error")
     val corrDiff = spark.table("corr").exceptAll(batchCorr).count() +
       batchCorr.exceptAll(spark.table("corr")).count()
@@ -65,7 +65,7 @@ object StreamProbe {
 
     // PROBE: batch/stream parity — same windowed agg computed in batch mode
     val batchAgg = batch
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", graft.sources.Tables.nsToTs(col("ts")))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
       .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total"))

@@ -24,10 +24,16 @@ object Pipelines {
   def referenceSync(spark: SparkSession, sfDir: String, targetPath: String,
                     numBuckets: Int = 64): Runner.RunReport = {
 
-    def extracted(s: SparkSession): DataFrame = {
-      val changelog = Tables.events(s, sfDir).where(col("event_type") === "signup")
-      Changelog.extract(Tables.customer(s, sfDir), "c_custkey", changelog, "user_id")
+    // materialize the extract once — the later stages all build on it, and
+    // without this the events+customer scan and semi-join would re-execute
+    // for every stage count
+    val extractedOnce = {
+      val changelog = Tables.events(spark, sfDir).where(col("event_type") === "signup")
+      Changelog.extract(Tables.customer(spark, sfDir), "c_custkey", changelog, "user_id")
+        .localCheckpoint(true)
     }
+
+    def extracted(s: SparkSession): DataFrame = extractedOnce
 
     def cleaned(s: SparkSession): DataFrame =
       extracted(s).select(
@@ -46,7 +52,7 @@ object Pipelines {
       Runner.Stage("validate", valid),
       Runner.Stage("upsert", { s =>
         val v = valid(s)
-        if (new java.io.File(targetPath).exists())
+        if (KeyedParquetSink.tableExists(s, targetPath))
           KeyedParquetSink.upsert(s, targetPath, v, Seq("c_custkey"), numBuckets)
         else
           KeyedParquetSink.write(v, targetPath, Seq("c_custkey"), numBuckets)

@@ -71,6 +71,13 @@ object Multimodal {
       }
   }
 
+  /** Chunk count in CHARACTER units — chunk addressing goes through
+    * `substring`, which is character-based in both engines; deriving the
+    * count from bytes would mis-address multi-byte text (phantom empty
+    * trailing chunks whose md5('') collides across documents). */
+  def charChunkCount(c: Column): Column =
+    floor((length(c).cast("long") + lit(ChunkBytes - 1)) / lit(ChunkBytes)).cast("long")
+
   /** Explode a document into sampled chunk rows (every `stride`-th chunk),
     * md5-fingerprinting each chunk — the "frame sampling" shape: one narrow
     * explode, no shuffle until the caller aggregates. */
@@ -78,7 +85,7 @@ object Multimodal {
                    stride: Int): DataFrame = {
     docs.select(col(idCol), col(textCol).as("_graft_payload"))
       .withColumn("chunk_idx",
-        explode(sequence(lit(0L), chunkCount(col("_graft_payload")) - lit(1L))))
+        explode(sequence(lit(0L), charChunkCount(col("_graft_payload")) - lit(1L))))
       .where(col("chunk_idx") % lit(stride) === lit(0))
       .withColumn("chunk_md5",
         expr(s"md5(substring(_graft_payload, CAST(chunk_idx * $ChunkBytes + 1 AS INT), $ChunkBytes))"))

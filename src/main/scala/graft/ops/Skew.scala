@@ -24,6 +24,10 @@ object Skew {
     * multiplies the right side — use only when right is much smaller. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    // right/full outer would emit one row per unmatched salted COPY —
+    // saltFactor duplicates of every unmatched right row
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin replicates the right side; '$joinType' would duplicate unmatched right rows")
     val l = left.withColumn(SaltCol,
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
     val r = right.withColumn(SaltCol,
@@ -37,6 +41,8 @@ object Skew {
     * countDistinct but skew-immune. */
   def distinctCountTwoPhase(df: DataFrame, groupCol: String,
                             valueCol: String): DataFrame =
-    df.select(col(groupCol), col(valueCol)).distinct()
+    df.select(col(groupCol), col(valueCol))
+      .where(col(valueCol).isNotNull)      // countDistinct excludes NULLs
+      .distinct()
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n_distinct"))
 }

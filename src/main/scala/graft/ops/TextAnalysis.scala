@@ -69,7 +69,9 @@ object TextAnalysis {
   def langId(c: Column): Column = {
     val scores = langMarkers.map { case (l, m) => l -> langScore(c, m) }
     val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit(null).cast("string")) { case ((l, s), acc) =>
+    // base case is the LAST language, matching the oracle's ELSE branch —
+    // also what a NULL text falls through to (every `when` is null-falsy)
+    scores.init.foldRight(lit(langMarkers.last._1)) { case ((l, s), acc) =>
       when(s === best, lit(l)).otherwise(acc)
     }
   }

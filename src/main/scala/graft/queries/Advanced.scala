@@ -340,7 +340,7 @@ object Advanced {
     "mm_chunk_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text,
-        |    CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS nch FROM documents),
+        |    CAST((length(text) + 63) // 64 AS BIGINT) AS nch FROM documents),
         |ch AS (
         |  SELECT doc_id, text, unnest(range(0, nch)) AS ci FROM d)
         |SELECT md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 64)) AS chunk_md5,

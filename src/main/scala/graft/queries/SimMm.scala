@@ -212,7 +212,7 @@ object SimMm {
     "mm_frame_sample" ->
       """WITH d AS (
         |  SELECT doc_id, text,
-        |    CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n FROM documents),
+        |    CAST((length(text) + 63) // 64 AS BIGINT) AS n FROM documents),
         |ch AS (SELECT doc_id, text, unnest(range(0, n)) AS chunk_idx FROM d)
         |SELECT doc_id, chunk_idx,
         |  md5(substring(text, CAST(chunk_idx * 64 + 1 AS INTEGER), 64)) AS chunk_md5

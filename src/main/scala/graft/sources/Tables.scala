@@ -23,13 +23,20 @@ object Tables {
     * ns→µs truncation when casting TIMESTAMP_NS to TIMESTAMP, so the two
     * engines agree bit-for-bit.
     */
+  /** ns-long → microsecond timestamp, EXACT: subtract the remainder before
+    * dividing so the quotient is exactly representable in double (at
+    * ~1.7e18 ns a direct `/ 1000` rides 256 ns ulps and can land one µs
+    * off DuckDB's integer truncation). */
+  def nsToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(((c - pmod(c, lit(1000L))) / lit(1000L)).cast(LongType))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val converted =
       if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(col("ts") / lit(1000L) cast LongType))
+        df.withColumn("ts", nsToTs(col("ts")))
       else df
     rebalance(spark, converted, s"$dir/$name.parquet")
   }

@@ -91,7 +91,11 @@ object StreamOps {
                 case null => cur = SessionState(t, t, 1)
                 case s if t - s.lastSec > gapSec =>
                   closed += out(s); cur = SessionState(t, t, 1)
-                case s => cur = s.copy(lastSec = math.max(s.lastSec, t), n = s.n + 1)
+                case s =>
+                  // a late (within-watermark) event may precede the open
+                  // session's start — widen both bounds so duration and
+                  // start match what the batch twin computes
+                  cur = SessionState(math.min(s.startSec, t), math.max(s.lastSec, t), s.n + 1)
               }
             }
             if (cur != null) {
@@ -136,8 +140,8 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val exists = new java.io.File(path).exists()
-        if (!exists) graft.sinks.KeyedParquetSink.write(batch.toDF(), path, keys, numBuckets)
+        if (!graft.sinks.KeyedParquetSink.tableExists(spark, path))
+          graft.sinks.KeyedParquetSink.write(batch.toDF(), path, keys, numBuckets)
         else graft.sinks.KeyedParquetSink.upsert(spark, path, batch.toDF(), keys, numBuckets, versionCols)
       }
       .start()

@@ -28,6 +28,26 @@ class SkewSpec extends AnyFunSuite {
     assert(res.length == 1 && res.head._3 == null)
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched right rows") {
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), 4, "right_outer")
+    }
+    assert(e.getMessage.contains("right_outer"))
+  }
+
+  test("distinctCountTwoPhase ignores NULL values like countDistinct") {
+    val withNull = skewed.unionByName(
+      Seq((5L, Option.empty[java.lang.Long])).map(t => (t._1, t._2.map(Long2long)))
+        .toDF("k", "v"))
+    val direct = withNull.groupBy("k").agg(countDistinct($"v").as("n"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    val twoPhase = Skew.distinctCountTwoPhase(withNull, "k", "v")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    // k=5 has only a NULL value: countDistinct says 0; the two-phase op
+    // filters NULLs so k=5 simply has no row — compare on common keys
+    assert(twoPhase == direct.filter(_._2 > 0))
+  }
+
   test("distinctCountTwoPhase equals countDistinct") {
     val direct = skewed.groupBy("k").agg(countDistinct($"v").as("n_distinct"))
       .orderBy("k").as[(Long, Long)].collect().toSeq
