@@ -45,15 +45,21 @@ case class VectorDot(left: Expression, right: Expression) extends VectorBinaryEx
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: a projection can hold several vector expressions; fixed
+      // local names would collide in the merged generated class (Janino
+      // "redefinition" -> silent interpreted fallback)
+      val n = ctx.freshName("vdN")
+      val s = ctx.freshName("vdS")
+      val i = ctx.freshName("vdI")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
-         |  double s = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    s += ((double) $a.getFloat(i)) * ((double) $b.getFloat(i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = s; }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })
@@ -87,17 +93,24 @@ case class VectorCosine(left: Expression, right: Expression) extends VectorBinar
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("vcN")
+      val i = ctx.freshName("vcI")
+      val sab = ctx.freshName("vcSab")
+      val saa = ctx.freshName("vcSaa")
+      val sbb = ctx.freshName("vcSbb")
+      val xv = ctx.freshName("vcX")
+      val yv = ctx.freshName("vcY")
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) { ${ev.isNull} = true; } else {
-         |  double sab = 0.0, saa = 0.0, sbb = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    double xv = (double) $a.getFloat(i);
-         |    double yv = (double) $b.getFloat(i);
-         |    sab += xv * yv; saa += xv * xv; sbb += yv * yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $sab = 0.0, $saa = 0.0, $sbb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xv = (double) $a.getFloat($i);
+         |    double $yv = (double) $b.getFloat($i);
+         |    $sab += $xv * $yv; $saa += $xv * $xv; $sbb += $yv * $yv;
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = sab / (Math.sqrt(saa) * Math.sqrt(sbb)); }
+         |  if (!${ev.isNull}) { ${ev.value} = $sab / (Math.sqrt($saa) * Math.sqrt($sbb)); }
          |}
        """.stripMargin
     })

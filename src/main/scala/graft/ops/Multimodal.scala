@@ -83,9 +83,14 @@ object Multimodal {
     * explode, no shuffle until the caller aggregates. */
   def sampleChunks(docs: DataFrame, idCol: String, textCol: String,
                    stride: Int): DataFrame = {
+    // guard empty payloads: Spark's sequence(0, -1) steps DOWN to [0, -1]
+    // and would emit phantom chunks (same pitfall TextAnalysis.shingles
+    // guards); an empty array explodes to no rows, matching range(0, 0)
+    val nch = charChunkCount(col("_graft_payload"))
     docs.select(col(idCol), col(textCol).as("_graft_payload"))
       .withColumn("chunk_idx",
-        explode(sequence(lit(0L), charChunkCount(col("_graft_payload")) - lit(1L))))
+        explode(when(nch > 0, sequence(lit(0L), nch - lit(1L)))
+          .otherwise(array().cast("array<bigint>"))))
       .where(col("chunk_idx") % lit(stride) === lit(0))
       .withColumn("chunk_md5",
         expr(s"md5(substring(_graft_payload, CAST(chunk_idx * $ChunkBytes + 1 AS INT), $ChunkBytes))"))

@@ -189,18 +189,19 @@ object Advanced {
     // HLL++ sketch distinct count (no oracle: sketch differs per engine —
     // the driver records a rows-only check; the exact twin is
     // q_count_distinct).
+    // (the exact twin for accuracy comparison is q_count_distinct — do NOT
+    // compute countDistinct here, that's the shuffle the sketch avoids)
     "q_approx_distinct" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
         .agg(approx_count_distinct(col("o_custkey")).as("n_approx"),
-          countDistinct(col("o_custkey")).as("n_exact"))
+          count(lit(1)).as("n_rows"))
         .orderBy(col("o_orderstatus"))),
 
     // Z-score anomaly ranking: per event type, the 5 most anomalous
     // values. Mean and variance come from exact DECIMAL sums (E[x²]−E[x]²)
     // so the scores are bit-stable across engines and partitionings.
     "events_zscore" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.events(s, dir)
       val stats = e.groupBy(col("event_type")).agg(
         (dsum(col("value")) / count(lit(1))).as("mean"),
@@ -225,7 +226,7 @@ object Advanced {
         .orderBy(col("o_orderstatus")))
   )
 
-  private val toks = "string_split(trim(text), ' ')"
+  private val toks = toksSql
 
   val oracle: Map[String, String] = Map(
     "q_asof_join" ->
@@ -371,7 +372,7 @@ object Advanced {
       s"""WITH k AS (
          |  SELECT doc_id, lang, text,
          |    CAST(len($toks) AS BIGINT) AS n_tok,
-         |    CAST(len(list_filter($toks, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+         |    CAST(len(list_filter($toks, x -> x IN $stopInSql)) AS DOUBLE)
          |      / len($toks) AS stop_ratio,
          |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
          |  FROM documents)

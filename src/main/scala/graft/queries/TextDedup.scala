@@ -99,8 +99,8 @@ object TextDedup {
     })
   )
 
-  private val toks = "string_split(trim(text), ' ')"
-  private val stopIn = "('the', 'a', 'of', 'and', 'to')"
+  private val toks = toksSql
+  private val stopIn = stopInSql
 
   val oracle: Map[String, String] = Map(
     "text_token_stats" ->

@@ -15,4 +15,12 @@ package object queries {
 
   /** Deterministic 'yyyy-MM-dd' rendering (oracle twin: strftime). */
   def iso(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** DuckDB tokenizer fragment — the oracle twin of TextAnalysis.tokens.
+    * Single definition so the Spark and SQL sides can't drift. */
+  val toksSql: String = "string_split(trim(text), ' ')"
+
+  /** Oracle stopword IN-list derived from the Scala source of truth. */
+  val stopInSql: String =
+    graft.ops.TextAnalysis.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 }

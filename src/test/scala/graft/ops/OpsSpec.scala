@@ -142,6 +142,9 @@ class OpsSpec extends AnyFunSuite {
     val chunks = Multimodal.sampleChunks(d, "doc_id", "text", 2)
       .select($"chunk_idx").as[Long].collect().toSeq
     assert(chunks == Seq(0L, 2L))
+    // empty payload: no phantom chunks (Spark's sequence(0,-1) descends)
+    val empty = Seq((2L, "")).toDF("doc_id", "text")
+    assert(Multimodal.sampleChunks(empty, "doc_id", "text", 1).count() == 0)
   }
 
   test("Events.sessionize splits on gap") {
