@@ -280,7 +280,7 @@ object Advanced {
         |SELECT count(*) AS n_users, count(first_signup) AS n_signed,
         |  count(*) FILTER (WHERE first_signup IS NOT NULL
         |    AND last_purchase > first_signup) AS n_converted,
-        |  sum(n_events) AS total_events
+        |  CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM pu""".stripMargin,
 
     "q_pivot" ->
