@@ -60,33 +60,62 @@ object Dedup {
     * The join is on (band, bandkey) equality — bounded by bucket sizes,
     * never a cross join. Returns distinct (a, b) with a < b.
     *
+    * Band buckets are CAPPED at `maxBucket` docs: a bucket with m members
+    * emits O(m²) pairs, and on a real corpus one boilerplate/empty-text
+    * band key collects a large fraction of all documents (this corpus has
+    * such a bucket; at 100 TB it is a task-killer). Over-cap buckets are
+    * dropped from candidate generation — a bounded-recall trade: members
+    * of a dropped bucket can still pair through their other bands, and
+    * the exact/simhash paths cover identical text regardless.
+    *
     * Dedup across bands is LOCAL: each side carries its full band-key
-    * array, and a pair is emitted only at its first matching band (later
-    * matches check whether any earlier band also matched). This replaces a
-    * `distinct()` over the pair stream — at scale that distinct is a full
-    * shuffle of the largest intermediate in the query. */
+    * array plus per-band under-cap flags, and a pair is emitted only at
+    * its first matching UNDER-CAP band (later matches check whether any
+    * earlier kept band also matched). This replaces a `distinct()` over
+    * the pair stream — at scale that distinct is a full shuffle of the
+    * largest intermediate in the query. */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, rowsPerBand: Int): DataFrame = {
+                        k: Int, rowsPerBand: Int, maxBucket: Int = 50): DataFrame = {
     val nBands = k / rowsPerBand
     val keyCols = (0 until nBands).map(b =>
       xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as(s"k$b"))
     val withKeys = minhashSignatureArray(docs, idCol, textCol, k)
       .select(col("doc") +: keyCols: _*)
-    val bands = withKeys.select(
+    val bandsAll = withKeys.select(
       (col("doc") +: (0 until nBands).map(b => col(s"k$b"))) :+
         posexplode(array((0 until nBands).map(b => col(s"k$b")): _*)).as(Seq("band", "bandkey")): _*)
-    val l = bands.select(
+    // band-bucket occupancy: one narrow pre-aggregate over (band, key)
+    val occ = bandsAll.groupBy(col("band"), col("bandkey")).agg(count(lit(1)).as("m"))
+    // per-band under-cap flags attached to the per-doc key row (one hash
+    // join per band on a long key — same order of work as the band join)
+    val flagged = (0 until nBands).foldLeft(withKeys) { (df, b) =>
+      val okB = occ.where(col("band") === b && col("m") <= maxBucket)
+        .select(col("bandkey").as(s"k$b"), lit(true).as(s"ok$b"))
+      df.join(okB, Seq(s"k$b"), "left")
+    }
+    val bands = flagged.select(
+      (col("doc") +:
+        ((0 until nBands).map(b => col(s"k$b")) ++
+         (0 until nBands).map(b => coalesce(col(s"ok$b"), lit(false)).as(s"ok$b")))) :+
+        posexplode(array((0 until nBands).map(b => col(s"k$b")): _*)).as(Seq("band", "bandkey")): _*)
+    // filter the join INPUT to under-cap buckets, so an over-cap bucket
+    // contributes zero build and zero probe rows (no m² blow-up pre-filter)
+    val kept = bands.where(
+      (0 until nBands).map(b => col("band") === b && col(s"ok$b")).reduce(_ || _))
+    val l = kept.select(
       col("doc").as("a") +: col("band") +: col("bandkey") +:
-        (0 until nBands).map(b => col(s"k$b").as(s"a_k$b")): _*)
-    val r = bands.select(
+        ((0 until nBands).map(b => col(s"k$b").as(s"a_k$b")) ++
+         (0 until nBands).map(b => col(s"ok$b").as(s"a_ok$b"))): _*)
+    val r = kept.select(
       col("doc").as("b") +: col("band") +: col("bandkey") +:
         (0 until nBands).map(b => col(s"k$b").as(s"b_k$b")): _*)
-    // a pair is emitted only at its FIRST matching band: at band b, drop it
-    // if any earlier band b' < b also matched (statically unrolled — plain
-    // long comparisons, stays inside whole-stage codegen)
+    // a pair is emitted only at its FIRST matching kept band: at band b,
+    // drop it if any earlier band b' < b also matched AND was under cap
+    // (the flags are equal on both sides because the keys are; statically
+    // unrolled — plain long/bool comparisons, stays inside codegen)
     val dupOfEarlierBand = (1 until nBands).map(b =>
         col("band") === b &&
-          (0 until b).map(i => col(s"a_k$i") === col(s"b_k$i")).reduce(_ || _))
+          (0 until b).map(i => col(s"a_k$i") === col(s"b_k$i") && col(s"a_ok$i")).reduce(_ || _))
       .foldLeft(lit(false))(_ || _)
     l.join(r, Seq("band", "bandkey"))
       .where(col("a") < col("b") && !dupOfEarlierBand)
@@ -119,20 +148,32 @@ object Dedup {
 
   /** Word n-gram Jaccard similarity pairs. Candidates come from an
     * equality join on shared shingles (inverted-index shape), so pair work
-    * is proportional to true overlap, not n². Per-doc shingle counts are a
-    * map-stage `size()` (no aggregation shuffle). */
+    * is proportional to true overlap, not n².
+    *
+    * The index is document-frequency capped: a shingle appearing in m
+    * documents contributes m(m-1)/2 join rows, so one boilerplate
+    * stop-shingle shared by 1% of a 100 TB corpus is a task-killer.
+    * Shingles with df > `maxDf` are dropped BEFORE the self-join, and
+    * Jaccard is computed over the df-filtered shingle space on both the
+    * intersection and the sizes — the standard stop-shingle trade: pairs
+    * whose only overlap is boilerplate are lost, which near-dup detection
+    * doesn't want anyway. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double, maxDf: Int = 50): DataFrame = {
     // join on the 64-bit shingle hash, not the multi-word string — the
     // inverted-index shuffle moves (doc, long) rows and the sort/probe
     // compares longs (collision odds ≈ |shingles|²/2⁶⁴, immaterial).
     val sh = docs.select(col(idCol).as("doc"),
         explode(array_distinct(transform(
           TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
-    val sizes = docs.select(col(idCol).as("doc"),
-      size(array_distinct(TextAnalysis.shingles(col(textCol), n))).cast("long").as("n_sh"))
-    val inter = sh.select(col("doc").as("a"), col("s"))
-      .join(sh.select(col("doc").as("b"), col("s")), Seq("s"))
+    // posting-list df filter: one narrow pre-aggregate over the shingle
+    // hash; both self-join sides then reuse the same shuffle partitioning
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val shr = sh.join(rare, Seq("s"))
+    val sizes = shr.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val inter = shr.select(col("doc").as("a"), col("s"))
+      .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
     inter

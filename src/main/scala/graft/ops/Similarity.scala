@@ -61,6 +61,17 @@ object Similarity {
     ((h(0) >> 4) & 0xf) - 7
   }
 
+  /** Hyperplane count scaled to the data so the EXPECTED bucket size is
+    * `targetBucketSize`: planes = ceil(log2(n / target)), min 1. A fixed
+    * plane count is a hard bucket-count ceiling — at 100 TB each of 2⁸
+    * buckets would still hold n/256 vectors; scaling planes with n keeps
+    * per-bucket candidate work constant as the corpus grows. The one
+    * count() this needs at plan time is the same statistics collection
+    * AQE performs (parquet row counts come from footer metadata). */
+  def autoPlanes(n: Long, targetBucketSize: Int): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+
   /** Assign each vector an LSH bucket id from `planes` random hyperplanes.
     * Output: (id, bucket). Components are quantized to exact milli-units
     * (round(x,3) via DECIMAL, then ×1000 as LONG) so every dot product is
@@ -124,6 +135,33 @@ object Similarity {
                      planes: Int, dim: Int): DataFrame =
     lshBuckets(emb, idCol, vecCol, planes, dim)
       .groupBy("bucket").agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
+
+  /** Nearest-neighbor join: every vector's top-1 neighbor within its LSH
+    * bucket. The candidate (build) side of each bucket is capped at
+    * `candCap` members, chosen by a deterministic hash rank over the id —
+    * a skewed bucket then costs O(m·candCap) join rows instead of O(m²),
+    * while the probe side stays uncapped so every vector still gets a
+    * neighbor (recall trade: the neighbor is the best among the sampled
+    * candidates). */
+  def nnJoin(emb: DataFrame, idCol: String, vecCol: String,
+             planes: Int, dim: Int, candCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = emb.join(lshBuckets(emb, idCol, vecCol, planes, dim), Seq(idCol))
+      .withColumn("vn", norm(col(vecCol)))
+    val capW = Window.partitionBy(col("bucket"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val l = withB.select(col("bucket"), col(idCol).as("a"),
+      col(vecCol).as("va"), col("vn").as("na"))
+    val r = withB.withColumn("crn", row_number().over(capW))
+      .where(col("crn") <= candCap)
+      .select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"), col("vn").as("nb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("a"), col("b").as("nn"), col("cos"))
+  }
 
   /** ANN top-k: search only within the query vector's LSH bucket, rank by
     * exact cosine. The candidate set is an equality join on bucket id. */

@@ -13,19 +13,34 @@ import graft.ops.{Similarity, Dedup, Multimodal}
   */
 object SimMm {
 
+  /** ANN tuning shared by the Spark queries and their oracle twins:
+    * hyperplanes target `TargetBucket`-vector buckets (planes =
+    * ceil(log2(n/64))); nn-join candidate sides are capped at `CandCap`
+    * members per bucket. */
+  private val TargetBucket = 64
+  private val CandCap = 256
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k vs the vec_id=0 query vector.
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.topKBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
 
     // Random-hyperplane LSH bucket statistics (the ANN index shape).
-    "sim_ann_lsh" -> ((s, dir) =>
-      Similarity.lshBucketStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8, 64)
-        .orderBy(col("bucket"))),
+    // Planes scale with the data: ceil(log2(n/64)) hyperplanes targets
+    // 64-vector buckets at ANY corpus size (no fixed bucket-count ceiling).
+    "sim_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      Similarity.lshBucketStats(emb, "vec_id", "embedding", planes, 64)
+        .orderBy(col("bucket"))
+    }),
 
     // ANN top-k: exact cosine ranking within the query's LSH bucket.
-    "sim_ann_search" -> ((s, dir) =>
-      Similarity.annSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8, 64)),
+    "sim_ann_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      Similarity.annSearch(emb, "vec_id", "embedding", 0L, 10, planes, 64)
+    }),
 
     // IVF coarse-quantizer cell assignment statistics (deterministic
     // hash-sampled seeds stand in for trained centroids).
@@ -40,24 +55,13 @@ object SimMm {
       Similarity.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8)),
 
     // Nearest-neighbor join: every vector's top-1 neighbor within its LSH
-    // bucket (the all-pairs ANN shape — candidate set bounded by buckets).
+    // bucket (the all-pairs ANN shape). Planes scale with the data and the
+    // per-bucket candidate side is capped, so a skewed bucket costs
+    // O(m·cap) instead of O(m²) pair rows.
     "sim_nn_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, dir)
-      val withB = emb.join(
-          Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 64), Seq("vec_id"))
-        .withColumn("vn", Similarity.norm(col("embedding")))
-      val l = withB.select(col("bucket"), col("vec_id").as("a"),
-        col("embedding").as("va"), col("vn").as("na"))
-      val r = withB.select(col("bucket"), col("vec_id").as("b"),
-        col("embedding").as("vb"), col("vn").as("nb"))
-      val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
-      l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
-        .withColumn("cos", round(
-          Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("a"), col("b").as("nn"), col("cos"))
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      Similarity.nnJoin(emb, "vec_id", "embedding", planes, 64, CandCap)
         .orderBy(col("a"))
     }),
 
@@ -115,8 +119,15 @@ object SimMm {
        |    s.seed_id AS cell
        |  FROM embeddings e CROSS JOIN seeds s)""".stripMargin
 
+  /** Bucket-assignment CTE with DATA-SCALED planes: np mirrors
+    * Similarity.autoPlanes(n, 64) in SQL, and the plane range is filtered
+    * to np.planes (static range(63) upper bound = the most planes a BIGINT
+    * bucket id can hold). */
   private val bucketsCte =
-    """comp AS (
+    s"""np AS (
+      |  SELECT greatest(1, CAST(ceil(log2(greatest(1.0, count(*) / $TargetBucket.0))) AS INTEGER)) AS planes
+      |  FROM embeddings),
+      |comp AS (
       |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
       |    CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3) AS DECIMAL(7,3)) AS xq
       |  FROM embeddings CROSS JOIN range(64) d),
@@ -125,7 +136,8 @@ object SimMm {
       |    strpos('0123456789abcdef',
       |      substring(md5(CAST(p.range AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 8 AS w,
       |    xq
-      |  FROM comp CROSS JOIN range(8) p),
+      |  FROM comp CROSS JOIN range(63) p
+      |  WHERE CAST(p.range AS INTEGER) < (SELECT planes FROM np)),
       |dots AS (SELECT vec_id, p, sum(xq * w) AS dot FROM wp GROUP BY vec_id, p),
       |buckets AS (
       |  SELECT vec_id,
@@ -172,10 +184,16 @@ object SimMm {
 
     "sim_nn_join" ->
       s"""WITH $bucketsCte,
+         |cand AS (
+         |  SELECT vec_id, bucket,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn
+         |  FROM buckets),
          |pairs AS (
          |  SELECT l.vec_id AS a, r.vec_id AS b,
          |    round(${cosSql("le.embedding", "re.embedding")}, 4) AS cos
-         |  FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+         |  FROM buckets l JOIN cand r
+         |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id AND r.crn <= $CandCap
          |  JOIN embeddings le ON le.vec_id = l.vec_id
          |  JOIN embeddings re ON re.vec_id = r.vec_id),
          |ranked AS (

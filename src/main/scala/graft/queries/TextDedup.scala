@@ -158,6 +158,7 @@ object TextDedup {
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY h ORDER BY h""".stripMargin,
 
+    // band-bucket cap mirrors Dedup.lshCandidatePairs(maxBucket = 50)
     "dedup_minhash_lsh" ->
       s"""WITH tok AS (
          |  SELECT doc_id AS doc, unnest(list_distinct($toks)) AS tok FROM documents),
@@ -167,9 +168,13 @@ object TextDedup {
          |bands AS (
          |  SELECT doc, CAST(seed // 4 AS INTEGER) AS band,
          |    string_agg(mh, ',' ORDER BY seed) AS bandkey
-         |  FROM sigs GROUP BY doc, CAST(seed // 4 AS INTEGER))
+         |  FROM sigs GROUP BY doc, CAST(seed // 4 AS INTEGER)),
+         |occ AS (SELECT band, bandkey, count(*) AS m FROM bands GROUP BY band, bandkey),
+         |keep AS (
+         |  SELECT b.doc, b.band, b.bandkey FROM bands b
+         |  JOIN occ USING (band, bandkey) WHERE occ.m <= 50)
          |SELECT DISTINCT l.doc AS a, r.doc AS b
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.bandkey = r.bandkey
+         |FROM keep l JOIN keep r ON l.band = r.band AND l.bandkey = r.bandkey
          |WHERE l.doc < r.doc ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->
@@ -212,10 +217,12 @@ object TextDedup {
            |  GROUP BY n.id, n.label)""".stripMargin
       }.mkString(",\n")
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |sh AS (
+         |sh0 AS (
          |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
          |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
          |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
          |inter AS (
          |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
@@ -232,12 +239,15 @@ object TextDedup {
          |FROM l3 GROUP BY label ORDER BY label""".stripMargin
     },
 
+    // df cap mirrors Dedup.ngramJaccardPairs(maxDf = 50)
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |sh AS (
+         |sh0 AS (
          |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
          |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
          |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
          |inter AS (
          |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter

@@ -64,6 +64,27 @@ class OpsSpec extends AnyFunSuite {
     assert(p == Seq((1L, 2L, 1.0)))
   }
 
+  test("Dedup.ngramJaccardPairs df cap drops stop-shingle candidates") {
+    // docs 1,2 share every shingle (df=2 each); maxDf=1 removes them all
+    // from the inverted index → no candidate pairs survive
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 1).count() == 0)
+  }
+
+  test("Dedup.lshCandidatePairs caps over-occupancy band buckets") {
+    val boiler = (1 to 5).map(i => (i.toLong, "same boilerplate text repeated here"))
+    val niche = Seq((10L, "rare niche pair of documents alpha"),
+                    (11L, "rare niche pair of documents alpha"))
+    val d = (boiler ++ niche).toDF("doc_id", "text")
+    // hot bucket (5 members) over the cap of 3 → dropped; the 2-member
+    // bucket stays → only the niche pair is emitted
+    val capped = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4, maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L)))
+    // raising the cap re-admits the hot bucket: C(5,2) + 1 pairs
+    val uncapped = Dedup.lshCandidatePairs(d, "doc_id", "text", 8, 4, maxBucket = 50)
+    assert(uncapped.count() == 11)
+  }
+
   val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
@@ -120,6 +141,28 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(b(0L) == b(5L))          // same direction
     assert(b(0L) != b(3L))          // opposite direction differs
+  }
+
+  test("Similarity.autoPlanes scales with corpus size") {
+    assert(Similarity.autoPlanes(500L, 64) == 3)          //   8 buckets
+    assert(Similarity.autoPlanes(2000L, 64) == 5)         //  32 buckets
+    assert(Similarity.autoPlanes(1000000000L, 64) == 24)  // 16M buckets
+    assert(Similarity.autoPlanes(10L, 64) == 1)           // never below 1
+  }
+
+  test("Similarity.nnJoin caps the candidate side per bucket") {
+    // five positively-scaled copies → identical dot-product signs → one
+    // bucket; candCap=2 keeps only the two hash-lowest ids as candidates
+    val same = (10L to 14L).map(i =>
+      (i, Array(1.0f * (i - 9), 0.5f * (i - 9), 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cands = (10L to 14L).sortBy(i => (md5hex(i.toString), i)).take(2).toSet
+    val nn = Similarity.nnJoin(same, "vec_id", "embedding", 2, 4, candCap = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(nn.length == 5)                      // probe side stays uncapped
+    assert(nn.forall(r => cands.contains(r._2))) // neighbors only from candidates
+    assert(nn.forall(_._3 == 1.0))              // scaled copies: cosine 1
   }
 
   test("Multimodal.decodeBatch runs the injected decoder over binary batches") {
