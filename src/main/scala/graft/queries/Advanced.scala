@@ -186,16 +186,22 @@ object Advanced {
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))),
 
-    // HLL++ sketch distinct count (no oracle: sketch differs per engine —
-    // the driver records a rows-only check; the exact twin is
-    // q_count_distinct).
-    // (the exact twin for accuracy comparison is q_count_distinct — do NOT
-    // compute countDistinct here, that's the shuffle the sketch avoids)
+    // HLL++ sketch distinct count, audited in-query: the engine's sketch
+    // value can't be reproduced by another engine, so the output carries
+    // the exact twin plus `ok` = sketch within 5% of exact (rsd=0.01 →
+    // the 5% bound is ~5σ, deterministic in practice) and the oracle
+    // checks the deterministic columns with ok as literal TRUE — a
+    // drifting sketch turns the hash gate red. At 100 TB you'd run ONLY
+    // the sketch; the exact twin here is the audit apparatus.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey")).as("n_approx"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"),
+          countDistinct(col("o_custkey")).as("n_exact"),
           count(lit(1)).as("n_rows"))
+        .select(col("o_orderstatus"), col("n_exact"), col("n_rows"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact")
+            <= 0.05).as("ok"))
         .orderBy(col("o_orderstatus"))),
 
     // Z-score anomaly ranking: per event type, the 5 most anomalous
@@ -216,13 +222,19 @@ object Advanced {
         .orderBy(col("event_type"), col("rn"))
     }),
 
-    // Approximate percentile sketch (rows-only check; exact twin is
-    // q_percentile).
+    // Approximate percentile sketch, audited in-query like
+    // q_approx_distinct: exact median (quantile_cont-parity, proven by
+    // q_percentile) + `ok` = sketch within 5% of exact; the sketch value
+    // itself stays out of the cross-engine hash.
     "q_approx_quantile" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
         .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("med_approx"),
+          percentile(col("o_totalprice"), lit(0.5)).as("med_exact"),
           count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("med_exact"), col("n"),
+          (abs(col("med_approx") - col("med_exact")) / col("med_exact")
+            <= 0.05).as("ok"))
         .orderBy(col("o_orderstatus")))
   )
 
@@ -379,6 +391,20 @@ object Advanced {
          |SELECT doc_id, n_tok FROM k
          |WHERE doc_id = keeper AND lang = 'en'
          |  AND n_tok BETWEEN 5 AND 1000 AND stop_ratio < 0.5
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Sketch audits: the oracle checks the DETERMINISTIC columns (exact
+    // twins) and asserts the in-query sketch-vs-exact bound held (ok=TRUE
+    // — the Spark side computes it from the sketch, so a drifting sketch
+    // fails the hash compare).
+    "q_approx_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_exact,
+        |  count(*) AS n_rows, TRUE AS ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_exact,
+        |  count(*) AS n, TRUE AS ok
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -8,13 +8,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class QueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("every oracle has a query; only sketch queries lack an oracle") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // sketch-based ops get a rows-only check (engine-specific sketches
-    // can't be reproduced in the DuckDB oracle); everything else must
-    // have one
-    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_approx_distinct", "q_approx_quantile"))
+  test("every query has an oracle and every oracle a query") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("sketch queries: approx within 5% of exact and flagged ok") {
+    import org.apache.spark.sql.functions.col
+    // the `ok` column IS the sketch-vs-exact audit; it must hold on real
+    // data or the oracle hash compare goes red
+    Seq("q_approx_distinct", "q_approx_quantile").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, TestSpark.sf)
+        .select(col("ok")).collect()
+      assert(rows.nonEmpty && rows.forall(_.getBoolean(0)), s"$q sketch out of bound")
+    }
   }
 
   test("entry returns rows on sf0.001") {
