@@ -24,4 +24,19 @@ object Changelog {
       .distinct()
     source.join(keys, Seq(keyCol), "left_semi")
   }
+
+  /** Multi-table changelog dispatch: one MIXED changelog whose `tableCol`
+    * routes each key to its entity (the reference's changelog carries a
+    * `table` column and is consumed per entity — models/EtlLogger.js:8-15,
+    * services/etlService.js:446-449). Each entity's extract is the
+    * `tableCol`-filtered changelog semi-joined against that entity's
+    * source; the per-entity filters are partition-prunable predicates on
+    * the SAME changelog scan, so a run over k entities reads the changelog
+    * once per entity with pushed filters, never k full shuffles of it. */
+  def dispatch(changelog: DataFrame, tableCol: String, logKeyCol: String,
+               entities: Map[String, (DataFrame, String)]): Map[String, DataFrame] =
+    entities.map { case (entity, (source, keyCol)) =>
+      entity -> extract(source, keyCol,
+        changelog.where(col(tableCol) === entity), logKeyCol)
+    }
 }

@@ -1,0 +1,109 @@
+package graft.etl
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+/** 5-field cron expression — the schedule surface the reference validates
+  * and registers (index.js:30-37 `cron.validate(pattern)`, index.js:75-86
+  * `cron.schedule`). Standard cron semantics:
+  * fields are `minute hour day-of-month month day-of-week`; each field is
+  * a comma list of `*`, `a`, `a-b`, with an optional `/step` on `*` or a
+  * range; day-of-week 0/7 = Sunday; when BOTH day-of-month and
+  * day-of-week are restricted, a time matches if EITHER does (the classic
+  * vixie-cron OR rule).
+  */
+final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
+                      months: Set[Int], dows: Set[Int],
+                      domRestricted: Boolean, dowRestricted: Boolean) {
+
+  def matches(t: LocalDateTime): Boolean = {
+    val dayOk =
+      if (domRestricted && dowRestricted)
+        doms(t.getDayOfMonth) || dows(t.getDayOfWeek.getValue % 7)
+      else
+        doms(t.getDayOfMonth) && dows(t.getDayOfWeek.getValue % 7)
+    minutes(t.getMinute) && hours(t.getHour) && months(t.getMonthValue) && dayOk
+  }
+
+  /** First fire time STRICTLY after `from`, minute granularity. Bounded
+    * minute scan (5 years covers any satisfiable pattern incl. Feb 29);
+    * scheduling math runs on the driver once per run, so clarity beats
+    * a field-skipping implementation. */
+  def next(from: LocalDateTime): LocalDateTime = {
+    var t = from.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
+    val bound = from.plusYears(5)
+    while (!matches(t)) {
+      t = t.plusMinutes(1)
+      if (t.isAfter(bound))
+        throw new IllegalArgumentException(s"cron pattern never fires: $this")
+    }
+    t
+  }
+}
+
+object Cron {
+
+  private case class FieldSpec(lo: Int, hi: Int)
+  private val specs = Seq(
+    FieldSpec(0, 59),  // minute
+    FieldSpec(0, 23),  // hour
+    FieldSpec(1, 31),  // day of month
+    FieldSpec(1, 12),  // month
+    FieldSpec(0, 7))   // day of week (7 ≡ 0 ≡ Sunday)
+
+  /** Parse + validate (the reference rejects invalid patterns with a 400,
+    * index.js:30-37); Left is the validation error. */
+  def parse(expr: String): Either[String, Cron] = {
+    val fields = expr.trim.split("\\s+")
+    if (fields.length != 5)
+      return Left(s"expected 5 fields (minute hour dom month dow), got ${fields.length}")
+    val parsed = fields.zip(specs).zipWithIndex.map { case ((f, spec), i) =>
+      parseField(f, spec).left.map(e => s"field ${i + 1} '$f': $e")
+    }
+    parsed.collectFirst { case Left(e) => e } match {
+      case Some(e) => Left(e)
+      case None =>
+        val Seq(mi, h, dom, mo, dowRaw) = parsed.map(_.toOption.get).toSeq
+        // normalize dow 7 → 0 (both mean Sunday)
+        val dow = dowRaw.map(d => if (d == 7) 0 else d)
+        Right(Cron(mi, h, dom, mo, dow,
+          domRestricted = fields(2) != "*",
+          dowRestricted = fields(4) != "*"))
+    }
+  }
+
+  def isValid(expr: String): Boolean = parse(expr).isRight
+
+  private def parseField(f: String, spec: FieldSpec): Either[String, Set[Int]] = {
+    val parts = f.split(",", -1).toSeq
+    if (parts.exists(_.isEmpty)) return Left("empty list element")
+    val sets = parts.map(parsePart(_, spec))
+    sets.collectFirst { case Left(e) => e } match {
+      case Some(e) => Left(e)
+      case None => Right(sets.flatMap(_.toOption.get).toSet)
+    }
+  }
+
+  private def parsePart(p: String, spec: FieldSpec): Either[String, Seq[Int]] = {
+    val (rangePart, step) = p.split("/", -1) match {
+      case Array(r) => (r, 1)
+      case Array(r, s) =>
+        if (s.matches("[0-9]+") && s.toInt > 0) (r, s.toInt)
+        else return Left(s"bad step '$s'")
+      case _ => return Left("more than one '/'")
+    }
+    val bounds = rangePart match {
+      case "*" => Right((spec.lo, spec.hi))
+      case r if r.matches("[0-9]+") => Right((r.toInt, r.toInt))
+      case r if r.matches("[0-9]+-[0-9]+") =>
+        val Array(a, b) = r.split("-").map(_.toInt)
+        Right((a, b))
+      case other => Left(s"unparseable '$other'")
+    }
+    bounds.flatMap { case (a, b) =>
+      if (a < spec.lo || b > spec.hi) Left(s"out of range ${spec.lo}-${spec.hi}")
+      else if (a > b) Left(s"inverted range $a-$b")
+      else Right(a.to(b, step))
+    }
+  }
+}

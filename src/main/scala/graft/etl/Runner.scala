@@ -76,6 +76,29 @@ object Runner {
     reports.result()
   }
 
+  /** Cron-scheduled repeated runs — parity with the reference's node-cron
+    * surface (index.js:30-37 validate, 75-86 schedule). Validates the
+    * 5-field pattern first (Left = the validation error, the analog of
+    * the reference's 400 response), then executes the pipeline at each of
+    * the next `iterations` fire times. `now`/`sleep` are injectable so
+    * fire-time behavior is testable without wall-clock waits. */
+  def runCron(spark: SparkSession, stages: Seq[Stage], cronExpr: String,
+              iterations: Int, retries: Int = 3,
+              now: () => java.time.LocalDateTime = () => java.time.LocalDateTime.now(),
+              sleep: Long => Unit = Thread.sleep): Either[String, Seq[RunReport]] =
+    Cron.parse(cronExpr).map { cron =>
+      val reports = Seq.newBuilder[RunReport]
+      var i = 0
+      while (i < iterations && !stopFlag.get()) {
+        val t = now()
+        val waitMs = java.time.Duration.between(t, cron.next(t)).toMillis
+        if (waitMs > 0) sleep(waitMs)
+        if (!stopFlag.get()) reports += run(spark, stages, retries)
+        i += 1
+      }
+      reports.result()
+    }
+
   /** Run stages sequentially; each stage is retried up to `retries` times
     * with linear backoff (reference: RETRY_LIMIT 3, delay between retries).
     * A failing stage stops the pipeline (later stages typically read what

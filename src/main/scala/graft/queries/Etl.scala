@@ -43,6 +43,27 @@ object Etl {
         .orderBy(col("c_custkey"))
     }),
 
+    // Multi-table changelog dispatch (EtlLogger.js:8-15, etlService.js:
+    // 446-449): one mixed changelog routes signup keys to `customer` and
+    // purchase keys to `orders`; output is the per-entity extract summary.
+    "etl_changelog_dispatch" -> ((s, dir) => {
+      val changelog = Tables.events(s, dir)
+        .where(col("event_type").isin("signup", "purchase"))
+        .select(
+          when(col("event_type") === "signup", lit("customer"))
+            .otherwise(lit("orders")).as("table"),
+          col("user_id").as("ref_key"))
+      val out = Changelog.dispatch(changelog, "table", "ref_key", Map(
+        "customer" -> ((Tables.customer(s, dir), "c_custkey")),
+        "orders" -> ((Tables.orders(s, dir), "o_custkey"))))
+      val c = out("customer").agg(count(lit(1)).as("n_rows"),
+        dsum(col("c_acctbal")).as("sum_val")).withColumn("entity", lit("customer"))
+      val o = out("orders").agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_val")).withColumn("entity", lit("orders"))
+      c.unionByName(o).select(col("entity"), col("n_rows"), col("sum_val"))
+        .orderBy(col("entity"))
+    }),
+
     // Keyed last-write-wins upsert (etlService.js:36-53): pending orders get
     // a recomputed price + finalized status, merged over the base table.
     "etl_upsert_merge" -> ((s, dir) => {
@@ -137,6 +158,20 @@ object Etl {
         |  SELECT DISTINCT user_id FROM events
         |  WHERE event_type = 'signup' AND user_id IS NOT NULL)
         |ORDER BY c_custkey""".stripMargin,
+
+    "etl_changelog_dispatch" ->
+      """SELECT 'customer' AS entity, count(*) AS n_rows,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM customer WHERE c_custkey IN (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'signup' AND user_id IS NOT NULL)
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |ORDER BY entity""".stripMargin,
 
     "etl_upsert_merge" ->
       """WITH base AS (

@@ -66,6 +66,21 @@ class EtlSpec extends AnyFunSuite {
     assert(got == Seq((2L, "y"), (3L, "z")))
   }
 
+  test("Changelog.dispatch routes a mixed changelog per entity") {
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("cid", "name")
+    val ord = Seq((10L, 1L), (11L, 2L), (12L, 9L)).toDF("oid", "ocust")
+    val log = Seq(("customer", 2L), ("orders", 1L), ("orders", 2L),
+      ("voucher", 99L)).toDF("table", "ref")
+    val out = Changelog.dispatch(log, "table", "ref", Map(
+      "customer" -> ((cust, "cid")), "orders" -> ((ord, "ocust"))))
+    assert(out("customer").select("cid", "name")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    assert(out("orders").select("oid", "ocust").orderBy("oid")
+      .as[(Long, Long)].collect().toSeq == Seq((10L, 1L), (11L, 2L)))
+    // entities not configured are simply not dispatched
+    assert(out.keySet == Set("customer", "orders"))
+  }
+
   test("Quality.keyReport counts processed vs skipped") {
     val df = Seq((Some(1), 5.0), (None, 6.0), (Some(3), -1.0)).toDF("k", "v")
     val r = Quality.keyReport(df, "t", Quality.keysPresent(Seq("k")) && $"v" > 0)

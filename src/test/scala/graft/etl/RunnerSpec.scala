@@ -58,6 +58,53 @@ class RunnerSpec extends AnyFunSuite {
     Runner.clearStop()
   }
 
+  test("Cron.parse validates patterns like the reference's cron.validate") {
+    assert(Cron.isValid("* * * * *"))
+    assert(Cron.isValid("*/15 0-6 1,15 * 1-5"))
+    assert(Cron.isValid("0 9 * * 7"))          // 7 ≡ Sunday
+    assert(!Cron.isValid("* * * *"))           // 4 fields
+    assert(!Cron.isValid("60 * * * *"))        // minute out of range
+    assert(!Cron.isValid("* * 0 * *"))         // dom starts at 1
+    assert(!Cron.isValid("*/0 * * * *"))       // zero step
+    assert(!Cron.isValid("5-1 * * * *"))       // inverted range
+    assert(!Cron.isValid("a * * * *"))
+    assert(Cron.parse("* * * *").left.exists(_.contains("5 fields")))
+  }
+
+  test("Cron.next fire-time math") {
+    import java.time.LocalDateTime
+    val t = LocalDateTime.of(2026, 8, 12, 10, 7)        // a Wednesday
+    def n(e: String, from: LocalDateTime = t) = Cron.parse(e).toOption.get.next(from)
+    assert(n("*/15 * * * *") == LocalDateTime.of(2026, 8, 12, 10, 15))
+    assert(n("0 9 * * *") == LocalDateTime.of(2026, 8, 13, 9, 0))
+    assert(n("0 9 * * 1") == LocalDateTime.of(2026, 8, 17, 9, 0))   // next Monday
+    assert(n("7 10 * * *") == LocalDateTime.of(2026, 8, 13, 10, 7)) // strict after
+    // vixie OR rule: dom 15 OR friday — Aug 14 2026 is a Friday
+    assert(n("0 0 15 * 5") == LocalDateTime.of(2026, 8, 14, 0, 0))
+    // dow-only restriction stays AND with wildcard dom
+    assert(n("0 0 * * 5") == LocalDateTime.of(2026, 8, 14, 0, 0))
+    // Feb 29 resolves across years (2028 is the next leap year)
+    assert(n("30 2 29 2 *") == LocalDateTime.of(2028, 2, 29, 2, 30))
+  }
+
+  test("runCron fires at cron boundaries with injected clock") {
+    Runner.clearStop()
+    import java.time.LocalDateTime
+    var clock = LocalDateTime.of(2026, 1, 1, 0, 0, 30)
+    val slept = Seq.newBuilder[Long]
+    val calls = new AtomicInteger(0)
+    val stages = Seq(Runner.Stage("tick", s => { calls.incrementAndGet(); Seq(1).toDF("x") }))
+    val got = Runner.runCron(spark, stages, "*/10 * * * *", iterations = 2,
+      now = () => clock,
+      sleep = ms => { slept += ms; clock = clock.plusNanos(ms * 1000000L) })
+    assert(got.exists(_.size == 2) && calls.get() == 2)
+    // 00:00:30 → 00:10 is 570s; 00:10 → 00:20 is 600s
+    assert(slept.result() == Seq(570000L, 600000L))
+    // invalid pattern is rejected up front, nothing runs
+    val bad = Runner.runCron(spark, stages, "61 * * * *", 1)
+    assert(bad.isLeft && calls.get() == 2)
+  }
+
   test("streaming upsertSink converges the keyed table across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
