@@ -105,6 +105,7 @@ object Runner {
     * earlier ones wrote). */
   def run(spark: SparkSession, stages: Seq[Stage], retries: Int = 3,
           backoffMs: Long = 1000): RunReport = {
+    Progress.attach(spark.sparkContext)
     val out = Seq.newBuilder[StageResult]
     var halted = false
     for (s <- stages if !halted && !stopFlag.get()) {
@@ -113,15 +114,21 @@ object Runner {
       var rows = 0L
       var err = ""
       val t0 = System.nanoTime()
-      while (!done && attempt < retries) {
-        attempt += 1
-        try { rows = s.run(spark).count(); done = true; err = "" }
-        catch {
-          case e: Throwable =>
-            err = Option(e.getMessage).getOrElse(e.getClass.getName)
-            if (attempt < retries) Thread.sleep(backoffMs * attempt)
+      // tag this stage's Spark jobs so Progress can tally its tasks live
+      Progress.reset(s.name)
+      spark.sparkContext.setJobGroup(Progress.groupId(s.name),
+        s"graft stage ${s.name}", interruptOnCancel = false)
+      try {
+        while (!done && attempt < retries) {
+          attempt += 1
+          try { rows = s.run(spark).count(); done = true; err = "" }
+          catch {
+            case e: Throwable =>
+              err = Option(e.getMessage).getOrElse(e.getClass.getName)
+              if (attempt < retries) Thread.sleep(backoffMs * attempt)
+          }
         }
-      }
+      } finally spark.sparkContext.clearJobGroup()
       val res = StageResult(s.name, done, attempt, rows,
         (System.nanoTime() - t0) / 1000000L, err)
       out += res

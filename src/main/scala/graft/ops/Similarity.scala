@@ -98,8 +98,10 @@ object Similarity {
     * Every vector joins the broadcast seed set and takes the seed with
     * the highest cosine (4-dp rounded, seed-id tiebreak). One broadcast
     * + one map stage — no shuffle of the vector table. */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                cells: Int): DataFrame = {
+  /** Every (vector, seed) cosine ranked per vector — the shared core of
+    * cell assignment (rn=1) and multi-cell probing (rn<=nprobe). */
+  private def rankedCells(emb: DataFrame, idCol: String, vecCol: String,
+                          cells: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val seeds = emb.select(col(idCol).as("seed_id"), col(vecCol).as("seed_vec"),
         md5(col(idCol).cast("string")).as("h"))
@@ -111,8 +113,34 @@ object Similarity {
       .crossJoin(broadcast(seeds))
       .withColumn("cos", round(dot(col(vecCol), col("seed_vec")) / (col("vn") * col("sn")), 4))
       .withColumn("rn", row_number().over(w))
+  }
+
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                cells: Int): DataFrame =
+    rankedCells(emb, idCol, vecCol, cells)
       .where(col("rn") === 1)
       .select(col(idCol), col("seed_id").as("cell"), col("cos").as("cell_cos"))
+
+  /** IVF search probing the query's `nprobe` CLOSEST cells (nprobe=1 ≡
+    * ivfSearch) — the standard recall knob: neighbors assigned to the
+    * runner-up cell are recovered for nprobe× candidate work, still
+    * O(nprobe·n/cells) per query, never a full scan. */
+  def ivfSearchMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, k: Int, cells: Int, nprobe: Int): DataFrame = {
+    val ranked = rankedCells(emb, idCol, vecCol, cells)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col(idCol), col("seed_id").as("cell"))
+    val qcells = ranked
+      .where(col(idCol) === lit(queryId) && col("rn") <= nprobe)
+      .select(col("seed_id").as("cell"), col(vecCol).as("qvec"), col("vn").as("qn"))
+    emb.join(assigned, Seq(idCol))
+      .withColumn("vn", norm(col(vecCol)))
+      .join(broadcast(qcells), Seq("cell"))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /** IVF search: exact cosine top-k within the query vector's cell. */
@@ -123,6 +151,32 @@ object Similarity {
     val q = assigned.where(col(idCol) === lit(queryId))
       .select(col("cell"), col(vecCol).as("qvec"), col("vn").as("qn"))
     assigned.join(broadcast(q), Seq("cell"))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Multi-probe ANN top-k: search the query's bucket PLUS every bucket
+    * at Hamming distance 1 from it (planes+1 probe buckets). The standard
+    * recall fix for hyperplane LSH — a near-neighbor that landed just
+    * across one hyperplane is recovered — for (planes+1)× candidate work,
+    * still O(planes·n/2^planes) per query. The probe set is planes+1 rows
+    * and broadcast. */
+  def annSearchMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
+    val withB = emb.join(lshBuckets(emb, idCol, vecCol, planes, dim), Seq(idCol))
+      .withColumn("vn", norm(col(vecCol)))
+    val q = withB.where(col(idCol) === lit(queryId))
+      .select(col("bucket"), col(vecCol).as("qvec"), col("vn").as("qn"))
+    // bucket ids differing in exactly one plane bit are all distinct, so
+    // no candidate can enter through two probes — no dedup needed
+    val probes = q.select(
+      explode(array(col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"),
+      col("qvec"), col("qn"))
+    withB.join(broadcast(probes), Seq("bucket"))
       .where(col(idCol) =!= lit(queryId))
       .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
       .select(col(idCol), col("cos"))

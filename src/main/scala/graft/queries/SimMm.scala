@@ -42,6 +42,19 @@ object SimMm {
       Similarity.annSearch(emb, "vec_id", "embedding", 0L, 10, planes, 64)
     }),
 
+    // Multi-probe ANN: query bucket + all Hamming-distance-1 buckets
+    // (recovers neighbors split off by one hyperplane).
+    "sim_ann_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      Similarity.annSearchMultiProbe(emb, "vec_id", "embedding", 0L, 10, planes, 64)
+    }),
+
+    // IVF multi-cell probe: the query's 2 closest cells.
+    "sim_ivf_multiprobe" -> ((s, dir) =>
+      Similarity.ivfSearchMultiProbe(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10, 8, 2)),
+
     // IVF coarse-quantizer cell assignment statistics (deterministic
     // hash-sampled seeds stand in for trained centroids).
     "sim_ivf_cells" -> ((s, dir) =>
@@ -163,6 +176,35 @@ object SimMm {
          |cand AS (
          |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
          |  FROM embeddings e JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ann_multiprobe" ->
+      s"""WITH $bucketsCte,
+         |q AS (SELECT b.bucket, e.embedding AS qv
+         |      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+         |probes AS (
+         |  SELECT bucket AS pb, qv FROM q
+         |  UNION ALL
+         |  SELECT xor(q.bucket, CAST(1 << CAST(p.range AS INTEGER) AS BIGINT)) AS pb, qv
+         |  FROM q CROSS JOIN range(63) p
+         |  WHERE CAST(p.range AS INTEGER) < (SELECT planes FROM np)),
+         |cand AS (
+         |  SELECT e.vec_id, round(${cosSql("e.embedding", "probes.qv")}, 4) AS cos
+         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |  JOIN probes ON b.bucket = probes.pb
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_ivf_multiprobe" ->
+      s"""WITH $ivfCte,
+         |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
+         |q AS (SELECT a.cell, e.embedding AS qv
+         |      FROM ass a JOIN embeddings e USING (vec_id)
+         |      WHERE a.vec_id = 0 AND a.rn <= 2),
+         |cand AS (
+         |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
+         |  FROM embeddings e JOIN cells c USING (vec_id) JOIN q ON c.cell = q.cell
          |  WHERE e.vec_id <> 0)
          |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 

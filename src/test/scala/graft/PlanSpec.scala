@@ -15,11 +15,11 @@ class PlanSpec extends AnyFunSuite {
   // Deliberate tiny-side broadcast nested-loop joins:
   //  - sim_topk_brute / sim_ann_search: single-row query vector vs all
   //    rows (that IS the brute-force / candidate scan),
-  //  - sim_ivf_cells / sim_ivf_search: every vector vs the 8 broadcast
-  //    seed centroids (that IS the IVF assignment),
+  //  - sim_ivf_cells / sim_ivf_search / sim_ivf_multiprobe: every vector
+  //    vs the 8 broadcast seed centroids (that IS the IVF assignment),
   //  - text_tfidf: 1-row corpus-size scalar joined to every (doc, token).
   private val allowNestedLoop = Set("sim_topk_brute", "sim_ann_search",
-    "sim_ivf_cells", "sim_ivf_search", "text_tfidf")
+    "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe", "text_tfidf")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

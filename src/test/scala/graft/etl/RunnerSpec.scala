@@ -58,6 +58,31 @@ class RunnerSpec extends AnyFunSuite {
     Runner.clearStop()
   }
 
+  test("Progress tallies a stage's tasks via the listener") {
+    Runner.clearStop()
+    val stages = Seq(Runner.Stage("prog", s =>
+      s.range(0, 1000, 1, 4).toDF("x").groupBy($"x" % 10).count()))
+    val report = Runner.run(spark, stages, retries = 1)
+    assert(report.ok)
+    // listener events are async — poll until the tally converges
+    def settled(): Progress.StageProgress = {
+      val deadline = System.nanoTime() + 10000000000L
+      var p = Progress.of("prog").get
+      while ((p.tasksTotal == 0 || p.tasksDone < p.tasksTotal) &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(50); p = Progress.of("prog").get
+      }
+      p
+    }
+    val p = settled()
+    assert(p.tasksTotal > 0 && p.tasksDone == p.tasksTotal && p.fraction == 1.0)
+    assert(Progress.snapshot().exists(_.stage == "prog"))
+    // a fresh run resets the tally instead of accumulating
+    Runner.run(spark, stages, retries = 1)
+    val p2 = settled()
+    assert(p2.tasksTotal == p.tasksTotal)
+  }
+
   test("Cron.parse validates patterns like the reference's cron.validate") {
     assert(Cron.isValid("* * * * *"))
     assert(Cron.isValid("*/15 0-6 1,15 * 1-5"))

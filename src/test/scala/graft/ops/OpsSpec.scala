@@ -165,6 +165,19 @@ class OpsSpec extends AnyFunSuite {
     assert(nn.forall(_._3 == 1.0))              // scaled copies: cosine 1
   }
 
+  test("Similarity multi-probe widens the candidate set") {
+    val single = Similarity.annSearch(vecs, "vec_id", "embedding", 0L, 10, 2, 4)
+      .as[(Long, Double)].collect()
+    val multi = Similarity.annSearchMultiProbe(vecs, "vec_id", "embedding", 0L, 10, 2, 4)
+      .as[(Long, Double)].collect()
+    assert(multi.length >= single.length)
+    assert(single.map(_._1).toSet.subsetOf(multi.map(_._1).toSet))
+    // probing every IVF cell degenerates to brute force over non-query rows
+    val all = Similarity.ivfSearchMultiProbe(vecs, "vec_id", "embedding", 0L, 10,
+      cells = 4, nprobe = 4).as[(Long, Double)].collect().map(_._1).toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
   test("Multimodal.decodeBatch runs the injected decoder over binary batches") {
     val d = Seq((7L, "hello world")).toDF("doc_id", "text")
     // custom decoder proves the lambda is swappable (a real codec slots in)
