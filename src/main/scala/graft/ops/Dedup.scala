@@ -79,8 +79,12 @@ object Dedup {
     val nBands = k / rowsPerBand
     val keyCols = (0 until nBands).map(b =>
       xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).as(s"k$b"))
+    // (doc, band keys) materialized once: the k-seed minhash fold — the
+    // expensive part of the whole operator — would otherwise re-run for
+    // the occupancy aggregate and again per flag join
     val withKeys = minhashSignatureArray(docs, idCol, textCol, k)
       .select(col("doc") +: keyCols: _*)
+      .localCheckpoint(true)
     val bandsAll = withKeys.select(
       (col("doc") +: (0 until nBands).map(b => col(s"k$b"))) :+
         posexplode(array((0 until nBands).map(b => col(s"k$b")): _*)).as(Seq("band", "bandkey")): _*)
@@ -88,11 +92,17 @@ object Dedup {
     val occ = bandsAll.groupBy(col("band"), col("bandkey")).agg(count(lit(1)).as("m"))
     // per-band under-cap flags attached to the per-doc key row (one hash
     // join per band on a long key — same order of work as the band join)
+    // materialize the per-doc key+flag row ONCE and truncate lineage: it
+    // is referenced by both self-join sides (and its own tree references
+    // the signature computation through the occupancy aggregate), so
+    // without this the scan + k-seed minhash fold executes up to 6× per
+    // query. The row is (doc, nBands longs, nBands bools) — tiny relative
+    // to the corpus it summarizes.
     val flagged = (0 until nBands).foldLeft(withKeys) { (df, b) =>
       val okB = occ.where(col("band") === b && col("m") <= maxBucket)
         .select(col("bandkey").as(s"k$b"), lit(true).as(s"ok$b"))
       df.join(okB, Seq(s"k$b"), "left")
-    }
+    }.localCheckpoint(true)
     val bands = flagged.select(
       (col("doc") +:
         ((0 until nBands).map(b => col(s"k$b")) ++
@@ -167,10 +177,13 @@ object Dedup {
         explode(array_distinct(transform(
           TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
     // posting-list df filter: one narrow pre-aggregate over the shingle
-    // hash; both self-join sides then reuse the same shuffle partitioning
+    // hash. The FILTERED index is materialized once with truncated
+    // lineage — it feeds three consumers (sizes + both self-join sides),
+    // each of which would otherwise re-run the tokenize/shingle/hash
+    // explode over the full corpus.
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("s"))
-    val shr = sh.join(rare, Seq("s"))
+    val shr = sh.join(rare, Seq("s")).localCheckpoint(true)
     val sizes = shr.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val inter = shr.select(col("doc").as("a"), col("s"))
       .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))

@@ -78,17 +78,26 @@ object Similarity {
     * integer arithmetic — signs (and so buckets) are bit-stable across
     * engines and partitionings, with none of Decimal's codegen weight. */
   def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                 planes: Int, dim: Int): DataFrame = {
-    val quant = emb.select(col(idCol),
+                 planes: Int, dim: Int): DataFrame =
+    withBuckets(emb, vecCol, planes, dim).select(col(idCol), col("bucket"))
+
+  /** Append the LSH `bucket` column IN PLACE — the assignment is a pure
+    * per-row expression, so callers must never join the vector table back
+    * to lshBuckets' output (that join doubles the scan of the biggest
+    * table in the query for no information). The quantized copy lives in
+    * its own projection so it's computed once per row, not once per
+    * plane. */
+  def withBuckets(emb: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
+    val quant = emb.withColumn("__graft_xq",
       transform(col(vecCol), x =>
-        (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")).as("xq"))
+        (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")))
     val bucket = (0 until planes).map { p =>
       val w = typedLit((0 until dim).map(d => planeWeight(p, d).toLong))
-      val dotP = aggregate(zip_with(col("xq"), w, (x, wv) => x * wv),
+      val dotP = aggregate(zip_with(col("__graft_xq"), w, (x, wv) => x * wv),
         lit(0L), (acc, v) => acc + v)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    quant.select(col(idCol), bucket.as("bucket"))
+    quant.withColumn("bucket", bucket).drop("__graft_xq")
   }
 
   /** IVF (inverted-file) coarse quantizer, deterministic variant: the
@@ -166,7 +175,7 @@ object Similarity {
     * and broadcast. */
   def annSearchMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
                           queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
-    val withB = emb.join(lshBuckets(emb, idCol, vecCol, planes, dim), Seq(idCol))
+    val withB = withBuckets(emb, vecCol, planes, dim)
       .withColumn("vn", norm(col(vecCol)))
     val q = withB.where(col(idCol) === lit(queryId))
       .select(col("bucket"), col(vecCol).as("qvec"), col("vn").as("qn"))
@@ -200,7 +209,7 @@ object Similarity {
   def nnJoin(emb: DataFrame, idCol: String, vecCol: String,
              planes: Int, dim: Int, candCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withB = emb.join(lshBuckets(emb, idCol, vecCol, planes, dim), Seq(idCol))
+    val withB = withBuckets(emb, vecCol, planes, dim)
       .withColumn("vn", norm(col(vecCol)))
     val capW = Window.partitionBy(col("bucket"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -221,8 +230,7 @@ object Similarity {
     * exact cosine. The candidate set is an equality join on bucket id. */
   def annSearch(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
-    val buckets = lshBuckets(emb, idCol, vecCol, planes, dim)
-    val withB = emb.join(buckets, Seq(idCol))
+    val withB = withBuckets(emb, vecCol, planes, dim)
       .withColumn("vn", norm(col(vecCol)))
     val q = withB.where(col(idCol) === lit(queryId))
       .select(col("bucket"), col(vecCol).as("qvec"), col("vn").as("qn"))
