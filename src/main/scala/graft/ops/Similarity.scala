@@ -137,14 +137,14 @@ object Similarity {
   def ivfSearchMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
                           queryId: Long, k: Int, cells: Int, nprobe: Int): DataFrame = {
     val ranked = rankedCells(emb, idCol, vecCol, cells)
+    // rankedCells carries the vector and its norm — never join emb back
+    // to the assignment (that doubles the scan of the vector table)
     val assigned = ranked.where(col("rn") === 1)
-      .select(col(idCol), col("seed_id").as("cell"))
+      .select(col(idCol), col(vecCol), col("vn"), col("seed_id").as("cell"))
     val qcells = ranked
       .where(col(idCol) === lit(queryId) && col("rn") <= nprobe)
       .select(col("seed_id").as("cell"), col(vecCol).as("qvec"), col("vn").as("qn"))
-    emb.join(assigned, Seq(idCol))
-      .withColumn("vn", norm(col(vecCol)))
-      .join(broadcast(qcells), Seq("cell"))
+    assigned.join(broadcast(qcells), Seq("cell"))
       .where(col(idCol) =!= lit(queryId))
       .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
       .select(col(idCol), col("cos"))
@@ -152,20 +152,11 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF search: exact cosine top-k within the query vector's cell. */
+  /** IVF search: exact cosine top-k within the query vector's cell
+    * (ivfSearchMultiProbe with nprobe = 1). */
   def ivfSearch(emb: DataFrame, idCol: String, vecCol: String,
-                queryId: Long, k: Int, cells: Int): DataFrame = {
-    val assigned = emb.join(ivfAssign(emb, idCol, vecCol, cells), Seq(idCol))
-      .withColumn("vn", norm(col(vecCol)))
-    val q = assigned.where(col(idCol) === lit(queryId))
-      .select(col("cell"), col(vecCol).as("qvec"), col("vn").as("qn"))
-    assigned.join(broadcast(q), Seq("cell"))
-      .where(col(idCol) =!= lit(queryId))
-      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
+                queryId: Long, k: Int, cells: Int): DataFrame =
+    ivfSearchMultiProbe(emb, idCol, vecCol, queryId, k, cells, nprobe = 1)
 
   /** Multi-probe ANN top-k: search the query's bucket PLUS every bucket
     * at Hamming distance 1 from it (planes+1 probe buckets). The standard

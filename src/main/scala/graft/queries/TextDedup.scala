@@ -76,8 +76,9 @@ object TextDedup {
       val docs = Tables.documents(s, dir)
       val tok = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
       val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfreq = tok.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      // df falls out of tf (one row per (doc, tok)) — no second explode of
+      // the corpus and no distinct: df = row count per token
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
       tf.join(dfreq, Seq("tok")).crossJoin(broadcast(n))
