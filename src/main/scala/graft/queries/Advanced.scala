@@ -222,6 +222,24 @@ object Advanced {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Salted hot-key join: result must be IDENTICAL to the plain join
+    // (the oracle runs the unsalted SQL), with a hot probe key spread
+    // over 8 salt tasks. The agg makes the equivalence hash-checkable.
+    "q_skew_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      graft.ops.Skew.saltedJoin(li, ord, Seq("l_orderkey"), 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Two-phase exact distinct (skew-immune countDistinct twin).
+    "q_distinct_twophase" -> ((s, dir) =>
+      graft.ops.Skew.distinctCountTwoPhase(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy(col("event_type"))),
+
     // Approximate percentile sketch, audited in-query like
     // q_approx_distinct: exact median (quantile_cont-parity, proven by
     // q_percentile) + `ok` = sketch within 5% of exact; the sketch value
@@ -392,6 +410,18 @@ object Advanced {
          |WHERE doc_id = keeper AND lang = 'en'
          |  AND n_tok BETWEEN 5 AND 1000 AND stop_ratio < 0.5
          |ORDER BY doc_id""".stripMargin,
+
+    // The salted join must be INVISIBLE in the result: the oracle is the
+    // plain unsalted join.
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_distinct_twophase" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Sketch audits: the oracle checks the DETERMINISTIC columns (exact
     // twins) and asserts the in-query sketch-vs-exact bound held (ok=TRUE
