@@ -7,10 +7,11 @@ import java.time.temporal.ChronoUnit
   * and registers (index.js:30-37 `cron.validate(pattern)`, index.js:75-86
   * `cron.schedule`). Standard cron semantics:
   * fields are `minute hour day-of-month month day-of-week`; each field is
-  * a comma list of `*`, `a`, `a-b`, with an optional `/step` on `*` or a
-  * range; day-of-week 0/7 = Sunday; when BOTH day-of-month and
-  * day-of-week are restricted, a time matches if EITHER does (the classic
-  * vixie-cron OR rule).
+  * a comma list of `*`, `a`, `a-b`, with an optional `/step` (on a single
+  * value, `a/step` expands vixie-style to `a-max/step`); day-of-week
+  * 0/7 = Sunday; when BOTH day-of-month and day-of-week are restricted
+  * (star-with-step still counts as unrestricted), a time matches if
+  * EITHER does (the classic vixie-cron OR rule).
   */
 final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
                       months: Set[Int], dows: Set[Int],
@@ -26,12 +27,13 @@ final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
   }
 
   /** First fire time STRICTLY after `from`, minute granularity. Bounded
-    * minute scan (5 years covers any satisfiable pattern incl. Feb 29);
-    * scheduling math runs on the driver once per run, so clarity beats
-    * a field-skipping implementation. */
+    * minute scan — 12 years covers any satisfiable pattern, including a
+    * Feb 29 approached across the 2100 non-leap century year (8-year
+    * gap); scheduling math runs on the driver once per run, so clarity
+    * beats a field-skipping implementation. */
   def next(from: LocalDateTime): LocalDateTime = {
     var t = from.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
-    val bound = from.plusYears(5)
+    val bound = from.plusYears(12)
     while (!matches(t)) {
       t = t.plusMinutes(1)
       if (t.isAfter(bound))
@@ -66,9 +68,11 @@ object Cron {
         val Seq(mi, h, dom, mo, dowRaw) = parsed.map(_.toOption.get).toSeq
         // normalize dow 7 → 0 (both mean Sunday)
         val dow = dowRaw.map(d => if (d == 7) 0 else d)
+        // vixie keys the day-OR rule off the leading '*': "*/2" is still a
+        // star field (unrestricted), only explicit values/ranges restrict
         Right(Cron(mi, h, dom, mo, dow,
-          domRestricted = fields(2) != "*",
-          dowRestricted = fields(4) != "*"))
+          domRestricted = !fields(2).startsWith("*"),
+          dowRestricted = !fields(4).startsWith("*")))
     }
   }
 
@@ -92,9 +96,13 @@ object Cron {
         else return Left(s"bad step '$s'")
       case _ => return Left("more than one '/'")
     }
+    val hasStep = p.contains("/")
     val bounds = rangePart match {
       case "*" => Right((spec.lo, spec.hi))
-      case r if r.matches("[0-9]+") => Right((r.toInt, r.toInt))
+      case r if r.matches("[0-9]+") =>
+        // vixie/node-cron expand "a/step" as "a-max/step", not the single
+        // value a — "5/15 * * * *" fires :05 :20 :35 :50, not once an hour
+        if (hasStep) Right((r.toInt, spec.hi)) else Right((r.toInt, r.toInt))
       case r if r.matches("[0-9]+-[0-9]+") =>
         val Array(a, b) = r.split("-").map(_.toInt)
         Right((a, b))

@@ -13,13 +13,18 @@ import java.util.concurrent.atomic.AtomicLong
   * tasks for the jobs each named pipeline stage submits (correlated via
   * the job group id that [[Runner.run]] sets per stage).
   *
-  * Listener callbacks are driver-side metadata events (a few per task,
-  * zero data-path cost) — the same mechanism the Spark UI uses.
+  * Each stage RUN gets a unique group id ([[begin]]), so listener events
+  * still draining from a previous run of the same stage can never credit
+  * the new run's tally; late events for a retired group are dropped by
+  * the null guards. Listener callbacks are driver-side metadata events
+  * (a few per task, zero data-path cost) — the same mechanism the Spark
+  * UI uses.
   */
 object Progress {
 
   final case class StageProgress(stage: String, tasksDone: Long, tasksTotal: Long) {
-    /** 0.0–1.0; stages that launched no job yet report 0. */
+    /** 0.0–1.0 of LAUNCHED work (like the reference's %, which also only
+      * knows the batches it has seen); stages with no job yet report 0. */
     def fraction: Double = if (tasksTotal == 0) 0.0 else tasksDone.toDouble / tasksTotal
   }
 
@@ -28,11 +33,16 @@ object Progress {
     val done = new AtomicLong(0)
   }
 
-  /** group id → counters; spark stage id → group id (TaskEnd events don't
-    * carry the group, JobStart's stageInfos do). */
+  private val GroupPrefix = "graft-stage-"
+  private val runSeq = new AtomicLong(0)
+
+  /** stage name → its CURRENT run's group id. */
+  private val current = new ConcurrentHashMap[String, String]()
+  /** live group id → counters (retired groups are removed). */
   private val groups = new ConcurrentHashMap[String, Counters]()
+  /** spark stage id → group id (TaskEnd events don't carry the group,
+    * JobStart's stageInfos do); pruned when the group retires. */
   private val stageToGroup = new ConcurrentHashMap[Int, String]()
-  @volatile private var attached = false
 
   private object listener extends SparkListener {
     // JobStart only maps stage ids to the group; totals are tallied at
@@ -43,48 +53,58 @@ object Progress {
     override def onJobStart(jobStart: SparkListenerJobStart): Unit =
       Option(jobStart.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
-        .filter(_.startsWith(GroupPrefix))
+        .filter(g => g.startsWith(GroupPrefix) && groups.containsKey(g))
         .foreach { group =>
-          groups.computeIfAbsent(group, _ => new Counters)
           jobStart.stageInfos.foreach(si => stageToGroup.put(si.stageId, group))
         }
     override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
       val group = stageToGroup.get(s.stageInfo.stageId)
-      if (group != null)
-        groups.get(group).total.addAndGet(s.stageInfo.numTasks.toLong)
+      if (group != null) {
+        val c = groups.get(group)  // null once the group has retired
+        if (c != null) c.total.addAndGet(s.stageInfo.numTasks.toLong)
+      }
     }
     override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
       val group = stageToGroup.get(taskEnd.stageId)
-      // failed attempts are retried (and re-counted at resubmission), so
-      // only successful tasks advance the numerator
-      if (group != null && taskEnd.reason == org.apache.spark.Success)
-        groups.get(group).done.incrementAndGet()
+      if (group != null && taskEnd.reason == org.apache.spark.Success) {
+        val c = groups.get(group)
+        if (c != null) c.done.incrementAndGet()
+      }
     }
   }
 
-  private val GroupPrefix = "graft-stage-"
-  private[etl] def groupId(stage: String): String = GroupPrefix + stage
+  /** SparkContexts this JVM has attached the listener to (keyed by
+    * application id — a restarted context gets a fresh attach). */
+  private val attachedApps = ConcurrentHashMap.newKeySet[String]()
 
-  /** Idempotently attach the listener to this JVM's SparkContext. */
-  def attach(sc: SparkContext): Unit = synchronized {
-    if (!attached) { sc.addSparkListener(listener); attached = true }
+  /** Idempotently attach the listener to this SparkContext. */
+  def attach(sc: SparkContext): Unit =
+    if (attachedApps.add(sc.applicationId)) sc.addSparkListener(listener)
+
+  /** Start a fresh tally for a stage run; returns the unique job-group id
+    * the caller must set via `setJobGroup`. The previous run's group (if
+    * any) retires: its counters and stage-id mappings are dropped, so its
+    * still-draining listener events hit the null guards, not this run. */
+  private[etl] def begin(stage: String): String = {
+    val gid = s"$GroupPrefix$stage#${runSeq.incrementAndGet()}"
+    val old = current.put(stage, gid)
+    if (old != null) {
+      groups.remove(old)
+      stageToGroup.entrySet().removeIf(e => e.getValue == old)
+    }
+    groups.put(gid, new Counters)
+    gid
   }
 
-  /** Forget a stage's tallies (called by Runner at the start of a run so
-    * a re-run reports fresh progress, not cumulative history). */
-  private[etl] def reset(stage: String): Unit =
-    groups.remove(groupId(stage))
-
-  /** Current progress of a named stage, if it has launched any Spark job. */
+  /** Current progress of a named stage's latest run, if any. */
   def of(stage: String): Option[StageProgress] =
-    Option(groups.get(groupId(stage)))
+    Option(current.get(stage))
+      .flatMap(gid => Option(groups.get(gid)))
       .map(c => StageProgress(stage, c.done.get(), c.total.get()))
 
   /** Snapshot of every tracked stage, for a status endpoint. */
   def snapshot(): Seq[StageProgress] = {
     import scala.jdk.CollectionConverters._
-    groups.asScala.toSeq.map { case (g, c) =>
-      StageProgress(g.stripPrefix(GroupPrefix), c.done.get(), c.total.get())
-    }.sortBy(_.stage)
+    current.keySet().asScala.toSeq.sorted.flatMap(of)
   }
 }

@@ -86,17 +86,23 @@ object Runner {
               iterations: Int, retries: Int = 3,
               now: () => java.time.LocalDateTime = () => java.time.LocalDateTime.now(),
               sleep: Long => Unit = Thread.sleep): Either[String, Seq[RunReport]] =
-    Cron.parse(cronExpr).map { cron =>
-      val reports = Seq.newBuilder[RunReport]
-      var i = 0
-      while (i < iterations && !stopFlag.get()) {
-        val t = now()
-        val waitMs = java.time.Duration.between(t, cron.next(t)).toMillis
-        if (waitMs > 0) sleep(waitMs)
-        if (!stopFlag.get()) reports += run(spark, stages, retries)
-        i += 1
+    Cron.parse(cronExpr).flatMap { cron =>
+      try {
+        val reports = Seq.newBuilder[RunReport]
+        var i = 0
+        while (i < iterations && !stopFlag.get()) {
+          val t = now()
+          val waitMs = java.time.Duration.between(t, cron.next(t)).toMillis
+          if (waitMs > 0) sleep(waitMs)
+          if (!stopFlag.get()) reports += run(spark, stages, retries)
+          i += 1
+        }
+        Right(reports.result())
+      } catch {
+        // parse-valid but unsatisfiable (e.g. "0 0 30 2 *"): keep the
+        // documented error channel instead of leaking the scan's throw
+        case e: IllegalArgumentException => Left(e.getMessage)
       }
-      reports.result()
     }
 
   /** Run stages sequentially; each stage is retried up to `retries` times
@@ -115,8 +121,7 @@ object Runner {
       var err = ""
       val t0 = System.nanoTime()
       // tag this stage's Spark jobs so Progress can tally its tasks live
-      Progress.reset(s.name)
-      spark.sparkContext.setJobGroup(Progress.groupId(s.name),
+      spark.sparkContext.setJobGroup(Progress.begin(s.name),
         s"graft stage ${s.name}", interruptOnCancel = false)
       try {
         while (!done && attempt < retries) {

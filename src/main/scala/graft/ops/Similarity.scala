@@ -68,9 +68,14 @@ object Similarity {
     * per-bucket candidate work constant as the corpus grows. The one
     * count() this needs at plan time is the same statistics collection
     * AQE performs (parquet row counts come from footer metadata). */
-  def autoPlanes(n: Long, targetBucketSize: Int): Int =
-    math.max(1, math.ceil(
-      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
+  def autoPlanes(n: Long, targetBucketSize: Int): Int = {
+    // integer form of max(1, ceil(log2(n/target))) — a floating ln-ratio
+    // can land 1 ulp above an exact power of two and ceil one plane past
+    // the SQL oracle's log2; the smallest p with target·2^p >= n can't
+    var p = 1
+    while (p < 62 && (targetBucketSize.toLong << p) < n) p += 1
+    p
+  }
 
   /** Assign each vector an LSH bucket id from `planes` random hyperplanes.
     * Output: (id, bucket). Components are quantized to exact milli-units

@@ -37,12 +37,13 @@ object Skew {
 
   /** Exact distinct count per group, two-phase: first shuffle spreads by
     * (group, value) — a hot group's values land on many tasks — then a
-    * small second aggregate counts per group. Equivalent to
-    * countDistinct but skew-immune. */
+    * small second aggregate counts per group. Equivalent to countDistinct
+    * but skew-immune: NULL values survive the distinct but are skipped by
+    * count(valueCol), so a group whose values are ALL NULL still appears
+    * with n_distinct = 0, exactly like countDistinct. */
   def distinctCountTwoPhase(df: DataFrame, groupCol: String,
                             valueCol: String): DataFrame =
     df.select(col(groupCol), col(valueCol))
-      .where(col(valueCol).isNotNull)      // countDistinct excludes NULLs
       .distinct()
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_distinct"))
+      .groupBy(col(groupCol)).agg(count(col(valueCol)).as("n_distinct"))
 }

@@ -154,7 +154,7 @@ object SimMm {
       |dots AS (SELECT vec_id, p, sum(xq * w) AS dot FROM wp GROUP BY vec_id, p),
       |buckets AS (
       |  SELECT vec_id,
-      |    CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |    CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -186,7 +186,7 @@ object SimMm {
          |probes AS (
          |  SELECT bucket AS pb, qv FROM q
          |  UNION ALL
-         |  SELECT xor(q.bucket, CAST(1 << CAST(p.range AS INTEGER) AS BIGINT)) AS pb, qv
+         |  SELECT xor(q.bucket, CAST(1 AS BIGINT) << CAST(p.range AS INTEGER)) AS pb, qv
          |  FROM q CROSS JOIN range(63) p
          |  WHERE CAST(p.range AS INTEGER) < (SELECT planes FROM np)),
          |cand AS (

@@ -96,6 +96,20 @@ class RunnerSpec extends AnyFunSuite {
     assert(Cron.parse("* * * *").left.exists(_.contains("5 fields")))
   }
 
+  test("Cron vixie semantics: value/step expansion and star-with-step day rule") {
+    import java.time.LocalDateTime
+    val t = LocalDateTime.of(2026, 8, 12, 10, 7)
+    def n(e: String, from: LocalDateTime = t) = Cron.parse(e).toOption.get.next(from)
+    // "5/15" ≡ "5-59/15": fires :05 :20 :35 :50, not once an hour at :05
+    assert(n("5/15 * * * *") == LocalDateTime.of(2026, 8, 12, 10, 20))
+    // "*/2" in dom is still a STAR field: day rule stays AND with dow, so
+    // "0 0 */2 * 1" fires only on Mondays with odd day-of-month
+    assert(n("0 0 */2 * 1") == LocalDateTime.of(2026, 8, 17, 0, 0))
+    // Feb 29 across the 2100 non-leap century year (8-year gap)
+    assert(n("0 0 29 2 *", LocalDateTime.of(2096, 3, 1, 0, 0)) ==
+      LocalDateTime.of(2104, 2, 29, 0, 0))
+  }
+
   test("Cron.next fire-time math") {
     import java.time.LocalDateTime
     val t = LocalDateTime.of(2026, 8, 12, 10, 7)        // a Wednesday
@@ -128,6 +142,9 @@ class RunnerSpec extends AnyFunSuite {
     // invalid pattern is rejected up front, nothing runs
     val bad = Runner.runCron(spark, stages, "61 * * * *", 1)
     assert(bad.isLeft && calls.get() == 2)
+    // parse-valid but never-firing pattern stays on the error channel
+    val never = Runner.runCron(spark, stages, "0 0 30 2 *", 1, now = () => clock)
+    assert(never.left.exists(_.contains("never fires")) && calls.get() == 2)
   }
 
   test("streaming upsertSink converges the keyed table across micro-batches") {

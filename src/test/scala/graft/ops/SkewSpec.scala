@@ -43,9 +43,9 @@ class SkewSpec extends AnyFunSuite {
       .orderBy("k").as[(Long, Long)].collect().toSeq
     val twoPhase = Skew.distinctCountTwoPhase(withNull, "k", "v")
       .orderBy("k").as[(Long, Long)].collect().toSeq
-    // k=5 has only a NULL value: countDistinct says 0; the two-phase op
-    // filters NULLs so k=5 simply has no row — compare on common keys
-    assert(twoPhase == direct.filter(_._2 > 0))
+    // k=5 has only a NULL value: countDistinct reports (5, 0) and so
+    // must the two-phase twin (the group survives, its count is 0)
+    assert(twoPhase == direct)
   }
 
   test("distinctCountTwoPhase equals countDistinct") {
