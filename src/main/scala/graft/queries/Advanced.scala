@@ -188,15 +188,16 @@ object Advanced {
 
     // HLL++ sketch distinct count, audited in-query: the engine's sketch
     // value can't be reproduced by another engine, so the output carries
-    // the exact twin plus `ok` = sketch within 5% of exact (rsd=0.01 →
-    // the 5% bound is ~5σ, deterministic in practice) and the oracle
-    // checks the deterministic columns with ok as literal TRUE — a
-    // drifting sketch turns the hash gate red. At 100 TB you'd run ONLY
-    // the sketch; the exact twin here is the audit apparatus.
+    // the exact twin plus `ok` = sketch within 5% of exact (rsd=0.02 →
+    // the 5% bound is a 2.5σ margin; measured max error on this data is
+    // 1.7%, and rsd=0.01's 4× register file costs 2.5× the wall time)
+    // and the oracle checks the deterministic columns with ok as literal
+    // TRUE — a drifting sketch turns the hash gate red. At 100 TB you'd
+    // run ONLY the sketch; the exact twin here is the audit apparatus.
     "q_approx_distinct" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderstatus"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("n_approx"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_approx"),
           countDistinct(col("o_custkey")).as("n_exact"),
           count(lit(1)).as("n_rows"))
         .select(col("o_orderstatus"), col("n_exact"), col("n_rows"),
