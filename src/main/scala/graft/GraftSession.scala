@@ -39,7 +39,11 @@ object GraftSession {
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.ansi.enabled" -> "false",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-      "spark.sql.adaptive.enabled" -> "true"
+      "spark.sql.adaptive.enabled" -> "true",
+      // shuffle partitions are runtime-settable: align a harness-owned
+      // session with the actual parallelism instead of the 200 default
+      "spark.sql.shuffle.partitions" ->
+        spark.sparkContext.defaultParallelism.toString
     ).foreach { case (k, v) =>
       try spark.conf.set(k, v) catch { case _: Throwable => () }
     }
