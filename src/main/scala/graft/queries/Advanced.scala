@@ -223,6 +223,23 @@ object Advanced {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Arbitrary grouping sets (the rollup/cube generalization), via the
+    // SQL surface: per-status and per-priority marginals WITHOUT the
+    // cross product or grand total. grouping() disambiguates a real NULL
+    // group from a marginal row.
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        FROM graft_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+    }),
+
     // Salted hot-key join: result must be IDENTICAL to the plain join
     // (the oracle runs the unsalted SQL), with a hot probe key spread
     // over 8 salt tasks. The agg makes the equivalence hash-checkable.
@@ -411,6 +428,16 @@ object Advanced {
          |WHERE doc_id = keeper AND lang = 'en'
          |  AND n_tok BETWEEN 5 AND 1000 AND stop_ratio < 0.5
          |ORDER BY doc_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
 
     // The salted join must be INVISIBLE in the result: the oracle is the
     // plain unsalted join.
