@@ -146,6 +146,34 @@ object StreamOps {
       }
       .start()
 
+  /** Multi-table CDC dispatch sink — the streaming twin of
+    * graft.etl.Changelog.dispatch (reference: one changelog stream whose
+    * `table` column routes each record per entity, EtlLogger.js:8-15).
+    * Every micro-batch is split by `tableCol` and upserted into each
+    * entity's keyed table; entities absent from a batch cost one empty
+    * filter, and the per-entity merge stays idempotent under
+    * re-delivery. `entities` maps the routing value to (path, keyCols,
+    * numBuckets). Rows routed to unconfigured tables are ignored (the
+    * reference skips unknown tables the same way). */
+  def dispatchSink(stream: DataFrame, tableCol: String,
+                   entities: Map[String, (String, Seq[String], Int)],
+                   checkpoint: String,
+                   versionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        entities.foreach { case (entity, (path, keys, numBuckets)) =>
+          val part = batch.toDF().where(col(tableCol) === entity).drop(tableCol)
+          if (!part.isEmpty) {
+            if (!graft.sinks.KeyedParquetSink.tableExists(spark, path))
+              graft.sinks.KeyedParquetSink.write(part, path, keys, numBuckets)
+            else graft.sinks.KeyedParquetSink.upsert(spark, path, part, keys, numBuckets, versionCols)
+          }
+        }
+      }
+      .start()
+
   /** The batch cleaning kernel applied to a stream — identical Columns
     * (graft.etl.Normalize), proving the transforms are engine-mode
     * agnostic. */

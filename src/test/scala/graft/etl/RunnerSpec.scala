@@ -147,6 +147,32 @@ class RunnerSpec extends AnyFunSuite {
     assert(never.left.exists(_.contains("never fires")) && calls.get() == 2)
   }
 
+  test("streaming dispatchSink routes a mixed CDC stream into per-entity tables") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dispatch").toString
+    val input = MemoryStream[(String, Long, String, Long)]
+    val stream = input.toDF().toDF("table", "id", "payload", "ver")
+    val q = graft.streaming.StreamOps.dispatchSink(
+      stream, "table",
+      Map("cust" -> ((s"$dir/cust", Seq("id"), 4)),
+          "ord" -> ((s"$dir/ord", Seq("id"), 4))),
+      checkpoint = s"$dir/ckpt", versionCols = Seq("ver"))
+    input.addData(("cust", 1L, "a", 1L), ("ord", 1L, "x", 1L), ("zzz", 9L, "ignored", 1L))
+    q.processAllAvailable()
+    input.addData(("cust", 1L, "a2", 2L), ("ord", 2L, "y", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val cust = graft.sinks.KeyedParquetSink.read(spark, s"$dir/cust")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    val ord = graft.sinks.KeyedParquetSink.read(spark, s"$dir/ord")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(cust == Seq((1L, "a2", 2L)))                    // last write wins
+    assert(ord == Seq((1L, "x", 1L), (2L, "y", 1L)))       // routed separately
+    // the unconfigured 'zzz' row went nowhere
+    assert(!new java.io.File(s"$dir/zzz").exists())
+  }
+
   test("streaming upsertSink converges the keyed table across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
