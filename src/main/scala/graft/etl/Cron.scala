@@ -17,29 +17,38 @@ final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
                       months: Set[Int], dows: Set[Int],
                       domRestricted: Boolean, dowRestricted: Boolean) {
 
-  def matches(t: LocalDateTime): Boolean = {
+  def dayMatches(d: java.time.LocalDate): Boolean = {
     val dayOk =
       if (domRestricted && dowRestricted)
-        doms(t.getDayOfMonth) || dows(t.getDayOfWeek.getValue % 7)
+        doms(d.getDayOfMonth) || dows(d.getDayOfWeek.getValue % 7)
       else
-        doms(t.getDayOfMonth) && dows(t.getDayOfWeek.getValue % 7)
-    minutes(t.getMinute) && hours(t.getHour) && months(t.getMonthValue) && dayOk
+        doms(d.getDayOfMonth) && dows(d.getDayOfWeek.getValue % 7)
+    months(d.getMonthValue) && dayOk
   }
 
-  /** First fire time STRICTLY after `from`, minute granularity. Bounded
-    * minute scan — 12 years covers any satisfiable pattern, including a
-    * Feb 29 approached across the 2100 non-leap century year (8-year
-    * gap); scheduling math runs on the driver once per run, so clarity
-    * beats a field-skipping implementation. */
+  def matches(t: LocalDateTime): Boolean =
+    minutes(t.getMinute) && hours(t.getHour) && dayMatches(t.toLocalDate)
+
+  /** First fire time STRICTLY after `from`, minute granularity. Day-first
+    * scan (dates first, minutes only within matching days), bounded at 50
+    * years — enough for the rarest satisfiable patterns (a Feb-29 Sunday
+    * recurs within at most ~40 years) at ~18k cheap date checks. */
   def next(from: LocalDateTime): LocalDateTime = {
-    var t = from.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
-    val bound = from.plusYears(12)
-    while (!matches(t)) {
-      t = t.plusMinutes(1)
-      if (t.isAfter(bound))
-        throw new IllegalArgumentException(s"cron pattern never fires: $this")
+    val start = from.truncatedTo(ChronoUnit.MINUTES).plusMinutes(1)
+    var day = start.toLocalDate
+    val bound = day.plusYears(50)
+    while (!day.isAfter(bound)) {
+      if (dayMatches(day)) {
+        var t = if (day == start.toLocalDate) start else day.atStartOfDay
+        val dayEnd = day.plusDays(1).atStartOfDay
+        while (t.isBefore(dayEnd)) {
+          if (minutes(t.getMinute) && hours(t.getHour)) return t
+          t = t.plusMinutes(1)
+        }
+      }
+      day = day.plusDays(1)
     }
-    t
+    throw new IllegalArgumentException(s"cron pattern never fires: $this")
   }
 }
 

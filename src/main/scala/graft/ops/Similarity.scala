@@ -71,9 +71,12 @@ object Similarity {
   def autoPlanes(n: Long, targetBucketSize: Int): Int = {
     // integer form of max(1, ceil(log2(n/target))) — a floating ln-ratio
     // can land 1 ulp above an exact power of two and ceil one plane past
-    // the SQL oracle's log2; the smallest p with target·2^p >= n can't
+    // the SQL oracle's log2; the smallest p with target·2^p >= n can't.
+    // Capped at 56 like the oracle's probe range (target·2^55 rows is
+    // beyond any storable corpus; DuckDB's checked shift overflows past
+    // 64<<56).
     var p = 1
-    while (p < 62 && (targetBucketSize.toLong << p) < n) p += 1
+    while (p < 56 && (targetBucketSize.toLong << p) < n) p += 1
     p
   }
 

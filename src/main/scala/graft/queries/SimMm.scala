@@ -133,13 +133,16 @@ object SimMm {
        |  FROM embeddings e CROSS JOIN seeds s)""".stripMargin
 
   /** Bucket-assignment CTE with DATA-SCALED planes: np mirrors
-    * Similarity.autoPlanes(n, 64) in SQL, and the plane range is filtered
-    * to np.planes (static range(63) upper bound = the most planes a BIGINT
-    * bucket id can hold). */
+    * Similarity.autoPlanes(n, 64) with the SAME integer arithmetic
+    * (smallest p ≥ 1 with target·2^p ≥ n — a floating log2 could ceil
+    * one plane differently at exact powers of two), and the plane range
+    * is filtered to np.planes (static range(63) upper bound = the most
+    * planes a BIGINT bucket id can hold). */
   private val bucketsCte =
     s"""np AS (
-      |  SELECT greatest(1, CAST(ceil(log2(greatest(1.0, count(*) / $TargetBucket.0))) AS INTEGER)) AS planes
-      |  FROM embeddings),
+      |  SELECT min(CAST(p.range AS INTEGER)) AS planes
+      |  FROM range(1, 57) p, (SELECT count(*) AS c FROM embeddings) n
+      |  WHERE (CAST($TargetBucket AS BIGINT) << CAST(p.range AS INTEGER)) >= n.c),
       |comp AS (
       |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
       |    CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3) AS DECIMAL(7,3)) AS xq

@@ -133,16 +133,24 @@ object StreamOps {
     * the reference's changelog→upsert loop, with exactly-once-per-key
     * effect because the sink merge is idempotent under re-delivery.
     * Caller starts/stops the returned query. */
+  /** Shared per-batch bootstrap: first batch creates the keyed table,
+    * later batches merge into it — both sinks must route through this so
+    * the bootstrap semantics can't diverge. */
+  private def upsertBatch(df: DataFrame, path: String, keys: Seq[String],
+                          numBuckets: Int, versionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    if (!graft.sinks.KeyedParquetSink.tableExists(spark, path))
+      graft.sinks.KeyedParquetSink.write(df, path, keys, numBuckets)
+    else graft.sinks.KeyedParquetSink.upsert(spark, path, df, keys, numBuckets, versionCols)
+  }
+
   def upsertSink(events: DataFrame, path: String, keys: Seq[String],
                  numBuckets: Int, checkpoint: String,
                  versionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!graft.sinks.KeyedParquetSink.tableExists(spark, path))
-          graft.sinks.KeyedParquetSink.write(batch.toDF(), path, keys, numBuckets)
-        else graft.sinks.KeyedParquetSink.upsert(spark, path, batch.toDF(), keys, numBuckets, versionCols)
+        upsertBatch(batch.toDF(), path, keys, numBuckets, versionCols)
       }
       .start()
 
@@ -162,15 +170,15 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        entities.foreach { case (entity, (path, keys, numBuckets)) =>
-          val part = batch.toDF().where(col(tableCol) === entity).drop(tableCol)
-          if (!part.isEmpty) {
-            if (!graft.sinks.KeyedParquetSink.tableExists(spark, path))
-              graft.sinks.KeyedParquetSink.write(part, path, keys, numBuckets)
-            else graft.sinks.KeyedParquetSink.upsert(spark, path, part, keys, numBuckets, versionCols)
-          }
-        }
+        // one materialization per batch: every entity's filter (plus its
+        // emptiness probe) re-executes the batch's upstream otherwise —
+        // the multi-destination foreachBatch pattern Spark documents
+        val b = batch.toDF().persist()
+        try entities.foreach { case (entity, (path, keys, numBuckets)) =>
+          val part = b.where(col(tableCol) === entity).drop(tableCol)
+          if (!part.isEmpty)
+            upsertBatch(part, path, keys, numBuckets, versionCols)
+        } finally b.unpersist()
       }
       .start()
 
