@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * re-aggregates, paying two wide shuffles for what is a per-document
   * fold). Candidate generation always goes through equality buckets
   * (hash, LSH band, simhash value, shared shingle) so the pairwise work
-  * is bounded by bucket sizes, not n² — no cross joins anywhere.
+  * is bounded by bucket sizes, not n² — no cross joins anywhere — and
+  * the buckets themselves are CAPPED (band occupancy, shingle document
+  * frequency), so one boilerplate key can never go quadratic.
   */
 object Dedup {
 
