@@ -138,6 +138,24 @@ object Relational {
         .orderBy(col("src"))
     }),
 
+    // Set intersection (distinct semantics): customers with orders in
+    // BOTH statuses. One shuffle on the key, set-distinct by the engine.
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.where(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Set difference (distinct semantics): customers with open orders
+    // and no finished ones.
+    "q_except" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.where(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.where(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Hierarchical rollup.
     "q_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -284,6 +302,18 @@ object Relational {
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_union_agg" ->
       """SELECT src, count(*) AS n,
