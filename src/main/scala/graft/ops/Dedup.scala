@@ -27,16 +27,16 @@ object Dedup {
   /** MinHash signature as one array column per document:
     * sig[s] = min over distinct tokens t of md5(s:t), for seeds 0..k-1.
     * Pure map stage — each doc computes its signature locally, no
-    * explode/shuffle; at 100 TB this runs inside the scan stage.
-    */
+    * explode/shuffle; at 100 TB this runs inside the scan stage. The
+    * fold is a native codegen'd expression (graft.functions.
+    * MinHashSignatures): the HOF transform/array_min form is
+    * CodegenFallback and pays a lambda frame + hex string per candidate,
+    * where the native kernel tracks raw digest minima in one pass. */
   def minhashSignatureArray(docs: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame =
     docs.select(col(idCol).as("doc"),
-        array_distinct(tokens(col(textCol))).as("toks"))
-      .select(col("doc"),
-        transform(sequence(lit(0), lit(k - 1)), s =>
-          array_min(transform(col("toks"), t =>
-            md5(concat(s.cast("string"), lit(":"), t))))).as("sig"))
+      graft.functions.TextFunctions.minhashSigs(
+        array_distinct(tokens(col(textCol))), k).as("sig"))
 
   /** Long-format (doc, seed, mh) signatures — same values as the array
     * form, exposed for inspection/joins. Still shuffle-free. */

@@ -51,6 +51,21 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("native minhash_sigs matches the HOF transform/array_min form") {
+    val edge = docs.unionByName(Seq(
+      (10L, ""),                       // empty text
+      (11L, "one"),                    // single token
+      (12L, null.asInstanceOf[String]) // null text
+    ).toDF("doc_id", "text"))
+    val toks = array_distinct(TextAnalysis.tokens($"text"))
+    val hof = transform(sequence(lit(0), lit(7)), s =>
+      array_min(transform(toks, t => md5(concat(s.cast("string"), lit(":"), t)))))
+    val both = edge.select($"doc_id",
+        graft.functions.TextFunctions.minhashSigs(toks, 8).as("native"), hof.as("ref"))
+      .as[(Long, Seq[Option[String]], Seq[Option[String]])].collect()
+    both.foreach { case (id, n, r) => assert(n == r, s"doc $id") }
+  }
+
   test("Dedup.simhash16 identical for dups, stable 16-bit range") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
