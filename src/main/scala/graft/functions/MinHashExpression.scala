@@ -113,8 +113,83 @@ case class MinHashSignatures(child: Expression, k: Int) extends UnaryExpression 
   override def prettyName: String = "minhash_sigs"
 }
 
+/** Static kernel for [[SimHash16]] — same static-call codegen shape as
+  * [[MinHashCompute]]. Exact semantics of the HOF bit-vote fold in
+  * graft.ops.Dedup.simhash16: per token, bit j (0..15) reads hex digit
+  * j/4 of md5(token) (digit 0 = high nibble of digest byte 0) and votes
+  * +1 if bit j%4 of that nibble is set, else −1 — a NULL token votes −1
+  * on every bit (the HOF's `when` falls through to otherwise(−1));
+  * fingerprint bit j is set when its vote total is positive; a null
+  * token ARRAY yields 0 (null votes fall through `when(vote > 0)`). */
+object SimHashCompute {
+
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    if (tokens == null) return 0L
+    val votes = new Array[Long](16)
+    val md = mdLocal.get()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        var j = 0
+        while (j < 16) { votes(j) -= 1; j += 1 }
+      } else {
+        md.reset(); md.update(tokens.getUTF8String(i).getBytes)
+        val d = md.digest()
+        var j = 0
+        while (j < 16) {
+          val digit = j / 4
+          val b = d(digit / 2)
+          val v = if (digit % 2 == 0) (b >> 4) & 0xf else b & 0xf
+          if (((v >> (j % 4)) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) r |= 1L << j; j += 1 }
+    r
+  }
+}
+
+/** simhash16(tokens): 16-bit SimHash fingerprint as a long — the native
+  * codegen'd twin of the 16-term HOF aggregate fold (which is
+  * CodegenFallback and re-reads the hex string per bit). */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    SimHashCompute.compute(child.eval(input).asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |long ${ev.value} = graft.functions.SimHashCompute.compute(
+        |  ${c.isNull} ? null : ${c.value});
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash16"
+}
+
 object TextFunctions {
   /** Column wrapper for [[MinHashSignatures]]. */
   def minhashSigs(tokens: Column, k: Int): Column =
     Bridge.column(MinHashSignatures(Bridge.expression(tokens), k))
+
+  /** Column wrapper for [[SimHash16]]. */
+  def simhash16(tokens: Column): Column =
+    Bridge.column(SimHash16(Bridge.expression(tokens)))
 }

@@ -135,23 +135,14 @@ object Dedup {
   }
 
   /** 16-bit SimHash from md5 nibbles: per token, bit j of the hash votes
-    * ±1; the sign of each bit's vote total forms the fingerprint. Computed
-    * per-row by folding over the token-hash array (bits unrolled at plan
-    * build) — no explode, no shuffle. Exactly reproducible in SQL via
-    * hex-digit lookup — no engine-private hash. */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc"),
-      transform(tokens(col(textCol)), t => md5(t)).as("hs"))
-    val sim = (0 until 16).map { j =>
-      // vote_j = Σ over token hashes h of (bit j of h set ? +1 : -1),
-      // where bit j lives in hex nibble j/4 (conv digit → 0..15).
-      val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(conv(h.substr(j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2 === 1,
-          lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select(col("doc"), sim.as("simhash"))
-  }
+    * ±1; the sign of each bit's vote total forms the fingerprint. One
+    * native codegen'd per-row pass (graft.functions.SimHash16) — no
+    * explode, no shuffle, and none of the HOF fold's per-bit hex string
+    * re-reads. Exactly reproducible in SQL via hex-digit lookup — no
+    * engine-private hash. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.TextFunctions.simhash16(tokens(col(textCol))).as("simhash"))
 
   /** SimHash bucket summary: identical fingerprints = near-dup cluster. */
   def simhashBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =

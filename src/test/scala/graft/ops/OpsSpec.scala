@@ -66,6 +66,24 @@ class OpsSpec extends AnyFunSuite {
     both.foreach { case (id, n, r) => assert(n == r, s"doc $id") }
   }
 
+  test("native simhash16 matches the HOF bit-vote fold") {
+    val edge = docs.unionByName(Seq(
+      (10L, ""), (11L, "one"), (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val hs = transform(TextAnalysis.tokens($"text"), t => md5(t))
+    val hof = (0 until 16).map { j =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(conv(h.substr(j / 4 + 1, 1), 16, 10).cast("int"), j % 4) % 2 === 1,
+          lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val both = edge.select($"doc_id",
+        graft.functions.TextFunctions.simhash16(TextAnalysis.tokens($"text")).as("native"),
+        hof.as("ref"))
+      .as[(Long, Long, Long)].collect()
+    both.foreach { case (id, n, r) => assert(n == r, s"doc $id") }
+  }
+
   test("Dedup.simhash16 identical for dups, stable 16-bit range") {
     val sh = Dedup.simhash16(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
