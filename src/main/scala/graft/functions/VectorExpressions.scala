@@ -135,7 +135,19 @@ object VectorFunctions {
       (args: Seq[Expression]) => VectorDot(args(0), args(1))),
     (FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vec_cosine"),
-      (args: Seq[Expression]) => VectorCosine(args(0), args(1))))
+      (args: Seq[Expression]) => VectorCosine(args(0), args(1))),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSignatures].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => args(1) match {
+        // k must be a literal: it shapes the output array at plan time
+        case e if e.foldable => MinHashSignatures(args(0),
+          e.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "minhash_sigs(tokens, k): k must be a literal integer")
+      }),
+    (FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+      (args: Seq[Expression]) => SimHash16(args(0))))
 
   /** For `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
   def inject(e: SparkSessionExtensions): Unit = {

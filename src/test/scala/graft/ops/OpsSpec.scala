@@ -147,6 +147,12 @@ class OpsSpec extends AnyFunSuite {
       "SELECT vec_cosine(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))")
       .as[Double].collect().head
     assert(cosSql == 1.0)
+    // text kernels are SQL-registered too
+    val mh = spark.sql("SELECT minhash_sigs(array('a', 'b'), 2)")
+      .as[Seq[String]].collect().head
+    assert(mh.length == 2 && mh.forall(_.matches("[0-9a-f]{32}")))
+    val sh = spark.sql("SELECT simhash16(array('a', 'b'))").as[Long].collect().head
+    assert(sh >= 0 && sh < 65536)
   }
 
   test("Similarity.cosine basic geometry") {
