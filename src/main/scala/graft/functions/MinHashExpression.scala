@@ -23,11 +23,23 @@ import java.security.MessageDigest
   * to their unsigned digest bytes ('0'-'9' < 'a'-'f' and hex is
   * monotone per nibble), so the min is tracked on raw 16-byte digests
   * and only the k winners are hex-encoded. */
-object MinHashCompute {
-
-  private val mdLocal = new ThreadLocal[MessageDigest] {
+/** One MD5 instance per executor thread, shared by both kernels. */
+private[functions] object Md5Local {
+  private val local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+  def get(): MessageDigest = local.get()
+}
+
+object MinHashCompute {
+
+  /** Seed-prefix bytes ("0:", "1:", …) cached per k — identical for every
+    * row, so the hot path must not rebuild k strings per document. */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(s => (s.toString + ":").getBytes("UTF-8")))
 
   private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
@@ -55,18 +67,16 @@ object MinHashCompute {
   def compute(tokens: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Array[Byte]](k)
     if (tokens != null) {
-      val md = mdLocal.get()
-      val prefixes = new Array[Array[Byte]](k)
-      var s = 0
-      while (s < k) { prefixes(s) = (s.toString + ":").getBytes("UTF-8"); s += 1 }
+      val md = Md5Local.get()
+      val pre = prefixes(k)
       val n = tokens.numElements()
       var i = 0
       while (i < n) {
         if (!tokens.isNullAt(i)) {
           val tok = tokens.getUTF8String(i).getBytes
-          s = 0
+          var s = 0
           while (s < k) {
-            md.reset(); md.update(prefixes(s)); md.update(tok)
+            md.reset(); md.update(pre(s)); md.update(tok)
             val d = md.digest()
             if (mins(s) == null || lessThan(d, mins(s))) mins(s) = d
             s += 1
@@ -90,6 +100,18 @@ case class MinHashSignatures(child: Expression, k: Int) extends UnaryExpression 
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = false
+
+  // SQL-exposed: reject non-array<string> children at analysis time
+  // instead of casting garbage at runtime (ExpectsInputTypes is
+  // private[sql], but checkInputDataTypes itself is public API)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -123,14 +145,10 @@ case class MinHashSignatures(child: Expression, k: Int) extends UnaryExpression 
   * token ARRAY yields 0 (null votes fall through `when(vote > 0)`). */
 object SimHashCompute {
 
-  private val mdLocal = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-
   def compute(tokens: ArrayData): Long = {
     if (tokens == null) return 0L
     val votes = new Array[Long](16)
-    val md = mdLocal.get()
+    val md = Md5Local.get()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
@@ -164,6 +182,15 @@ object SimHashCompute {
 case class SimHash16(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
 
   override def eval(input: InternalRow): Any =
     SimHashCompute.compute(child.eval(input).asInstanceOf[ArrayData])

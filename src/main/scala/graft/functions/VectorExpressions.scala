@@ -138,12 +138,20 @@ object VectorFunctions {
       (args: Seq[Expression]) => VectorCosine(args(0), args(1))),
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSignatures].getName, "minhash_sigs"),
-      (args: Seq[Expression]) => args(1) match {
-        // k must be a literal: it shapes the output array at plan time
-        case e if e.foldable => MinHashSignatures(args(0),
-          e.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "minhash_sigs(tokens, k): k must be a literal integer")
+      (args: Seq[Expression]) => {
+        // k must be a literal: it shapes the output array at plan time.
+        // Validate every malformed shape with the same clear error — a
+        // raw IndexOutOfBounds/NPE/ClassCast from the builder reads as
+        // an engine bug, not a usage error.
+        def bad() = throw new IllegalArgumentException(
+          "minhash_sigs(tokens, k): k must be a positive literal integer")
+        if (args.length != 2) bad()
+        val k = if (args(1).foldable) args(1).eval() else bad()
+        k match {
+          case i: Int if i > 0 => MinHashSignatures(args(0), i)
+          case l: Long if l > 0 && l <= Int.MaxValue => MinHashSignatures(args(0), l.toInt)
+          case _ => bad()
+        }
       }),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
