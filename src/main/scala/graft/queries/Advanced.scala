@@ -223,6 +223,19 @@ object Advanced {
         .orderBy(col("event_type"), col("rn"))
     }),
 
+    // Stratified corpus sample: at most 50 docs per language, chosen by
+    // deterministic hash rank — the balancing step of a training-data
+    // mix (quota per stratum, stable across engines/runs/partitionings).
+    "corpus_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 50)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // Arbitrary grouping sets (the rollup/cube generalization), via the
     // SQL surface: per-status and per-priority marginals WITHOUT the
     // cross product or grand total. grouping() disambiguates a real NULL
@@ -428,6 +441,13 @@ object Advanced {
          |WHERE doc_id = keeper AND lang = 'en'
          |  AND n_tok BETWEEN 5 AND 1000 AND stop_ratio < 0.5
          |ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

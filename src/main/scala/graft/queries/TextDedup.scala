@@ -89,6 +89,23 @@ object TextDedup {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // Benchmark decontamination: flag corpus docs sharing any word
+    // 5-gram with a held-out benchmark set (doc_id % 50 == 0 stands in).
+    // The check is an equality join on 64-bit shingle hashes — the same
+    // inverted-index shape as dedup, never a text scan per pair.
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        explode(array_distinct(transform(
+          TA.shingles(col("text"), 5), x => xxhash64(x)))).as("s"))
+      val benchSh = sh(docs.where(col("doc_id") % 50 === 0))
+        .select(col("s")).distinct()
+      sh(docs.where(col("doc_id") % 50 =!= 0))
+        .join(benchSh, Seq("s"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Duplicate clusters from high-similarity pairs: 3 rounds of
     // min-label propagation, summarized per cluster.
     "dedup_clusters" -> ((s, dir) => {
@@ -207,6 +224,18 @@ object TextDedup {
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM scored)
          |SELECT doc_id, tok, tf, df, score, CAST(rn AS INTEGER) AS rn
          |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+         |  FROM t),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM sh JOIN bench USING (s)
+         |WHERE doc_id % 50 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" -> {
       val rounds = (1 to 3).map { i =>
