@@ -30,6 +30,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no query reads a parquet source more than its join arity needs") {
+    // regression guard for the round-3 scan-elimination work: the dedup
+    // pair generators checkpoint their index (0-1 scans in the final
+    // plan), ANN assignment is computed in place (never a join back to
+    // the vector table), and the widest query is the 6-table star join.
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val plan = planOf(name)
+      name -> "Scan parquet".r.findAllIn(plan).size
+    }.maxBy(_._2)
+    assert(worst._2 <= 6, s"${worst._1} scans parquet ${worst._2}x:\n${planOf(worst._1)}")
+  }
+
   test("q_filter_pushdown pushes both predicates into the parquet scan") {
     val plan = SparkEntry.queries("q_filter_pushdown")(spark, TestSpark.sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
