@@ -41,7 +41,8 @@ object MinHashCompute {
     prefixCache.computeIfAbsent(k,
       kk => Array.tabulate(kk)(s => (s.toString + ":").getBytes("UTF-8")))
 
-  private def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+  /** Unsigned compare of two 16-byte digests (hex order == byte order). */
+  private[functions] def lessThan16(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < 16) {
       val x = a(i) & 0xff; val y = b(i) & 0xff
@@ -53,7 +54,8 @@ object MinHashCompute {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  private def hex(d: Array[Byte]): UTF8String = {
+  /** 16-byte digest → 32-char lowercase hex UTF8String. */
+  private[functions] def hex32(d: Array[Byte]): UTF8String = {
     val out = new Array[Byte](32)
     var i = 0
     while (i < 16) {
@@ -78,14 +80,14 @@ object MinHashCompute {
           while (s < k) {
             md.reset(); md.update(pre(s)); md.update(tok)
             val d = md.digest()
-            if (mins(s) == null || lessThan(d, mins(s))) mins(s) = d
+            if (mins(s) == null || lessThan16(d, mins(s))) mins(s) = d
             s += 1
           }
         }
         i += 1
       }
     }
-    new GenericArrayData(mins.map(m => if (m == null) null else hex(m)): Array[Any])
+    new GenericArrayData(mins.map(m => if (m == null) null else hex32(m)): Array[Any])
   }
 }
 
@@ -211,6 +213,57 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash16"
 }
 
+/** md5_min(arr): minimum md5 hex over the array's non-null strings, NULL
+  * for a null/empty/all-null array — the winnowing-fingerprint kernel,
+  * exact twin of `array_min(transform(arr, md5))` (array_min skips
+  * nulls) without the HOF's CodegenFallback. Digest minima are tracked
+  * raw and only the winner is hex-encoded. */
+case class Md5Min(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    Md5MinCompute.compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.Md5MinCompute.compute($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "md5_min"
+}
+
+object Md5MinCompute {
+  def compute(arr: ArrayData): UTF8String = {
+    if (arr == null) return null
+    val md = Md5Local.get()
+    var min: Array[Byte] = null
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset(); md.update(arr.getUTF8String(i).getBytes)
+        val d = md.digest()
+        if (min == null || MinHashCompute.lessThan16(d, min)) min = d
+      }
+      i += 1
+    }
+    if (min == null) null else MinHashCompute.hex32(min)
+  }
+}
+
 object TextFunctions {
   /** Column wrapper for [[MinHashSignatures]]. */
   def minhashSigs(tokens: Column, k: Int): Column =
@@ -219,4 +272,8 @@ object TextFunctions {
   /** Column wrapper for [[SimHash16]]. */
   def simhash16(tokens: Column): Column =
     Bridge.column(SimHash16(Bridge.expression(tokens)))
+
+  /** Column wrapper for [[Md5Min]]. */
+  def md5Min(arr: Column): Column =
+    Bridge.column(Md5Min(Bridge.expression(arr)))
 }

@@ -48,9 +48,11 @@ object TextAnalysis {
   def bowFingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
 
-  /** Winnowing-style fingerprint: minimum md5 over word-3-gram shingles. */
+  /** Winnowing-style fingerprint: minimum md5 over word-3-gram shingles
+    * (native codegen'd kernel — the `array_min(transform(..., md5))` HOF
+    * form is CodegenFallback). */
   def minShingleFingerprint(c: Column, n: Int = 3): Column =
-    array_min(transform(shingles(c, n), s => md5(s)))
+    graft.functions.TextFunctions.md5Min(shingles(c, n))
 
   /** Marker-word tables for the language-ID heuristic (deterministic,
     * chosen from the synthetic corpus vocabulary). */

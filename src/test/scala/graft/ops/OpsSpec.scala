@@ -66,6 +66,18 @@ class OpsSpec extends AnyFunSuite {
     both.foreach { case (id, n, r) => assert(n == r, s"doc $id") }
   }
 
+  test("native md5_min matches the HOF array_min(transform(md5)) form") {
+    val edge = docs.unionByName(Seq(
+      (10L, ""), (11L, "one two"), (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val sh = TextAnalysis.shingles($"text", 3)
+    val both = edge.select($"doc_id",
+        graft.functions.TextFunctions.md5Min(sh).as("native"),
+        array_min(transform(sh, s => md5(s))).as("ref"))
+      .as[(Long, Option[String], Option[String])].collect()
+    both.foreach { case (id, n, r) => assert(n == r, s"doc $id") }
+  }
+
   test("native simhash16 matches the HOF bit-vote fold") {
     val edge = docs.unionByName(Seq(
       (10L, ""), (11L, "one"), (12L, null.asInstanceOf[String])
