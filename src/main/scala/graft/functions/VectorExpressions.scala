@@ -155,7 +155,10 @@ object VectorFunctions {
       }),
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
-      (args: Seq[Expression]) => SimHash16(args(0))))
+      (args: Seq[Expression]) => SimHash16(args(0))),
+    (FunctionIdentifier("md5_min"),
+      new ExpressionInfo(classOf[Md5Min].getName, "md5_min"),
+      (args: Seq[Expression]) => Md5Min(args(0))))
 
   /** For `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
   def inject(e: SparkSessionExtensions): Unit = {

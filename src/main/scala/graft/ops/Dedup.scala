@@ -161,14 +161,20 @@ object Dedup {
     * intersection and the sizes — the standard stop-shingle trade: pairs
     * whose only overlap is boilerplate are lost, which near-dup detection
     * doesn't want anyway. */
+  /** 64-bit-hashed distinct shingle postings (doc, s) — the shared
+    * inverted-index projection for Jaccard dedup AND contamination
+    * checks. Joining on the hash, not the multi-word string, keeps the
+    * index shuffle at (doc, long) rows and the sort/probe on longs
+    * (collision odds ≈ |shingles|²/2⁶⁴, immaterial). */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      explode(array_distinct(transform(
+        TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 50): DataFrame = {
-    // join on the 64-bit shingle hash, not the multi-word string — the
-    // inverted-index shuffle moves (doc, long) rows and the sort/probe
-    // compares longs (collision odds ≈ |shingles|²/2⁶⁴, immaterial).
-    val sh = docs.select(col(idCol).as("doc"),
-        explode(array_distinct(transform(
-          TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
+    val sh = shingleHashes(docs, idCol, textCol, n)
     // posting-list df filter: one narrow pre-aggregate over the shingle
     // hash. The FILTERED index is materialized once with truncated
     // lineage — it feeds three consumers (sizes + both self-join sides),

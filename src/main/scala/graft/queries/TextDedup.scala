@@ -95,14 +95,13 @@ object TextDedup {
     // inverted-index shape as dedup, never a text scan per pair.
     "text_contamination" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
-        explode(array_distinct(transform(
-          TA.shingles(col("text"), 5), x => xxhash64(x)))).as("s"))
+      def sh(df: org.apache.spark.sql.DataFrame) =
+        Dedup.shingleHashes(df, "doc_id", "text", 5)
       val benchSh = sh(docs.where(col("doc_id") % 50 === 0))
         .select(col("s")).distinct()
       sh(docs.where(col("doc_id") % 50 =!= 0))
         .join(benchSh, Seq("s"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .groupBy(col("doc").as("doc_id")).agg(count(lit(1)).as("n_hits"))
         .orderBy(col("doc_id"))
     }),
 

@@ -8,9 +8,13 @@ import org.apache.spark.sql.execution.SimpleMode
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  private def planOf(name: String): String =
+  // memoized: constructing a query can be expensive (the dedup pair
+  // generators eagerly checkpoint their index, the ANN queries count the
+  // vector table), and several tests read every plan
+  private val planCache = scala.collection.mutable.Map.empty[String, String]
+  private def planOf(name: String): String = planCache.getOrElseUpdate(name,
     SparkEntry.queries(name)(spark, TestSpark.sf)
-      .queryExecution.explainString(SimpleMode)
+      .queryExecution.explainString(SimpleMode))
 
   // Deliberate tiny-side broadcast nested-loop joins:
   //  - sim_topk_brute / sim_ann_search: single-row query vector vs all
@@ -30,16 +34,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("no query reads a parquet source more than its join arity needs") {
-    // regression guard for the round-3 scan-elimination work: the dedup
-    // pair generators checkpoint their index (0-1 scans in the final
-    // plan), ANN assignment is computed in place (never a join back to
-    // the vector table), and the widest query is the 6-table star join.
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val plan = planOf(name)
-      name -> "Scan parquet".r.findAllIn(plan).size
-    }.maxBy(_._2)
-    assert(worst._2 <= 6, s"${worst._1} scans parquet ${worst._2}x:\n${planOf(worst._1)}")
+  test("per-query scan counts stay at their audited minima") {
+    // regression guard for the round-3 scan-elimination work, enforced
+    // PER QUERY: the dedup pair generators build their index behind a
+    // checkpoint (≤1 scan in the final plan), the IVF/star/dispatch
+    // queries read exactly their join arity, everything else ≤3.
+    val caps = Map(
+      "q5_multi_join" -> 6,            // 6-table star join
+      "sim_ivf_search" -> 4,           // ranked cells ×2 (probe side pruned)
+      "sim_ivf_multiprobe" -> 4,
+      "etl_changelog_dispatch" -> 4,   // events ×2 (pushdown-pruned) + 2 entities
+      "text_tfidf" -> 3,
+      "q3_join_agg" -> 3
+    ).withDefaultValue(3)
+    val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val scans = "Scan parquet".r.findAllIn(planOf(name)).size
+      val cap = if (checkpointed(name)) 1 else caps(name)
+      assert(scans <= cap, s"$name scans parquet $scans x (audited cap $cap)")
+    }
   }
 
   test("q_filter_pushdown pushes both predicates into the parquet scan") {

@@ -165,6 +165,8 @@ class OpsSpec extends AnyFunSuite {
     assert(mh.length == 2 && mh.forall(_.matches("[0-9a-f]{32}")))
     val sh = spark.sql("SELECT simhash16(array('a', 'b'))").as[Long].collect().head
     assert(sh >= 0 && sh < 65536)
+    val mm = spark.sql("SELECT md5_min(array('a', 'b'))").as[String].collect().head
+    assert(mm.matches("[0-9a-f]{32}"))
     // malformed usage fails at analysis time with clear errors
     intercept[Exception](spark.sql("SELECT simhash16(array(1, 2))").collect())
     intercept[Exception](spark.sql("SELECT minhash_sigs(array('a'), 0)").collect())
