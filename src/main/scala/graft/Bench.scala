@@ -31,10 +31,38 @@ object Bench {
       try materialize(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def render(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+
+    // Full-precision record for the repo (the stdout line is size-capped).
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("bench_latest.json")
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$full,"sf":"$sfDir"}\n"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // The harness captures only the last ~2000 chars of output (plus sbt's
+    // trailing "[success]" line), so the JSON line must fit that window or
+    // its head — including the "metric" key — is truncated away. Keep the
+    // slowest queries (the informative ones) and drop the fastest until the
+    // line fits.
+    val byTime = results.sortBy(-_._2)
+    var keep = byTime.size
+    var line = render(byTime.take(keep).sortBy(_._1), 0)
+    while (line.length > 1800 && keep > 1) {
+      keep -= 1
+      line = render(byTime.take(keep).sortBy(_._1), byTime.size - keep)
+    }
+    println(line)
     spark.stop()
   }
 }

@@ -54,20 +54,37 @@ final case class Cron(minutes: Set[Int], hours: Set[Int], doms: Set[Int],
 
 object Cron {
 
-  private case class FieldSpec(lo: Int, hi: Int)
+  private case class FieldSpec(lo: Int, hi: Int,
+                               names: Map[String, Int] = Map.empty)
+  private val monthNames = Seq("jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec").zipWithIndex
+    .map { case (n, i) => n -> (i + 1) }.toMap
+  private val dowNames = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    .zipWithIndex.toMap
   private val specs = Seq(
-    FieldSpec(0, 59),  // minute
-    FieldSpec(0, 23),  // hour
-    FieldSpec(1, 31),  // day of month
-    FieldSpec(1, 12),  // month
-    FieldSpec(0, 7))   // day of week (7 ≡ 0 ≡ Sunday)
+    FieldSpec(0, 59),                 // minute
+    FieldSpec(0, 23),                 // hour
+    FieldSpec(1, 31),                 // day of month
+    FieldSpec(1, 12, monthNames),     // month (JAN-DEC accepted)
+    FieldSpec(0, 7, dowNames))        // day of week (7 ≡ 0 ≡ Sunday, SUN-SAT accepted)
 
   /** Parse + validate (the reference rejects invalid patterns with a 400,
-    * index.js:30-37); Left is the validation error. */
+    * index.js:30-37); Left is the validation error. node-cron also accepts
+    * a 6-field form with a leading seconds field — the runner fires at
+    * minute granularity, so a 6th field is validated for range and then
+    * floored (dropped), matching the reference's accept-don't-reject
+    * behavior. */
   def parse(expr: String): Either[String, Cron] = {
-    val fields = expr.trim.split("\\s+")
-    if (fields.length != 5)
-      return Left(s"expected 5 fields (minute hour dom month dow), got ${fields.length}")
+    val raw = expr.trim.split("\\s+")
+    if (raw.length != 5 && raw.length != 6)
+      return Left(s"expected 5 fields (minute hour dom month dow) or 6 with leading seconds, got ${raw.length}")
+    val fields =
+      if (raw.length == 6) {
+        parseField(raw(0), FieldSpec(0, 59)) match {
+          case Left(e)  => return Left(s"field 1 (seconds) '${raw(0)}': $e")
+          case Right(_) => raw.drop(1)
+        }
+      } else raw
     val parsed = fields.zip(specs).zipWithIndex.map { case ((f, spec), i) =>
       parseField(f, spec).left.map(e => s"field ${i + 1} '$f': $e")
     }
@@ -106,7 +123,12 @@ object Cron {
       case _ => return Left("more than one '/'")
     }
     val hasStep = p.contains("/")
-    val bounds = rangePart match {
+    // translate 3-letter month/day names (JAN, MON — node-cron accepts
+    // them in values and range endpoints) to numbers before matching
+    val named = rangePart.split("-", -1).map { t =>
+      spec.names.get(t.toLowerCase).map(_.toString).getOrElse(t)
+    }.mkString("-")
+    val bounds = named match {
       case "*" => Right((spec.lo, spec.hi))
       case r if r.matches("[0-9]+") =>
         // vixie/node-cron expand "a/step" as "a-max/step", not the single

@@ -24,8 +24,12 @@ object Progress {
 
   final case class StageProgress(stage: String, tasksDone: Long, tasksTotal: Long) {
     /** 0.0–1.0 of LAUNCHED work (like the reference's %, which also only
-      * knows the batches it has seen); stages with no job yet report 0. */
-    def fraction: Double = if (tasksTotal == 0) 0.0 else tasksDone.toDouble / tasksTotal
+      * knows the batches it has seen); stages with no job yet report 0.
+      * Clamped at 1.0: speculative / resubmitted task attempts can push
+      * the raw done count past the launched total transiently. */
+    def fraction: Double =
+      if (tasksTotal == 0) 0.0
+      else math.min(1.0, tasksDone.toDouble / tasksTotal)
   }
 
   private final class Counters {
@@ -93,8 +97,34 @@ object Progress {
       stageToGroup.entrySet().removeIf(e => e.getValue == old)
     }
     groups.put(gid, new Counters)
+    beginOrder.add(stage)
+    pruneOldest(stage)
     gid
   }
+
+  /** Stage names in begin order, for bounded eviction. */
+  private val beginOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** The final run of each distinct stage name is kept for the status
+    * surface, but not forever: beyond this many distinct stages the
+    * oldest-begun retire fully (their maps are dropped), so a long-lived
+    * driver cycling through generated stage names can't grow without
+    * bound. */
+  private val MaxTrackedStages = 256
+
+  private def pruneOldest(justBegun: String): Unit =
+    while (current.size() > MaxTrackedStages) {
+      val victim = beginOrder.poll()
+      if (victim == null) return
+      // a name re-begun later is still queued at its newer position;
+      // only drop the entry if this queue slot is its latest begin
+      if (victim != justBegun && !beginOrder.contains(victim)) {
+        val gid = current.remove(victim)
+        if (gid != null) {
+          groups.remove(gid)
+          stageToGroup.entrySet().removeIf(e => e.getValue == gid)
+        }
+      }
+    }
 
   /** Current progress of a named stage's latest run, if any. */
   def of(stage: String): Option[StageProgress] =

@@ -87,21 +87,25 @@ object Runner {
               now: () => java.time.LocalDateTime = () => java.time.LocalDateTime.now(),
               sleep: Long => Unit = Thread.sleep): Either[String, Seq[RunReport]] =
     Cron.parse(cronExpr).flatMap { cron =>
-      try {
-        val reports = Seq.newBuilder[RunReport]
-        var i = 0
-        while (i < iterations && !stopFlag.get()) {
-          val t = now()
-          val waitMs = java.time.Duration.between(t, cron.next(t)).toMillis
-          if (waitMs > 0) sleep(waitMs)
-          if (!stopFlag.get()) reports += run(spark, stages, retries)
-          i += 1
-        }
-        Right(reports.result())
-      } catch {
-        // parse-valid but unsatisfiable (e.g. "0 0 30 2 *"): keep the
-        // documented error channel instead of leaking the scan's throw
-        case e: IllegalArgumentException => Left(e.getMessage)
+      // parse-valid but unsatisfiable (e.g. "0 0 30 2 *"): probe once up
+      // front so the documented error channel fires BEFORE any work runs —
+      // and so an IllegalArgumentException thrown later from run()/Spark
+      // internals propagates instead of being misreported as cron error
+      val sat = try { cron.next(now()); None }
+                catch { case e: IllegalArgumentException => Some(e.getMessage) }
+      sat match {
+        case Some(err) => Left(err)
+        case None =>
+          val reports = Seq.newBuilder[RunReport]
+          var i = 0
+          while (i < iterations && !stopFlag.get()) {
+            val t = now()
+            val waitMs = java.time.Duration.between(t, cron.next(t)).toMillis
+            if (waitMs > 0) sleep(waitMs)
+            if (!stopFlag.get()) reports += run(spark, stages, retries)
+            i += 1
+          }
+          Right(reports.result())
       }
     }
 

@@ -202,9 +202,10 @@ object Similarity {
     * bucket. The candidate (build) side of each bucket is capped at
     * `candCap` members, chosen by a deterministic hash rank over the id —
     * a skewed bucket then costs O(m·candCap) join rows instead of O(m²),
-    * while the probe side stays uncapped so every vector still gets a
-    * neighbor (recall trade: the neighbor is the best among the sampled
-    * candidates). */
+    * while the probe side stays uncapped so every vector in a multi-member
+    * bucket still gets a neighbor; a vector alone in its bucket yields no
+    * row (recall trade: the neighbor is the best among the sampled
+    * candidates, and bucket singletons are unmatched). */
   def nnJoin(emb: DataFrame, idCol: String, vecCol: String,
              planes: Int, dim: Int, candCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

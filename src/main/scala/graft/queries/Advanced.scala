@@ -201,8 +201,12 @@ object Advanced {
           countDistinct(col("o_custkey")).as("n_exact"),
           count(lit(1)).as("n_rows"))
         .select(col("o_orderstatus"), col("n_exact"), col("n_rows"),
-          (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact")
-            <= 0.05).as("ok"))
+          // an all-NULL key group has n_exact = 0; the ratio would be NULL
+          // (0/0 with ANSI off) and fail the TRUE-literal oracle, so the
+          // zero case is judged by exact agreement instead
+          when(col("n_exact") === 0, col("n_approx") === 0)
+            .otherwise(abs(col("n_approx") - col("n_exact")).cast("double")
+              / col("n_exact") <= 0.05).as("ok"))
         .orderBy(col("o_orderstatus"))),
 
     // Z-score anomaly ranking: per event type, the 5 most anomalous
@@ -282,8 +286,12 @@ object Advanced {
           percentile(col("o_totalprice"), lit(0.5)).as("med_exact"),
           count(lit(1)).as("n"))
         .select(col("o_orderstatus"), col("med_exact"), col("n"),
-          (abs(col("med_approx") - col("med_exact")) / col("med_exact")
-            <= 0.05).as("ok"))
+          // guard the zero/NULL-median case the same way as the sketch
+          // count: relative error is undefined there, so require agreement
+          when(col("med_exact").isNull || col("med_exact") === 0,
+            col("med_approx") <=> col("med_exact"))
+            .otherwise(abs(col("med_approx") - col("med_exact"))
+              / col("med_exact") <= 0.05).as("ok"))
         .orderBy(col("o_orderstatus")))
   )
 

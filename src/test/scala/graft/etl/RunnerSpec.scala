@@ -83,6 +83,13 @@ class RunnerSpec extends AnyFunSuite {
     assert(p2.tasksTotal == p.tasksTotal)
   }
 
+  test("Progress fraction clamps at 1.0 when attempts exceed launched tasks") {
+    // speculative / resubmitted attempts can over-count done transiently
+    assert(Progress.StageProgress("s", tasksDone = 5, tasksTotal = 4).fraction == 1.0)
+    assert(Progress.StageProgress("s", 2, 4).fraction == 0.5)
+    assert(Progress.StageProgress("s", 0, 0).fraction == 0.0)
+  }
+
   test("Cron.parse validates patterns like the reference's cron.validate") {
     assert(Cron.isValid("* * * * *"))
     assert(Cron.isValid("*/15 0-6 1,15 * 1-5"))
@@ -94,6 +101,24 @@ class RunnerSpec extends AnyFunSuite {
     assert(!Cron.isValid("5-1 * * * *"))       // inverted range
     assert(!Cron.isValid("a * * * *"))
     assert(Cron.parse("* * * *").left.exists(_.contains("5 fields")))
+  }
+
+  test("Cron node-cron parity: optional seconds field and month/day names") {
+    import java.time.LocalDateTime
+    // 6-field form: seconds validated for range, then floored
+    assert(Cron.isValid("0 */15 * * * *"))
+    assert(!Cron.isValid("60 * * * * *"))       // seconds out of range
+    assert(!Cron.isValid("* * * * * * *"))      // 7 fields
+    val t = LocalDateTime.of(2026, 8, 12, 10, 7)
+    def n(e: String, from: LocalDateTime = t) = Cron.parse(e).toOption.get.next(from)
+    assert(n("30 */15 * * * *") == n("*/15 * * * *"))
+    // 3-letter names, case-insensitive, in values and range endpoints
+    assert(Cron.isValid("0 9 * JAN-MAR MON-FRI"))
+    assert(n("0 9 * * MON") == n("0 9 * * 1"))
+    assert(n("0 0 1 jan *") == n("0 0 1 1 *"))
+    assert(n("0 9 * * mon-fri") == n("0 9 * * 1-5"))
+    assert(!Cron.isValid("0 9 * XYZ *"))        // unknown name
+    assert(!Cron.isValid("0 MON * * *"))        // name in a numeric field
   }
 
   test("Cron vixie semantics: value/step expansion and star-with-step day rule") {
