@@ -49,6 +49,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Range search: every vector whose cosine with the `queryId` vector
+    * meets `minCos` — the radius-query twin of [[topKBrute]] (same
+    * broadcast-one-row shape, a threshold instead of a limit). Unlike
+    * top-k there is no result bound, so at scale the caller sets the
+    * radius, not a k; the scan side still never shuffles. */
+  def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, minCos: Double): DataFrame = {
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"))
+    emb.where(col(idCol) =!= lit(queryId))
+      .withColumn("vn", norm(col(vecCol)))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
+      .where(col("cos") >= minCos)
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+  }
+
   /** Deterministic hyperplane weight for (plane p, dim d): an integer in
     * [-7, 8] from the first md5 hex digit of "p_d" (value v → v - 7, the
     * same as SQL `strpos('0123456789abcdef', substring(md5(p||'_'||d),1,1)) - 8`).

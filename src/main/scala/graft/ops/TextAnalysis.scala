@@ -43,6 +43,43 @@ object TextAnalysis {
     when(size(toks) >= n, make).otherwise(array().cast("array<string>"))
   }
 
+  /** Mean token length. The corpus contract is single-space separation
+    * (same assumption as [[tokens]]), so total token chars = text length
+    * minus the separators — a codegen'd arithmetic identity instead of a
+    * higher-order fold over the token array. */
+  def meanTokenLen(c: Column): Column =
+    (length(trim(c)) - (tokenCount(c) - lit(1))).cast("double") / tokenCount(c)
+
+  /** Number of DISTINCT stopwords present (Gopher-style quality signal:
+    * real prose contains several; keyword soup contains none). */
+  def distinctStopwordCount(c: Column): Column =
+    size(array_intersect(array_distinct(tokens(c)),
+      array(stopwords.map(lit): _*))).cast("long")
+
+  /** Symbol ratio: non-alphanumeric-non-space chars over text length. */
+  def symbolRatio(c: Column): Column =
+    punctCount(c).cast("double") / length(c)
+
+  /** PII patterns (shared with the oracle SQL — RE2/Java-regex common
+    * subset: no backreferences, no lookaround). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+\\d{1,3}-\\d{3}-\\d{3,6}"
+
+  /** Redact emails → <EMAIL>, then IPv4 → <IP>, then phone numbers →
+    * <PHONE>. Order matters: the email host would otherwise feed the IP
+    * pattern's dotted-quad shape. Pure regexp_replace chain — codegen'd,
+    * linear, no UDF. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set.
     * Catches word-order-permuted duplicates. */
   def bowFingerprint(c: Column): Column =

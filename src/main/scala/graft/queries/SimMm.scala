@@ -78,6 +78,12 @@ object SimMm {
         .orderBy(col("a"))
     }),
 
+    // Range (radius) search: every vector within cosine ≥ 0.25 of the
+    // query — the threshold twin of top-k (no result bound; the caller
+    // sets the radius).
+    "sim_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 0.25)),
+
     // Embedding-cosine near-duplicate pairs, blocked by cluster label.
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.5)
@@ -246,6 +252,13 @@ object SimMm {
          |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
          |  FROM pairs)
          |SELECT a, b AS nn, cos FROM ranked WHERE rn = 1 ORDER BY a""".stripMargin,
+
+    "sim_range_search" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
+         |      FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT vec_id, cos FROM c WHERE cos >= 0.25
+         |ORDER BY cos DESC, vec_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""SELECT l.vec_id AS a, r.vec_id AS b,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{TextAnalysis => TA, Dedup}
+import graft.ops.{TextAnalysis => TA, Dedup, Urls}
 
 /** Text analysis (SURVEY §2.5) + deduplication (§2.3) over `documents`.
   * All hashes are md5 hex strings so DuckDB reproduces them exactly.
@@ -113,6 +113,81 @@ object TextDedup {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("lo"), max(col("id")).as("hi"))
         .orderBy(col("label"))
+    }),
+
+    // PII redaction (email / IPv4 / phone → placeholder tokens). The
+    // synthetic corpus carries no PII, so each doc's text is AUGMENTED
+    // in-query with deterministic doc_id-derived PII — the oracle builds
+    // the identical string, so the regex kernels are genuinely exercised
+    // cross-engine (a scrub that matched nothing would prove nothing).
+    "text_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact agent"), col("doc_id").cast("string"),
+        lit("@mail.example.com or +1-555-0"),
+        lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit(" from 10.2."), (col("doc_id") % 256).cast("string"), lit(".9"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.piiCount(aug, TA.emailPattern).as("n_email"),
+        TA.piiCount(aug, TA.phonePattern).as("n_phone"),
+        TA.piiCount(aug, TA.ipv4Pattern).as("n_ip"),
+        md5(TA.scrubPii(aug)).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style quality gate: word count, mean word length, symbol
+    // ratio, distinct-stopword presence — the classic pre-training filter
+    // battery, each signal a codegen'd Column kernel.
+    "text_gopher_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tok"),
+        round(TA.meanTokenLen(col("text")), 4).as("mean_wlen"),
+        round(TA.symbolRatio(col("text")), 4).as("sym_ratio"),
+        TA.distinctStopwordCount(col("text")).as("n_stop_uniq"))
+        .withColumn("keep",
+          when(col("n_tok").between(20, 1000) &&
+               col("mean_wlen").between(3.0, 10.0) &&
+               col("sym_ratio") <= 0.1 &&
+               col("n_stop_uniq") >= 2, lit(1)).otherwise(lit(0)))
+        .orderBy(col("doc_id"))),
+
+    // Rejection report: every doc lands in exactly one bucket — its FIRST
+    // failing filter (dedup wins over quality, mirroring pipeline order) —
+    // so the counts sum to the corpus size. The shape a 100 TB curation
+    // run reports to its operator.
+    "corpus_reject_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text")))
+      Tables.documents(s, dir)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .withColumn("reason",
+          when(col("doc_id") =!= col("keeper"), lit("dup_exact"))
+            .when(TA.tokenCount(col("text")) < 20, lit("too_short"))
+            .when(!TA.meanTokenLen(col("text")).between(3.0, 10.0) ||
+                  TA.symbolRatio(col("text")) > 0.1, lit("low_quality"))
+            .when(TA.distinctStopwordCount(col("text")) < 2, lit("few_stopwords"))
+            .otherwise(lit("kept")))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
+        .orderBy(col("reason"))
+    }),
+
+    // URL-canonicalization dedup (crawl-style): the corpus has no URL
+    // column, so a messy URL is synthesized per doc (scheme, uppercase
+    // host, www, utm params, fragment) from doc_id/source — both engines
+    // build the identical string, normalize, and group.
+    "dedup_url" -> ((s, dir) => {
+      val url = concat(lit("https://WWW."), col("source"), lit(".Example.COM/p/"),
+        (col("doc_id") % 7).cast("string"),
+        lit("/?utm_source=feed&utm_campaign=c"), col("doc_id").cast("string"),
+        lit("&ref="), (col("doc_id") % 3).cast("string"),
+        lit("#sec"), col("doc_id").cast("string"))
+      Tables.documents(s, dir)
+        .withColumn("url_norm", Urls.normalizeUrl(url))
+        .groupBy(col("url_norm"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("url_norm"))
     })
   )
 
@@ -267,6 +342,76 @@ object TextDedup {
          |SELECT label, count(*) AS n_members, min(id) AS lo, max(id) AS hi
          |FROM l3 GROUP BY label ORDER BY label""".stripMargin
     },
+
+    "text_pii_scrub" -> {
+      val aug = """text || ' contact agent' || CAST(doc_id AS VARCHAR)
+        | || '@mail.example.com or +1-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        | || ' from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.9'""".stripMargin.replace("\n", "")
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      val phone = """\+\d{1,3}-\d{3}-\d{3,6}"""
+      s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS clean_md5
+         |FROM a ORDER BY doc_id""".stripMargin
+    },
+
+    "text_gopher_quality" -> {
+      val stopList = graft.ops.TextAnalysis.stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tok,
+         |  round(CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_wlen,
+         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS sym_ratio,
+         |  CAST(len(list_intersect(list_distinct(toks), $stopList)) AS BIGINT) AS n_stop_uniq
+         |  FROM t)
+         |SELECT doc_id, n_tok, mean_wlen, sym_ratio, n_stop_uniq,
+         |  CASE WHEN n_tok BETWEEN 20 AND 1000 AND mean_wlen BETWEEN 3.0 AND 10.0
+         |        AND sym_ratio <= 0.1 AND n_stop_uniq >= 2 THEN 1 ELSE 0 END AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_reject_report" -> {
+      val stopList = graft.ops.TextAnalysis.stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents),
+         |m AS (SELECT doc_id,
+         |  CASE WHEN doc_id <> keeper THEN 'dup_exact'
+         |       WHEN len(toks) < 20 THEN 'too_short'
+         |       WHEN NOT (CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks)
+         |                 BETWEEN 3.0 AND 10.0)
+         |         OR CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |            / length(text) > 0.1 THEN 'low_quality'
+         |       WHEN len(list_intersect(list_distinct(toks), $stopList)) < 2 THEN 'few_stopwords'
+         |       ELSE 'kept' END AS reason
+         |  FROM t)
+         |SELECT reason, count(*) AS n_docs, min(doc_id) AS sample_doc
+         |FROM m GROUP BY reason ORDER BY reason""".stripMargin
+    },
+
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id,
+         |  'https://WWW.' || source || '.Example.COM/p/' || CAST(doc_id % 7 AS VARCHAR)
+         |    || '/?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+         |    || '&ref=' || CAST(doc_id % 3 AS VARCHAR)
+         |    || '#sec' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+         |n1 AS (SELECT doc_id, regexp_replace(trim(url), '^https?://', '') AS u FROM u),
+         |n2 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '^[^/?#]*')) || regexp_replace(u, '^[^/?#]*', '') AS u FROM n1),
+         |n3 AS (SELECT doc_id, regexp_replace(u, '^www\\.', '') AS u FROM n2),
+         |n4 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u FROM n3),
+         |n5 AS (SELECT doc_id, regexp_replace(u, 'utm_[A-Za-z]+=[^&#]*&?', '', 'g') AS u FROM n4),
+         |n6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+         |  '\\?&', '?'), '[?&]$$', ''), '/\\?', '?'), '/$$', '') AS u FROM n5)
+         |SELECT u AS url_norm, count(*) AS n, min(doc_id) AS keeper
+         |FROM n6 GROUP BY u ORDER BY url_norm""".stripMargin,
 
     // df cap mirrors Dedup.ngramJaccardPairs(maxDf = 50)
     "dedup_ngram_jaccard" ->

@@ -22,8 +22,9 @@ class PlanSpec extends AnyFunSuite {
   //  - sim_ivf_cells / sim_ivf_search / sim_ivf_multiprobe: every vector
   //    vs the 8 broadcast seed centroids (that IS the IVF assignment),
   //  - text_tfidf: 1-row corpus-size scalar joined to every (doc, token).
-  private val allowNestedLoop = Set("sim_topk_brute", "sim_ann_search",
-    "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe", "text_tfidf")
+  private val allowNestedLoop = Set("sim_topk_brute", "sim_range_search",
+    "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
+    "text_tfidf")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -260,6 +260,61 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.sampleChunks(empty, "doc_id", "text", 1).count() == 0)
   }
 
+  test("TextAnalysis.scrubPii redacts real-world email/phone/IP strings") {
+    val d = Seq(
+      (1L, "mail bob.smith+spam@sub.example.co.uk or call +44-555-123456 now"),
+      (2L, "server at 192.168.0.1 and 10.255.3.77, backup 8.8.8.8"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = d.select($"doc_id", TextAnalysis.scrubPii($"text").as("c"),
+      TextAnalysis.piiCount($"text", TextAnalysis.emailPattern).as("ne"),
+      TextAnalysis.piiCount($"text", TextAnalysis.phonePattern).as("np"),
+      TextAnalysis.piiCount($"text", TextAnalysis.ipv4Pattern).as("ni"))
+      .orderBy($"doc_id").as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(r(0) == ((1L, "mail <EMAIL> or call <PHONE> now", 1L, 1L, 0L)))
+    assert(r(1) == ((2L, "server at <IP> and <IP>, backup <IP>", 0L, 0L, 3L)))
+    assert(r(2) == ((3L, "no pii here at all", 0L, 0L, 0L)))
+  }
+
+  test("TextAnalysis gopher signals: mean token length and distinct stopwords") {
+    val r = docs.where($"doc_id" === 1).select(
+      TextAnalysis.meanTokenLen($"text").as("m"),
+      TextAnalysis.distinctStopwordCount($"text").as("s"),
+      TextAnalysis.symbolRatio($"text").as("p"))
+      .as[(Double, Long, Double)].collect().head
+    // "the quick brown fox jumps over the lazy dog": 35 letter chars / 9 tokens
+    assert(math.abs(r._1 - 35.0 / 9) < 1e-12 && r._2 == 1L && r._3 == 0.0)
+  }
+
+  test("Urls.normalizeUrl canonicalizes scheme/case/www/utm/fragment/slash") {
+    val cases = Seq(
+      (1L, "https://WWW.Example.COM/Path/To/?utm_source=x&utm_campaign=y&id=7#frag"),
+      (2L, "http://example.com/Path/To?id=7"),
+      (3L, "example.com/?utm_medium=z"),
+      (4L, "https://sub.Example.com/a/b/"),
+      (5L, "https://example.com")
+    ).toDF("id", "u").select($"id", Urls.normalizeUrl($"u").as("n"))
+      .orderBy($"id").as[(Long, String)].collect().toSeq.map(_._2)
+    assert(cases(0) == "example.com/Path/To?id=7")   // case kept in path only
+    assert(cases(1) == "example.com/Path/To?id=7")   // same canonical form as 1
+    assert(cases(2) == "example.com")
+    assert(cases(3) == "sub.example.com/a/b")
+    assert(cases(4) == "example.com")
+  }
+
+  test("Similarity.rangeSearch returns all vectors within the radius") {
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(1f, 0.1f, 0f)),    // cos ≈ 0.995
+      (2L, Array(0f, 1f, 0f)),      // cos = 0
+      (3L, Array(0.7f, 0.7f, 0f))   // cos ≈ 0.707
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.rangeSearch(vs, "vec_id", "embedding", 0L, 0.5)
+      .as[(Long, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 3L))
+    assert(r.forall(_._2 >= 0.5))
+  }
+
   test("Events.sessionize splits on gap") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L))
