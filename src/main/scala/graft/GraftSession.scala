@@ -49,6 +49,11 @@ object GraftSession {
     }
     try graft.functions.VectorFunctions.register(spark)
     catch { case _: Throwable => () }
+    try {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfStrategy
+    } catch { case _: Throwable => () }
     spark
   }
 }

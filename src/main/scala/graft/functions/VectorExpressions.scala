@@ -164,6 +164,7 @@ object VectorFunctions {
   def inject(e: SparkSessionExtensions): Unit = {
     descriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => CosineFusion)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 
   /** Runtime registration into an existing session (e.g. one the harness

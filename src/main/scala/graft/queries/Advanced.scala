@@ -34,6 +34,24 @@ object Advanced {
         .orderBy(col("event_id"))
     }),
 
+    // Native as-of join (custom LogicalPlan + Strategy + SparkPlan,
+    // graft.plans.AsOfJoin): for each error event, the user's latest
+    // purchase AT-OR-BEFORE it. One shuffle+sort per side, single merge
+    // pass — no union materialization, no window over the merged stream.
+    // The right side is pre-aggregated to unique (user, ts) so the
+    // backward pick is unambiguous in every engine.
+    "q_asof_join_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("p_value"))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_value"))
+      val errors = ev.where(col("event_type") === "error")
+      graft.plans.AsOf.joinBackward(errors, purchases, "user_id", "p_user", "ts", "p_ts")
+        .select(col("event_id"), col("user_id"), col("p_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Equi + range join: lineitems shipped within 90 days of their order.
     "q_range_join" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -298,6 +316,17 @@ object Advanced {
   private val toks = toksSql
 
   val oracle: Map[String, String] = Map(
+    // DuckDB's native ASOF JOIN is the oracle for the custom operator
+    "q_asof_join_native" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets
+        |      FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, p.p_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.p_user AND e.ets >= p.p_ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_asof_join" ->
       """SELECT event_id, user_id, prev_purchase FROM (
         |  SELECT event_id, user_id, event_type,

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def trades = Seq(
+    (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 5L, "t0"),
+    (2L, 15L, "t3"), (3L, 7L, "t4")
+  ).toDF("sym", "t", "trade")
+
+  private def quotes = Seq(
+    (1L, 8L, 100.0), (1L, 10L, 101.0), (1L, 19L, 102.0),
+    (2L, 30L, 200.0)
+  ).toDF("qsym", "qt", "px")
+
+  test("backward as-of: latest quote at-or-before each trade, nulls when none") {
+    val r = AsOf.joinBackward(trades, quotes, "sym", "qsym", "t", "qt")
+      .select($"trade", $"px").orderBy($"trade")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(r == Seq(
+      ("t0", None),          // sym 1 @5: earliest quote is 8
+      ("t1", Some(101.0)),   // @10: quote at exactly 10 is inclusive
+      ("t2", Some(102.0)),   // @20: quote 19
+      ("t3", None),          // sym 2 @15: only quote is 30 (future)
+      ("t4", None)))         // sym 3: no quotes at all
+  }
+
+  test("as-of survives a real shuffle (many keys, forced partitioning)") {
+    val l = spark.range(0, 1000).select(
+      (col("id") % 37).as("k"), (col("id") * 7 % 1000).as("t"), col("id").as("lid"))
+      .repartition(13)
+    val r = spark.range(0, 500).select(
+      (col("id") % 37).as("rk"), (col("id") * 13 % 1000).as("rt"), col("id").as("rid"))
+      .repartition(7)
+    val native = AsOf.joinBackward(l, r, "k", "rk", "t", "rt")
+      .select($"lid", $"rid").orderBy($"lid")
+      .as[(Long, Option[Long])].collect().toSeq
+    // composed reference: max-time right row per (key, t<=) via join+window
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lid").orderBy($"rt".desc, $"rid".desc)
+    val composed = l.join(r, $"k" === $"rk" && $"rt" <= $"t", "left")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"lid", $"rid").orderBy($"lid")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(native.size == 1000 && composed.size == 1000)
+    // tie on rt: composed picks max rid; native picks the LAST in (rt, sort)
+    // order — compare only where the answer is unique
+    val tied = l.join(r, $"k" === $"rk" && $"rt" <= $"t")
+      .groupBy($"lid", $"rt").agg(count(lit(1)).as("n"))
+      .groupBy($"lid").agg(max($"n").as("mx"), max($"rt").as("top"))
+      .where($"mx" > 1).select($"lid").as[Long].collect().toSet
+    val nU = native.filterNot(p => tied(p._1))
+    val cU = composed.filterNot(p => tied(p._1))
+    assert(nU == cU)
+  }
+
+  test("null keys and self-derived right side") {
+    val l = Seq((Some(1L), 10L, "a"), (None, 10L, "b"), (Some(2L), 3L, "c"))
+      .toDF("k", "t", "tag")
+    // right DERIVED FROM the left frame (shared lineage → exprId collision
+    // without the re-alias in AsOf.joinBackward)
+    val r = l.where($"tag" === "a").select($"k".as("rk"), ($"t" - 5).as("rt"), lit(9.0).as("v"))
+    val got = AsOf.joinBackward(l, r, "k", "rk", "t", "rt")
+      .select($"tag", $"v").orderBy($"tag")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(("a", Some(9.0)), ("b", None), ("c", None)))
+  }
+
+  test("physical plan: one exchange per side, no window, no row explosion") {
+    val plan = AsOf.joinBackward(trades, quotes, "sym", "qsym", "t", "qt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Window"))
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+}
