@@ -45,6 +45,14 @@ object Dedup {
     minhashSignatureArray(docs, idCol, textCol, k)
       .select(col("doc"), posexplode(col("sig")).as(Seq("seed", "mh")))
 
+  /** Band-key array for a `k`-slot signature: one xxhash64 long per band
+    * (shared by the batch banding below and the streaming near-dedup so
+    * the two can never drift). */
+  def bandKeyArray(sig: org.apache.spark.sql.Column, k: Int,
+                   rowsPerBand: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(k / rowsPerBand - 1)),
+      b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
   /** LSH bands from an array signature: band b's key is the comma-join of
     * its `rowsPerBand` signature slots, folded to a 64-bit xxhash so the
     * equi-join and distinct run on fixed-width longs instead of ~131-char

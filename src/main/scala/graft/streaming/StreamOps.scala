@@ -4,6 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+/** One (band, bandkey) observation of a streaming document. */
+case class BandObs(bandkey: Long, band: Int, doc_id: Long, ts: java.sql.Timestamp)
+
+/** Per-bandkey state: the first document that claimed the bucket. */
+case class BandKeeper(keeperDoc: Long)
+
+/** Streaming near-dup verdict: `doc_id` collided with `keeper` in `band`
+  * (keeper == doc_id means the doc claimed the bucket itself). */
+case class NearDupVerdict(doc_id: Long, band: Int, keeper: Long)
+
 /** Event consumed by the stateful sessionizer. */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
 
@@ -181,6 +191,54 @@ object StreamOps {
         } finally b.unpersist()
       }
       .start()
+
+  /** Streaming MinHash-LSH near-dedup — the continuous twin of the batch
+    * `dedup_minhash_lsh` candidate generator. Each incoming document
+    * computes its k-seed MinHash signature (the same native codegen'd
+    * kernel as batch, graft.functions.MinHashSignatures — a pure map, no
+    * shuffle) and its per-band xxhash64 keys (Dedup.bandKeyArray, shared
+    * with batch so the bucketing can never drift). Per band key, custom
+    * state remembers the FIRST document that claimed the bucket; every
+    * later document colliding there is emitted as a near-dup verdict
+    * against that keeper. State is one long per live band key and is
+    * evicted `horizonSec` after the bucket's last activity via event-time
+    * timeout — bounded by active buckets in the horizon, not by history. */
+  def nearDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                      tsCol: String, k: Int = 8, rowsPerBand: Int = 4,
+                      watermark: String = "10 minutes",
+                      horizonSec: Long = 3600): Dataset[NearDupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(
+      col(idCol).as("doc_id"), col(tsCol).as("ts"),
+      graft.functions.TextFunctions.minhashSigs(
+        array_distinct(graft.ops.TextAnalysis.tokens(col(textCol))), k).as("sig"))
+    sigs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.ops.Dedup.bandKeyArray(col("sig"), k, rowsPerBand))
+          .as(Seq("band", "bandkey")))
+      .select(col("bandkey"), col("band"), col("doc_id"), col("ts")).as[BandObs]
+      .groupByKey(o => (o.band, o.bandkey))
+      .flatMapGroupsWithState[BandKeeper, NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), it, state) =>
+          if (it.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // micro-batch input is unordered: (ts, doc_id) sort makes the
+            // claimed keeper deterministic under replay
+            val obs = it.toSeq.sortBy(o => (o.ts.getTime, o.doc_id))
+            var keeper = state.getOption.map(_.keeperDoc).getOrElse(-1L)
+            val out = obs.map { o =>
+              if (keeper < 0) keeper = o.doc_id
+              NearDupVerdict(o.doc_id, band, keeper)
+            }
+            state.update(BandKeeper(keeper))
+            state.setTimeoutTimestamp(obs.map(_.ts.getTime).max + horizonSec * 1000L)
+            out.iterator
+          }
+      }
+  }
 
   /** The batch cleaning kernel applied to a stream — identical Columns
     * (graft.etl.Normalize), proving the transforms are engine-mode

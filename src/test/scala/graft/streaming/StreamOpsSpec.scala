@@ -88,6 +88,37 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 2L)))
   }
 
+  test("nearDedupStream flags later near-dup docs against the first keeper") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    input.addData((1L, ts(1), same), (3L, ts(3), "completely different words with no overlap at all here"))
+    val q = StreamOps.nearDedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        k = 8, rowsPerBand = 4)
+      .writeStream.outputMode("append").format("memory").queryName("ndup").start()
+    q.processAllAvailable()
+    // identical text arrives LATER (second micro-batch): state must route
+    // it to doc 1's buckets
+    input.addData((2L, ts(5), same))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ndup").as[NearDupVerdict].collect().toSeq
+    // doc 1 claims both its bands; doc 2 collides with keeper 1 in both
+    assert(got.filter(_.doc_id == 1L).forall(_.keeper == 1L))
+    val d2 = got.filter(_.doc_id == 2L)
+    assert(d2.nonEmpty && d2.forall(_.keeper == 1L))
+    // the unrelated doc claims its own buckets, never doc 1's
+    assert(got.filter(_.doc_id == 3L).forall(_.keeper == 3L))
+    // batch twin agreement: the same texts pair in batch candidate gen
+    val batch = graft.ops.Dedup.lshCandidatePairs(
+      Seq((1L, same), (2L, same), (3L, "completely different words with no overlap at all here"))
+        .toDF("doc_id", "text"), "doc_id", "text", 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L)))
+  }
+
   test("cleanStream applies the batch Normalize kernel to a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
