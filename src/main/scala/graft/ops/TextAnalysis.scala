@@ -80,6 +80,20 @@ object TextAnalysis {
   def piiCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
 
+  /** GPT-2-style pre-tokenizer regex (the public BPE pre-split pattern,
+    * minus its trailing-space lookahead — RE2 has no lookahead, and this
+    * subset behaves identically in Java regex and RE2, so the oracle
+    * reproduces the counts): contractions, space-prefixed letter runs,
+    * digit runs, punctuation runs, whitespace runs. */
+  val bpePattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** BPE-ish token count: the number of pre-tokenizer segments — the
+    * standard cheap proxy for "how many LLM tokens is this document"
+    * (each segment maps to >= 1 BPE token). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpePattern), lit(0))).cast("long")
+
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set.
     * Catches word-order-permuted duplicates. */
   def bowFingerprint(c: Column): Column =

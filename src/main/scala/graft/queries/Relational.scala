@@ -111,6 +111,23 @@ object Relational {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Navigation + distribution window functions in one pass: lag/lead
+    // (prev/next order price), first_value (first order's price), and
+    // ntile quartiles — all over ONE window ordering, so a single sort
+    // serves every function (the plan has one Window operator).
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .where(col("o_custkey") <= 150)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // EXISTS via left-semi.
     "q_semi_join" -> ((s, dir) => {
       val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
@@ -277,6 +294,16 @@ object Relational {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders WHERE o_custkey <= 150
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -173,6 +173,20 @@ object TextDedup {
         .orderBy(col("reason"))
     }),
 
+    // BPE-ish token counting next to the whitespace count — the cheap
+    // "how many LLM tokens" proxy. The corpus is single-case letters, so
+    // a mixed fragment (contractions, digits, punctuation) is appended
+    // in-query to genuinely exercise the pre-tokenizer alternation in
+    // both engines.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" it's 2024, v2.0 isn't bad!"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_ws"),
+        TA.bpeTokenCount(aug).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL-canonicalization dedup (crawl-style): the corpus has no URL
     // column, so a messy URL is synthesized per doc (scheme, uppercase
     // host, www, utm params, fragment) from doc_id/source — both engines
@@ -394,6 +408,14 @@ object TextDedup {
          |  FROM t)
          |SELECT reason, count(*) AS n_docs, min(doc_id) AS sample_doc
          |FROM m GROUP BY reason ORDER BY reason""".stripMargin
+    },
+
+    "text_bpe_tokens" -> {
+      val pat = graft.ops.TextAnalysis.bpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text || ' it''s 2024, v2.0 isn''t bad!', '$pat')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     "dedup_url" ->
