@@ -63,6 +63,13 @@ object SimMm {
         .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_id"))
         .orderBy(col("cell"))),
 
+    // One k-means (Lloyd) training round over the seed cells: exact
+    // milli-unit integer centroid means + integer-dot re-assignment, so
+    // the trained cells are engine-reproducible (seeds upgraded from
+    // stand-in to trained centroids).
+    "sim_ivf_train" -> ((s, dir) =>
+      Similarity.ivfTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8)),
+
     // IVF search: exact cosine top-k within the query's cell.
     "sim_ivf_search" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8)),
@@ -221,6 +228,38 @@ object SimMm {
       s"""WITH $ivfCte
          |SELECT cell, count(*) AS n, min(vec_id) AS min_id
          |FROM ass WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // one Lloyd round: milli-unit integer means (// floors like the
+    // Spark-side pmod identity), integer dot-product re-assignment
+    "sim_ivf_train" ->
+      s"""WITH $ivfCte,
+         |a0 AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
+         |comp2 AS (
+         |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
+         |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+         |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS xq
+         |  FROM embeddings CROSS JOIN range(64) d),
+         |cent AS (
+         |  SELECT cell, d, sum(xq) // count(*) AS cq
+         |  FROM a0 JOIN comp2 USING (vec_id) GROUP BY cell, d),
+         |dcc AS (SELECT cell, sum(cq * cq) AS dcc FROM cent GROUP BY cell),
+         |dxx AS (SELECT vec_id, sum(xq * xq) AS dxx FROM comp2 GROUP BY vec_id),
+         |dxc AS (
+         |  SELECT c.vec_id, t.cell, sum(c.xq * t.cq) AS dxc
+         |  FROM comp2 c JOIN cent t USING (d) GROUP BY c.vec_id, t.cell),
+         |scored AS (
+         |  SELECT x.vec_id, x.cell,
+         |    round(CAST(x.dxc AS DOUBLE)
+         |      / (sqrt(CAST(v.dxx AS DOUBLE)) * sqrt(CAST(k.dcc AS DOUBLE))), 4) AS cos
+         |  FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)),
+         |fin AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+         |  FROM scored)
+         |SELECT f.cell, count(*) AS n, min(f.vec_id) AS min_id,
+         |  round(sqrt(CAST(k.dcc AS DOUBLE)) / 1000, 4) AS c_norm
+         |FROM fin f JOIN dcc k USING (cell)
+         |WHERE f.rn = 1
+         |GROUP BY f.cell, k.dcc ORDER BY f.cell""".stripMargin,
 
     "sim_ivf_search" ->
       s"""WITH $ivfCte,

@@ -24,7 +24,7 @@ class PlanSpec extends AnyFunSuite {
   //  - text_tfidf: 1-row corpus-size scalar joined to every (doc, token).
   private val allowNestedLoop = Set("sim_topk_brute", "sim_range_search",
     "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
-    "text_tfidf")
+    "sim_ivf_train", "text_tfidf")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -315,6 +315,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r.forall(_._2 >= 0.5))
   }
 
+  test("Similarity.ivfTrainStats separates clusters after one Lloyd round") {
+    // two tight clusters on orthogonal axes; 2 hash-sampled seeds land
+    // wherever md5 ranks them, the trained centroids must still split the
+    // data cleanly and every vector must be assigned exactly once
+    val vs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, Array(1f + (i % 5) * 0.01f, 0.02f, 0f))
+      else (i, Array(0.02f, 1f + (i % 5) * 0.01f, 0f))
+    }.toDF("vec_id", "embedding")
+    val stats = Similarity.ivfTrainStats(vs, "vec_id", "embedding", 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(stats.map(_._2).sum == 20L)          // every vector assigned once
+    assert(stats.size == 2 && stats.forall(_._2 == 10L)) // clean 10/10 split
+    assert(stats.forall(_._4 > 0.9))            // centroid norms ≈ cluster scale
+  }
+
   test("Events.sessionize splits on gap") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L))
