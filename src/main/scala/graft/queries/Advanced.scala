@@ -195,6 +195,21 @@ object Advanced {
         .where(col("n") > 1)
         .orderBy(col("chunk_md5"))),
 
+    // Perceptual-style near-dup fingerprint for binary payloads: a 16-bit
+    // SimHash over the payload's CHUNK hashes (order-independent bit
+    // votes, so two files sharing most chunks land in the same or a
+    // near bucket — the content-defined-chunking analog of an image
+    // pHash, using the same native simhash16 kernel as text).
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multi.sampleChunks(Tables.documents(s, dir), "doc_id", "text", 1)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("chunk_md5")).as("chunks"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash16(col("chunks")).as("phash"))
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("phash"))),
+
     // Deterministic hash sampling (~10%): stable across engines, runs and
     // partitionings, unlike TABLESAMPLE. Fixed-width lowercase hex compares
     // lexicographically = numerically.
@@ -445,6 +460,29 @@ object Advanced {
         |SELECT md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 64)) AS chunk_md5,
         |  count(*) AS n, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS keeper
         |FROM ch GROUP BY chunk_md5 HAVING count(*) > 1 ORDER BY chunk_md5""".stripMargin,
+
+    // chunk-hash SimHash per payload, same bit-vote CTE as dedup_simhash
+    "mm_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(text) + 63) // 64 AS BIGINT) AS nch FROM documents),
+        |ch AS (
+        |  -- inner md5 = the chunk id; outer md5 = simhash16's per-token
+        |  -- hash (the kernel hashes each input element itself)
+        |  SELECT doc_id, md5(md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 64))) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, nch)) AS ci FROM d)),
+        |bits AS (
+        |  SELECT doc_id, h, j.range AS j,
+        |    strpos('0123456789abcdef', substring(h, 1 + CAST(j.range // 4 AS INTEGER), 1)) - 1 AS nib
+        |  FROM ch CROSS JOIN range(16) j),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (nib >> CAST(j % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM bits GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT phash, count(*) AS n, min(doc_id) AS keeper
+        |FROM sh GROUP BY phash ORDER BY phash""".stripMargin,
 
     "events_zscore" ->
       """WITH stats AS (
