@@ -128,6 +128,31 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // FULL OUTER join as a referential-integrity summary: keys on each
+    // side only vs matched, with order counts/revenue carried through the
+    // null-extended rows (orders are pre-aggregated per customer first,
+    // so the outer join is key-to-key — no row multiplication).
+    "q_outer_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"))
+      // revenue stays DECIMAL through BOTH aggregation levels (a double
+      // re-sum across customers would be order-dependent)
+      val o = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, lit("order_only"))
+            .when(col("o_custkey").isNull, lit("customer_only"))
+            .otherwise(lit("matched")).as("side"),
+          col("n_orders"), col("rev"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("n_orders"),
+          coalesce(sum(col("rev")), lit(0).cast("decimal(18,4)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("side"))
+    }),
+
     // EXISTS via left-semi.
     "q_semi_join" -> ((s, dir) => {
       val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
@@ -294,6 +319,21 @@ object Relational {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT
+        |  CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |       WHEN o.o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'matched' END AS side,
+        |  count(*) AS n_keys,
+        |  CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(sum(rev), 0) AS DOUBLE) AS revenue
+        |FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY side""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
