@@ -153,6 +153,28 @@ object Relational {
         .orderBy(col("side"))
     }),
 
+    // GROUP_CONCAT parity (the reference's MySQL idiom): per-status list
+    // of its top order keys, built as sort_array(collect_list) +
+    // array_join so the concatenation order is deterministic on any
+    // partitioning (raw collect_list order is not).
+    "q_group_concat" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") <= 200)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",").as("keys"))
+        .orderBy(col("o_orderstatus"))),
+
+    // UNPIVOT (wide → long, the inverse of q_pivot): per-order metric
+    // rows from the numeric columns, via the stack expression.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"),
+          expr("stack(2, 'custkey', CAST(o_custkey AS DOUBLE), 'totalprice', o_totalprice)")
+            .as(Seq("metric", "value")))
+        .orderBy(col("o_orderkey"), col("metric"))),
+
     // EXISTS via left-semi.
     "q_semi_join" -> ((s, dir) => {
       val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
@@ -319,6 +341,20 @@ object Relational {
     "q_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_group_concat" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders WHERE o_orderkey <= 200
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value
+        |FROM orders WHERE o_orderkey <= 100
+        |UNION ALL
+        |SELECT o_orderkey, 'totalprice', o_totalprice
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey, metric""".stripMargin,
 
     "q_outer_join" ->
       """WITH o AS (
