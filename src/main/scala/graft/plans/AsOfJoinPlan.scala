@@ -119,7 +119,10 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       lIter.map { l =>
         val lKeyV = lk.eval(l)
         val lTimeV = lt.eval(l)
-        if (lKeyV != null) {
+        // null-TIME left rows must not advance either: comparing a right
+        // time against null would unbox to 0 (or NPE for strings) and
+        // consume right rows that a later real-time left row still needs
+        if (lKeyV != null && lTimeV != null) {
           var advancing = true
           while (advancing) {
             if (cand == null && rIter.hasNext) {
@@ -176,9 +179,13 @@ object AsOf {
     val rAnalyzed = right.queryExecution.analyzed
     val rPlan = Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
     def find(out: Seq[Attribute], name: String): Attribute =
-      out.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"asof join: no column '$name' in [${out.map(_.name).mkString(", ")}]"))
+      out.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"asof join: no column '$name' in [${out.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"asof join: ambiguous column '$name' (${many.size} matches)")
+      }
     val plan = AsOfJoin(lPlan, rPlan,
       find(lPlan.output, leftKey), find(rPlan.output.map(_.toAttribute), rightKey),
       find(lPlan.output, leftTime), find(rPlan.output.map(_.toAttribute), rightTime))
