@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally goes through sbt's logger, which prefixes
+// every stdout line with "[info] " — that breaks line-oriented JSON
+// consumers of Bench/Verify (a JSON line must start with '{'). Send the
+// forked process's streams straight to sbt's own stdout/stderr instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
