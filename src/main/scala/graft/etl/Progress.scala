@@ -97,13 +97,23 @@ object Progress {
       stageToGroup.entrySet().removeIf(e => e.getValue == old)
     }
     groups.put(gid, new Counters)
-    beginOrder.add(stage)
-    pruneOldest(stage)
+    synchronized {
+      // move-to-back: each name holds exactly ONE slot, so the order
+      // structure is bounded by distinct names even when a long-lived
+      // cron driver re-begins the same stages forever
+      beginOrder.remove(stage)
+      beginOrder.add(stage)
+      pruneOldest()
+    }
     gid
   }
 
-  /** Stage names in begin order, for bounded eviction. */
-  private val beginOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Stage names in begin order (one slot per distinct name, moved to the
+    * back on re-begin), for bounded eviction. Guarded by `this`. */
+  private val beginOrder = new java.util.LinkedHashSet[String]()
+
+  /** Test hook: size of the eviction-order structure. */
+  private[etl] def orderSize: Int = synchronized(beginOrder.size)
   /** The final run of each distinct stage name is kept for the status
     * surface, but not forever: beyond this many distinct stages the
     * oldest-begun retire fully (their maps are dropped), so a long-lived
@@ -111,18 +121,17 @@ object Progress {
     * bound. */
   private val MaxTrackedStages = 256
 
-  private def pruneOldest(justBegun: String): Unit =
-    while (current.size() > MaxTrackedStages) {
-      val victim = beginOrder.poll()
-      if (victim == null) return
-      // a name re-begun later is still queued at its newer position;
-      // only drop the entry if this queue slot is its latest begin
-      if (victim != justBegun && !beginOrder.contains(victim)) {
-        val gid = current.remove(victim)
-        if (gid != null) {
-          groups.remove(gid)
-          stageToGroup.entrySet().removeIf(e => e.getValue == gid)
-        }
+  // caller holds `this`; the just-begun name sits at the back, so the
+  // head is always the stalest distinct name
+  private def pruneOldest(): Unit =
+    while (current.size() > MaxTrackedStages && !beginOrder.isEmpty) {
+      val it = beginOrder.iterator()
+      val victim = it.next()
+      it.remove()
+      val gid = current.remove(victim)
+      if (gid != null) {
+        groups.remove(gid)
+        stageToGroup.entrySet().removeIf(e => e.getValue == gid)
       }
     }
 

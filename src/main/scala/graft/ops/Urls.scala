@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   *   2. lowercase the authority (host:port); the path keeps its case
   *   3. strip a leading `www.`
   *   4. drop the fragment (`#...`)
-  *   5. drop `utm_*` tracking parameters (other query params survive)
-  *   6. tidy separators a dropped param leaves behind (`?&`→`?`, trailing
-  *      `?`/`&`, `/?`→`?`) and a trailing slash
+  *   5. drop `utm_*` tracking parameters (other query params survive);
+  *      the match is anchored to a `?`/`&` boundary so a param merely
+  *      CONTAINING "utm_" (`xutm_source=v`) or a path segment never
+  *      matches, and the name class covers digits/underscores
+  *      (`utm_content_2`)
+  *   6. tidy separators a dropped param leaves behind (`&&`→`&`,
+  *      `?&`→`?`, trailing `?`/`&`, `/?`→`?`) and a trailing slash
   *
   * The whole chain is Column-only — at 100 TB it fuses into the scan with
   * zero shuffle; the dedup itself is then an exact hash groupBy.
@@ -30,9 +34,13 @@ object Urls {
       regexp_replace(noScheme, "^[^/?#]*", ""))
     val noWww = regexp_replace(lowerHost, "^www\\.", "")
     val noFrag = regexp_replace(noWww, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, "utm_[A-Za-z]+=[^&#]*&?", "")
+    // keep the captured separator; consecutive dropped params leave
+    // "??"/"&&" runs that the tidy pass collapses
+    val noUtm = regexp_replace(noFrag, "([?&])utm_[A-Za-z0-9_]+=[^&#]*", "$1")
     val tidy = regexp_replace(
-      regexp_replace(regexp_replace(noUtm, "\\?&", "?"), "[?&]$", ""),
+      regexp_replace(
+        regexp_replace(regexp_replace(noUtm, "&&+", "&"), "\\?&", "?"),
+        "[?&]+$", ""),
       "/\\?", "?")
     regexp_replace(tidy, "/$", "")
   }

@@ -34,6 +34,19 @@ final case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                           leftTime: Expression, rightTime: Expression)
   extends BinaryNode {
 
+  // Fail at plan CONSTRUCTION, not inside a task: the merge compares
+  // left-vs-right values with one Ordering per column pair, so the sides
+  // must agree exactly (the supported types are all atomic, so plain
+  // equality is nullability-free). This also rejects TIMESTAMP vs
+  // TIMESTAMP_NTZ — comparable representations, different wall-clock
+  // semantics.
+  require(leftKey.dataType == rightKey.dataType,
+    s"asof join: key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"asof join: time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
+  AsOfJoinExec.orderingFor(leftKey.dataType)
+  AsOfJoinExec.orderingFor(leftTime.dataType)
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -73,23 +86,8 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
-  /** Interpreted total order for the supported key/time types (the eval()
-    * results of atomic columns). Deliberately a closed list — an
-    * unsupported type fails at planning, not with a wrong answer. */
-  private def atomicOrdering(dt: DataType): Ordering[Any] = (dt match {
-    case LongType | TimestampType | TimestampNTZType => Ordering.Long
-    case IntegerType | DateType => Ordering.Int
-    case ShortType => Ordering.Short
-    case DoubleType => Ordering.Double.TotalOrdering
-    case FloatType => Ordering.Float.TotalOrdering
-    case StringType => new Ordering[UTF8String] {
-      def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
-    }
-    case other =>
-      throw new IllegalArgumentException(s"asof join: unsupported key/time type $other")
-  }).asInstanceOf[Ordering[Any]]
-
   protected override def doExecute(): RDD[InternalRow] = {
+    import AsOfJoinExec.{orderingFor => atomicOrdering}
     val lOut = left.output
     val rOut = right.output
     val allOut = output
@@ -152,6 +150,25 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinExec {
+  /** Interpreted total order for the supported key/time types (the eval()
+    * results of atomic columns). Deliberately a closed list; [[AsOfJoin]]
+    * evaluates it at plan construction so an unsupported type fails
+    * there, never inside a task with a wrong answer. */
+  private[plans] def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+    case LongType | TimestampType | TimestampNTZType => Ordering.Long
+    case IntegerType | DateType => Ordering.Int
+    case ShortType => Ordering.Short
+    case DoubleType => Ordering.Double.TotalOrdering
+    case FloatType => Ordering.Float.TotalOrdering
+    case StringType => new Ordering[UTF8String] {
+      def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+    }
+    case other =>
+      throw new IllegalArgumentException(s"asof join: unsupported key/time type $other")
+  }).asInstanceOf[Ordering[Any]]
 }
 
 /** DataFrame-level API for the native as-of join. */

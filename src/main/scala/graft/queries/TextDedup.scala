@@ -429,9 +429,9 @@ object TextDedup {
          |  lower(regexp_extract(u, '^[^/?#]*')) || regexp_replace(u, '^[^/?#]*', '') AS u FROM n1),
          |n3 AS (SELECT doc_id, regexp_replace(u, '^www\\.', '') AS u FROM n2),
          |n4 AS (SELECT doc_id, regexp_replace(u, '#.*$$', '') AS u FROM n3),
-         |n5 AS (SELECT doc_id, regexp_replace(u, 'utm_[A-Za-z]+=[^&#]*&?', '', 'g') AS u FROM n4),
-         |n6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
-         |  '\\?&', '?'), '[?&]$$', ''), '/\\?', '?'), '/$$', '') AS u FROM n5)
+         |n5 AS (SELECT doc_id, regexp_replace(u, '([?&])utm_[A-Za-z0-9_]+=[^&#]*', '\\1', 'g') AS u FROM n4),
+         |n6 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(u,
+         |  '&&+', '&', 'g'), '\\?&', '?'), '[?&]+$$', ''), '/\\?', '?'), '/$$', '') AS u FROM n5)
          |SELECT u AS url_norm, count(*) AS n, min(doc_id) AS keeper
          |FROM n6 GROUP BY u ORDER BY url_norm""".stripMargin,
 

@@ -90,6 +90,19 @@ class RunnerSpec extends AnyFunSuite {
     assert(Progress.StageProgress("s", 0, 0).fraction == 0.0)
   }
 
+  test("Progress eviction structures stay bounded under re-begun stage names") {
+    // the long-lived cron case: the SAME stage name begins forever — each
+    // name holds exactly one order slot (move-to-back), so nothing grows
+    val base = Progress.orderSize
+    (1 to 500).foreach(_ => Progress.begin("cron-recycled"))
+    assert(Progress.orderSize <= base + 1)
+    assert(Progress.of("cron-recycled").isDefined)
+    // generated distinct names beyond the cap retire the stalest fully
+    (1 to 300).foreach(i => Progress.begin(s"gen-bounded-$i"))
+    assert(Progress.orderSize <= 256)
+    assert(Progress.of("gen-bounded-300").isDefined)
+  }
+
   test("Cron.parse validates patterns like the reference's cron.validate") {
     assert(Cron.isValid("* * * * *"))
     assert(Cron.isValid("*/15 0-6 1,15 * 1-5"))

@@ -292,7 +292,13 @@ class OpsSpec extends AnyFunSuite {
       (2L, "http://example.com/Path/To?id=7"),
       (3L, "example.com/?utm_medium=z"),
       (4L, "https://sub.Example.com/a/b/"),
-      (5L, "https://example.com")
+      (5L, "https://example.com"),
+      // utm strip is boundary-anchored: params merely CONTAINING "utm_"
+      // survive; names with digits/underscores are stripped; utm-only
+      // query strings collapse entirely
+      (6L, "https://example.com/p?xutm_source=v&id=7"),
+      (7L, "https://example.com/p?utm_content_2=x&id=7&utm_a=1"),
+      (8L, "https://example.com/utm_x=1/p?utm_source=a&utm_medium=b")
     ).toDF("id", "u").select($"id", Urls.normalizeUrl($"u").as("n"))
       .orderBy($"id").as[(Long, String)].collect().toSeq.map(_._2)
     assert(cases(0) == "example.com/Path/To?id=7")   // case kept in path only
@@ -300,6 +306,9 @@ class OpsSpec extends AnyFunSuite {
     assert(cases(2) == "example.com")
     assert(cases(3) == "sub.example.com/a/b")
     assert(cases(4) == "example.com")
+    assert(cases(5) == "example.com/p?xutm_source=v&id=7")
+    assert(cases(6) == "example.com/p?id=7")
+    assert(cases(7) == "example.com/utm_x=1/p")
   }
 
   test("Similarity.rangeSearch returns all vectors within the radius") {

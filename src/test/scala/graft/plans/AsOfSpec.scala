@@ -72,6 +72,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Seq(("a", Some(9.0)), ("b", None), ("c", None)))
   }
 
+  test("mismatched or unsupported key/time types fail at plan construction") {
+    val l = Seq((1, 10L)).toDF("k", "t")                  // k: INT
+    val r = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")      // rk: BIGINT
+    val ex = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l, r, "k", "rk", "t", "rt")
+    }
+    assert(ex.getMessage.contains("key types differ"))
+    val l2 = Seq((1L, 10)).toDF("k", "t")                 // t: INT
+    val r2 = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")     // rt: BIGINT
+    val ex2 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l2, r2, "k", "rk", "t", "rt")
+    }
+    assert(ex2.getMessage.contains("time types differ"))
+    // an unsupported (decimal) key fails at construction too, not in a task
+    val l3 = Seq((BigDecimal(1), 10L)).toDF("k", "t")
+    val r3 = Seq((BigDecimal(1), 5L, 1.0)).toDF("rk", "rt", "v")
+    val ex3 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(l3, r3, "k", "rk", "t", "rt")
+    }
+    assert(ex3.getMessage.contains("unsupported"))
+  }
+
   test("physical plan: one exchange per side, no window, no row explosion") {
     val plan = AsOf.joinBackward(trades, quotes, "sym", "qsym", "t", "qt")
       .queryExecution.executedPlan.toString
