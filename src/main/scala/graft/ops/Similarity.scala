@@ -156,7 +156,7 @@ object Similarity {
       .where(col("rn") === 1)
       .select(col(idCol), col("seed_id").as("cell"), col("cos").as("cell_cos"))
 
-  /** One Lloyd (k-means) iteration over the hash-sampled seed cells —
+  /** `iters` Lloyd (k-means) iterations over the hash-sampled seed cells —
     * upgrading the seeds from "deterministic stand-in" to genuinely
     * trained centroids while keeping the oracle-reproducibility contract:
     *
@@ -167,50 +167,58 @@ object Similarity {
     *  - the re-assignment cosine is a ratio of integer dot products
     *    (milli² scale cancels), rounded to 4 dp with a cell-id tiebreak.
     *
-    * Scale shape: the mean is one explode + narrow (cell, dim) aggregate
+    * Scale shape: each mean is one explode + narrow (cell, dim) aggregate
     * (the standard distributed k-means step — at 100 TB you train on a
     * sample, then assign the full corpus with the broadcast centroids);
-    * re-assignment is a broadcast of `cells` centroid rows and a pure
-    * map stage, identical to [[ivfAssign]].
+    * each re-assignment is a broadcast of `cells` centroid rows and a
+    * pure map stage, identical to [[ivfAssign]]. The per-round
+    * assignment is localCheckpoint'ed so iteration i+1's plan doesn't
+    * replay rounds 1..i (the classic iterative-lineage blowup).
     *
     * Returns per-cell stats of the post-training assignment:
     * (cell, n, min_id, c_norm). */
   def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
-                    cells: Int): DataFrame = {
+                    cells: Int, iters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // materialized once: referenced by the centroid aggregate AND the
-    // final re-assignment — without the checkpoint the scan+quantization
-    // runs twice more than needed (same pattern as the dedup indexes)
+    require(iters >= 1, "ivfTrainStats: iters must be >= 1")
+    // materialized once: referenced by every round's centroid aggregate
+    // AND re-assignment — without the checkpoint the scan+quantization
+    // reruns per round (same pattern as the dedup indexes)
     val quant = emb.select(col(idCol).as("vid"),
       transform(col(vecCol), x =>
         (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")).as("xq"))
       .localCheckpoint(true)
-    val assign0 = ivfAssign(emb, idCol, vecCol, cells)
-      .select(col(idCol).as("vid"), col("cell"))
-    // per-(cell, dim) exact mean in milli-units: integer sum, TRUNCATING
-    // division (Java % keeps the dividend's sign, exactly like DuckDB's
-    // `%`, so `(sx - sx % n) / n` truncates toward zero on both engines —
-    // DuckDB's `//` truncates, it does NOT floor: -7 // 2 = -3)
-    val cent = quant.join(assign0, "vid")
-      .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
-      .groupBy(col("cell"), col("d"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
     def ldot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
-    val centArr = cent.groupBy(col("cell"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
-        s => s.getField("cq")).as("cvec"))
-      .withColumn("dcc", ldot(col("cvec"), col("cvec")))
-    val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("cell"))
-    quant.withColumn("dxx", ldot(col("xq"), col("xq")))
-      .crossJoin(broadcast(centArr))
-      .withColumn("dxc", ldot(col("xq"), col("cvec")))
-      .withColumn("cos", round(col("dxc").cast("double") /
-        (sqrt(col("dxx").cast("double")) * sqrt(col("dcc").cast("double"))), 4))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .groupBy(col("cell"))
+    // round 0: float-cosine assignment to the hash-sampled raw seeds
+    var assign = ivfAssign(emb, idCol, vecCol, cells)
+      .select(col(idCol).as("vid"), col("cell"))
+    for (_ <- 1 to iters) {
+      // per-(cell, dim) exact mean in milli-units: integer sum, TRUNCATING
+      // division (Java % keeps the dividend's sign, exactly like DuckDB's
+      // `%`, so `(sx - sx % n) / n` truncates toward zero on both engines —
+      // DuckDB's `//` truncates, it does NOT floor: -7 // 2 = -3)
+      val cent = quant.join(assign.select(col("vid"), col("cell")), "vid")
+        .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
+      val centArr = cent.groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+          s => s.getField("cq")).as("cvec"))
+        .withColumn("dcc", ldot(col("cvec"), col("cvec")))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("cell"))
+      assign = quant.withColumn("dxx", ldot(col("xq"), col("xq")))
+        .crossJoin(broadcast(centArr))
+        .withColumn("dxc", ldot(col("xq"), col("cvec")))
+        .withColumn("cos", round(col("dxc").cast("double") /
+          (sqrt(col("dxx").cast("double")) * sqrt(col("dcc").cast("double"))), 4))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vid"), col("cell"), col("dcc"))
+        .localCheckpoint(true)
+    }
+    assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
         round(sqrt(max(col("dcc")).cast("double")) / 1000d, 4).as("c_norm"))
       .orderBy(col("cell"))

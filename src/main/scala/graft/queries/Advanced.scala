@@ -308,6 +308,36 @@ object Advanced {
       graft.ops.Skew.distinctCountTwoPhase(Tables.events(s, dir), "event_type", "user_id")
         .orderBy(col("event_type"))),
 
+    // Event-path transitions (Markov edges): each user's consecutive
+    // event-type pairs via ONE lead window (never a self-join on
+    // adjacent rows), counted globally — the path-analysis primitive
+    // behind funnels and session flow graphs.
+    "events_path" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+    }),
+
+    // Incremental-load watermark: rows past the previous sync's
+    // high-water mark plus the NEW per-entity watermark to persist — the
+    // incremental extract pattern for sources WITHOUT a changelog (the
+    // reference's changelog drive is the CDC variant; both end in the
+    // same keyed upsert). One pushed-down range filter, one narrow agg.
+    "etl_watermark" -> ((s, dir) => {
+      val wm = lit("2024-01-20 00:00:00").cast("timestamp")
+      Tables.events(s, dir)
+        .where(col("ts") > wm)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_new"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("new_watermark"))
+        .orderBy(col("event_type"))
+    }),
+
     // Approximate percentile sketch, audited in-query like
     // q_approx_distinct: exact median (quantile_cont-parity, proven by
     // q_percentile) + `ok` = sketch within 5% of exact; the sketch value
@@ -558,6 +588,23 @@ object Advanced {
     "q_approx_quantile" ->
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_exact,
         |  count(*) AS n, TRUE AS ok
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "events_path" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM t WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY n DESC, from_type, to_type""".stripMargin,
+
+    "etl_watermark" ->
+      """SELECT event_type, count(*) AS n_new,
+        |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS new_watermark
+        |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

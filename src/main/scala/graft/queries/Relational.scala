@@ -276,6 +276,75 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("kmod"))),
 
+    // Array-function kernel over token arrays: size, distinct count, a
+    // deterministic slice of the sorted array, membership flag — all
+    // per-row expressions that fuse into the scan (no explode, no shuffle).
+    "q_array_funcs" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        array_join(slice(sort_array(toks), 1, 3), " ").as("first3"),
+        array_contains(toks, "spark").cast("int").as("has_spark"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Regex capture-group extraction + agg (the pattern-mining twin of
+    // q_json_extract: same field, pulled by RE2/Java-common regex instead
+    // of a JSON path).
+    "q_regex_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy((col("k") % 7).as("kmod"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("kmod"))),
+
+    // NULL-handling kernel: NULLIF masks a value into NULL, COALESCE
+    // restores a default, conditional NULLs feed null-skipping aggregates.
+    "q_null_handling" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        coalesce(nullif(col("event_type"), lit("click")), lit("(masked)")).as("etype"),
+        when(col("value") < 50, col("value")).as("small_val"))
+        .groupBy(col("etype"))
+        .agg(count(lit(1)).as("n"), count(col("small_val")).as("n_small"),
+          dsum(coalesce(col("small_val"), lit(0.0))).as("small_total"))
+        .orderBy(col("etype"))),
+
+    // Time-RANGE window frame: each event's trailing-1-hour count and sum
+    // per user. The frame is defined by VALUE distance over epoch seconds
+    // (peers with equal timestamps aggregate identically on any
+    // partitioning) — semantics a ROWS frame cannot express. The summed
+    // value is an exact integer (floor(value·1000)) so the sliding sum is
+    // order-independent.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      Tables.events(s, dir)
+        .where(col("user_id") <= 100)
+        .withColumn("ts_sec", unix_timestamp(col("ts")))
+        .withColumn("iv", floor(col("value") * 1000).cast("long"))
+        .select(col("event_id"), col("user_id"), col("ts_sec"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("iv")).over(w).as("val_1h"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Scalar-subquery shape: orders above the GLOBAL average price. The
+    // single-row aggregate is broadcast under every probe row — the big
+    // side never shuffles, exactly the plan a correlated scalar subquery
+    // gets. The average is exact-decimal-sum / count, so the comparison
+    // boundary is bit-identical across engines.
+    "q_scalar_subquery" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val avgP = o.agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_p"))
+      o.crossJoin(broadcast(avgP))
+        .where(col("o_totalprice") > col("avg_p"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Tumbling time-window aggregation (batch twin of streaming op).
     "events_window_agg" -> ((s, dir) =>
       Events.tumblingAgg(Tables.events(s, dir), "ts", "event_type", "value")
@@ -463,6 +532,50 @@ object Relational {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS kmod,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  array_to_string(list_sort(string_split(text, ' '))[1:3], ' ') AS first3,
+        |  CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER) AS has_spark
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 7 AS kmod,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin,
+
+    "q_null_handling" ->
+      """SELECT coalesce(nullif(event_type, 'click'), '(masked)') AS etype,
+        |  count(*) AS n,
+        |  count(CASE WHEN value < 50 THEN 1 END) AS n_small,
+        |  CAST(sum(CAST(coalesce(CASE WHEN value < 50 THEN value END, 0)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS small_total
+        |FROM events GROUP BY etype ORDER BY etype""".stripMargin,
+
+    "q_window_range" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec,
+        |    CAST(floor(value * 1000) AS BIGINT) AS iv
+        |  FROM events WHERE user_id <= 100)
+        |SELECT event_id, user_id, ts_sec,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(iv) OVER w AS BIGINT) AS val_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H') AS h,

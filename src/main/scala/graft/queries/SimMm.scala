@@ -70,6 +70,13 @@ object SimMm {
     "sim_ivf_train" -> ((s, dir) =>
       Similarity.ivfTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8)),
 
+    // Two Lloyd rounds (convergence path): round 2 re-means from round
+    // 1's assignment — each round is the same broadcast-centroids map
+    // stage, so training cost is linear in iterations.
+    "sim_ivf_train2" -> ((s, dir) =>
+      Similarity.ivfTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8,
+        iters = 2)),
+
     // IVF search: exact cosine top-k within the query's cell.
     "sim_ivf_search" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8)),
@@ -173,6 +180,44 @@ object SimMm {
       |    CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
       |  FROM dots GROUP BY vec_id)""".stripMargin
 
+  /** Generated Lloyd-round CTE chain: round i re-means from a(i-1)'s
+    * assignment, re-assigns by integer-dot cosine into a(i). comp2 (the
+    * milli-unit quantized components) and dxx are iteration-invariant and
+    * hoisted; each round is textually identical modulo its index, exactly
+    * like the Scala loop in Similarity.ivfTrainStats. */
+  private def ivfTrainSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""cent$i AS (
+         |  SELECT cell, d, sum(xq) // count(*) AS cq
+         |  FROM a${i - 1} JOIN comp2 USING (vec_id) GROUP BY cell, d),
+         |dcc$i AS (SELECT cell, sum(cq * cq) AS dcc FROM cent$i GROUP BY cell),
+         |dxc$i AS (
+         |  SELECT c.vec_id, t.cell, sum(c.xq * t.cq) AS dxc
+         |  FROM comp2 c JOIN cent$i t USING (d) GROUP BY c.vec_id, t.cell),
+         |a$i AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT x.vec_id, x.cell, row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY round(CAST(x.dxc AS DOUBLE)
+         |        / (sqrt(CAST(v.dxx AS DOUBLE)) * sqrt(CAST(k.dcc AS DOUBLE))), 4) DESC,
+         |        x.cell) AS rn
+         |    FROM dxc$i x JOIN dxx v USING (vec_id) JOIN dcc$i k USING (cell)) t
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ivfCte,
+       |a0 AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
+       |comp2 AS (
+       |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
+       |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+       |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS xq
+       |  FROM embeddings CROSS JOIN range(64) d),
+       |dxx AS (SELECT vec_id, sum(xq * xq) AS dxx FROM comp2 GROUP BY vec_id),
+       |$rounds
+       |SELECT f.cell, count(*) AS n, min(f.vec_id) AS min_id,
+       |  round(sqrt(CAST(k.dcc AS DOUBLE)) / 1000, 4) AS c_norm
+       |FROM a$iters f JOIN dcc$iters k USING (cell)
+       |GROUP BY f.cell, k.dcc ORDER BY f.cell""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -229,37 +274,13 @@ object SimMm {
          |SELECT cell, count(*) AS n, min(vec_id) AS min_id
          |FROM ass WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
 
-    // one Lloyd round: milli-unit integer means (// floors like the
-    // Spark-side pmod identity), integer dot-product re-assignment
-    "sim_ivf_train" ->
-      s"""WITH $ivfCte,
-         |a0 AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
-         |comp2 AS (
-         |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
-         |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
-         |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS xq
-         |  FROM embeddings CROSS JOIN range(64) d),
-         |cent AS (
-         |  SELECT cell, d, sum(xq) // count(*) AS cq
-         |  FROM a0 JOIN comp2 USING (vec_id) GROUP BY cell, d),
-         |dcc AS (SELECT cell, sum(cq * cq) AS dcc FROM cent GROUP BY cell),
-         |dxx AS (SELECT vec_id, sum(xq * xq) AS dxx FROM comp2 GROUP BY vec_id),
-         |dxc AS (
-         |  SELECT c.vec_id, t.cell, sum(c.xq * t.cq) AS dxc
-         |  FROM comp2 c JOIN cent t USING (d) GROUP BY c.vec_id, t.cell),
-         |scored AS (
-         |  SELECT x.vec_id, x.cell,
-         |    round(CAST(x.dxc AS DOUBLE)
-         |      / (sqrt(CAST(v.dxx AS DOUBLE)) * sqrt(CAST(k.dcc AS DOUBLE))), 4) AS cos
-         |  FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)),
-         |fin AS (SELECT vec_id, cell,
-         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
-         |  FROM scored)
-         |SELECT f.cell, count(*) AS n, min(f.vec_id) AS min_id,
-         |  round(sqrt(CAST(k.dcc AS DOUBLE)) / 1000, 4) AS c_norm
-         |FROM fin f JOIN dcc k USING (cell)
-         |WHERE f.rn = 1
-         |GROUP BY f.cell, k.dcc ORDER BY f.cell""".stripMargin,
+    // Lloyd rounds: milli-unit integer means (// truncates like the
+    // Spark-side `(sx - sx % n) / n`), integer dot-product re-assignment.
+    // The CTE chain is GENERATED per iteration so the 1- and 2-round
+    // oracles can't drift from each other (mirrors the Scala loop in
+    // Similarity.ivfTrainStats).
+    "sim_ivf_train" -> ivfTrainSql(1),
+    "sim_ivf_train2" -> ivfTrainSql(2),
 
     "sim_ivf_search" ->
       s"""WITH $ivfCte,

@@ -202,6 +202,25 @@ object TextDedup {
         .groupBy(col("url_norm"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
         .orderBy(col("url_norm"))
+    }),
+
+    // Gopher-style repetition signals per doc: distinct-token count and
+    // the most-frequent token's share (in integer basis points — a
+    // truncating integer division both engines compute identically). A
+    // high top-token share marks boilerplate/spam; one explode + two
+    // narrow aggregates, both keyed on doc_id so the second is map-side.
+    "text_repetition" -> ((s, dir) => {
+      val bp = col("top_c") * 10000
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_c"),
+          ((bp - bp % col("n_tokens")) / col("n_tokens")).cast("long").as("top_bp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -452,6 +471,16 @@ object TextDedup {
          |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
          |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($toks) AS tok FROM documents) t
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+         |  max(c) AS top_c,
+         |  CAST((max(c) * 10000) // sum(c) AS BIGINT) AS top_bp
+         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
