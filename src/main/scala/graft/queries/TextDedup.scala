@@ -221,6 +221,33 @@ object TextDedup {
         .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_c"),
           ((bp - bp % col("n_tokens")) / col("n_tokens")).cast("long").as("top_bp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document repeated-span detection — the Spark shape of exact
+    // substring dedup: every rolling 8-token span, counted by how many
+    // DISTINCT docs contain it, rolled back up to a per-doc duplicated-
+    // span fraction. Linear (explode + two keyed aggregates): a span in
+    // m docs costs m index rows, never m² pair rows, so hot boilerplate
+    // spans are safe at any corpus size. Docs under 8 tokens have no
+    // spans and drop out (mirrored in the oracle).
+    "text_span_dedup" -> ((s, dir) => {
+      val W = 8
+      val t = split(trim(col("text")), " ")
+      val idx = when(size(t) >= W, sequence(lit(0), size(t) - W))
+        .otherwise(array().cast("array<integer>"))
+      val spans = transform(idx, i => array_join(slice(t, i + lit(1), lit(W)), " "))
+      val sp = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(spans).as("span"))
+        .localCheckpoint(true) // feeds the span index AND the per-doc rollup
+      val freq = sp.groupBy(col("span")).agg(countDistinct(col("doc_id")).as("nd"))
+      val dup = col("n_dup") * 10000
+      sp.join(freq, "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("nd") >= 2, 1)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          ((dup - dup % col("n_spans")) / col("n_spans")).cast("long").as("dup_bp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -481,6 +508,19 @@ object TextDedup {
          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
          |  max(c) AS top_c,
          |  CAST((max(c) * 10000) // sum(c) AS BIGINT) AS top_bp
-         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sp AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS span
+         |  FROM t),
+         |freq AS (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  count(CASE WHEN nd >= 2 THEN 1 END) AS n_dup,
+         |  CAST((count(CASE WHEN nd >= 2 THEN 1 END) * 10000) // count(*) AS BIGINT) AS dup_bp
+         |FROM sp JOIN freq USING (span)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
