@@ -89,7 +89,12 @@ object Progress {
     * the caller must set via `setJobGroup`. The previous run's group (if
     * any) retires: its counters and stage-id mappings are dropped, so its
     * still-draining listener events hit the null guards, not this run. */
-  private[etl] def begin(stage: String): String = {
+  private[etl] def begin(stage: String): String = synchronized {
+    // The whole body holds `this`, making begin and pruneOldest mutually
+    // atomic: a concurrent prune can never evict a stage between its
+    // current.put and groups.put (which would orphan the Counters entry
+    // and hide a live run from `of`). Listener callbacks stay lock-free —
+    // they only read the concurrent maps.
     val gid = s"$GroupPrefix$stage#${runSeq.incrementAndGet()}"
     val old = current.put(stage, gid)
     if (old != null) {
@@ -97,14 +102,12 @@ object Progress {
       stageToGroup.entrySet().removeIf(e => e.getValue == old)
     }
     groups.put(gid, new Counters)
-    synchronized {
-      // move-to-back: each name holds exactly ONE slot, so the order
-      // structure is bounded by distinct names even when a long-lived
-      // cron driver re-begins the same stages forever
-      beginOrder.remove(stage)
-      beginOrder.add(stage)
-      pruneOldest()
-    }
+    // move-to-back: each name holds exactly ONE slot, so the order
+    // structure is bounded by distinct names even when a long-lived
+    // cron driver re-begins the same stages forever
+    beginOrder.remove(stage)
+    beginOrder.add(stage)
+    pruneOldest()
     gid
   }
 

@@ -232,6 +232,50 @@ object Dedup {
     labels
   }
 
+  /** Connected components run TO CONVERGENCE — the scale-correct upgrade
+    * of [[minLabelClusters]]'s fixed round count. Each round is the same
+    * one shuffle-join + one aggregate; convergence is detected by a
+    * SCALAR fixpoint probe, not a data comparison: labels only ever
+    * decrease (monotone min-propagation), so the label sum is strictly
+    * decreasing until the fixpoint — when one round leaves the sum
+    * unchanged, every label is unchanged and the component labeling is
+    * exact (each node holds its component's minimum id). The per-round
+    * driver work is one DECIMAL(38,0) aggregate (overflow-proof for any
+    * id range) — a scalar action, never a collect of data rows.
+    *
+    * Rounds needed = graph eccentricity of the component minima (≤
+    * diameter), so near-dup clusters (tiny diameters) converge in 2-3
+    * rounds; `maxIters` is a runaway bound for pathological chains.
+    * Labels are localCheckpoint'ed per round: iterative self-referencing
+    * lineage otherwise grows the plan (and recomputation) per round. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    def labelSum(): BigDecimal =
+      Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
+    var prev = labelSum()
+    var iter = 0
+    var converged = labels.isEmpty
+    while (iter < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("mn"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val now = labelSum()
+      converged = now == prev
+      prev = now
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-duplicate pairs, partitioned by a blocking
     * column (e.g. cluster label) so the pairwise join stays within blocks.
     * Norms are computed once per row BEFORE the join; each pair then costs

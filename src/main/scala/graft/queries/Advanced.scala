@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -355,7 +356,98 @@ object Advanced {
             col("med_approx") <=> col("med_exact"))
             .otherwise(abs(col("med_approx") - col("med_exact"))
               / col("med_exact") <= 0.05).as("ok"))
-        .orderBy(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))),
+
+    // Bloom-filter semi-join pruning — the runtime-filter shape for a
+    // 100 TB probe: the build side (urgent orders' custkeys) is folded
+    // into a position table of ≤ 2^20 distinct slots (k=4 hashes each),
+    // broadcast, and the probe keeps rows whose every position hits.
+    // The bloom verdict is hash-dependent, so (like q_approx_distinct)
+    // the output carries the EXACT twin plus audited flags: ok_no_miss
+    // asserts the structural no-false-negative property (a true member's
+    // positions are present by construction), ok_fp bounds false
+    // positives at 5% of the probe. The oracle checks the exact columns
+    // and expects both flags literally TRUE — a broken filter turns the
+    // hash gate red. At 100 TB you'd keep ONLY the bloom prune (before
+    // the expensive join); the exact semi-join here is the audit.
+    "q_bloom_prune" -> ((s, dir) => {
+      val m = 1L << 20
+      val k = 4
+      def positionsOf(c: Column): Column =
+        array_distinct(transform(sequence(lit(0), lit(k - 1)),
+          sd => pmod(xxhash64(c, sd), lit(m))))
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_custkey").isNotNull)
+        .select(col("o_custkey"))
+      val bits = urgent.select(explode(positionsOf(col("o_custkey"))).as("p")).distinct()
+      // ONE probe-side scan: explode each key's distinct positions, LEFT
+      // join the broadcast position table, and fold back per key —
+      // claimed-member iff every position hit. (Per-key position arrays
+      // may have < k entries when two seeds collide, hence hits == np,
+      // not hits == k.)
+      val probeP = Tables.customer(s, dir)
+        .select(col("c_custkey"), positionsOf(col("c_custkey")).as("ps"))
+        .select(col("c_custkey"), size(col("ps")).as("np"), explode(col("ps")).as("p"))
+      val perKey = probeP
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("p"), "left")
+        .groupBy(col("c_custkey"), col("np")).agg(count(col("hit")).as("hits"))
+        .select(col("c_custkey"), (col("hits") === col("np")).as("bloom"))
+      perKey
+        .join(urgent.select(col("o_custkey").as("c_custkey")).distinct()
+          .withColumn("member", lit(1)), Seq("c_custkey"), "left")
+        .agg(count(lit(1)).as("n_probe"),
+          count(col("member")).as("n_members"),
+          count(when(col("member").isNotNull && !col("bloom"), 1)).as("n_missed"),
+          count(when(col("bloom") && col("member").isNull, 1)).as("n_fp"))
+        .select(col("n_probe"), col("n_members"),
+          (col("n_missed") === 0).as("ok_no_miss"),
+          (col("n_fp") * 20 <= col("n_probe")).as("ok_fp"))
+    }),
+
+    // Z-order (Morton) layout key: interleave the bits of two filter
+    // columns so a sort by zkey clusters BOTH dimensions — each file's
+    // min/max rectangle is tight in custkey AND order date, and a
+    // predicate on either prunes files (single-column sort gives pruning
+    // on that column only). The key is codegen'd shift/mask arithmetic
+    // (ops/Layout.scala) computed inside the scan; the query proves the
+    // clustering by aggregating each coarse z-bucket's min/max per
+    // dimension. Layout step at 100 TB: repartitionByRange(zkey) +
+    // sortWithinPartitions(zkey) before the write.
+    "q_zorder_key" -> ((s, dir) => {
+      val x = pmod(col("o_custkey"), lit(65536L))
+      val y = pmod(datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long"), lit(65536L))
+      Tables.orders(s, dir)
+        .withColumn("zkey", graft.ops.Layout.mortonKey(x, y))
+        .withColumn("zbucket", shiftright(col("zkey"), 20))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(x).as("min_ck"), max(x).as("max_ck"),
+          min(y).as("min_dy"), max(y).as("max_dy"))
+        .orderBy(col("zbucket"))
+    }),
+
+    // Data-mixing step of a training run: per-language TOKEN budgets
+    // (not doc quotas — mixing is specified in tokens), filled greedily
+    // in deterministic hash-rank order so the admitted prefix is stable
+    // across engines, runs, and partitionings. One window + one
+    // aggregate; the rank hash makes the sample reproducible when the
+    // corpus grows — early docs keep their rank.
+    "corpus_mix_budget" -> ((s, dir) => {
+      val quota = when(col("lang") === "en", lit(5000L))
+        .when(col("lang") === "de", lit(4000L)).otherwise(lit(2500L))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), TA.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .where(col("cum") <= quota)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))
+        .select(col("lang"), col("docs_kept"), col("tokens_kept"), quota.as("quota"))
+        .orderBy(col("lang"))
+    })
   )
 
   private val toks = toksSql
@@ -589,6 +681,35 @@ object Advanced {
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med_exact,
         |  count(*) AS n, TRUE AS ok
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // exact twin of the bloom prune; the audited flags are literal TRUE
+    "q_bloom_prune" ->
+      """WITH u AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL)
+        |SELECT count(*) AS n_probe, count(u.o_custkey) AS n_members,
+        |  TRUE AS ok_no_miss, TRUE AS ok_fp
+        |FROM customer LEFT JOIN u ON c_custkey = u.o_custkey""".stripMargin,
+
+    "q_zorder_key" -> {
+      val xs = "(o_custkey % 65536)"
+      val ys = "(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536)"
+      val z = graft.ops.Layout.mortonKeySql(xs, ys)
+      s"""WITH z AS (SELECT $xs AS x, $ys AS y, $z AS zkey FROM orders)
+         |SELECT (zkey >> 20) AS zbucket, count(*) AS n,
+         |  min(x) AS min_ck, max(x) AS max_ck, min(y) AS min_dy, max(y) AS max_dy
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+
+    "corpus_mix_budget" ->
+      s"""WITH t AS (SELECT lang, doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT lang, doc_id, n_tok, sum(n_tok) OVER (
+         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT lang, count(*) AS docs_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+         |  CAST(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 4000 ELSE 2500 END AS BIGINT) AS quota
+         |FROM c
+         |WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 4000 ELSE 2500 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "events_path" ->
       """WITH t AS (

@@ -529,7 +529,7 @@ object Relational {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_json_extract" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS kmod,
+      """SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS kmod,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin,
 
@@ -542,7 +542,7 @@ object Relational {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_regex_extract" ->
-      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 7 AS kmod,
+      """SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) % 7 AS kmod,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin,
 

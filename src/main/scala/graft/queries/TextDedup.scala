@@ -208,7 +208,9 @@ object TextDedup {
     // the most-frequent token's share (in integer basis points — a
     // truncating integer division both engines compute identically). A
     // high top-token share marks boilerplate/spam; one explode + two
-    // narrow aggregates, both keyed on doc_id so the second is map-side.
+    // narrow aggregates. The first shuffles on (doc_id, tok), the doc_id
+    // rollup gets its own exchange — partial aggregation keeps both cheap
+    // (per-doc token-count rows, not raw tokens, cross the second wire).
     "text_repetition" -> ((s, dir) => {
       val bp = col("top_c") * 10000
       Tables.documents(s, dir)
@@ -247,6 +249,37 @@ object TextDedup {
           count(when(col("nd") >= 2, 1)).as("n_dup"))
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           ((dup - dup % col("n_spans")) / col("n_spans")).cast("long").as("dup_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Duplicate clusters run TO CONVERGENCE (vs dedup_clusters' fixed 3
+    // rounds): min-label propagation with a scalar sum-fixpoint probe, so
+    // the labeling is the EXACT connected components of the pair graph —
+    // the oracle is a recursive-CTE transitive closure, not an unrolled
+    // round count. Same per-round cost (one join + one aggregate); deep
+    // components just take more rounds instead of silently splitting.
+    "dedup_cc" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .orderBy(col("label"))
+    }),
+
+    // Gopher-style duplicate-n-gram fraction: the share of a doc's word
+    // bigrams that are repeats of an earlier bigram in the SAME doc (in
+    // integer basis points). Pure per-row array kernel — size vs
+    // array_distinct size over the shingle array — zero shuffles, runs
+    // inside the scan at any corpus size.
+    "text_dup_ngrams" -> ((s, dir) => {
+      val bi = TA.shingles(col("text"), 2)
+      val nBi = size(bi).cast("long")
+      val nUniq = size(array_distinct(bi)).cast("long")
+      val dup = (nBi - nUniq) * 10000
+      Tables.documents(s, dir).select(
+        col("doc_id"), nBi.as("n_bi"), nUniq.as("n_uniq"),
+        when(nBi === 0, lit(0L))
+          .otherwise(((dup - dup % nBi) / nBi).cast("long")).as("dup_bp"))
         .orderBy(col("doc_id"))
     })
   )
@@ -509,6 +542,45 @@ object TextDedup {
          |  max(c) AS top_c,
          |  CAST((max(c) * 10000) // sum(c) AS BIGINT) AS top_bp
          |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact connected components: recursive-CTE transitive closure over
+    // the same df-capped jaccard-0.5 pair graph the Spark side uses
+    "dedup_cc" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
+         |SELECT label, count(*) AS n_members, min(id) AS lo, max(id) AS hi
+         |FROM labels GROUP BY label ORDER BY label""".stripMargin,
+
+    "text_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (SELECT doc_id,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bis
+         |  FROM t)
+         |SELECT doc_id, CAST(len(bis) AS BIGINT) AS n_bi,
+         |  CAST(len(list_distinct(bis)) AS BIGINT) AS n_uniq,
+         |  CASE WHEN len(bis) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(((len(bis) - len(list_distinct(bis))) * 10000) // len(bis) AS BIGINT)
+         |  END AS dup_bp
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_span_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -339,6 +339,46 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.forall(_._4 > 0.9))            // centroid norms ≈ cluster scale
   }
 
+  test("Dedup.connectedComponents converges past any fixed round count") {
+    // a 10-node path: min-label propagation needs 9 rounds to carry the
+    // minimum to the far end — a fixed-3-round pass would split it; the
+    // sum-fixpoint loop must label the whole path with its minimum
+    val pairs = (1L to 9L).map(i => (i, i + 1))
+      .toDF("a", "b")
+      .union(Seq((20L, 21L)).toDF("a", "b"))   // separate 2-node component
+    val m = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(m(_) == 1L))
+    assert(m(20L) == 20L && m(21L) == 20L)
+    assert(m.size == 12)
+  }
+
+  test("Dedup.connectedComponents handles an empty edge set") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("Layout.mortonKey interleaves bits (x even, y odd)") {
+    val r = Seq((3L, 0L), (0L, 3L), (1L, 1L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(Layout.mortonKey($"x", $"y")).as[Long].collect().toSeq
+    // x=3 → 0b0101; y=3 → 0b1010; x=y=1 → 0b11; max → 2^32-1
+    assert(r == Seq(5L, 10L, 3L, 4294967295L))
+  }
+
+  test("Layout.mortonKey clusters both dimensions within z-buckets") {
+    // z >> 20 keeps the key's top 12 bits = the 6 high bits of EACH
+    // 16-bit coordinate, so within one bucket each dimension can vary
+    // only in its low 10 bits (< 1024) — the min/max-pruning property
+    val pts = for (x <- 0L until 2048L by 37; y <- 0L until 2048L by 41) yield (x, y)
+    val spread = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.mortonKey($"x", $"y").as("z"))
+      .groupBy(($"z" / 1048576).cast("long").as("bucket"))
+      .agg(max($"x") - min($"x"), max($"y") - min($"y"))
+      .as[(Long, Long, Long)].collect()
+    assert(spread.forall { case (_, dx, dy) => dx < 1024 && dy < 1024 })
+  }
+
   test("Events.sessionize splits on gap") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L))
