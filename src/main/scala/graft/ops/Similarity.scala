@@ -278,6 +278,87 @@ object Similarity {
       .limit(k)
   }
 
+  /** Milli-unit quantization shared by the PQ kernels (identical to the
+    * IVF-training representation): round to 3 dp via DECIMAL, scale to
+    * LONG — all downstream distance math is exact integer arithmetic,
+    * bit-stable across engines and partitionings. */
+  private def milliQuant(vecCol: Column): Column =
+    transform(vecCol, x =>
+      (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long"))
+
+  /** Squared L2 distance of subvector `s` (length `subLen`, 1-based
+    * slices) between two milli-quantized arrays — an integer fold. */
+  private def subDist(a: Column, b: Column, s: Int, subLen: Int): Column =
+    aggregate(zip_with(slice(a, s * subLen + 1, subLen), slice(b, s * subLen + 1, subLen),
+      (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** PQ codebook, deterministic variant: the `codebook` vectors with the
+    * smallest md5(id) (hash sample standing in for per-subspace k-means —
+    * the encode/search plumbing is identical with trained codewords).
+    * localCheckpoint'ed: the tiny table feeds both the encoder and the
+    * ADC lookup build, and truncating its lineage keeps each consumer
+    * from re-running the sample scan. */
+  def pqSeeds(emb: DataFrame, idCol: String, vecCol: String,
+              codebook: Int): DataFrame =
+    emb.select(col(idCol).as("code"), milliQuant(col(vecCol)).as("cq"),
+        md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("code")).limit(codebook)
+      .select(col("code"), col("cq"))
+      .localCheckpoint(true)
+
+  /** Product-quantization encode: each vector is represented by `subs`
+    * codeword ids — one per subvector, the codeword minimizing the exact
+    * integer sub-L2 (tie → smallest codeword id). This is the memory side
+    * of IVF-PQ: a 64-dim float vector compresses to `subs` small ints, so
+    * a 100 TB corpus's index fits a fraction of the raw footprint.
+    *
+    * Shape: one scan of the vector table, broadcast of the `codebook`-row
+    * seed table, and an argmin expressed as min(struct(dist, code)) under
+    * a (vid, sub) hash aggregate — partial aggregation combines map-side,
+    * so the shuffle carries n·subs argmin rows, never the n·codebook·subs
+    * candidate rows. Output: (vec_id, sub, code, dist). */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              dim: Int, subs: Int, seeds: DataFrame): DataFrame = {
+    val subLen = dim / subs
+    emb.select(col(idCol).as("vid"), milliQuant(col(vecCol)).as("xq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("vid"), col("code"),
+        posexplode(array((0 until subs).map(s =>
+          subDist(col("xq"), col("cq"), s, subLen)): _*)).as(Seq("sub", "dist")))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vid").as(idCol), col("sub"),
+        col("m.code").as("code"), col("m.dist").as("dist"))
+  }
+
+  /** PQ search by asymmetric distance computation (ADC): the query stays
+    * full-precision; each database vector is scored ONLY through its
+    * codes. Per subvector, the distance from the query to every codeword
+    * is a `codebook`×`subs`-row lookup table (built from the broadcast
+    * seeds + the 1-row query, then itself broadcast); a vector's
+    * approximate distance is the sum of its codes' table entries — an
+    * equi-join + keyed sum, no vector math on the scored side at all.
+    * Exact integer arithmetic end-to-end, so the ranking (asc distance,
+    * id tiebreak) is engine-reproducible. */
+  def pqSearchAdc(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int, dim: Int, subs: Int,
+                  codebook: Int): DataFrame = {
+    val subLen = dim / subs
+    val seeds = pqSeeds(emb, idCol, vecCol, codebook)
+    val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(milliQuant(col(vecCol)).as("qx"))
+    val lut = seeds.crossJoin(broadcast(q))
+      .select(col("code"),
+        posexplode(array((0 until subs).map(s =>
+          subDist(col("qx"), col("cq"), s, subLen)): _*)).as(Seq("sub", "qd")))
+    codes.where(col(idCol) =!= lit(queryId))
+      .join(broadcast(lut), Seq("code", "sub"))
+      .groupBy(col(idCol)).agg(sum(col("qd")).as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucket occupancy summary (the ANN index statistics). */
   def lshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
                      planes: Int, dim: Int): DataFrame =

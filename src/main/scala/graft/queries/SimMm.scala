@@ -92,6 +92,23 @@ object SimMm {
         .orderBy(col("a"))
     }),
 
+    // Product-quantization encode: each vector compressed to 4 codeword
+    // ids (16-dim subvectors, 16 hash-sampled codewords) by exact integer
+    // sub-L2 argmin — the memory side of IVF-PQ.
+    "sim_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqCodes(emb, "vec_id", "embedding", 64, 4,
+          Similarity.pqSeeds(emb, "vec_id", "embedding", 16))
+        .orderBy(col("vec_id"), col("sub"))
+    }),
+
+    // PQ top-k by asymmetric distance: the query scores every vector
+    // through its 4 codes and a broadcast 16×4 lookup table — no vector
+    // math on the scored side.
+    "sim_pq_search" -> ((s, dir) =>
+      Similarity.pqSearchAdc(Tables.embeddings(s, dir), "vec_id", "embedding",
+        0L, 10, 64, 4, 16)),
+
     // Range (radius) search: every vector within cosine ≥ 0.25 of the
     // query — the threshold twin of top-k (no result bound; the caller
     // sets the radius).
@@ -218,7 +235,49 @@ object SimMm {
        |GROUP BY f.cell, k.dcc ORDER BY f.cell""".stripMargin
   }
 
+  /** Shared PQ CTE chain: milli-quantized components, 16 hash-sampled
+    * codewords, per-(vector, codeword, subvector) integer sub-L2, argmin
+    * encode — mirrors Similarity.pqSeeds/pqCodes exactly. */
+  private val pqCte =
+    s"""comp AS (
+       |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
+       |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+       |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS xq
+       |  FROM embeddings CROSS JOIN range(64) d),
+       |seeds AS (
+       |  SELECT vec_id AS code FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |cw AS (SELECT s.code, c.d, c.xq AS cq FROM seeds s JOIN comp c ON c.vec_id = s.code),
+       |dists AS (
+       |  SELECT v.vec_id AS vid, w.code, CAST(v.d // 16 AS INTEGER) AS sub,
+       |    CAST(sum((v.xq - w.cq) * (v.xq - w.cq)) AS BIGINT) AS dist
+       |  FROM comp v JOIN cw w ON v.d = w.d
+       |  GROUP BY v.vec_id, w.code, CAST(v.d // 16 AS INTEGER)),
+       |enc AS (
+       |  SELECT vid, sub, code, dist, row_number() OVER (
+       |    PARTITION BY vid, sub ORDER BY dist, code) AS rn
+       |  FROM dists)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_encode" ->
+      s"""WITH $pqCte
+         |SELECT vid AS vec_id, sub, code, dist FROM enc WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    "sim_pq_search" ->
+      s"""WITH $pqCte,
+         |q AS (SELECT d, xq AS qx FROM comp WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT w.code, CAST(w.d // 16 AS INTEGER) AS sub,
+         |    CAST(sum((q.qx - w.cq) * (q.qx - w.cq)) AS BIGINT) AS qd
+         |  FROM cw w JOIN q ON q.d = w.d
+         |  GROUP BY w.code, CAST(w.d // 16 AS INTEGER)),
+         |adc AS (
+         |  SELECT e.vid, CAST(sum(l.qd) AS BIGINT) AS adist
+         |  FROM enc e JOIN lut l ON e.code = l.code AND e.sub = l.sub
+         |  WHERE e.rn = 1 AND e.vid <> 0 GROUP BY e.vid)
+         |SELECT vid AS vec_id, adist FROM adc
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "sim_topk_brute" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |c AS (SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos

@@ -25,9 +25,12 @@ class PlanSpec extends AnyFunSuite {
   //  - q_scalar_subquery / sim_ivf_train2: 1-row global-average scalar /
   //    8 broadcast centroids under every probe row (the scalar-subquery
   //    plan Spark itself produces).
+  //  - sim_pq_encode / sim_pq_search: every vector vs the 16 broadcast
+  //    codewords (that IS the PQ assignment / ADC table build)
   private val allowNestedLoop = Set("sim_topk_brute", "sim_range_search",
     "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
-    "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "q_scalar_subquery")
+    "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "q_scalar_subquery",
+    "sim_pq_encode", "sim_pq_search")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

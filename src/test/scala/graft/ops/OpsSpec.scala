@@ -379,6 +379,31 @@ class OpsSpec extends AnyFunSuite {
     assert(spread.forall { case (_, dx, dy) => dx < 1024 && dy < 1024 })
   }
 
+  test("Similarity.pqCodes/pqSearchAdc: dup vectors share codes, ADC ranks exact dups at 0") {
+    // two clusters of 64-dim vectors; vecs 0, 6, 7 are IDENTICAL. With
+    // codebook = all 8 vectors, each vector's nearest codeword is itself
+    // (ties -> smallest id), so the identical trio encodes to code 0 and
+    // ADC from query 0 ranks 6 and 7 at distance 0, then vec 4 (1-milli
+    // offset on all 64 dims -> 16 per subvector x 4 subs = 64).
+    val vs = (0L until 8L).map { i =>
+      val base = if (i % 2 == 0 || i == 7L) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      val off = if (i == 7L) 0f else (i % 3) * 0.001f
+      (i, (0 until 16).flatMap(_ => base.map(_ + off)).toArray)
+    }.toDF("vec_id", "embedding")
+    val seeds = Similarity.pqSeeds(vs, "vec_id", "embedding", 8)
+    val codes = Similarity.pqCodes(vs, "vec_id", "embedding", 64, 4, seeds)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(codes.length == 8 * 4)                       // every (vec, sub) encoded once
+    val byVec = codes.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byVec(0L) == Seq(0L, 0L, 0L, 0L))            // own codeword, tie -> min id
+    assert(byVec(7L) == byVec(0L) && byVec(6L) == byVec(0L))
+    assert(byVec(1L) == Seq(1L, 1L, 1L, 1L))            // other cluster, distinct code
+    assert(codes.filter(c => Set(0L, 6L, 7L)(c._1)).forall(_._4 == 0L)) // exact self-dist
+    val top = Similarity.pqSearchAdc(vs, "vec_id", "embedding", 0L, 3, 64, 4, 8)
+      .as[(Long, Long)].collect().toSeq
+    assert(top == Seq((6L, 0L), (7L, 0L), (4L, 64L)))
+  }
+
   test("Events.sessionize splits on gap") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(50), 3L))
