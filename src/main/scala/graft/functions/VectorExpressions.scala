@@ -158,7 +158,25 @@ object VectorFunctions {
       (args: Seq[Expression]) => SimHash16(args(0))),
     (FunctionIdentifier("md5_min"),
       new ExpressionInfo(classOf[Md5Min].getName, "md5_min"),
-      (args: Seq[Expression]) => Md5Min(args(0))))
+      (args: Seq[Expression]) => Md5Min(args(0))),
+    (FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[LongVectorDot].getName, "vec_dot_long"),
+      (args: Seq[Expression]) => LongVectorDot(args(0), args(1))),
+    (FunctionIdentifier("vec_l2sq_slice"),
+      new ExpressionInfo(classOf[LongVectorL2Slice].getName, "vec_l2sq_slice"),
+      (args: Seq[Expression]) => {
+        // start/len shape the generated loop, so they must be literals
+        def bad() = throw new IllegalArgumentException(
+          "vec_l2sq_slice(a, b, start, len): start and len must be non-negative literal integers")
+        if (args.length != 4) bad()
+        def intLit(e: Expression): Int =
+          (if (e.foldable) e.eval() else bad()) match {
+            case i: Int if i >= 0 => i
+            case l: Long if l >= 0 && l <= Int.MaxValue => l.toInt
+            case _ => bad()
+          }
+        LongVectorL2Slice(args(0), args(1), intLit(args(2)), intLit(args(3)))
+      }))
 
   /** For `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
   def inject(e: SparkSessionExtensions): Unit = {

@@ -119,8 +119,7 @@ object Similarity {
         (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")))
     val bucket = (0 until planes).map { p =>
       val w = typedLit((0 until dim).map(d => planeWeight(p, d).toLong))
-      val dotP = aggregate(zip_with(col("__graft_xq"), w, (x, wv) => x * wv),
-        lit(0L), (acc, v) => acc + v)
+      val dotP = graft.functions.LongVectorFunctions.vecDotLong(col("__graft_xq"), w)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     quant.withColumn("bucket", bucket).drop("__graft_xq")
@@ -189,7 +188,7 @@ object Similarity {
         (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")).as("xq"))
       .localCheckpoint(true)
     def ldot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), _ + _)
+      graft.functions.LongVectorFunctions.vecDotLong(a, b)
     // round 0: float-cosine assignment to the hash-sampled raw seeds
     var assign = ivfAssign(emb, idCol, vecCol, cells)
       .select(col(idCol).as("vid"), col("cell"))
@@ -286,11 +285,13 @@ object Similarity {
     transform(vecCol, x =>
       (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long"))
 
-  /** Squared L2 distance of subvector `s` (length `subLen`, 1-based
-    * slices) between two milli-quantized arrays — an integer fold. */
+  /** Squared L2 distance of subvector `s` (length `subLen`) between two
+    * milli-quantized arrays — a native codegen'd integer window loop
+    * (graft.functions.LongVectorL2Slice); the slice+zip_with+aggregate
+    * HOF equivalent is CodegenFallback and allocates two slice copies
+    * per evaluation — ×codebook×subs per row in the PQ encode. */
   private def subDist(a: Column, b: Column, s: Int, subLen: Int): Column =
-    aggregate(zip_with(slice(a, s * subLen + 1, subLen), slice(b, s * subLen + 1, subLen),
-      (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    graft.functions.LongVectorFunctions.vecL2SqSlice(a, b, s * subLen, subLen)
 
   /** PQ codebook, deterministic variant: the `codebook` vectors with the
     * smallest md5(id) (hash sample standing in for per-subspace k-means —

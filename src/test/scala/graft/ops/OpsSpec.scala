@@ -379,6 +379,35 @@ class OpsSpec extends AnyFunSuite {
     assert(spread.forall { case (_, dx, dy) => dx < 1024 && dy < 1024 })
   }
 
+  test("LongVector kernels match the HOF folds and handle edges") {
+    import graft.functions.LongVectorFunctions._
+    val pairs = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(5L, 6L, 7L, 8L)),
+      (Array(-3L, 0L, 9L, 2L), Array(2L, -1L, 4L, 0L))
+    ).toDF("a", "b")
+    // parity vs aggregate(zip_with) integer fold
+    val hofDot = aggregate(zip_with($"a", $"b", _ * _), lit(0L), _ + _)
+    val dots = pairs.select(vecDotLong($"a", $"b").as("n"), hofDot.as("h"))
+      .as[(Option[Long], Option[Long])].collect()
+    assert(dots.forall { case (n, h) => n == h })
+    // l2 slice windows: [0,2) and [2,2) of the first pair
+    val l2 = pairs.select(
+      vecL2SqSlice($"a", $"b", 0, 2).as("w0"),
+      vecL2SqSlice($"a", $"b", 2, 2).as("w1"),
+      vecL2SqSlice($"a", $"b", 2, 3).as("over")).as[(Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(l2._1.contains(32L) && l2._2.contains(32L) && l2._3.isEmpty) // window overrun → null
+    // unequal lengths → null, like zip_with's null padding
+    val uneq = Seq((Array(1L), Array(1L, 2L))).toDF("a", "b")
+      .select(vecDotLong($"a", $"b")).as[Option[Long]].collect().head
+    assert(uneq.isEmpty)
+    // SQL registration path
+    assert(spark.sql("SELECT vec_dot_long(array(1L, 2L), array(3L, 4L))")
+      .as[Long].collect().head == 11L)
+    assert(spark.sql("SELECT vec_l2sq_slice(array(1L, 5L), array(1L, 2L), 1, 1)")
+      .as[Long].collect().head == 9L)
+  }
+
   test("Similarity.pqCodes/pqSearchAdc: dup vectors share codes, ADC ranks exact dups at 0") {
     // two clusters of 64-dim vectors; vecs 0, 6, 7 are IDENTICAL. With
     // codebook = all 8 vectors, each vector's nearest codeword is itself
