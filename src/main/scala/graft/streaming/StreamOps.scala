@@ -27,6 +27,20 @@ case class SessionState(startSec: Long, lastSec: Long, n: Long)
 case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                       n_events: Long, dur_sec: Long)
 
+/** One observation for the heavy-hitter tracker (`win_ms` = epoch millis
+  * of the tumbling-window start). */
+case class HhObs(event_type: String, win_ms: Long, user_id: Long,
+                 ts: java.sql.Timestamp)
+
+/** Space-saving candidate map for one (type, window) group. */
+case class HhState(counts: Map[Long, Long])
+
+/** Closed-window heavy-hitter row. `est_count` is exact while the
+  * group's distinct keys fit `capacity`, an overestimate (by at most the
+  * evicted minimum) beyond it — the standard space-saving guarantee. */
+case class HhOut(event_type: String, win_start: java.sql.Timestamp,
+                 user_id: Long, est_count: Long, rank: Int)
+
 /** Structured-Streaming twins of the batch operators (SURVEY §2.7).
   *
   * The reference runs its ETL on a cron schedule (index.js:75-86) — the
@@ -236,6 +250,66 @@ object StreamOps {
             state.update(BandKeeper(keeper))
             state.setTimeoutTimestamp(obs.map(_.ts.getTime).max + horizonSec * 1000L)
             out.iterator
+          }
+      }
+  }
+
+  /** Streaming heavy hitters: top-`k` keys per (type, tumbling window) by
+    * the space-saving algorithm — the "trending keys" operator a windowed
+    * groupBy count can't provide at scale, because exact per-key counts
+    * over a hot window would hold EVERY distinct key in the state store.
+    * Here each (type, window) group keeps at most `capacity` counters:
+    * a new key beyond capacity evicts the minimum counter m and enters
+    * at m+1 (the classic overestimate-bounded trade). Counts are exact
+    * whenever the group's distinct keys fit `capacity`.
+    *
+    * The window's ranking is emitted ONCE, when the event-time watermark
+    * passes the window end (append mode) — rank ties broken by key id so
+    * replay is deterministic. State per group is one bounded map, evicted
+    * at emission. */
+  def heavyHittersStream(events: DataFrame, typeCol: String, keyCol: String,
+                         tsCol: String, winMinutes: Int, capacity: Int,
+                         k: Int, watermark: String = "10 minutes"): Dataset[HhOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winMs = winMinutes * 60000L
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(typeCol).as("event_type"),
+        (floor(unix_millis(col(tsCol)) / winMs).cast("long") * winMs).as("win_ms"),
+        col(keyCol).cast("long").as("user_id"), col(tsCol).as("ts")).as[HhObs]
+      .groupByKey(o => (o.event_type, o.win_ms))
+      .flatMapGroupsWithState[HhState, HhOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((etype, winStartMs), it, state) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            val closed = state.getOption.toSeq.flatMap { st =>
+              st.counts.toSeq.sortBy { case (u, c) => (-c, u) }.take(k)
+                .zipWithIndex.map { case ((u, c), i) =>
+                  HhOut(etype, new java.sql.Timestamp(winStartMs), u, c, i + 1) }
+            }
+            state.remove()
+            closed.iterator
+          } else {
+            var counts = state.getOption.map(_.counts).getOrElse(Map.empty[Long, Long])
+            // micro-batch input is unordered; (ts, key) order makes the
+            // eviction sequence — and so the estimates — replay-stable
+            for (o <- it.toSeq.sortBy(o => (o.ts.getTime, o.user_id))) {
+              counts.get(o.user_id) match {
+                case Some(c) => counts = counts.updated(o.user_id, c + 1)
+                case None if counts.size < capacity =>
+                  counts = counts.updated(o.user_id, 1L)
+                case None =>
+                  val (mu, mc) = counts.minBy { case (u, c) => (c, u) }
+                  counts = counts - mu + (o.user_id -> (mc + 1))
+              }
+            }
+            state.update(HhState(counts))
+            // fire when the watermark passes the window end; a late batch
+            // for an already-passed window must still set a FUTURE timeout
+            state.setTimeoutTimestamp(
+              math.max(winStartMs + winMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
       }
   }

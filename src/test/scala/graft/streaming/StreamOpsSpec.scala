@@ -133,4 +133,49 @@ class StreamOpsSpec extends AnyFunSuite {
     // " error " is upper-trimmed but bool01 compares the raw value
     assert(got == Seq((None, 0, "ERROR"), (Some(3.5), 0, "CLICK")))
   }
+
+  test("heavyHittersStream emits exact window top-k when keys fit capacity") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // window [00:00, 00:10): user 1 ×3, user 2 ×2, user 3 ×1 clicks
+    input.addData(
+      Ev(1, ts(1), 1, "click", 0), Ev(2, ts(2), 1, "click", 0),
+      Ev(3, ts(3), 1, "click", 0), Ev(4, ts(4), 2, "click", 0),
+      Ev(5, ts(5), 2, "click", 0), Ev(6, ts(6), 3, "click", 0))
+    val q = StreamOps.heavyHittersStream(input.toDF(), "event_type", "user_id",
+        "ts", winMinutes = 10, capacity = 8, k = 2, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("hh").start()
+    q.processAllAvailable()
+    assert(spark.table("hh").isEmpty)   // window still open
+    // an event far past the window end advances the watermark → flush
+    input.addData(Ev(7, ts(31), 9, "click", 0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hh").as[HhOut].collect()
+      .map(h => (h.user_id, h.est_count, h.rank)).toSeq.sortBy(_._3)
+    // capacity 8 > 3 distinct keys → counts exact; k=2 cuts user 3
+    assert(got == Seq((1L, 3L, 1), (2L, 2L, 2)))
+  }
+
+  test("heavyHittersStream evicts the minimum counter beyond capacity") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // capacity 2: keys 1,2 fill the map (1×3, 2×1 after the first four
+    // events); key 3 then evicts the min (2, count 1) and enters at 2
+    input.addData(
+      Ev(1, ts(1), 1, "click", 0), Ev(2, ts(2), 1, "click", 0),
+      Ev(3, ts(3), 1, "click", 0), Ev(4, ts(4), 2, "click", 0),
+      Ev(5, ts(5), 3, "click", 0))
+    val q = StreamOps.heavyHittersStream(input.toDF(), "event_type", "user_id",
+        "ts", winMinutes = 10, capacity = 2, k = 2, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("hh2").start()
+    q.processAllAvailable()
+    input.addData(Ev(6, ts(31), 9, "click", 0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hh2").as[HhOut].collect()
+      .map(h => (h.user_id, h.est_count, h.rank)).toSeq.sortBy(_._3)
+    // space-saving overestimate: key 3 reports min+1 = 2
+    assert(got == Seq((1L, 3L, 1), (3L, 2L, 2)))
+  }
 }
