@@ -360,6 +360,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Full IVF-PQ search: candidates come from the query's IVF cell
+    * (coarse quantizer — O(n/cells) of the corpus), and are scored by PQ
+    * asymmetric distance (codes + a broadcast lookup table — no
+    * full-precision vector math on the candidate side). This is the
+    * canonical billion-scale ANN shape: the inverted file bounds the
+    * candidate set, the product quantizer bounds the bytes touched per
+    * candidate. Exact integer ADC arithmetic keeps the ranking
+    * engine-reproducible. */
+  def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  queryId: Long, k: Int, cells: Int, dim: Int, subs: Int,
+                  codebook: Int): DataFrame = {
+    val subLen = dim / subs
+    // the (id, cell) assignment is referenced twice (candidate semi-join
+    // + query-cell lookup); checkpointing the narrow two-column frame
+    // keeps the windowed assignment from executing per reference
+    val assigned = ivfAssign(emb, idCol, vecCol, cells)
+      .select(col(idCol), col("cell"))
+      .localCheckpoint(true)
+    val qcell = assigned.where(col(idCol) === lit(queryId)).select(col("cell"))
+    val seeds = pqSeeds(emb, idCol, vecCol, codebook)
+    val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(milliQuant(col(vecCol)).as("qx"))
+    val lut = seeds.crossJoin(broadcast(q))
+      .select(col("code"),
+        posexplode(array((0 until subs).map(s =>
+          subDist(col("qx"), col("cq"), s, subLen)): _*)).as(Seq("sub", "qd")))
+    assigned.join(broadcast(qcell), Seq("cell"), "left_semi")
+      .where(col(idCol) =!= lit(queryId))
+      .join(codes, Seq(idCol))
+      .join(broadcast(lut), Seq("code", "sub"))
+      .groupBy(col(idCol)).agg(sum(col("qd")).as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucket occupancy summary (the ANN index statistics). */
   def lshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
                      planes: Int, dim: Int): DataFrame =

@@ -109,6 +109,13 @@ object SimMm {
       Similarity.pqSearchAdc(Tables.embeddings(s, dir), "vec_id", "embedding",
         0L, 10, 64, 4, 16)),
 
+    // Full IVF-PQ search: the query's IVF cell bounds the candidate set,
+    // PQ asymmetric distance scores it through codes alone — the
+    // canonical billion-scale ANN composition.
+    "sim_ivf_pq_search" -> ((s, dir) =>
+      Similarity.ivfPqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
+        0L, 10, 8, 64, 4, 16)),
+
     // Range (radius) search: every vector within cosine ≥ 0.25 of the
     // query — the threshold twin of top-k (no result bound; the caller
     // sets the radius).
@@ -244,10 +251,10 @@ object SimMm {
        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS xq
        |  FROM embeddings CROSS JOIN range(64) d),
-       |seeds AS (
+       |pq_seeds AS (
        |  SELECT vec_id AS code FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-       |cw AS (SELECT s.code, c.d, c.xq AS cq FROM seeds s JOIN comp c ON c.vec_id = s.code),
+       |cw AS (SELECT s.code, c.d, c.xq AS cq FROM pq_seeds s JOIN comp c ON c.vec_id = s.code),
        |dists AS (
        |  SELECT v.vec_id AS vid, w.code, CAST(v.d // 16 AS INTEGER) AS sub,
        |    CAST(sum((v.xq - w.cq) * (v.xq - w.cq)) AS BIGINT) AS dist
@@ -263,6 +270,29 @@ object SimMm {
       s"""WITH $pqCte
          |SELECT vid AS vec_id, sub, code, dist FROM enc WHERE rn = 1
          |ORDER BY vec_id, sub""".stripMargin,
+
+    // composed oracle: the IVF assignment CTE picks the candidate cell,
+    // the PQ CTE scores candidates by ADC — same chains as the
+    // standalone queries, so the composition cannot drift from its parts
+    "sim_ivf_pq_search" ->
+      s"""WITH $ivfCte,
+         |$pqCte,
+         |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
+         |qc AS (SELECT cell FROM cells WHERE vec_id = 0),
+         |q AS (SELECT d, xq AS qx FROM comp WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT w.code, CAST(w.d // 16 AS INTEGER) AS sub,
+         |    CAST(sum((q.qx - w.cq) * (q.qx - w.cq)) AS BIGINT) AS qd
+         |  FROM cw w JOIN q ON q.d = w.d
+         |  GROUP BY w.code, CAST(w.d // 16 AS INTEGER)),
+         |adc AS (
+         |  SELECT e.vid, CAST(sum(l.qd) AS BIGINT) AS adist
+         |  FROM enc e JOIN lut l ON e.code = l.code AND e.sub = l.sub
+         |  JOIN cells c ON c.vec_id = e.vid
+         |  JOIN qc ON c.cell = qc.cell
+         |  WHERE e.rn = 1 AND e.vid <> 0 GROUP BY e.vid)
+         |SELECT vid AS vec_id, adist FROM adc
+         |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
 
     "sim_pq_search" ->
       s"""WITH $pqCte,

@@ -30,7 +30,7 @@ class PlanSpec extends AnyFunSuite {
   private val allowNestedLoop = Set("sim_topk_brute", "sim_range_search",
     "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
     "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "q_scalar_subquery",
-    "sim_pq_encode", "sim_pq_search")
+    "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
