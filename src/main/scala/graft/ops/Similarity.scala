@@ -360,6 +360,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** One training round for the PQ codebook — upgrading the hash-sampled
+    * codewords to genuinely trained per-subspace centroids, exactly the
+    * way [[ivfTrainStats]] upgrades the IVF seeds, and under the same
+    * reproducibility contract: per-(subspace, codeword, dim) centroid
+    * means are exact milli-unit integer sums + one truncating division,
+    * re-assignment is an integer L2 argmin with a codeword-id tiebreak.
+    *
+    * Shape: the (vid, subvector) rows are materialized ONCE (checkpoint)
+    * and feed the initial encode, the centroid aggregate, and the
+    * re-encode; codebooks are broadcast at every step (subs·codebook
+    * rows). Returns the post-training assignment census per (sub, code):
+    * (sub, code, n, min_id, c_norm) — codewords that attract no vectors
+    * drop out, mirroring k-means cluster death. */
+  def pqTrainStats(emb: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, subs: Int, codebook: Int): DataFrame = {
+    import graft.functions.LongVectorFunctions.{vecDotLong, vecL2SqSlice}
+    val subLen = dim / subs
+    def subArr(c: Column): Column =
+      array((0 until subs).map(s => slice(c, s * subLen + 1, subLen)): _*)
+    val subRows = emb
+      .select(col(idCol).as("vid"), milliQuant(col(vecCol)).as("xq"))
+      .select(col("vid"), posexplode(subArr(col("xq"))).as(Seq("sub", "xs")))
+      .localCheckpoint(true)
+    val seedSub = pqSeeds(emb, idCol, vecCol, codebook)
+      .select(col("code"), posexplode(subArr(col("cq"))).as(Seq("sub", "cs")))
+    val enc0 = subRows.join(broadcast(seedSub), Seq("sub"))
+      .withColumn("dist", vecL2SqSlice(col("xs"), col("cs"), 0, subLen))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vid"), col("sub"), col("m.code").as("code"))
+    val cent = subRows.join(enc0, Seq("vid", "sub"))
+      .select(col("sub"), col("code"), posexplode(col("xs")).as(Seq("d", "x")))
+      .groupBy(col("sub"), col("code"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
+    val centArr = cent.groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("dcc", vecDotLong(col("cvec"), col("cvec")))
+    val enc1 = subRows.join(broadcast(centArr), Seq("sub"))
+      .withColumn("dist", vecL2SqSlice(col("xs"), col("cvec"), 0, subLen))
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vid"), col("sub"), col("m.code").as("code"))
+    enc1.join(broadcast(centArr.select(col("sub"), col("code"), col("dcc"))),
+        Seq("sub", "code"))
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
+        round(sqrt(max(col("dcc")).cast("double")) / 1000d, 4).as("c_norm"))
+      .orderBy(col("sub"), col("code"))
+  }
+
   /** Full IVF-PQ search: candidates come from the query's IVF cell
     * (coarse quantizer — O(n/cells) of the corpus), and are scored by PQ
     * asymmetric distance (codes + a broadcast lookup table — no

@@ -109,6 +109,14 @@ object SimMm {
       Similarity.pqSearchAdc(Tables.embeddings(s, dir), "vec_id", "embedding",
         0L, 10, 64, 4, 16)),
 
+    // One PQ training round: per-subspace integer centroid means from
+    // the initial encode, integer-L2 re-assignment — hash-sampled
+    // codewords upgraded to trained centroids (the PQ twin of
+    // sim_ivf_train).
+    "sim_pq_train" -> ((s, dir) =>
+      Similarity.pqTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding",
+        64, 4, 16)),
+
     // Full IVF-PQ search: the query's IVF cell bounds the candidate set,
     // PQ asymmetric distance scores it through codes alone — the
     // canonical billion-scale ANN composition.
@@ -270,6 +278,35 @@ object SimMm {
       s"""WITH $pqCte
          |SELECT vid AS vec_id, sub, code, dist FROM enc WHERE rn = 1
          |ORDER BY vec_id, sub""".stripMargin,
+
+    // PQ training round: centroid means via DuckDB's truncating `//`
+    // (mirrors the Spark-side (sx - sx % n) / n), re-encode by integer
+    // L2 argmin — shares the pqCte initial encode so the two cannot drift
+    "sim_pq_train" ->
+      s"""WITH $pqCte,
+         |cent AS (
+         |  SELECT CAST(v.d // 16 AS INTEGER) AS sub, e.code,
+         |    CAST(v.d % 16 AS INTEGER) AS dd, sum(v.xq) // count(*) AS cq
+         |  FROM comp v JOIN enc e
+         |    ON e.vid = v.vec_id AND e.sub = CAST(v.d // 16 AS INTEGER) AND e.rn = 1
+         |  GROUP BY 1, 2, 3),
+         |dcc AS (SELECT sub, code, CAST(sum(cq * cq) AS BIGINT) AS dcc
+         |        FROM cent GROUP BY sub, code),
+         |d2 AS (
+         |  SELECT v.vec_id AS vid, c.sub, c.code,
+         |    CAST(sum((v.xq - c.cq) * (v.xq - c.cq)) AS BIGINT) AS dist
+         |  FROM comp v JOIN cent c
+         |    ON CAST(v.d // 16 AS INTEGER) = c.sub AND CAST(v.d % 16 AS INTEGER) = c.dd
+         |  GROUP BY 1, 2, 3),
+         |enc2 AS (
+         |  SELECT vid, sub, code, row_number() OVER (
+         |    PARTITION BY vid, sub ORDER BY dist, code) AS rn
+         |  FROM d2)
+         |SELECT e.sub, e.code, count(*) AS n, min(e.vid) AS min_id,
+         |  round(sqrt(CAST(k.dcc AS DOUBLE)) / 1000, 4) AS c_norm
+         |FROM enc2 e JOIN dcc k ON k.sub = e.sub AND k.code = e.code
+         |WHERE e.rn = 1
+         |GROUP BY e.sub, e.code, k.dcc ORDER BY e.sub, e.code""".stripMargin,
 
     // composed oracle: the IVF assignment CTE picks the candidate cell,
     // the PQ CTE scores candidates by ADC — same chains as the
