@@ -77,8 +77,15 @@ object Compaction {
     * its target file count. Per partition: write the coalesced copy to a
     * sibling tmp dir, retire the original (rename to `.old`), promote the
     * tmp, drop the retired copy — the narrowest swap a raw-parquet layout
-    * allows. Returns the executed plan (empty = nothing to do). */
-  def compact(spark: SparkSession, path: String, targetBytes: Long): Seq[CompactionPlan] = {
+    * allows. Returns the executed plan (empty = nothing to do).
+    *
+    * `sortCols` turns the merge into a LAYOUT rewrite: rows are sorted
+    * within each output file (e.g. by a [[graft.ops.Layout.mortonKey]]
+    * column for two-dimensional min/max pruning, or by the filter key) —
+    * compaction is the natural moment to pay for clustering, since the
+    * data is being rewritten anyway. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              sortCols: Seq[String] = Nil): Seq[CompactionPlan] = {
     val plans = plan(partitionStats(spark, path), targetBytes)
     if (plans.isEmpty) return plans
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -86,8 +93,10 @@ object Compaction {
       val dir = new Path(path, p.partition)
       val tmp = new Path(path, s".compact_tmp_${p.partition}")
       val old = new Path(path, s".compact_old_${p.partition}")
-      spark.read.parquet(dir.toString)
-        .coalesce(p.targetFiles)
+      val merged = spark.read.parquet(dir.toString).coalesce(p.targetFiles)
+      (if (sortCols.nonEmpty)
+         merged.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+       else merged)
         .write.mode("overwrite").parquet(tmp.toString)
       if (!fs.rename(dir, old))
         throw new java.io.IOException(s"compaction: cannot retire $dir")
