@@ -243,6 +243,27 @@ object Advanced {
               / col("n_exact") <= 0.05).as("ok"))
         .orderBy(col("o_orderstatus"))),
 
+    // Time-series gap fill: the hourly 'error' series with EVERY hour of
+    // the observed span present — missing hours emitted as zeros. The
+    // spine is generated from a 1-row min/max aggregate (sequence +
+    // explode — no calendar table to maintain), left-joined to the
+    // hourly rollup; dashboards and rate alerts need the dense series,
+    // and 42 of this corpus's 720 hours are genuinely absent.
+    "events_gap_fill" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("event_type") === "error")
+        .withColumn("hr", date_trunc("hour", col("ts")))
+      val hourly = e.groupBy(col("hr"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      val spine = e.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hr"))
+      spine.join(hourly, Seq("hr"), "left")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:00:00").as("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("total"), lit(0.0)).as("total"))
+        .orderBy(col("hr"))
+    }),
+
     // Z-score anomaly ranking: per event type, the 5 most anomalous
     // values. Mean and variance come from exact DECIMAL sums (E[x²]−E[x]²)
     // so the scores are bit-stable across engines and partitionings.
@@ -605,6 +626,21 @@ object Advanced {
         |  FROM votes GROUP BY doc_id)
         |SELECT phash, count(*) AS n, min(doc_id) AS keeper
         |FROM sh GROUP BY phash ORDER BY phash""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, value
+        |  FROM events WHERE event_type = 'error'),
+        |h AS (
+        |  SELECT hr, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM e GROUP BY hr),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b)
+        |SELECT strftime(s.hr, '%Y-%m-%d %H:00:00') AS hr,
+        |  coalesce(h.n, 0) AS n, coalesce(h.total, 0.0) AS total
+        |FROM spine s LEFT JOIN h ON h.hr = s.hr ORDER BY hr""".stripMargin,
 
     "events_zscore" ->
       """WITH stats AS (
