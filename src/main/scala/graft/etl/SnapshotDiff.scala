@@ -1,0 +1,47 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot CDC derivation — the inverse of [[Upsert]].
+  *
+  * The reference drives its incremental loads from a MySQL changelog table
+  * (models/EtlLogger.js:6-17). When a source system offers only full
+  * extracts, the changelog must be DERIVED: diff today's snapshot against
+  * yesterday's keyed on the primary key and classify every key as
+  * insert / update / delete. That derived change set then feeds the same
+  * downstream path as a real changelog (Changelog.extract → Upsert.merge).
+  *
+  * Spark shape: ONE full-outer sort-merge join on the key — both sides
+  * shuffle once on the same key, so at 100 TB the cost is two scans plus
+  * one co-partitioned exchange each (and zero if both snapshots are
+  * bucketed by the key on disk, which a daily-snapshot layout should be).
+  * Unchanged rows are dropped POST-join with a null-safe column compare,
+  * so the network never carries a "no-op" classification downstream —
+  * typically >99% of a daily snapshot.
+  */
+object SnapshotDiff {
+
+  /** Change set from `prev` → `curr`, keyed on `keys`; non-key columns of
+    * `curr`'s schema are compared null-safely (`<=>`). Output: key columns,
+    * `change` ∈ insert|update|delete, and `curr`'s non-key columns (NULL
+    * for deletes — the downstream delete path only needs the key).
+    */
+  def changes(prev: DataFrame, curr: DataFrame, keys: Seq[String]): DataFrame = {
+    val valCols = curr.columns.filterNot(keys.contains).toSeq
+    val p = prev.select(curr.columns.map(c => col(c).as(s"_p_$c")).toSeq: _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"_p_$k")).reduce(_ && _)
+    val inPrev = keys.map(k => col(s"_p_$k").isNotNull).reduce(_ && _)
+    val inCurr = keys.map(k => col(k).isNotNull).reduce(_ && _)
+    val changed = valCols.map(c => !(col(c) <=> col(s"_p_$c"))).reduce(_ || _)
+    curr.join(p, joinCond, "full_outer")
+      .withColumn("change",
+        when(!inPrev, lit("insert"))
+          .when(!inCurr, lit("delete"))
+          .when(changed, lit("update")))
+      .where(col("change").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(k), col(s"_p_$k")).as(k)) ++
+          (valCols.map(col) :+ col("change")): _*)
+  }
+}

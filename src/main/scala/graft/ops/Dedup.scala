@@ -276,6 +276,48 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space into
+    * `cells` k-means (IVF) cells, then drop any vector whose cosine to
+    * one of its cell's `reps` LOWEST-ID representatives meets
+    * `threshold` (the representative — the earliest-ingested claimant —
+    * is what survives). Output: one row per DROPPED vector with the
+    * representative that claimed it.
+    *
+    * Scale shape — this is the whole point of SemDeDup: clustering first
+    * makes dedup LINEAR. The representative set is `cells`·`reps` rows
+    * (broadcast), so after the one cell-assignment map stage every
+    * vector does ≤ `reps` broadcast cosine comparisons inside its scan
+    * partition; no pairwise self-join ever materializes, so a 100 TB
+    * corpus costs O(n·reps) comparisons instead of O(Σ cell²).
+    */
+  def semantic(emb: DataFrame, idCol: String, vecCol: String,
+               cells: Int, reps: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one assignment pass feeds both the representative pick and the
+    // probe side — checkpointed so the seeds cross-join isn't replayed
+    val assigned = Similarity.ivfAssignAll(emb, idCol, vecCol, cells)
+      .select(col(idCol), col(vecCol), col("cell"))
+      .localCheckpoint(true)
+    val repsDf = assigned
+      .withColumn("rrn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col(idCol))))
+      .where(col("rrn") <= reps)
+      .select(col("cell"), col(idCol).as("rep_id"), col(vecCol).as("rep_vec"),
+        Similarity.norm(col(vecCol)).as("rep_n"))
+    assigned
+      .withColumn("vn", Similarity.norm(col(vecCol)))
+      .join(broadcast(repsDf), Seq("cell"))
+      .where(col("rep_id") < col(idCol))
+      .withColumn("cos", round(
+        Similarity.dot(col(vecCol), col("rep_vec")) / (col("vn") * col("rep_n")), 4))
+      .where(col("cos") >= lit(threshold))
+      // the earliest matching representative claims the duplicate
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("rep_id"))))
+      .where(col("prn") === 1)
+      .select(col(idCol), col("cell"), col("rep_id").as("kept_by"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, partitioned by a blocking
     * column (e.g. cluster label) so the pairwise join stays within blocks.
     * Norms are computed once per row BEFORE the join; each pair then costs

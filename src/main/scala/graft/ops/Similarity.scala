@@ -155,6 +155,16 @@ object Similarity {
       .where(col("rn") === 1)
       .select(col(idCol), col("seed_id").as("cell"), col("cos").as("cell_cos"))
 
+  /** [[ivfAssign]] that KEEPS the caller's columns (vector included) next
+    * to the assigned `cell` — for consumers that immediately need the
+    * vector per cell (e.g. semantic dedup), saving the join-back that
+    * would rescan the embedding table. */
+  def ivfAssignAll(emb: DataFrame, idCol: String, vecCol: String,
+                   cells: Int): DataFrame =
+    rankedCells(emb, idCol, vecCol, cells)
+      .where(col("rn") === 1)
+      .select(emb.columns.map(col).toSeq :+ col("seed_id").as("cell"): _*)
+
   /** `iters` Lloyd (k-means) iterations over the hash-sampled seed cells —
     * upgrading the seeds from "deterministic stand-in" to genuinely
     * trained centroids while keeping the oracle-reproducibility contract:

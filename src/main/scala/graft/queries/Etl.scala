@@ -133,6 +133,26 @@ object Etl {
       oldBatch.unionByName(newBatch, allowMissingColumns = true)
         .withColumn("o_orderpriority", coalesce(col("o_orderpriority"), lit("UNKNOWN")))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Snapshot-diff CDC derivation (the inverse of etl_upsert_merge):
+    // when the source offers only full extracts, diff two keyed snapshots
+    // into the insert/update/delete change set that a real changelog
+    // (EtlLogger.js:6-17) would have recorded. prev drops keys ≡0 (mod 5)
+    // (→ inserts), curr drops keys ≡0 (mod 7) (→ deletes), and curr bumps
+    // pending-order prices exactly like the upsert path (→ updates);
+    // unchanged keys never leave the join.
+    "etl_snapshot_diff" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val prev = base.where(col("o_orderkey") % 5 =!= 0)
+      val curr = base.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "P",
+            (col("o_totalprice") * lit(1.1)).cast("decimal(18,3)").cast("double"))
+            .otherwise(col("o_totalprice")))
+      graft.etl.SnapshotDiff.changes(prev, curr, Seq("o_orderkey"))
+        .orderBy(col("change"), col("o_orderkey"))
     })
   )
 
@@ -234,6 +254,29 @@ object Etl {
         |SELECT 'orders', count(*),
         |  count(*) FILTER (WHERE o_orderstatus IN ('F', 'O')),
         |  count(*) FILTER (WHERE NOT (o_orderstatus IN ('F', 'O')))
-        |FROM orders ORDER BY entity""".stripMargin
+        |FROM orders ORDER BY entity""".stripMargin,
+
+    "etl_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |prev AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+        |curr AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P'
+        |         THEN CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 <> 0),
+        |j AS (
+        |  SELECT coalesce(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+        |    c.o_custkey, c.o_orderstatus, c.o_totalprice,
+        |    CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+        |         WHEN c.o_orderkey IS NULL THEN 'delete'
+        |         WHEN c.o_custkey IS DISTINCT FROM p.o_custkey
+        |           OR c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+        |           OR c.o_totalprice IS DISTINCT FROM p.o_totalprice THEN 'update'
+        |    END AS change
+        |  FROM curr c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, change
+        |FROM j WHERE change IS NOT NULL ORDER BY change, o_orderkey""".stripMargin
   )
 }

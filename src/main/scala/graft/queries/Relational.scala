@@ -350,6 +350,13 @@ object Relational {
       Events.tumblingAgg(Tables.events(s, dir), "ts", "event_type", "value")
         .orderBy(col("h"), col("event_type"))),
 
+    // Sliding-window twin: 1 h windows every 30 min (each event lands in
+    // exactly 2 windows via the native window() map-stage expand).
+    "events_sliding_window" -> ((s, dir) =>
+      Events.slidingAgg(Tables.events(s, dir), "ts", "event_type", "value",
+        windowMin = 60, slideMin = 30)
+        .orderBy(col("wstart"), col("event_type"))),
+
     // Gap-based sessionization.
     "events_sessionize" -> ((s, dir) =>
       Events.sessionStats(Tables.events(s, dir), "user_id", "ts", "event_id", 30)
@@ -582,6 +589,20 @@ object Relational {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+
+    // Sliding windows from first principles: bucket to the 30-min grid,
+    // subtract k slides (k=0,1) — every event is in exactly 2 of the 1-h
+    // windows. make_timestamp keeps the arithmetic tz-free like Spark's
+    // UTC session.
+    "events_sliding_window" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    make_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) AS BIGINT) * 1800
+        |      - CAST(k.range AS BIGINT) * 1800) * 1000000) AS ws
+        |  FROM events, range(0, 2) k)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS wstart, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM w GROUP BY ws, event_type ORDER BY wstart, event_type""".stripMargin,
 
     "events_correlate" ->
       """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id

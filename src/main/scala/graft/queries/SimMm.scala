@@ -135,6 +135,14 @@ object SimMm {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding", "label", 0.5)
         .orderBy(col("a"), col("b"))),
 
+    // SemDeDup: k-means cells first, then each vector vs its cell's 16
+    // lowest-id representatives — linear-cost semantic dedup (no pair
+    // self-join; the representative set is broadcast).
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semantic(Tables.embeddings(s, dir), "vec_id", "embedding",
+        cells = 8, reps = 16, threshold = 0.38)
+        .orderBy(col("vec_id"))),
+
     // Opaque binary payload + typed metadata (decode step stubbed —
     // deterministic fake dims; see graft.ops.Multimodal).
     "mm_binary_meta" -> ((s, dir) => {
@@ -453,6 +461,29 @@ object SimMm {
          |  ON l.label = r.label AND l.vec_id < r.vec_id
          |WHERE round(${cosSql("l.embedding", "r.embedding")}, 4) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    // SemDeDup: same IVF assignment CTE as the sim_ivf_* oracles, 16
+    // lowest-id representatives per cell, earliest claimant wins.
+    "dedup_semantic" ->
+      s"""WITH $ivfCte,
+         |cells AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
+         |reps AS (
+         |  SELECT vec_id AS rep_id, cell,
+         |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rrn
+         |  FROM cells QUALIFY rrn <= 16),
+         |hits AS (
+         |  SELECT c.vec_id, c.cell, r.rep_id AS kept_by,
+         |    round(${cosSql("e.embedding", "re.embedding")}, 4) AS cos
+         |  FROM cells c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN reps r ON r.cell = c.cell AND r.rep_id < c.vec_id
+         |  JOIN embeddings re ON re.vec_id = r.rep_id
+         |  WHERE round(${cosSql("e.embedding", "re.embedding")}, 4) >= 0.38),
+         |first_hit AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS prn
+         |  FROM hits)
+         |SELECT vec_id, cell, kept_by, cos FROM first_hit
+         |WHERE prn = 1 ORDER BY vec_id""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

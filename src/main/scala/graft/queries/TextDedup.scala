@@ -89,6 +89,29 @@ object TextDedup {
         .orderBy(col("doc_id"), col("rn"))
     }),
 
+    // Corpus-familiarity quality score: the mean document-frequency of a
+    // doc's DISTINCT tokens, as basis points of corpus size (integer
+    // floor division — engine-stable). Rare-token-heavy docs (garbled
+    // text, OCR noise, wrong-language fragments) score low; the mirror
+    // image of tf-idf salience, used as a corpus-level quality gate.
+    "text_familiarity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(TA.tokens(col("text")))).as("tok"))
+      // df falls out of the per-doc-distinct rows: count per token
+      val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val num = col("sum_df") * 10000
+      val den = col("n_toks") * col("n_docs")
+      tok.join(dfreq, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("df")).as("sum_df"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("n_toks"), col("sum_df"),
+          ((num - num % den) / den).cast("long").as("fam_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing any word
     // 5-gram with a held-out benchmark set (doc_id % 50 == 0 stands in).
     // The check is an equality join on 64-bit shingle hashes — the same
@@ -391,6 +414,18 @@ object TextDedup {
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM scored)
          |SELECT doc_id, tok, tf, df, score, CAST(rn AS INTEGER) AS rn
          |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    "text_familiarity" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest($toks) AS tok FROM documents) raw),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_toks, CAST(sum(df) AS BIGINT) AS sum_df
+         |  FROM tok JOIN dfreq USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_toks, sum_df,
+         |  CAST(sum_df * 10000 // (n_toks * n.n_docs) AS BIGINT) AS fam_bp
+         |FROM per CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     "text_contamination" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -58,13 +58,18 @@ case class HhOut(event_type: String, win_start: java.sql.Timestamp,
   */
 object StreamOps {
 
-  /** Tumbling event-time window aggregation with a late-data watermark. */
+  /** Tumbling event-time window aggregation with a late-data watermark.
+    * Pass `slide` < `windowLen` for SLIDING windows (the streaming twin
+    * of `events_sliding_window`): each event then feeds
+    * windowLen/slide open windows, and the state store holds that many
+    * per key until the watermark closes them — still bounded. */
   def windowedAgg(events: DataFrame, tsCol: String, typeCol: String,
                   valueCol: String, windowLen: String = "1 hour",
-                  watermark: String = "10 minutes"): DataFrame =
+                  watermark: String = "10 minutes",
+                  slide: Option[String] = None): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .groupBy(window(col(tsCol), windowLen, slide.getOrElse(windowLen)), col(typeCol))
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total"))
       .select(col("window.start").as("win_start"), col(typeCol), col("n"), col("total"))

@@ -87,4 +87,33 @@ class EtlSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long)].collect().head
     assert(r == (("t", 3L, 1L, 2L)))
   }
+
+  test("SnapshotDiff.changes classifies insert/update/delete, drops unchanged") {
+    val prev = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)).toDF("k", "v", "x")
+    val curr = Seq((1, "a", 10.0), (2, "B2", 20.0), (4, "d", 40.0)).toDF("k", "v", "x")
+    val got = SnapshotDiff.changes(prev, curr, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getString(3))).toSeq
+    // key 1 unchanged → absent; 2 updated; 3 deleted (values NULL); 4 inserted
+    assert(got == Seq((2, Some("B2"), "update"), (3, None, "delete"), (4, Some("d"), "insert")))
+  }
+
+  test("SnapshotDiff.changes treats NULL→NULL as unchanged (null-safe compare)") {
+    val prev = Seq((1, None: Option[String]), (2, Some("x"))).toDF("k", "v")
+    val curr = Seq((1, None: Option[String]), (2, None: Option[String])).toDF("k", "v")
+    val got = SnapshotDiff.changes(prev, curr, Seq("k"))
+      .select("k", "change").as[(Int, String)].collect().toSeq
+    assert(got == Seq((2, "update")))
+  }
+
+  test("SnapshotDiff round-trips through Upsert: applying changes rebuilds curr") {
+    val prev = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val curr = Seq((2, "B2"), (3, "c"), (4, "d")).toDF("k", "v")
+    val ch = SnapshotDiff.changes(prev, curr, Seq("k")).cache()
+    val upserts = ch.where($"change" =!= "delete").select("k", "v")
+    val deletes = ch.where($"change" === "delete").select("k")
+    val rebuilt = Upsert.merge(prev, upserts, Seq("k"))
+      .join(deletes, Seq("k"), "left_anti")
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(rebuilt == Seq((2, "B2"), (3, "c"), (4, "d")))
+  }
 }

@@ -222,6 +222,24 @@ class OpsSpec extends AnyFunSuite {
     assert(nn.forall(_._3 == 1.0))              // scaled copies: cosine 1
   }
 
+  test("Dedup.semantic drops near-reps, keeps representatives and outliers") {
+    // 6 vectors, cells=1 (every vector in one cell), reps=2: reps are the
+    // two lowest ids {0, 1}; 4 and 5 are near-parallel to rep 0 → dropped;
+    // 2 and 3 are orthogonal/antipodal → kept. Rep 1 is similar to rep 0
+    // but is itself a representative probed only against rep 0.
+    val six = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, -0.1f, 0.0f, 0.0f)),
+      (4L, Array(0.99f, 0.05f, 0.0f, 0.0f)),
+      (5L, Array(0.95f, 0.0f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semantic(six, "vec_id", "embedding",
+        cells = 1, reps = 2, threshold = 0.9)
+      .select($"vec_id", $"kept_by").as[(Long, Long)].collect().toMap
+    assert(out == Map(4L -> 0L, 5L -> 0L))
+  }
+
   test("Similarity multi-probe widens the candidate set") {
     val single = Similarity.annSearch(vecs, "vec_id", "embedding", 0L, 10, 2, 4)
       .as[(Long, Double)].collect()

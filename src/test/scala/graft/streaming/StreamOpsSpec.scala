@@ -30,6 +30,21 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(byType("click") == ((2L, 3.0)) && byType("view") == ((1L, 5.0)))
   }
 
+  test("windowedAgg slides: each event lands in windowLen/slide windows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(Ev(1, ts(12), 1, "click", 1.0))
+    val q = StreamOps.windowedAgg(input.toDF(), "ts", "event_type", "value",
+        windowLen = "10 minutes", watermark = "5 minutes", slide = Some("5 minutes"))
+      .writeStream.outputMode("complete").format("memory").queryName("swagg").start()
+    q.processAllAvailable(); q.stop()
+    val wins = spark.table("swagg").select($"win_start").collect()
+      .map(_.getTimestamp(0).toString).sorted
+    // 00:12 is inside [00:05,00:15) and [00:10,00:20) — exactly 2 windows
+    assert(wins.toSeq == Seq("2024-01-01 00:05:00.0", "2024-01-01 00:10:00.0"))
+  }
+
   test("dedupByKey drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
