@@ -21,7 +21,8 @@ class PlanSpec extends AnyFunSuite {
   //    rows (that IS the brute-force / candidate scan),
   //  - sim_ivf_cells / sim_ivf_search / sim_ivf_multiprobe: every vector
   //    vs the 8 broadcast seed centroids (that IS the IVF assignment),
-  //  - text_tfidf: 1-row corpus-size scalar joined to every (doc, token),
+  //  - text_tfidf / text_familiarity: 1-row corpus-size scalar joined to
+  //    every (doc, token) / per-doc rollup,
   //  - q_scalar_subquery / sim_ivf_train2: 1-row global-average scalar /
   //    8 broadcast centroids under every probe row (the scalar-subquery
   //    plan Spark itself produces).
@@ -29,8 +30,8 @@ class PlanSpec extends AnyFunSuite {
   //    codewords (that IS the PQ assignment / ADC table build)
   private val allowNestedLoop = Set("sim_topk_brute", "sim_range_search",
     "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
-    "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "q_scalar_subquery",
-    "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search")
+    "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "text_familiarity",
+    "q_scalar_subquery", "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
