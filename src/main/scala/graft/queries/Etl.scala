@@ -153,6 +153,43 @@ object Etl {
             .otherwise(col("o_totalprice")))
       graft.etl.SnapshotDiff.changes(prev, curr, Seq("o_orderkey"))
         .orderBy(col("change"), col("o_orderkey"))
+    }),
+
+    // The other half of the CDC loop: applying the derived change set to
+    // the previous snapshot MUST rebuild the current one exactly — the
+    // oracle is simply curr's definition, so the round-trip invariant is
+    // hash-checked cross-engine. applyChanges is a single-shuffle MERGE
+    // with deletes (union + top-1-per-key), not upsert+anti-join.
+    "etl_apply_changes" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val prev = base.where(col("o_orderkey") % 5 =!= 0)
+      val curr = base.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "P",
+            (col("o_totalprice") * lit(1.1)).cast("decimal(18,3)").cast("double"))
+            .otherwise(col("o_totalprice")))
+      val changes = graft.etl.SnapshotDiff.changes(prev, curr, Seq("o_orderkey"))
+      graft.etl.SnapshotDiff.applyChanges(prev, changes, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Incremental aggregate maintenance: combine the BASE's partial
+    // aggregate with the DELTA batch's — sum-of-sums and sum-of-counts —
+    // instead of re-aggregating base detail (the incremental-view-
+    // maintenance pattern: at 100 TB the stored base aggregate is read,
+    // never the base fact table).
+    "etl_incr_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def part(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,4)")).as("t"))
+      val baseAgg = part(o.where(col("o_orderkey") % 4 =!= 0)) // stored aggregate
+      val deltaAgg = part(o.where(col("o_orderkey") % 4 === 0)) // today's batch
+      baseAgg.unionByName(deltaAgg)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("t")).cast("double").as("total"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -277,6 +314,21 @@ object Etl {
         |    END AS change
         |  FROM curr c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, change
-        |FROM j WHERE change IS NOT NULL ORDER BY change, o_orderkey""".stripMargin
+        |FROM j WHERE change IS NOT NULL ORDER BY change, o_orderkey""".stripMargin,
+
+    // The round-trip invariant IS the oracle: prev + changes(prev, curr)
+    // must equal curr, so the oracle is curr's definition verbatim.
+    "etl_apply_changes" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'P'
+        |       THEN CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+
+    // Combining partial aggregates must equal aggregating the whole.
+    "etl_incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

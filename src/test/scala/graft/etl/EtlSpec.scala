@@ -105,6 +105,15 @@ class EtlSpec extends AnyFunSuite {
     assert(got == Seq((2, "update")))
   }
 
+  test("SnapshotDiff.applyChanges rebuilds curr in one pass, deletes included") {
+    val prev = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val curr = Seq((2, "B2"), (3, "c"), (4, "d")).toDF("k", "v")
+    val ch = SnapshotDiff.changes(prev, curr, Seq("k"))
+    val rebuilt = SnapshotDiff.applyChanges(prev, ch, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(rebuilt == Seq((2, "B2"), (3, "c"), (4, "d")))
+  }
+
   test("SnapshotDiff round-trips through Upsert: applying changes rebuilds curr") {
     val prev = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val curr = Seq((2, "B2"), (3, "c"), (4, "d")).toDF("k", "v")
