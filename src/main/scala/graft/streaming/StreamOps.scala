@@ -331,4 +331,15 @@ object StreamOps {
       Normalize.upperTrim(col("event_type")).as("et"),
       col("ts"))
   }
+
+  /** Stream-static enrichment: join each streaming event to a STATIC
+    * dimension table on `key`. The static side is broadcast per
+    * micro-batch (stateless — no watermark, no state store), the
+    * standard shape for attaching slowly-changing reference data to a
+    * firehose; at scale the dim stays cached on executors while the
+    * stream flows through. `how` = "inner" drops unmatched events,
+    * "left_outer" keeps them with NULL dim columns. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: Seq[String],
+                   how: String = "inner"): DataFrame =
+    events.join(broadcast(dim), key, how)
 }

@@ -134,6 +134,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(batch == Set((1L, 2L)))
   }
 
+  test("enrichStream joins streaming events to a broadcast static dim") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 2, "view", 2.0),
+      Ev(3, ts(3), 9, "click", 3.0)) // user 9 has no dim row
+    val q = StreamOps.enrichStream(input.toDF(), dim, Seq("user_id"), "left_outer")
+      .select($"event_id", $"tier")
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich").as[(Long, Option[String])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("cleanStream applies the batch Normalize kernel to a stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
