@@ -304,6 +304,73 @@ object TextDedup {
         when(nBi === 0, lit(0L))
           .otherwise(((dup - dup % nBi) / nBi).cast("long")).as("dup_bp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RAG-style chunking: 16-token windows on a 12-token stride (chunks
+    // overlap by 4; tail windows shrink). Pure per-row array kernel —
+    // explode(sequence) + slice runs inside the scan, no shuffle, so
+    // chunking 100 TB is a single map stage feeding the embed step.
+    "text_chunk" -> ((s, dir) => {
+      val W = 16; val S = 12
+      val chunk = slice(col("toks"), col("start") + 1, lit(W))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(S))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / S).cast("int").as("chunk_idx"),
+          size(chunk).as("n_tok"),
+          md5(array_join(chunk, " ")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Paragraph-block dedup (RefinedWeb/CCNet shape): each doc splits into
+    // consecutive 10-token blocks; a block seen earlier ANYWHERE in the
+    // corpus (first occurrence by (doc_id, block_idx)) is dropped, and the
+    // doc is re-assembled from its kept blocks. One explode + one window
+    // on the block text + one keyed aggregate — a block repeated in m docs
+    // costs m index rows, never m² pairs.
+    "text_para_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 10
+      val blocks = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(B))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / B).cast("int").as("blk"),
+          array_join(slice(col("toks"), col("start") + 1, lit(B)), " ").as("block"))
+      val w = Window.partitionBy(col("block")).orderBy(col("doc_id"), col("blk"))
+      val bp = col("n_kept") * 10000
+      blocks
+        .withColumn("keep", (row_number().over(w) === 1).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(col("keep")).as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("keep") === 1,
+              struct(col("blk"), col("block"))))),
+            x => x.getField("block")), " ")).as("kept_md5"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          ((bp - bp % col("n_blocks")) / col("n_blocks")).cast("long").as("kept_bp"),
+          col("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language quality quartiles: ntile(4) over token count (doc_id
+    // tiebreak), with per-band doc counts and token-count bounds — the
+    // "how does quality distribute per language" report a curation run
+    // uses to set per-lang thresholds.
+    "corpus_quality_bands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_tok"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TA.tokenCount(col("text")).as("n_tok"))
+        .withColumn("band", ntile(4).over(w))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("lo_tok"), max(col("n_tok")).as("hi_tok"))
+        .orderBy(col("lang"), col("band"))
     })
   )
 
@@ -616,6 +683,42 @@ object TextDedup {
          |       ELSE CAST(((len(bis) - len(list_distinct(bis))) * 10000) // len(bis) AS BIGINT)
          |  END AS dup_bp
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 12)) AS start
+         |  FROM t)
+         |SELECT doc_id, CAST(start // 12 AS INTEGER) AS chunk_idx,
+         |  CAST(len(toks[start + 1 : start + 16]) AS INTEGER) AS n_tok,
+         |  md5(array_to_string(toks[start + 1 : start + 16], ' ')) AS chunk_md5
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |blk AS (
+         |  SELECT doc_id, CAST(start // 10 AS INTEGER) AS blk,
+         |    array_to_string(toks[start + 1 : start + 10], ' ') AS block
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, len(toks) - 1, 10)) AS start FROM t) s),
+         |k AS (
+         |  SELECT doc_id, blk, block,
+         |    CASE WHEN row_number() OVER (PARTITION BY block ORDER BY doc_id, blk) = 1
+         |         THEN 1 ELSE 0 END AS keep
+         |  FROM blk)
+         |SELECT doc_id, count(*) AS n_blocks, CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  CAST((sum(keep) * 10000) // count(*) AS BIGINT) AS kept_bp,
+         |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN block END, ' ' ORDER BY blk), '')) AS kept_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_quality_bands" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |b AS (SELECT lang, n_tok,
+         |  ntile(4) OVER (PARTITION BY lang ORDER BY n_tok, doc_id) AS band FROM t)
+         |SELECT lang, CAST(band AS INTEGER) AS band, count(*) AS n_docs,
+         |  min(n_tok) AS lo_tok, max(n_tok) AS hi_tok
+         |FROM b GROUP BY lang, band ORDER BY lang, band""".stripMargin,
 
     "text_span_dedup" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
