@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout keys for data skipping.
@@ -42,4 +42,34 @@ object Layout {
 
   def mortonKeySql(x: String, y: String): String =
     s"(${spreadBits16Sql(x)} | (${spreadBits16Sql(y)} << 1))"
+
+  /** Byte-balanced output sharding: assign id-ordered rows to shards of
+    * ~`targetBytes` by the running byte total BEFORE each row (so a shard
+    * never splits a row and fills to at least the target).
+    *
+    * The global prefix sum is computed in two phases so no window ever
+    * sees the whole table in one partition: rows aggregate into
+    * `blockSize`-id blocks (a narrow pre-aggregate), block offsets come
+    * from a window over the SMALL block-sum table, and each row adds its
+    * within-block running sum (window partitioned BY BLOCK). At 100 TB
+    * only the block-sum table (rows / blockSize entries) is single-
+    * partition — size blockSize so that stays in the millions.
+    * Output: (id, bytes, before, shard). */
+  def packShards(df: DataFrame, idCol: String, bytesCol: Column,
+                 targetBytes: Long, blockSize: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).as("id"), bytesCol.cast("long").as("bytes"))
+      .withColumn("blk", ((col("id") - col("id") % blockSize) / blockSize).cast("long"))
+    val wBlk = Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy(col("blk")).agg(sum(col("bytes")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("off"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows.join(broadcast(offsets), "blk")
+      .withColumn("before", col("off") + coalesce(sum(col("bytes")).over(wIn), lit(0L)))
+      .withColumn("shard",
+        ((col("before") - col("before") % targetBytes) / targetBytes).cast("long"))
+      .select(col("id"), col("bytes"), col("before"), col("shard"))
+  }
 }

@@ -295,6 +295,26 @@ object Similarity {
     transform(vecCol, x =>
       (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long"))
 
+  /** Per-label mean embedding ("mean pooling" — the chunk→document or
+    * document→class aggregation step of an embedding pipeline) in exact
+    * milli-unit integer arithmetic: one posexplode + one (label, dim)
+    * aggregate + one per-label rollup, all map-side-combinable, so a
+    * 100 TB corpus pools in two shuffles of label-keyed partial sums.
+    * Truncating integer mean — same division contract as ivfTrainStats.
+    * Output: (label, n, c_norm, c0_milli). */
+  def centroidStats(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    val cent = emb
+      .select(col(labelCol).as("label"), posexplode(milliQuant(col(vecCol))).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
+    cent.groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        round(sqrt(sum(col("cq") * col("cq")).cast("double")) / 1000d, 4).as("c_norm"),
+        max(when(col("d") === 0, col("cq"))).as("c0_milli"))
+      .orderBy(col("label"))
+  }
+
   /** Squared L2 distance of subvector `s` (length `subLen`) between two
     * milli-quantized arrays — a native codegen'd integer window loop
     * (graft.functions.LongVectorL2Slice); the slice+zip_with+aggregate

@@ -468,6 +468,75 @@ object Advanced {
         .agg(count(lit(1)).as("docs_kept"), sum(col("n_tok")).as("tokens_kept"))
         .select(col("lang"), col("docs_kept"), col("tokens_kept"), quota.as("quota"))
         .orderBy(col("lang"))
+    }),
+
+    // Robust anomaly detection: per-type median + MAD (median absolute
+    // deviation), flag events beyond 3 MADs. Values quantize to exact
+    // milli-units first, so medians land on .0/.5 exactly and the 3·MAD
+    // comparison is bit-stable cross-engine (a raw double median would
+    // sit one ulp from the oracle's). Three passes over a 5-key table —
+    // each a map-side-combinable aggregate.
+    "events_anomaly_mad" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), floor(col("value") * 1000).cast("long").as("vq"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(vq, 0.5)").as("med"))
+      // materialized once: feeds BOTH the MAD aggregate and the anomaly
+      // count (same pattern as text_span_dedup's span index)
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("vq") - col("med")))
+        .localCheckpoint(true)
+      val mads = dev.groupBy(col("event_type"), col("med"))
+        .agg(expr("percentile(dev, 0.5)").as("mad"), count(lit(1)).as("n"))
+      dev.join(broadcast(mads.select(col("event_type"), col("mad"))), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(when(col("dev") > lit(3) * col("mad"), 1)).as("n_anom"))
+        .join(mads, "event_type")
+        .select(col("event_type"), col("n"), col("med"), col("mad"), col("n_anom"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Time-weighted average value per user: each reading holds until the
+    // user's next event (lead), weighted by its duration in seconds —
+    // the standard irregular-time-series aggregate. Milli-quantized
+    // values × integer seconds keep the weighted sum exact; one shuffle
+    // by user_id for the window, reused by the aggregate.
+    "events_twa" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sws = col("sws")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("vq"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .where(col("next_ts").isNotNull)
+        .withColumn("dur_s", unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"), sum(col("dur_s")).as("total_s"),
+          sum(col("vq") * col("dur_s")).as("sws"))
+        .where(col("total_s") > 0)
+        .select(col("user_id"), col("n_intervals"), col("total_s"),
+          ((sws - sws % col("total_s")) / col("total_s")).cast("long").as("twa_milli"))
+        .orderBy(col("user_id"))
+    }),
+
+    // End-to-end curation pipeline: exact-dedup keepers → quality gate →
+    // per-language doc cap (deterministic doc_id order) → per-(lang,
+    // source) summary. The composition the other corpus_* queries are
+    // stages of — windows and aggregates only, no pair generation.
+    "corpus_pipeline" -> ((s, dir) => {
+      val wDup = Window.partitionBy(md5(col("text")))
+      val wCap = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("keeper", min(col("doc_id")).over(wDup))
+        .where(col("doc_id") === col("keeper"))
+        .where(TA.tokenCount(col("text")).between(20, 1000) &&
+               TA.symbolRatio(col("text")) <= 0.1)
+        .withColumn("rn", row_number().over(wCap))
+        .where(col("rn") <= 80)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("lang"), col("source"))
     })
   )
 
@@ -762,6 +831,61 @@ object Advanced {
       """SELECT event_type, count(*) AS n_new,
         |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS new_watermark
         |FROM events WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-20 00:00:00'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // quantile_cont = Spark's exact `percentile` (linear interpolation at
+    // (n-1)·q); milli-quantized inputs keep every median on .0/.5 exactly
+    "events_anomaly_mad" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vq FROM events),
+        |m AS (SELECT event_type, quantile_cont(vq, 0.5) AS med FROM e GROUP BY event_type),
+        |d AS (SELECT e.event_type, abs(vq - med) AS dev, med
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, med, quantile_cont(dev, 0.5) AS mad, count(*) AS n
+        |       FROM d GROUP BY event_type, med)
+        |SELECT md.event_type, CAST(max(md.n) AS BIGINT) AS n, max(md.med) AS med,
+        |  max(md.mad) AS mad,
+        |  CAST(count(CASE WHEN d.dev > 3 * md.mad THEN 1 END) AS BIGINT) AS n_anom
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY md.event_type ORDER BY md.event_type""".stripMargin,
+
+    "events_twa" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vq
+        |  FROM events),
+        |iv AS (
+        |  -- floor each epoch BEFORE differencing: Spark's unix_timestamp
+        |  -- truncates per-timestamp; epoch() carries the fraction
+        |  SELECT user_id, vq,
+        |    CAST(floor(epoch(lead(ts) OVER w)) - floor(epoch(ts)) AS BIGINT) AS dur_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(dur_s) AS BIGINT) AS total_s,
+        |    CAST(sum(vq * dur_s) AS BIGINT) AS sws
+        |  FROM iv WHERE dur_s IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, total_s,
+        |  CAST(sws // total_s AS BIGINT) AS twa_milli
+        |FROM g WHERE total_s > 0 ORDER BY user_id""".stripMargin,
+
+    "corpus_pipeline" -> {
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text, $toks AS toks,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, source, CAST(len(toks) AS BIGINT) AS n_tok
+         |  FROM t
+         |  WHERE doc_id = keeper
+         |    AND len(toks) BETWEEN 20 AND 1000
+         |    AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(text) <= 0.1),
+         |capped AS (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM q)
+         |SELECT lang, source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM capped WHERE rn <= 80
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+    }
   )
 }

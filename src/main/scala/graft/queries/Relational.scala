@@ -300,6 +300,25 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("kmod"))),
 
+    // Map-typed kernel coverage: per-user event-type counts folded into a
+    // MAP (entries pre-sorted so key order is deterministic), then read
+    // back through size / element_at / map_keys. The map stays inside one
+    // aggregate stage — built and consumed without ever shuffling a
+    // map-typed column.
+    "q_map_funcs" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+          array_join(map_keys(col("m")), ",").as("types_csv"))
+        .orderBy(col("user_id"))),
+
     // NULL-handling kernel: NULLIF masks a value into NULL, COALESCE
     // restores a default, conditional NULLs feed null-skipping aggregates.
     "q_null_handling" -> ((s, dir) =>
@@ -552,6 +571,16 @@ object Relational {
       """SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) % 7 AS kmod,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin,
+
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id, CAST(count(*) AS INTEGER) AS n_types,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS n_click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchase,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_null_handling" ->
       """SELECT coalesce(nullif(event_type, 'click'), '(masked)') AS etype,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.ops.{Similarity, Dedup, Multimodal}
+import graft.ops.{Similarity, Dedup, Multimodal, Layout}
 
 /** Similarity search (SURVEY §2.4) over `embeddings` + multimodal-column
   * plumbing (§2.6) over `documents`.
@@ -167,7 +167,36 @@ object SimMm {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.sampleChunks(Tables.documents(s, dir), "doc_id", "text", 4)
         .select(col("doc_id"), col("chunk_idx"), col("chunk_md5"))
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Mean-pooled embedding per label (the chunk→doc / doc→class pooling
+    // step) — exact milli-unit integer means, two map-side-combinable
+    // shuffles at any scale.
+    "sim_centroid" -> ((s, dir) =>
+      Similarity.centroidStats(Tables.embeddings(s, dir), "embedding", "label")),
+
+    // Hamming-distance top-k over 16-bit SimHash fingerprints: the
+    // compact-code twin of cosine top-k (xor + popcount per candidate,
+    // a 1-row broadcast probe — no shuffle of the corpus).
+    "sim_hamming" -> ((s, dir) => {
+      val sh = Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
+      val probe = sh.where(col("doc") === 0).select(col("simhash").as("q"))
+      sh.where(col("doc") =!= 0).crossJoin(broadcast(probe))
+        .select(col("doc").as("doc_id"),
+          bit_count(col("simhash").bitwiseXOR(col("q"))).as("ham"))
+        .orderBy(col("ham"), col("doc_id")).limit(20)
+    }),
+
+    // Byte-balanced training-shard plan over payload sizes: two-phase
+    // distributed prefix sum (block pre-aggregate + small-table window),
+    // then shards of ~4 KiB — the "pack N-GB tar shards" planning step.
+    "mm_shard_plan" -> ((s, dir) =>
+      Layout.packShards(Tables.documents(s, dir), "doc_id",
+          length(col("text")), targetBytes = 4096L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
+          min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
+        .orderBy(col("shard")))
   )
 
   /** Shared SQL fragment: ordered-fold cosine over 64-dim float lists,
@@ -501,6 +530,51 @@ object SimMm {
         |  CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1)) * 16 AS INTEGER) AS height,
         |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim_centroid" ->
+      """WITH comp AS (
+        |  SELECT label, CAST(d.range AS INTEGER) AS d,
+        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS x
+        |  FROM embeddings CROSS JOIN range(64) d),
+        |cent AS (
+        |  SELECT label, d, count(*) AS n, sum(x) // count(*) AS cq
+        |  FROM comp GROUP BY label, d)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n,
+        |  round(sqrt(CAST(sum(cq * cq) AS DOUBLE)) / 1000, 4) AS c_norm,
+        |  CAST(max(CASE WHEN d = 0 THEN cq END) AS BIGINT) AS c0_milli
+        |FROM cent GROUP BY label ORDER BY label""".stripMargin,
+
+    // same simhash CTE as TextDedup's dedup_simhash oracle (md5-nibble
+    // bit votes), probed by doc 0's fingerprint via xor+bit_count
+    "sim_hamming" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, md5(unnest($toksSql)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc, h, j.range AS j,
+         |    strpos('0123456789abcdef', substring(h, 1 + CAST(j.range // 4 AS INTEGER), 1)) - 1 AS nib
+         |  FROM tok CROSS JOIN range(16) j),
+         |votes AS (
+         |  SELECT doc, j, sum(CASE WHEN (nib >> CAST(j % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc, j),
+         |sh AS (
+         |  SELECT doc, CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc)
+         |SELECT s.doc AS doc_id,
+         |  CAST(bit_count(xor(s.simhash, q.simhash)) AS INTEGER) AS ham
+         |FROM sh s, (SELECT simhash FROM sh WHERE doc = 0) q
+         |WHERE s.doc <> 0
+         |ORDER BY ham, doc_id LIMIT 20""".stripMargin,
+
+    "mm_shard_plan" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents),
+        |c AS (SELECT doc_id, bytes,
+        |  coalesce(sum(bytes) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM d)
+        |SELECT CAST(before // 4096 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH d AS (

@@ -28,10 +28,13 @@ class PlanSpec extends AnyFunSuite {
   //    plan Spark itself produces).
   //  - sim_pq_encode / sim_pq_search: every vector vs the 16 broadcast
   //    codewords (that IS the PQ assignment / ADC table build)
+  //  - sim_hamming: 1-row broadcast probe fingerprint vs every candidate
+  //    (the compact-code twin of sim_topk_brute's query vector)
   private val allowNestedLoop = Set("sim_topk_brute", "sim_range_search",
     "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
     "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "text_familiarity",
-    "q_scalar_subquery", "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search")
+    "q_scalar_subquery", "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search",
+    "sim_hamming")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
