@@ -205,6 +205,32 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric near-dup test Jaccard
+    * misses: a short doc pasted inside a long one has tiny Jaccard
+    * (union is dominated by the long doc) but containment
+    * inter/min(|A|,|B|) ≈ 1. Same df-capped inverted-index candidate
+    * generation as [[ngramJaccardPairs]] (pair work ∝ true overlap, a
+    * stop-shingle can never emit m² rows), one extra `least()` in the
+    * final score — no new shuffle. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxDf: Int = 50): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol, n)
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("s"))
+    val shr = sh.join(rare, Seq("s")).localCheckpoint(true)
+    val sizes = shr.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    shr.select(col("doc").as("a"), col("s"))
+      .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= lit(threshold))
+      .select(col("a"), col("b"), col("inter"), col("containment"))
+  }
+
   /** Duplicate-cluster assembly from candidate pairs: `iters` rounds of
     * min-label propagation (each node takes the least label among itself
     * and its neighbors). Fixed iteration count keeps the operator

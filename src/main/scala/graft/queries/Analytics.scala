@@ -1,0 +1,404 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{TextAnalysis => TA}
+
+/** Statistical / sequence / audit analytics (round-6 additions): exact
+  * cross-engine Pearson regression, decile distribution stats, Markov
+  * event transitions, marketing attribution, event-sequence pattern
+  * matching, per-column data profiling, multi-edge FK audits, and an
+  * integer-exact token-diversity (Gini) signal.
+  *
+  * Cross-engine determinism strategy (the whole point of this file's
+  * numeric design): every aggregate is computed in EXACT integer/decimal
+  * space (scaled-integer sums in DECIMAL(38,0)), and doubles only appear
+  * in a FINAL expression whose operand doubles are bit-identical across
+  * engines — IEEE +,*,/,sqrt on identical inputs give identical outputs,
+  * so the driver's hash compare holds without any float tolerance.
+  *
+  * Scale notes per operator are inline; none of these shuffles more than
+  * the keyed aggregate/window it declares, and every scan is pruned to
+  * the columns it needs.
+  */
+object Analytics {
+
+  /** Exact scaled-integer sums for (x, y) pairs: x,y are scaled by 100 to
+    * integer cents, products stay in LONG (bounded by data domain), sums
+    * accumulate in DECIMAL(38,0) — exact, commutative, partition-order
+    * independent. One scan, one shuffle (partial agg map-side). */
+  private def centsL(c: Column): Column = round(c * 100).cast("long")
+
+  val queries: Map[String, Q] = Map(
+    // Pearson correlation + least-squares slope/intercept of extendedprice
+    // on quantity, per returnflag — computed from exact integer sums so
+    // the only doubles are one final deterministic expression per group.
+    // ONE scan of (flag, qty, price), ONE shuffle on the 3-value group key
+    // (map-side partials do the heavy lifting; reducer sees 3 rows/part).
+    "q_stats_corr" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          centsL(col("l_quantity")).as("qx"),
+          centsL(col("l_extendedprice")).as("py"))
+      val d38 = "decimal(38,0)"
+      val agg = l.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        sum(col("qx").cast(d38)).as("sxr"),
+        sum(col("py").cast(d38)).as("syr"),
+        sum((col("qx") * col("qx")).cast(d38)).as("sxxr"),
+        sum((col("py") * col("py")).cast(d38)).as("syyr"),
+        sum((col("qx") * col("py")).cast(d38)).as("sxyr"))
+      val nD = col("n").cast("double")
+      val sx = col("sxr").cast("double") / lit(100.0)
+      val sy = col("syr").cast("double") / lit(100.0)
+      val sxx = col("sxxr").cast("double") / lit(10000.0)
+      val syy = col("syyr").cast("double") / lit(10000.0)
+      val sxy = col("sxyr").cast("double") / lit(10000.0)
+      val cov = nD * sxy - sx * sy
+      val varx = nD * sxx - sx * sx
+      val vary = nD * syy - sy * sy
+      val slope = cov / varx
+      agg.select(col("l_returnflag"), col("n"),
+          round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr_qp"),
+          round(slope, 6).as("slope"),
+          round((sy - slope * sx) / nD, 4).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Decile distribution of order value WITHIN each priority class:
+    // ntile over a partitioned window (never a global single-partition
+    // sort — each priority's window sorts in its own shuffle partition),
+    // then a keyed aggregate. Money stays decimal until the final cast.
+    "q_decile_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("lo"),
+          max(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("hi"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"), col("decile"))
+    }),
+
+    // First-order Markov transition matrix over each user's event stream:
+    // lead() in the per-user window (one shuffle by user), then a keyed
+    // count; transition probability is kept in integer basis points so
+    // the result is exact. The window partitions by user — no global sort.
+    "events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob_bp",
+          expr("(n * 10000) div sum(n) over (partition by from_type)"))
+        .select(col("from_type"), col("to_type"), col("n"), col("prob_bp"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Last-touch attribution: each purchase is credited to the user's most
+    // recent PRIOR click/view (else 'direct'). Same one-shuffle union+window
+    // shape as q_asof_join — never a per-purchase range join. Purchase
+    // value accumulates in decimal (exact) before the final double cast.
+    "events_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .withColumn("channel",
+          last(when(col("event_type").isin("click", "view"), col("event_type")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("total_value"))
+        .orderBy(col("channel"))
+    }),
+
+    // Sequence-pattern match (MATCH_RECOGNIZE-lite): each user's ordered
+    // event-type path as a string, regex-matched for signup→…→purchase
+    // conversion, plus the count of immediate view→purchase transitions.
+    // ONE shuffle (groupBy user); the path length is bounded by per-user
+    // event count — at 100 TB you'd sessionize first (events_sessionize)
+    // so the collected list stays session-sized, never corpus-sized.
+    "events_sequence_match" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type"))).as("path"))
+        .where(col("path").rlike("signup [a-z ]*purchase"))
+        .select(col("user_id"), col("n_events"),
+          size(regexp_extract_all(col("path"), lit("view purchase"), lit(0)))
+            .cast("long").as("n_view_buy"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Per-column data profile of the customer table (row count, nulls,
+    // exact distincts, min/max rendered as strings): ONE scan — the five
+    // count-distincts share a single Expand-based aggregate (Spark's
+    // native multi-distinct plan), then the 1-row result unpivots to one
+    // row per column. No joins, no second pass.
+    "etl_profile" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      def decStr(x: Column): Column = x.cast("decimal(18,2)").cast("string")
+      val agg = c.agg(
+        count(lit(1)).as("n"),
+        count(col("c_custkey")).as("nn_custkey"),
+        countDistinct(col("c_custkey")).as("nd_custkey"),
+        min(col("c_custkey")).cast("string").as("min_custkey"),
+        max(col("c_custkey")).cast("string").as("max_custkey"),
+        count(col("c_name")).as("nn_name"),
+        countDistinct(col("c_name")).as("nd_name"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_name")).as("max_name"),
+        count(col("c_nationkey")).as("nn_nationkey"),
+        countDistinct(col("c_nationkey")).as("nd_nationkey"),
+        min(col("c_nationkey")).cast("string").as("min_nationkey"),
+        max(col("c_nationkey")).cast("string").as("max_nationkey"),
+        count(col("c_acctbal")).as("nn_acctbal"),
+        countDistinct(col("c_acctbal")).as("nd_acctbal"),
+        decStr(min(col("c_acctbal"))).as("min_acctbal"),
+        decStr(max(col("c_acctbal"))).as("max_acctbal"),
+        count(col("c_mktsegment")).as("nn_mktsegment"),
+        countDistinct(col("c_mktsegment")).as("nd_mktsegment"),
+        min(col("c_mktsegment")).as("min_mktsegment"),
+        max(col("c_mktsegment")).as("max_mktsegment"))
+      def rowFor(name: String): Column = struct(
+        lit(name).as("col"),
+        col("n").as("n"),
+        (col("n") - col(s"nn_$name")).as("n_null"),
+        col(s"nd_$name").as("n_distinct"),
+        col(s"min_$name").as("min_s"),
+        col(s"max_$name").as("max_s"))
+      agg.select(explode(array(
+          rowFor("custkey"), rowFor("name"), rowFor("nationkey"),
+          rowFor("acctbal"), rowFor("mktsegment"))).as("p"))
+        .select(col("p.*"))
+        .withColumn("col", concat(lit("c_"), col("col")))
+        .orderBy(col("col"))
+    }),
+
+    // Referential-integrity audit over FOUR FK edges in two passes: the
+    // three lineitem edges resolve against ONE lineitem scan (dims are
+    // broadcast / distinct-key joined, null-flags aggregated together),
+    // orders→customer is its own pass. At 100 TB this is the shape you
+    // want: each child table is read once regardless of edge count.
+    "etl_fk_orphans" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val oKeys = Tables.orders(s, dir).select(col("o_orderkey")).distinct()
+      val pKeys = broadcast(Tables.part(s, dir).select(col("p_partkey")).distinct())
+      val sKeys = broadcast(Tables.supplier(s, dir).select(col("s_suppkey")).distinct())
+      val lineAudit = l
+        .join(oKeys, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(pKeys, col("l_partkey") === col("p_partkey"), "left")
+        .join(sKeys, col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orph_o"),
+          sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("orph_p"),
+          sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("orph_s"))
+        .select(explode(array(
+          struct(lit("lineitem->orders").as("edge"), col("n").as("child_rows"), col("orph_o").as("orphans")),
+          struct(lit("lineitem->part").as("edge"), col("n").as("child_rows"), col("orph_p").as("orphans")),
+          struct(lit("lineitem->supplier").as("edge"), col("n").as("child_rows"), col("orph_s").as("orphans")))).as("e"))
+        .select(col("e.*"))
+      val cKeys = broadcast(Tables.customer(s, dir).select(col("c_custkey")).distinct())
+      val orderAudit = Tables.orders(s, dir).select(col("o_custkey"))
+        .join(cKeys, col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("orphans"))
+        .select(lit("orders->customer").as("edge"), col("child_rows"), col("orphans"))
+      lineAudit.unionByName(orderAudit).orderBy(col("edge"))
+    }),
+
+    // RFM (recency / frequency / monetary) segmentation per user: ONE
+    // pass over events (keyed aggregate with map-side partials), the
+    // corpus max-timestamp is a 1-row scalar broadcast under every user
+    // row (same plan shape as q_scalar_subquery). Segment labels are
+    // rule-based CASE logic — deterministic, no global quantile sort.
+    "events_rfm" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val mx = ev.agg(max(col("ts")).as("mts"))
+      val rfm = ev.crossJoin(broadcast(mx))
+        .groupBy(col("user_id"))
+        .agg(
+          datediff(to_date(first(col("mts"))),
+            to_date(max(when(col("event_type") === "purchase", col("ts"))))).as("recency_d"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
+          dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("monetary"))
+      rfm.withColumn("segment",
+          when(col("frequency") === 0, "never")
+            .when(col("recency_d") <= 7 && col("monetary") >= 100, "champion")
+            .when(col("recency_d") <= 30, "active")
+            .otherwise("lapsed"))
+        .select(col("user_id"), col("recency_d"), col("frequency"),
+          col("monetary"), col("segment"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Token-diversity signal (Gini impurity of the unigram distribution),
+    // integer-exact: 1 - Σ(c/n)² == (n² - Σc²)/n², kept in basis points.
+    // Two keyed aggregates — (doc,tok) then doc — both with map-side
+    // partials; no log() (libm results differ across engines, integer
+    // arithmetic doesn't). The LLM-pipeline use: low gini_bp == highly
+    // repetitive doc (boilerplate/spam), a standard pretraining filter.
+    "text_gini_diversity" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"),
+          expr("((n_tok * n_tok - ss) * 10000) div (n_tok * n_tok)").as("gini_bp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stats_corr" ->
+      """WITH raw AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS py
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(qx AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sx,
+        |    CAST(sum(CAST(py AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS sy,
+        |    CAST(sum(CAST(qx * qx AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxx,
+        |    CAST(sum(CAST(py * py AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS syy,
+        |    CAST(sum(CAST(qx * py AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy
+        |  FROM raw GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_decile_stats" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |                    ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(decile AS INTEGER) AS decile, count(*) AS n,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS lo,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS hi,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 10000) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+        |FROM pairs ORDER BY from_type, to_type""".stripMargin,
+
+    "events_attribution" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+        |  FROM events)
+        |SELECT coalesce(channel, 'direct') AS channel,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_sequence_match" ->
+      """WITH seq AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    string_agg(event_type, ' ' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  CAST(len(regexp_extract_all(path, 'view purchase')) AS BIGINT) AS n_view_buy
+        |FROM seq WHERE regexp_matches(path, 'signup [a-z ]*purchase')
+        |ORDER BY user_id""".stripMargin,
+
+    "etl_profile" ->
+      """SELECT 'c_custkey' AS col, count(*) AS n,
+        |  count(*) - count(c_custkey) AS n_null, count(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s, CAST(max(c_custkey) AS VARCHAR) AS max_s
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', count(*), count(*) - count(c_name), count(DISTINCT c_name),
+        |  min(c_name), max(c_name) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey), count(DISTINCT c_nationkey),
+        |  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+        |UNION ALL
+        |SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal), count(DISTINCT c_acctbal),
+        |  CAST(CAST(min(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR),
+        |  CAST(CAST(max(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment),
+        |  min(c_mktsegment), max(c_mktsegment) FROM customer
+        |ORDER BY col""".stripMargin,
+
+    "etl_fk_orphans" ->
+      """WITH line AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (o.o_orderkey IS NULL) AS orph_o,
+        |    count(*) FILTER (p.p_partkey IS NULL) AS orph_p,
+        |    count(*) FILTER (s.s_suppkey IS NULL) AS orph_s
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+        |  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l.l_partkey = p.p_partkey
+        |  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON l.l_suppkey = s.s_suppkey),
+        |ord AS (
+        |  SELECT count(*) AS child_rows,
+        |    count(*) FILTER (c.c_custkey IS NULL) AS orphans
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey)
+        |SELECT 'lineitem->orders' AS edge, n AS child_rows, orph_o AS orphans FROM line
+        |UNION ALL SELECT 'lineitem->part', n, orph_p FROM line
+        |UNION ALL SELECT 'lineitem->supplier', n, orph_s FROM line
+        |UNION ALL SELECT 'orders->customer', child_rows, orphans FROM ord
+        |ORDER BY edge""".stripMargin,
+
+    "events_rfm" ->
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+        |rfm AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', max(CASE WHEN event_type = 'purchase' THEN ts END), mx.mts) AS INTEGER) AS recency_d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS monetary
+        |  FROM events, mx GROUP BY user_id, mx.mts)
+        |SELECT user_id, recency_d, frequency, monetary,
+        |  CASE WHEN frequency = 0 THEN 'never'
+        |       WHEN recency_d <= 7 AND monetary >= 100 THEN 'champion'
+        |       WHEN recency_d <= 30 THEN 'active'
+        |       ELSE 'lapsed' END AS segment
+        |FROM rfm ORDER BY user_id""".stripMargin,
+
+    "text_gini_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |cnt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+         |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS n_types, sum(c * c) AS ss
+         |        FROM cnt GROUP BY doc_id)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tok, CAST(n_types AS BIGINT) AS n_types,
+         |  CAST(((n * n - ss) * 10000) // (n * n) AS BIGINT) AS gini_bp
+         |FROM agg ORDER BY doc_id""".stripMargin
+  )
+}

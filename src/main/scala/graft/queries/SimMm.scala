@@ -187,6 +187,39 @@ object SimMm {
         .orderBy(col("ham"), col("doc_id")).limit(20)
     }),
 
+    // Mutual kNN graph, label-blocked: top-3 cosine neighbors per vector
+    // WITHIN its label block (the blocking key an LSH bucket / IVF cell
+    // plays at 100 TB — pair cost is Σ block², never corpus²), mutual
+    // edges found by a keyed count over the directed edge set (cosine is
+    // symmetric, so both directions carry the same 4-dp value — no second
+    // self-join, ONE aggregate). Norms precompute per row pre-join; the
+    // block side broadcasts (vectors are the small table here).
+    "sim_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("src"), col("label"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("dst"), col("label"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos").desc, col("dst"))
+      val edges = a.join(broadcast(b), Seq("label"))
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+      edges
+        .groupBy(least(col("src"), col("dst")).as("lo"),
+          greatest(col("src"), col("dst")).as("hi"))
+        .agg(min(col("cos")).as("cos"), count(lit(1)).as("nd"))
+        .where(col("nd") === 2)
+        .select(col("lo").as("src"), col("hi").as("dst"), col("cos"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // Byte-balanced training-shard plan over payload sizes: two-phase
     // distributed prefix sum (block pre-aggregate + small-table window),
     // then shards of ~4 KiB — the "pack N-GB tar shards" planning step.
@@ -565,6 +598,21 @@ object SimMm {
          |FROM sh s, (SELECT simhash FROM sh WHERE doc = 0) q
          |WHERE s.doc <> 0
          |ORDER BY ham, doc_id LIMIT 20""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH knn AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(${cosSql("a.embedding", "b.embedding")}, 4) DESC, b.vec_id) AS rn
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |edges AS (SELECT src, dst, cos FROM knn WHERE rn <= 3),
+         |pairs AS (
+         |  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+         |    min(cos) AS cos, count(*) AS n
+         |  FROM edges GROUP BY 1, 2)
+         |SELECT src, dst, cos FROM pairs WHERE n = 2 ORDER BY src, dst""".stripMargin,
 
     "mm_shard_plan" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents),

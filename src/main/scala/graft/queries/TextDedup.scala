@@ -68,6 +68,43 @@ object TextDedup {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.1)
         .orderBy(col("a"), col("b"))),
 
+    // Asymmetric containment pairs (inter/min) over the SAME inverted
+    // index: catches a short doc pasted inside a long one, which Jaccard
+    // (inter/union) structurally underscores.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+        .orderBy(col("a"), col("b"))),
+
+    // Per-source near-dup rate report: docs sharing a 16-bit SimHash
+    // fingerprint within a source count as dups. Fingerprints are one
+    // native per-row pass (no explode), then two keyed aggregates —
+    // the "how dirty is each crawl" dashboard row at any corpus size.
+    "dedup_report" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.simhash16(d, "doc_id", "text")
+        .join(d.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+        .groupBy(col("source"), col("simhash")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_unique_fp"),
+          (sum(col("c")) - count(lit(1))).as("n_dup_docs"))
+        .withColumn("dup_bp", expr("(n_dup_docs * 10000) div n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Hashing-trick bag-of-tokens features (the fixed-width featurizer
+    // upstream of linear quality classifiers): token → md5-derived bucket
+    // in [0,64). Engine-portable hash (two hex nibbles — no engine-private
+    // hash function), one explode + one keyed aggregate; output width is
+    // bounded by 64·docs regardless of vocabulary size.
+    "text_hash_features" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"), lit(64)))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket"))),
+
     // Log-free TF-IDF salience: top-3 tokens per doc by tf·N/df (exact
     // integer numerator, one IEEE division — engine-stable, unlike
     // log-based idf whose libm differs across engines).
@@ -634,6 +671,57 @@ object TextDedup {
          |FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
          |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.1
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc)
+         |SELECT a, b, inter,
+         |  CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |WHERE CAST(inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    // same simhash CTE as dedup_simhash / sim_hamming, rolled up per source
+    "dedup_report" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, md5(unnest($toks)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc, h, j.range AS j,
+         |    strpos('0123456789abcdef', substring(h, 1 + CAST(j.range // 4 AS INTEGER), 1)) - 1 AS nib
+         |  FROM tok CROSS JOIN range(16) j),
+         |votes AS (
+         |  SELECT doc, j, sum(CASE WHEN (nib >> CAST(j % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc, j),
+         |sh AS (
+         |  SELECT doc, CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc),
+         |g AS (
+         |  SELECT d.source, s.simhash, count(*) AS c
+         |  FROM sh s JOIN documents d ON s.doc = d.doc_id
+         |  GROUP BY d.source, s.simhash)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_unique_fp,
+         |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+         |  CAST(((sum(c) - count(*)) * 10000) // sum(c) AS BIGINT) AS dup_bp
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_hash_features" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |  ((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 +
+         |   (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)) % 64 AS bucket
+         |  FROM tok)
+         |SELECT doc_id, CAST(bucket AS INTEGER) AS bucket, count(*) AS cnt
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "text_repetition" ->
       s"""WITH tc AS (

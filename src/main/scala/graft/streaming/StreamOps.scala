@@ -74,6 +74,25 @@ object StreamOps {
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total"))
       .select(col("window.start").as("win_start"), col(typeCol), col("n"), col("total"))
 
+  /** Gap-based sessionization via Spark's NATIVE session_window — the
+    * declarative twin of [[sessionizeStream]] (which keeps custom state
+    * for mid-session emission control). The built-in merges windows that
+    * are < gap apart inside the state store; state is evicted when the
+    * watermark passes a session's end, so it's bounded by OPEN sessions.
+    * Prefer this form when per-session aggregates are all you need —
+    * Catalyst plans it (codegen'd merge), no Scala closure state. */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
+
   /** Exactly-once key dedup within the watermark horizon: state for a key
     * is evicted once the watermark passes it, so state stays bounded. */
   def dedupByKey(events: DataFrame, tsCol: String, keyCols: Seq[String],

@@ -34,7 +34,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_ann_search", "sim_ivf_cells", "sim_ivf_search", "sim_ivf_multiprobe",
     "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "text_familiarity",
     "q_scalar_subquery", "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search",
-    "sim_hamming")
+    "sim_hamming",
+    //  - events_rfm: 1-row corpus max-timestamp scalar broadcast under
+    //    every event row (the q_scalar_subquery shape)
+    "events_rfm")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -56,9 +59,13 @@ class PlanSpec extends AnyFunSuite {
       "sim_ivf_multiprobe" -> 4,
       "etl_changelog_dispatch" -> 4,   // events ×2 (pushdown-pruned) + 2 entities
       "text_tfidf" -> 3,
-      "q3_join_agg" -> 3
+      "q3_join_agg" -> 3,
+      "etl_fk_orphans" -> 6      // 4 FK edges, each CHILD table read once
+                                 // (lineitem 1× for its 3 edges, orders as
+                                 // child + as parent-key source, 3 dims)
     ).withDefaultValue(3)
-    val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_clusters")
+    val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_clusters", "dedup_containment")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val scans = "Scan parquet".r.findAllIn(planOf(name)).size
       val cap = if (checkpointed(name)) 1 else caps(name)

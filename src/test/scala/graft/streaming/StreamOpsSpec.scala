@@ -58,6 +58,29 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("sessionWindowAgg merges events within gap and agrees with sessionizeStream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // user 1: events at 1,2 (one session), then 40 (new session: gap>30m);
+    // user 2: single event
+    input.addData(
+      Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 1, "click", 1.0),
+      Ev(3, ts(40), 1, "click", 1.0), Ev(4, ts(5), 2, "view", 1.0))
+    val q = StreamOps.sessionWindowAgg(input.toDF(), "ts", "user_id",
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sessw").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessw")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().sorted
+    // user 1 → sessions of 2 and 1 events, user 2 → one 1-event session
+    assert(rows.toSeq == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+    // session end extends gap past the last event
+    val u2 = spark.table("sessw").where($"user_id" === 2)
+      .select($"sess_start", $"sess_end").head
+    assert(u2.getTimestamp(0) == ts(5) && u2.getTimestamp(1) == ts(35))
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
