@@ -221,6 +221,65 @@ object Analytics {
       lineAudit.unionByName(orderAudit).orderBy(col("edge"))
     }),
 
+    // Distribution-drift monitor between the stream's two time halves
+    // (the "did the pipeline's input shift" ETL check): the midpoint is
+    // exact integer microseconds (1-row scalar broadcast), per-type
+    // counts are one keyed aggregate, shares stay in integer basis
+    // points. At 100 TB the halves tag applies at scan time — no
+    // second pass, no join bigger than the 1-row scalar.
+    "etl_data_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("ts"))
+      val mx = ev.agg(
+        expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").as("mid"))
+      val cnt = ev.crossJoin(broadcast(mx))
+        .withColumn("half",
+          when(unix_micros(col("ts")) < col("mid"), "a").otherwise("b"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("n_b"))
+      val w = Window.partitionBy()
+      cnt
+        .withColumn("share_a_bp", expr("(n_a * 10000) div sum(n_a) over ()"))
+        .withColumn("share_b_bp", expr("(n_b * 10000) div sum(n_b) over ()"))
+        .withColumn("drift_bp", abs(col("share_a_bp") - col("share_b_bp")))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("share_a_bp"), col("share_b_bp"), col("drift_bp"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Backfill planner: days whose event volume is below HALF the mean
+    // daily volume get flagged for re-sync (the scheduled-ETL gap audit,
+    // the reference's cron-sync counterpart). One keyed aggregate to
+    // daily counts; the global-mean window runs over ~days rows, never
+    // over events. Integer arithmetic only — no float thresholds.
+    "etl_backfill_plan" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("status",
+          when(expr("n * count(*) over () * 2 < sum(n) over ()"), "backfill")
+            .otherwise("ok"))
+        .select(col("day"), col("n"), col("status"))
+        .orderBy(col("day"))),
+
+    // Mean dwell time (seconds to the user's NEXT event) per event type:
+    // lead() in the per-user window (one shuffle by user), exact integer
+    // second gaps accumulated in decimal, ONE final double division.
+    "events_dwell" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .withColumn("gap_s",
+          expr("(unix_micros(nxt) - unix_micros(ts)) div 1000000"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("gap_s").cast("decimal(18,0)")).cast("double") / count(lit(1)))
+            .as("mean_gap_s"))
+        .orderBy(col("event_type"))
+    }),
+
     // RFM (recency / frequency / monetary) segmentation per user: ONE
     // pass over events (keyed aggregate with map-side partials), the
     // corpus max-timestamp is a 1-row scalar broadcast under every user
@@ -375,6 +434,42 @@ object Analytics {
         |UNION ALL SELECT 'lineitem->supplier', n, orph_s FROM line
         |UNION ALL SELECT 'orders->customer', child_rows, orphans FROM ord
         |ORDER BY edge""".stripMargin,
+
+    "etl_data_drift" ->
+      """WITH mx AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events),
+        |tagged AS (
+        |  SELECT event_type, CASE WHEN epoch_us(ts) < mid THEN 'a' ELSE 'b' END AS half
+        |  FROM events, mx),
+        |cnt AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (half = 'a') AS n_a,
+        |    count(*) FILTER (half = 'b') AS n_b
+        |  FROM tagged GROUP BY event_type),
+        |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cnt)
+        |SELECT event_type, n_a, n_b,
+        |  CAST((n_a * 10000) // ta AS BIGINT) AS share_a_bp,
+        |  CAST((n_b * 10000) // tb AS BIGINT) AS share_b_bp,
+        |  abs(CAST((n_a * 10000) // ta AS BIGINT) - CAST((n_b * 10000) // tb AS BIGINT)) AS drift_bp
+        |FROM cnt, tot ORDER BY event_type""".stripMargin,
+
+    "etl_backfill_plan" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total, count(*) AS ndays FROM daily)
+        |SELECT day, n,
+        |  CASE WHEN n * ndays * 2 < total THEN 'backfill' ELSE 'ok' END AS status
+        |FROM daily, tot ORDER BY day""".stripMargin,
+
+    "events_dwell" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST((epoch_us(nxt) - epoch_us(ts)) // 1000000 AS DECIMAL(18,0))) AS DOUBLE)
+        |    / count(*) AS mean_gap_s
+        |FROM e WHERE nxt IS NOT NULL GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_rfm" ->
       """WITH mx AS (SELECT max(ts) AS mts FROM events),

@@ -92,6 +92,22 @@ object TextDedup {
         .orderBy(col("source"))
     }),
 
+    // Threshold-tuning sweep: pair counts per Jaccard band over the SAME
+    // df-capped candidate set (threshold 0 keeps every candidate pair) —
+    // the "what cutoff should this corpus use" report, priced at one
+    // extra aggregate over pairs already generated.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val bands = when(col("jaccard") >= 0.9, "0.9+")
+        .when(col("jaccard") >= 0.7, "0.7-0.9")
+        .when(col("jaccard") >= 0.5, "0.5-0.7")
+        .when(col("jaccard") >= 0.3, "0.3-0.5")
+        .when(col("jaccard") >= 0.1, "0.1-0.3")
+        .otherwise("<0.1")
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.0)
+        .groupBy(bands.as("band")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("band"))
+    }),
+
     // Hashing-trick bag-of-tokens features (the fixed-width featurizer
     // upstream of linear quality classifiers): token → md5-derived bucket
     // in [0,64). Engine-portable hash (two hex nibbles — no engine-private
@@ -713,6 +729,28 @@ object TextDedup {
          |  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
          |  CAST(((sum(c) - count(*)) * 10000) // sum(c) AS BIGINT) AS dup_bp
          |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |j AS (
+         |  SELECT CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jac
+         |  FROM inter JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b)
+         |SELECT
+         |  CASE WHEN jac >= 0.9 THEN '0.9+' WHEN jac >= 0.7 THEN '0.7-0.9'
+         |       WHEN jac >= 0.5 THEN '0.5-0.7' WHEN jac >= 0.3 THEN '0.3-0.5'
+         |       WHEN jac >= 0.1 THEN '0.1-0.3' ELSE '<0.1' END AS band,
+         |  count(*) AS n_pairs
+         |FROM j GROUP BY 1 ORDER BY band""".stripMargin,
 
     "text_hash_features" ->
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS tok FROM documents),

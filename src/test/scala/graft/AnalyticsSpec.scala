@@ -93,6 +93,43 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_data_drift: halves partition the stream and shares sum to ~10000 bp") {
+    val rows = run("etl_data_drift").collect()
+    val total = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    assert(rows.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == total)
+    val sa = rows.map(_.getAs[Long]("share_a_bp")).sum
+    assert(sa <= 10000 && sa > 10000 - rows.length)
+    rows.foreach(r => assert(r.getAs[Long]("drift_bp") >= 0))
+  }
+
+  test("etl_backfill_plan: every day status'd, counts reconcile") {
+    val rows = run("etl_backfill_plan").collect()
+    val total = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.forall(r => Set("ok", "backfill")(r.getAs[String]("status"))))
+  }
+
+  test("events_dwell: gaps are non-negative and counts reconcile to n-1 per user") {
+    val rows = run("events_dwell").collect()
+    rows.foreach(r => assert(r.getAs[Double]("mean_gap_s") >= 0.0))
+    val totalGaps = rows.map(_.getAs[Long]("n")).sum
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+    val expect = ev.count() - ev.select("user_id").distinct().count()
+    assert(totalGaps == expect)
+  }
+
+  test("dedup_threshold_sweep: band counts cover every candidate pair") {
+    val sweep = run("dedup_threshold_sweep").collect()
+    val swept = sweep.map(_.getAs[Long]("n_pairs")).sum
+    val allPairs = graft.ops.Dedup.ngramJaccardPairs(
+      graft.sources.Tables.documents(spark, TestSpark.sf), "doc_id", "text", 3, 0.0).count()
+    assert(swept == allPairs)
+    // the >=0.1 bands must agree with dedup_ngram_jaccard's 0.1 cutoff
+    val ge01 = sweep.filter(_.getAs[String]("band") != "<0.1")
+      .map(_.getAs[Long]("n_pairs")).sum
+    assert(ge01 == run("dedup_ngram_jaccard").count())
+  }
+
   test("dedup_containment: canonical pairs at or above the 0.8 threshold") {
     val rows = run("dedup_containment").collect()
     assert(rows.nonEmpty)

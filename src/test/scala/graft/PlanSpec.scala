@@ -35,9 +35,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_ivf_train", "sim_ivf_train2", "text_tfidf", "text_familiarity",
     "q_scalar_subquery", "sim_pq_encode", "sim_pq_search", "sim_ivf_pq_search",
     "sim_hamming",
-    //  - events_rfm: 1-row corpus max-timestamp scalar broadcast under
-    //    every event row (the q_scalar_subquery shape)
-    "events_rfm")
+    //  - events_rfm / etl_data_drift: 1-row corpus max-timestamp /
+    //    midpoint scalar broadcast under every event row (the
+    //    q_scalar_subquery shape)
+    "events_rfm", "etl_data_drift")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -65,7 +66,7 @@ class PlanSpec extends AnyFunSuite {
                                  // child + as parent-key source, 3 dims)
     ).withDefaultValue(3)
     val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
-      "dedup_clusters", "dedup_containment")
+      "dedup_clusters", "dedup_containment", "dedup_threshold_sweep")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val scans = "Scan parquet".r.findAllIn(planOf(name)).size
       val cap = if (checkpointed(name)) 1 else caps(name)
