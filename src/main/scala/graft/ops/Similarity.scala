@@ -478,6 +478,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar (int8) quantization encode — the SQ8 memory layout of a
+    * vector index: each component maps to an integer code in [-127, 127]
+    * under a per-vector scale (its max |milli-component|), so a 64-dim
+    * float32 vector stores as 64 bytes + one scale. Codes are exact
+    * integer arithmetic throughout: q_i = trunc(|mi_i|·127 / scale) with
+    * the sign re-applied (floor==trunc on the non-negative operands, so
+    * Spark and the SQL twin agree at every value).
+    *
+    * Shape: a pure per-row map over one scan — zero shuffle, fuses into
+    * whole-stage codegen with the parquet read. Output: (id, scale,
+    * codes). All-zero vectors encode as scale 0 / all-zero codes. */
+  def sq8Codes(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), milliQuant(col(vecCol)).as("mi"))
+      .withColumn("scale", array_max(transform(col("mi"), x => abs(x))))
+      .withColumn("codes", transform(col("mi"), x => {
+        val a = abs(x) * 127
+        val mag = ((a - pmod(a, col("scale"))) / col("scale")).cast("long")
+        when(col("scale") === 0, lit(0L))
+          .otherwise(when(x < 0, -mag).otherwise(mag))
+      }))
+      .select(col(idCol), col("scale"), col("codes"))
+
+  /** SQ8 similarity search: the database side is scored through its int8
+    * codes only (the native codegen'd long-vector dot), ranked by the
+    * integer surrogate score dot(q_codes, x_codes)·q_scale·x_scale —
+    * monotone in the reconstructed inner product up to quantization, and
+    * exactly reproducible (no float math anywhere in the ranking; with
+    * milli-components ≤ ~10³ the surrogate is ≤ ~10¹², well inside LONG).
+    * One broadcast of the 1-row query; top-k lowers to
+    * TakeOrderedAndProject. */
+  def sq8Search(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int): DataFrame = {
+    val codes = sq8Codes(emb, idCol, vecCol)
+    val q = codes.where(col(idCol) === lit(queryId))
+      .select(col("codes").as("qc"), col("scale").as("qs"))
+    codes.where(col(idCol) =!= lit(queryId))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        (graft.functions.LongVectorFunctions.vecDotLong(col("codes"), col("qc")) *
+          col("scale") * col("qs")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bucket occupancy summary (the ANN index statistics). */
   def lshBucketStats(emb: DataFrame, idCol: String, vecCol: String,
                      planes: Int, dim: Int): DataFrame =

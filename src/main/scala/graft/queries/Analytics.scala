@@ -323,6 +323,98 @@ object Analytics {
         .select(col("doc_id"), col("n_tok"), col("n_types"),
           expr("((n_tok * n_tok - ss) * 10000) div (n_tok * n_tok)").as("gini_bp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Market-basket pair mining: part pairs co-bought in the same order,
+    // top-20 by support. The self-join keys on l_orderkey, so both sides
+    // share ONE hash partitioning (no extra exchange), and the fan-out per
+    // order is C(k,2) of its DISTINCT parts — bounded by order width
+    // (≤7 lines in this schema), never by table size. Top-20 lowers to
+    // TakeOrderedAndProject (per-partition heaps, no global sort).
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb")).limit(20)
+    }),
+
+    // A/B experiment readout with a deterministic arm assignment
+    // (user_id parity — engine-portable; production would hash a salt).
+    // Per-user conversion first (keyed agg), then ONE 1-row global
+    // aggregate; rates and lift in truncated integer basis points, so the
+    // readout is bit-stable. No shuffle wider than the per-user rollup.
+    "events_ab_lift" -> ((s, dir) => {
+      val conv = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+      conv.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("users_ctl"),
+          sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_ctl"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("users_trt"),
+          sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_trt"))
+        .select(col("users_ctl"), col("conv_ctl"), col("users_trt"), col("conv_trt"),
+          expr("(conv_ctl * 10000) div users_ctl").as("rate_ctl_bp"),
+          expr("(conv_trt * 10000) div users_trt").as("rate_trt_bp"),
+          expr("(conv_trt * 10000) div users_trt - (conv_ctl * 10000) div users_ctl")
+            .as("lift_bp"))
+    }),
+
+    // Declarative data-quality rule engine over customer: every rule is a
+    // predicate column, ONE scan computes all violation counts in a single
+    // 1-row aggregate (no per-rule passes), then the row pivots to a
+    // per-rule report via explode over a 5-element literal array. Adding a
+    // rule is one struct entry — the scan count stays 1 at any table size.
+    "etl_dq_rules" -> ((s, dir) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")
+      val a = Tables.customer(s, dir).agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_null_key"),
+        sum(when(col("c_name").isNull || !col("c_name").startsWith("Customer#"), 1L)
+          .otherwise(0L)).as("v_name_format"),
+        sum(when(col("c_mktsegment").isNull || !col("c_mktsegment").isin(segs: _*), 1L)
+          .otherwise(0L)).as("v_segment_enum"),
+        sum(when(col("c_acctbal").isNull ||
+          col("c_acctbal") < -1000 || col("c_acctbal") > 10000, 1L)
+          .otherwise(0L)).as("v_acctbal_range"),
+        sum(when(col("c_nationkey").isNull ||
+          col("c_nationkey") < 0 || col("c_nationkey") > 24, 1L)
+          .otherwise(0L)).as("v_nation_range"))
+      a.select(col("checked"), explode(array(
+          struct(lit("acctbal_range").as("rule"), col("v_acctbal_range").as("violations")),
+          struct(lit("name_format").as("rule"), col("v_name_format").as("violations")),
+          struct(lit("nation_range").as("rule"), col("v_nation_range").as("violations")),
+          struct(lit("null_key").as("rule"), col("v_null_key").as("violations")),
+          struct(lit("segment_enum").as("rule"), col("v_segment_enum").as("violations"))))
+          .as("r"))
+        .select(col("r.rule").as("rule"), col("checked"), col("r.violations").as("violations"),
+          expr("(violations * 10000) div checked").as("viol_bp"))
+        .orderBy(col("rule"))
+    }),
+
+    // Exact DISCRETE percentiles (the value at rank ceil(p·n), no
+    // interpolation — the twin of q_percentile's interpolating form) per
+    // returnflag. The rank window sorts within each flag's own shuffle
+    // partition; ceil is integer arithmetic ((a+b-1) div b), so the picked
+    // ranks are engine-exact even where p·n lands on an integer.
+    "q_percentile_disc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val n = Window.partitionBy(col("l_returnflag"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(n))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") <= expr("(n + 1) div 2"), col("l_quantity"))).as("p50_disc"),
+          max(when(col("rn") <= expr("(9 * n + 9) div 10"), col("l_quantity"))).as("p90_disc"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -494,6 +586,69 @@ object Analytics {
          |        FROM cnt GROUP BY doc_id)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_tok, CAST(n_types AS BIGINT) AS n_types,
          |  CAST(((n * n - ss) * 10000) // (n * n) AS BIGINT) AS gini_bp
-         |FROM agg ORDER BY doc_id""".stripMargin
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+        |FROM li a JOIN li b ON a.ok = b.ok AND a.l_partkey < b.l_partkey
+        |GROUP BY pa, pb
+        |ORDER BY n DESC, pa, pb LIMIT 20""".stripMargin,
+
+    "events_ab_lift" ->
+      """WITH conv AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_ctl,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_ctl,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_trt,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_trt
+        |  FROM conv)
+        |SELECT users_ctl, conv_ctl, users_trt, conv_trt,
+        |  CAST(conv_ctl * 10000 // users_ctl AS BIGINT) AS rate_ctl_bp,
+        |  CAST(conv_trt * 10000 // users_trt AS BIGINT) AS rate_trt_bp,
+        |  CAST(conv_trt * 10000 // users_trt - conv_ctl * 10000 // users_ctl AS BIGINT)
+        |    AS lift_bp
+        |FROM a""".stripMargin,
+
+    "etl_dq_rules" ->
+      """WITH a AS (
+        |  SELECT count(*) AS checked,
+        |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS v_null_key,
+        |    sum(CASE WHEN c_name IS NULL OR c_name NOT LIKE 'Customer#%'
+        |        THEN 1 ELSE 0 END) AS v_name_format,
+        |    sum(CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN
+        |        ('AUTOMOBILE', 'BUILDING', 'FURNITURE', 'MACHINERY', 'HOUSEHOLD')
+        |        THEN 1 ELSE 0 END) AS v_segment_enum,
+        |    sum(CASE WHEN c_acctbal IS NULL OR c_acctbal < -1000 OR c_acctbal > 10000
+        |        THEN 1 ELSE 0 END) AS v_acctbal_range,
+        |    sum(CASE WHEN c_nationkey IS NULL OR c_nationkey < 0 OR c_nationkey > 24
+        |        THEN 1 ELSE 0 END) AS v_nation_range
+        |  FROM customer)
+        |SELECT r.rule, a.checked,
+        |  CAST(r.violations AS BIGINT) AS violations,
+        |  CAST(r.violations * 10000 // a.checked AS BIGINT) AS viol_bp
+        |FROM a, LATERAL (VALUES
+        |  ('acctbal_range', v_acctbal_range),
+        |  ('name_format', v_name_format),
+        |  ('nation_range', v_nation_range),
+        |  ('null_key', v_null_key),
+        |  ('segment_enum', v_segment_enum)) AS r(rule, violations)
+        |ORDER BY r.rule""".stripMargin,
+
+    "q_percentile_disc" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn <= (n + 1) // 2 THEN l_quantity END) AS p50_disc,
+        |  max(CASE WHEN rn <= (9 * n + 9) // 10 THEN l_quantity END) AS p90_disc
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -124,6 +124,26 @@ object SimMm {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         0L, 10, 8, 64, 4, 16)),
 
+    // Scalar (int8) quantization encode: 64 float32 components → 64
+    // int8 codes + one per-vector scale, by exact integer arithmetic
+    // (zero-shuffle per-row map). Audit columns: code checksum + the
+    // leading 4 codes.
+    "sim_sq8_encode" -> ((s, dir) =>
+      Similarity.sq8Codes(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"),
+          element_at(col("codes"), 4).as("c3"))
+        .orderBy(col("vec_id"))),
+
+    // SQ8 top-k: database vectors scored through int8 codes alone (native
+    // codegen'd integer dot), ranked by the exact integer surrogate
+    // dot·q_scale·x_scale — the SQ memory/recall trade next to PQ's.
+    "sim_sq8_search" -> ((s, dir) =>
+      Similarity.sq8Search(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+
     // Range (radius) search: every vector within cosine ≥ 0.25 of the
     // query — the threshold twin of top-k (no result bound; the caller
     // sets the radius).
@@ -343,7 +363,38 @@ object SimMm {
        |    PARTITION BY vid, sub ORDER BY dist, code) AS rn
        |  FROM dists)""".stripMargin
 
+  /** SQ8 CTE chain mirroring Similarity.sq8Codes: milli-quantize, take the
+    * per-vector max |component| as the scale, truncating integer division
+    * on non-negative operands with the sign re-applied. */
+  private val sq8Cte: String =
+    """m AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mi
+      |  FROM embeddings),
+      |sc AS (SELECT vec_id, mi,
+      |  CAST(list_max(list_transform(mi, x -> abs(x))) AS BIGINT) AS scale FROM m),
+      |cq AS (SELECT vec_id, scale, list_transform(mi,
+      |  x -> CASE WHEN scale = 0 THEN 0
+      |            WHEN x < 0 THEN -(abs(x) * 127 // scale)
+      |            ELSE x * 127 // scale END) AS codes
+      |  FROM sc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim_sq8_encode" ->
+      s"""WITH $sq8Cte
+         |SELECT vec_id, scale, CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  CAST(codes[1] AS BIGINT) AS c0, CAST(codes[2] AS BIGINT) AS c1,
+         |  CAST(codes[3] AS BIGINT) AS c2, CAST(codes[4] AS BIGINT) AS c3
+         |FROM cq ORDER BY vec_id""".stripMargin,
+
+    "sim_sq8_search" ->
+      s"""WITH $sq8Cte,
+         |q AS (SELECT codes AS qc, scale AS qs FROM cq WHERE vec_id = 0),
+         |scd AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> codes[i] * qc[i]))
+         |    * scale * qs AS BIGINT) AS score
+         |  FROM cq, q WHERE vec_id <> 0)
+         |SELECT vec_id, score FROM scd ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     "sim_pq_encode" ->
       s"""WITH $pqCte
          |SELECT vid AS vec_id, sub, code, dist FROM enc WHERE rn = 1

@@ -38,7 +38,10 @@ class PlanSpec extends AnyFunSuite {
     //  - events_rfm / etl_data_drift: 1-row corpus max-timestamp /
     //    midpoint scalar broadcast under every event row (the
     //    q_scalar_subquery shape)
-    "events_rfm", "etl_data_drift")
+    "events_rfm", "etl_data_drift",
+    //  - sim_sq8_search: 1-row broadcast query codes vs every candidate's
+    //    codes (the compact-code twin of sim_topk_brute's query vector)
+    "sim_sq8_search")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
