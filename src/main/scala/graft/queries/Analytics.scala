@@ -396,6 +396,36 @@ object Analytics {
         .orderBy(col("rule"))
     }),
 
+    // Hot-key skew diagnosis: the 10 heaviest event keys with their share
+    // of total traffic in basis points — the report that decides whether
+    // a join needs the salted path (ops/Skew). One keyed count (map-side
+    // combined), a TakeOrderedAndProject top-10, and a 1-row total under
+    // it; nothing scales with the key count beyond the count aggregate.
+    "etl_key_skew" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"))
+      val tot = e.agg(count(lit(1)).as("total"))
+      e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(10)
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n"), col("total"),
+          expr("(n * 10000) div total").as("share_bp"))
+        .orderBy(col("n").desc, col("user_id"))
+    }),
+
+    // Batch twin of streaming heavyHittersStream: top-3 event types per
+    // tumbling hour by exact count (rank window runs over the hour×type
+    // AGGREGATE — a few rows per hour — never over raw events).
+    "events_heavy_hitters" -> ((s, dir) => {
+      val w = Window.partitionBy(col("h")).orderBy(col("n").desc, col("event_type"))
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .orderBy(col("h"), col("rn"))
+    }),
+
     // Exact DISCRETE percentiles (the value at rank ceil(p·n), no
     // interpolation — the twin of q_percentile's interpolating form) per
     // returnflag. The rank window sorts within each flag's own shuffle
@@ -638,6 +668,25 @@ object Analytics {
         |  ('null_key', v_null_key),
         |  ('segment_enum', v_segment_enum)) AS r(rule, violations)
         |ORDER BY r.rule""".stripMargin,
+
+    "etl_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS total FROM events),
+        |top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT 10)
+        |SELECT user_id, n, t.total,
+        |  CAST(n * 10000 // t.total AS BIGINT) AS share_bp
+        |FROM top, t ORDER BY n DESC, user_id""".stripMargin,
+
+    "events_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H') AS h,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY h, event_type),
+        |rk AS (SELECT h, event_type, n,
+        |  row_number() OVER (PARTITION BY h ORDER BY n DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT h, event_type, n, CAST(rn AS INTEGER) AS rn
+        |FROM rk WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
 
     "q_percentile_disc" ->
       """WITH r AS (

@@ -124,6 +124,49 @@ object SimMm {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
         0L, 10, 8, 64, 4, 16)),
 
+    // ANN quality audit: recall of the LSH-bucketed top-k against the
+    // brute-force top-k, computed IN-QUERY (the index-evaluation step a
+    // vector platform runs after every index build). Both result sets are
+    // k rows, so the audit join/aggregate is constant-size no matter the
+    // corpus; recall is truncated integer basis points.
+    "sim_recall_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      // each k-row result set materializes ONCE (checkpoint): the audit
+      // join + count reference them twice, and without the truncation the
+      // corpus scan behind each search would replay per reference
+      val exact = Similarity.topKBrute(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id")).localCheckpoint(true)
+      val ann = Similarity.annSearch(emb, "vec_id", "embedding", 0L, 10, planes, 64)
+        .select(col("vec_id").as("aid")).localCheckpoint(true)
+      val annN = ann.agg(count(lit(1)).as("n_ann"))
+      exact.join(ann, col("vec_id") === col("aid"), "left")
+        .agg(count(lit(1)).as("k_exact"), count(col("aid")).as("hits"))
+        .crossJoin(broadcast(annN))
+        .select(col("k_exact"), col("n_ann"), col("hits"),
+          expr("(hits * 10000) div k_exact").as("recall_bp"))
+    }),
+
+    // Container-format dispatch: route opaque binaries by their leading
+    // byte ("magic number" sniffing — the demux step before per-format
+    // decoders). Pure per-row kernel + a tiny keyed rollup; the stub
+    // classifier maps byte ranges to format labels the way a real one
+    // maps magic prefixes.
+    "mm_format_sniff" -> ((s, dir) => {
+      val magic = substring(col("text"), 1, 1)
+      Tables.documents(s, dir)
+        .withColumn("format",
+          when(magic.between("a", "f"), "image")
+            .when(magic.between("g", "p"), "audio")
+            .when(magic.between("q", "z"), "video")
+            .otherwise("binary"))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("bytes"),
+          min(col("doc_id")).as("sample_doc"))
+        .orderBy(col("format"))
+    }),
+
     // Scalar (int8) quantization encode: 64 float32 components → 64
     // int8 codes + one per-vector scale, by exact integer arithmetic
     // (zero-shuffle per-row map). Audit columns: code checksum + the
@@ -379,6 +422,42 @@ object SimMm {
       |  FROM sc)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_recall_audit" ->
+      s"""WITH $bucketsCte,
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 4) AS cos
+         |    FROM embeddings e, qv q WHERE e.vec_id <> 0)
+         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |qb AS (SELECT b.bucket, e.embedding AS qe
+         |       FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+         |ann AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 4) AS cos
+         |    FROM embeddings e JOIN buckets b USING (vec_id)
+         |    JOIN qb q ON b.bucket = q.bucket
+         |    WHERE e.vec_id <> 0)
+         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |a AS (SELECT
+         |  (SELECT count(*) FROM ex) AS k_exact,
+         |  (SELECT count(*) FROM ann) AS n_ann,
+         |  (SELECT count(*) FROM ex JOIN ann USING (vec_id)) AS hits)
+         |SELECT CAST(k_exact AS BIGINT) AS k_exact, CAST(n_ann AS BIGINT) AS n_ann,
+         |  CAST(hits AS BIGINT) AS hits,
+         |  CAST(hits * 10000 // k_exact AS BIGINT) AS recall_bp
+         |FROM a""".stripMargin,
+
+    "mm_format_sniff" ->
+      """WITH f AS (
+        |  SELECT doc_id, length(text) AS bytes,
+        |    CASE WHEN substring(text, 1, 1) BETWEEN 'a' AND 'f' THEN 'image'
+        |         WHEN substring(text, 1, 1) BETWEEN 'g' AND 'p' THEN 'audio'
+        |         WHEN substring(text, 1, 1) BETWEEN 'q' AND 'z' THEN 'video'
+        |         ELSE 'binary' END AS format
+        |  FROM documents)
+        |SELECT format, count(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(doc_id) AS sample_doc
+        |FROM f GROUP BY format ORDER BY format""".stripMargin,
+
     "sim_sq8_encode" ->
       s"""WITH $sq8Cte
          |SELECT vec_id, scale, CAST(list_sum(codes) AS BIGINT) AS code_sum,

@@ -249,6 +249,61 @@ object TextDedup {
         .orderBy(col("reason"))
     }),
 
+    // Curation FUNNEL: cumulative survivor counts through the admission
+    // gates in pipeline order (raw → exact-dedup keeper → min length →
+    // quality → stopwords) — the "where do we lose documents" view that
+    // corpus_reject_report's first-fail buckets can't give. ONE scan:
+    // every stage is a flag product inside a single 1-row aggregate, then
+    // the row pivots via a 5-element literal explode. Shares the gate
+    // expressions with corpus_reject_report so the two reports reconcile.
+    "corpus_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(col("text")))
+      val d = Tables.documents(s, dir)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+      val s1 = (col("doc_id") === col("keeper")).cast("long")
+      val s2 = s1 * (TA.tokenCount(col("text")) >= 20).cast("long")
+      val s3 = s2 * (TA.meanTokenLen(col("text")).between(3.0, 10.0) &&
+        TA.symbolRatio(col("text")) <= 0.1).cast("long")
+      val s4 = s3 * (TA.distinctStopwordCount(col("text")) >= 2).cast("long")
+      d.agg(count(lit(1)).as("n0"), sum(s1).as("n1"), sum(s2).as("n2"),
+          sum(s3).as("n3"), sum(s4).as("n4"))
+        .select(col("n0"), explode(array(
+          struct(lit(0L).as("stage"), lit("raw").as("gate"), col("n0").as("n_docs")),
+          struct(lit(1L).as("stage"), lit("dedup_exact").as("gate"), col("n1").as("n_docs")),
+          struct(lit(2L).as("stage"), lit("min_length").as("gate"), col("n2").as("n_docs")),
+          struct(lit(3L).as("stage"), lit("quality").as("gate"), col("n3").as("n_docs")),
+          struct(lit(4L).as("stage"), lit("stopwords").as("gate"), col("n4").as("n_docs"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.gate").as("gate"),
+          col("r.n_docs").as("n_docs"),
+          expr("(r.n_docs * 10000) div n0").as("share_bp"))
+        .orderBy(col("stage"))
+    }),
+
+    // Bigram language-model estimation: P(w2 | w1) in truncated basis
+    // points, top-3 continuations per context among contexts seen >= 100
+    // times — the n-gram-LM step of a data pipeline (perplexity filters,
+    // contamination LMs). Two keyed aggregates over the SAME bigram
+    // table (context totals are a rollup of the pair counts — the corpus
+    // is never re-tokenized), a broadcast-sized rank window per context.
+    "text_bigram_lm" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("w1")).orderBy(col("n2").desc, col("w2"))
+      val big = Tables.documents(s, dir)
+        .select(explode(TA.shingles(col("text"), 2)).as("bg"))
+        .select(split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+      val uni = big.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+      big.join(uni, "w1")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3 && col("n1") >= 100)
+        .select(col("w1"), col("w2"), col("n2"), col("n1"),
+          expr("(n2 * 10000) div n1").as("p_bp"), col("rn"))
+        .orderBy(col("w1"), col("rn"))
+    }),
+
     // BPE-ish token counting next to the whitespace count — the cheap
     // "how many LLM tokens" proxy. The corpus is single-case letters, so
     // a mixed fragment (contractions, digits, punctuation) is appended
@@ -643,6 +698,55 @@ object TextDedup {
          |SELECT reason, count(*) AS n_docs, min(doc_id) AS sample_doc
          |FROM m GROUP BY reason ORDER BY reason""".stripMargin
     },
+
+    "corpus_funnel" -> {
+      val stopList = graft.ops.TextAnalysis.stopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toksv,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents),
+         |f AS (SELECT
+         |    CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS s1,
+         |    CASE WHEN doc_id = keeper AND len(toksv) >= 20 THEN 1 ELSE 0 END AS s2,
+         |    CASE WHEN doc_id = keeper AND len(toksv) >= 20
+         |         AND CAST(length(trim(text)) - (len(toksv) - 1) AS DOUBLE) / len(toksv)
+         |             BETWEEN 3.0 AND 10.0
+         |         AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / length(text) <= 0.1 THEN 1 ELSE 0 END AS s3,
+         |    CASE WHEN doc_id = keeper AND len(toksv) >= 20
+         |         AND CAST(length(trim(text)) - (len(toksv) - 1) AS DOUBLE) / len(toksv)
+         |             BETWEEN 3.0 AND 10.0
+         |         AND CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+         |             / length(text) <= 0.1
+         |         AND len(list_intersect(list_distinct(toksv), $stopList)) >= 2
+         |         THEN 1 ELSE 0 END AS s4
+         |  FROM t),
+         |a AS (SELECT count(*) AS n0, sum(s1) AS n1, sum(s2) AS n2,
+         |             sum(s3) AS n3, sum(s4) AS n4 FROM f)
+         |SELECT CAST(r.stage AS BIGINT) AS stage, r.gate,
+         |  CAST(r.n_docs AS BIGINT) AS n_docs,
+         |  CAST(r.n_docs * 10000 // a.n0 AS BIGINT) AS share_bp
+         |FROM a, LATERAL (VALUES
+         |  (0, 'raw', n0), (1, 'dedup_exact', n1), (2, 'min_length', n2),
+         |  (3, 'quality', n3), (4, 'stopwords', n4)) AS r(stage, gate, n_docs)
+         |ORDER BY stage""".stripMargin
+    },
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT $toks AS toksv FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(toksv)),
+         |    i -> toksv[i] || ' ' || toksv[i+1])) AS bgs
+         |  FROM t),
+         |p AS (SELECT string_split(bgs, ' ')[1] AS w1, string_split(bgs, ' ')[2] AS w2
+         |      FROM bg),
+         |c2 AS (SELECT w1, w2, count(*) AS n2 FROM p GROUP BY w1, w2),
+         |c1 AS (SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1),
+         |rk AS (SELECT c2.w1, w2, n2, n1,
+         |  row_number() OVER (PARTITION BY c2.w1 ORDER BY n2 DESC, w2) AS rn
+         |  FROM c2 JOIN c1 USING (w1))
+         |SELECT w1, w2, CAST(n2 AS BIGINT) AS n2, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(n2 * 10000 // n1 AS BIGINT) AS p_bp, CAST(rn AS INTEGER) AS rn
+         |FROM rk WHERE rn <= 3 AND n1 >= 100 ORDER BY w1, rn""".stripMargin,
 
     "text_bpe_tokens" -> {
       val pat = graft.ops.TextAnalysis.bpePattern.replace("'", "''")

@@ -41,7 +41,11 @@ class PlanSpec extends AnyFunSuite {
     "events_rfm", "etl_data_drift",
     //  - sim_sq8_search: 1-row broadcast query codes vs every candidate's
     //    codes (the compact-code twin of sim_topk_brute's query vector)
-    "sim_sq8_search")
+    "sim_sq8_search",
+    //  - sim_recall_audit / etl_key_skew: 1-row audit-count / total-count
+    //    scalar broadcast under a constant-size result (the
+    //    q_scalar_subquery shape)
+    "sim_recall_audit", "etl_key_skew")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

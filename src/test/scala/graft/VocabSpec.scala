@@ -108,6 +108,61 @@ class VocabSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_funnel: monotone non-increasing survivor counts from raw") {
+    val rows = run("corpus_funnel").collect().sortBy(_.getAs[Long]("stage"))
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_docs") >= b.getAs[Long]("n_docs"), "funnel not monotone")
+    }
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.head.getAs[Long]("n_docs") == nDocs)
+    assert(rows.head.getAs[Long]("share_bp") == 10000L)
+  }
+
+  test("text_bigram_lm: per-context probabilities bounded, rank within 3") {
+    val rows = run("text_bigram_lm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p_bp") >= 0 && r.getAs[Long]("p_bp") <= 10000)
+      assert(r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= 3)
+      assert(r.getAs[Long]("n2") <= r.getAs[Long]("n1"))
+    }
+  }
+
+  test("sim_recall_audit: hits bounded by both result sets") {
+    val r = run("sim_recall_audit").head()
+    val hits = r.getAs[Long]("hits")
+    assert(hits <= r.getAs[Long]("k_exact") && hits <= r.getAs[Long]("n_ann"))
+    assert(r.getAs[Long]("recall_bp") >= 0 && r.getAs[Long]("recall_bp") <= 10000)
+  }
+
+  test("mm_format_sniff: formats partition the corpus") {
+    val rows = run("mm_format_sniff").collect()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val known = Set("image", "audio", "video", "binary")
+    assert(rows.map(_.getAs[String]("format")).forall(known))
+  }
+
+  test("etl_key_skew: shares bounded and counts sorted") {
+    val rows = run("etl_key_skew").collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n") >= b.getAs[Long]("n"))
+    }
+    assert(rows.map(_.getAs[Long]("share_bp")).sum <= 10000)
+  }
+
+  test("events_heavy_hitters: per-hour top-3 counts reconcile with raw") {
+    val rows = run("events_heavy_hitters").collect()
+    assert(rows.nonEmpty)
+    val byHour = rows.groupBy(_.getAs[String]("h"))
+    byHour.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
   test("sq8 ranking approximates exact cosine top-k (recall sanity)") {
     val sq8 = run("sim_sq8_search").collect().map(_.getAs[Long]("vec_id")).toSet
     val exact = run("sim_topk_brute").collect()
