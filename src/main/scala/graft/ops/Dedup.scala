@@ -180,30 +180,86 @@ object Dedup {
       explode(array_distinct(transform(
         TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
 
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, maxDf: Int = 50): DataFrame = {
+  /** Df-filtered distinct postings, materialized once (feeds sizes + both
+    * self-join sides — without the checkpoint the tokenize/shingle/hash
+    * explode re-runs per consumer). */
+  private def filteredPostings(docs: DataFrame, idCol: String, textCol: String,
+                               n: Int, maxDf: Int): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
-    // posting-list df filter: one narrow pre-aggregate over the shingle
-    // hash. The FILTERED index is materialized once with truncated
-    // lineage — it feeds three consumers (sizes + both self-join sides),
-    // each of which would otherwise re-run the tokenize/shingle/hash
-    // explode over the full corpus.
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("s"))
-    val shr = sh.join(rare, Seq("s")).localCheckpoint(true)
+    sh.join(rare, Seq("s")).localCheckpoint(true)
+  }
+
+  /** PPJoin-style prefix-filtered candidate pairs with EXACT intersection
+    * counts, for overlap thresholds of the form I ≥ t·|smaller set|
+    * (Jaccard ≥ t and containment ≥ t both imply it).
+    *
+    * Each doc's df-filtered shingle set is sorted into one canonical
+    * global order (ascending hash); only its first
+    * floor((1-t)·|S|)+1 elements are indexed. ALL-Pairs/PPJoin
+    * guarantee: a qualifying pair's SMALLER set must place at least one
+    * intersection element inside that prefix (its last ceil(t·|S|)-1
+    * slots can't hold an intersection of size ≥ t·|S|), so joining
+    * prefix postings against the FULL posting list loses nothing. At
+    * t=0.8 the index shrinks 5× and the candidate join output drops from
+    * Σ df² to Σ pdf·df — the difference between a task-killer and a
+    * bounded join at 100 TB. Exact intersections then come from one
+    * array_intersect over the (much smaller) deduped candidate set; the
+    * epsilon in the prefix length only ever lengthens it (more
+    * candidates, never fewer — exactness is preserved by construction).
+    *
+    * Returns (a, b, inter, na, nb) for a < b. */
+  private def prefixCandidateCounts(shr: DataFrame, threshold: Double): DataFrame = {
+    val arrs = shr.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("s"))).as("set"),
+        count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
+    val prefLen =
+      (floor((lit(1.0) - lit(threshold)) * col("n_sh") + lit(1e-4)) + 1).cast("int")
+    val pref = arrs.select(col("doc"), explode(slice(col("set"), lit(1), prefLen)).as("s"))
+    val cand = pref.select(col("doc").as("a"), col("s"))
+      .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
+      .where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc").as("a"), col("set").as("sa"), col("n_sh").as("na")), Seq("a"))
+      .join(arrs.select(col("doc").as("b"), col("set").as("sb"), col("n_sh").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        col("na"), col("nb"))
+  }
+
+  /** All-pairs exact intersection counts via the full posting self-join —
+    * the only complete shape when the threshold is too low for prefix
+    * filtering to prune anything. Returns (a, b, inter, na, nb), a < b. */
+  private def allPairCounts(shr: DataFrame): DataFrame = {
     val sizes = shr.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val inter = shr.select(col("doc").as("a"), col("s"))
+    shr.select(col("doc").as("a"), col("s"))
       .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+  }
+
+  /** Below this threshold the prefix is nearly the whole set and the
+    * array-carrying candidate join costs more than it saves. */
+  private val PrefixFilterMinThreshold = 0.3
+
+  private def pairCounts(shr: DataFrame, threshold: Double): DataFrame =
+    if (threshold >= PrefixFilterMinThreshold) prefixCandidateCounts(shr, threshold)
+    else allPairCounts(shr)
+
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double, maxDf: Int = 50): DataFrame =
+    pairCounts(filteredPostings(docs, idCol, textCol, n, maxDf), threshold)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .where(col("jaccard") >= lit(threshold))
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
-  }
 
   /** N-gram CONTAINMENT pairs — the asymmetric near-dup test Jaccard
     * misses: a short doc pasted inside a long one has tiny Jaccard
@@ -213,23 +269,12 @@ object Dedup {
     * stop-shingle can never emit m² rows), one extra `least()` in the
     * final score — no new shuffle. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshold: Double, maxDf: Int = 50): DataFrame = {
-    val sh = shingleHashes(docs, idCol, textCol, n)
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("s"))
-    val shr = sh.join(rare, Seq("s")).localCheckpoint(true)
-    val sizes = shr.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    shr.select(col("doc").as("a"), col("s"))
-      .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
-      .where(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+                       n: Int, threshold: Double, maxDf: Int = 50): DataFrame =
+    pairCounts(filteredPostings(docs, idCol, textCol, n, maxDf), threshold)
       .withColumn("containment",
         col("inter").cast("double") / least(col("na"), col("nb")))
       .where(col("containment") >= lit(threshold))
       .select(col("a"), col("b"), col("inter"), col("containment"))
-  }
 
   /** Duplicate-cluster assembly from candidate pairs: `iters` rounds of
     * min-label propagation (each node takes the least label among itself

@@ -426,6 +426,77 @@ object Analytics {
         .orderBy(col("h"), col("rn"))
     }),
 
+    // Peak concurrency per hour (sweep line): each event opens a 30-min
+    // interval; boundaries carry ±1 deltas and the running delta sum at
+    // any boundary IS the live concurrency. The prefix sum is TWO-PHASE
+    // (per-hour-block partials + a broadcast block-offset table — the
+    // same distributed-scan shape as Layout.packShards), so no window
+    // ever sees more than one hour's boundaries: the global-sort
+    // bottleneck a naive sweep line hits at 100 TB never forms. Ties
+    // order ends (-1) before starts (+1), so touching intervals don't
+    // count concurrent; per-hour max is order-independent within tie
+    // groups (max lands after all +1s / before all -1s either way).
+    "events_concurrency" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("ts"))
+      // materialized once: the boundary set feeds BOTH the block-offset
+      // aggregate and the per-block sweep join (without this the events
+      // scan runs 4× in one plan)
+      val b = e.select(col("ts").as("t"), lit(1L).as("d"))
+        .unionByName(e.select((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1L).as("d")))
+        .withColumn("blk", expr("unix_micros(t) div 3600000000"))
+        .localCheckpoint(true)
+      val wBlk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = b.groupBy(col("blk")).agg(sum(col("d")).as("bs"))
+        .withColumn("off", coalesce(sum(col("bs")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.join(broadcast(offs), "blk")
+        .withColumn("conc", col("off") + sum(col("d")).over(wIn))
+        .groupBy(col("blk"))
+        .agg(max(col("conc")).as("peak"),
+          sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_starts"))
+        .select(
+          date_format(timestamp_micros(col("blk") * lit(3600000000L)), "yyyy-MM-dd HH")
+            .as("h"),
+          col("peak"), col("n_starts"))
+        .orderBy(col("h"))
+    }),
+
+    // Cohort retention matrix: users bucketed by first-seen day, activity
+    // counted per (cohort, days-since) cell — the full triangle the
+    // hour-over-hour events_retention is one diagonal of. Two keyed
+    // aggregates + one user-keyed join; the matrix itself is days²
+    // cells, never user-sized.
+    "events_cohort_matrix" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+      e.join(cohort, "user_id")
+        .groupBy(date_format(col("c"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("d"), col("c")).cast("long").as("period"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort"), col("period"))
+    }),
+
+    // Day-over-day volume/value change in signed basis points (truncating
+    // toward zero in BOTH engines — Spark `div` and DuckDB `//` agree on
+    // negatives). The lag window runs over the DAILY rollup (a handful of
+    // rows), never over raw events.
+    "events_day_over_day" -> ((s, dir) => {
+      val w = Window.orderBy(col("day"))
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .where(col("prev_n").isNotNull)
+        .select(col("day"), col("n"), col("prev_n"), col("total"),
+          expr("((n - prev_n) * 10000) div prev_n").as("dod_bp"))
+        .orderBy(col("day"))
+    }),
+
     // Exact DISCRETE percentiles (the value at rank ceil(p·n), no
     // interpolation — the twin of q_percentile's interpolating form) per
     // returnflag. The rank window sorts within each flag's own shuffle
@@ -687,6 +758,40 @@ object Analytics {
         |  FROM c)
         |SELECT h, event_type, n, CAST(rn AS INTEGER) AS rn
         |FROM rk WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
+
+    "events_concurrency" ->
+      """WITH b AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE, -1 FROM events),
+        |r AS (SELECT t, d, epoch_us(t) // 3600000000 AS blk,
+        |  sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS conc FROM b)
+        |SELECT strftime(make_timestamp(blk * 3600000000), '%Y-%m-%d %H') AS h,
+        |  CAST(max(conc) AS BIGINT) AS peak,
+        |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM r GROUP BY blk ORDER BY h""".stripMargin,
+
+    "events_cohort_matrix" ->
+      """WITH e AS (SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        |           FROM events),
+        |c AS (SELECT user_id, min(d) AS c FROM e GROUP BY user_id)
+        |SELECT strftime(c.c, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', c.c, e.d) AS BIGINT) AS period,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period""".stripMargin,
+
+    "events_day_over_day" ->
+      """WITH daily AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  FROM events GROUP BY day),
+        |lagged AS (SELECT day, n, total,
+        |  lag(n, 1) OVER (ORDER BY day) AS prev_n FROM daily)
+        |SELECT day, n, prev_n, total,
+        |  CAST((n - prev_n) * 10000 // prev_n AS BIGINT) AS dod_bp
+        |FROM lagged WHERE prev_n IS NOT NULL ORDER BY day""".stripMargin,
 
     "q_percentile_disc" ->
       """WITH r AS (

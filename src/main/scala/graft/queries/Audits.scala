@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Similarity, TextAnalysis => TA}
+
+/** Round-6 additions: seasonality / concentration / inter-arrival event
+  * audits, integer-exact text composition profiles, a log2 length
+  * histogram, code-likeness detection, conditional-aggregate kernels, and
+  * a matryoshka-style prefix-dimension rerank for vector search.
+  *
+  * All numeric outputs follow the repo's cross-engine determinism rule:
+  * exact integer/decimal aggregation, truncating integer basis points for
+  * ratios, doubles only in final expressions over bit-identical operands.
+  */
+object Audits {
+
+  val queries: Map[String, Q] = Map(
+    // Day-of-week × hour-of-day activity profile — the seasonality map a
+    // pipeline consults before scheduling backfills or load-shedding.
+    // One scan → one 168-key aggregate (map-side partials collapse the
+    // corpus; the reducer sees ≤ 168 rows per partition), plus a 1-row
+    // total broadcast for the share column. Output is ≤ 168 rows at any
+    // corpus size. dow is engine-portable: Spark dayofweek() is
+    // 1=Sunday..7, the oracle's strftime('%w') is 0=Sunday..6.
+    "events_seasonality" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"),
+        col("user_id"), col("value"))
+      val tot = e.agg(count(lit(1)).as("total"))
+      e.groupBy(col("dow"), col("hod"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("total_value"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("hod"), col("n"), col("n_users"),
+          col("total_value"), expr("(n * 10000) div total").as("share_bp"))
+        .orderBy(col("dow"), col("hod"))
+    }),
+
+    // Value-concentration (Pareto) audit: users ranked by exact spend in
+    // integer cents, cut into deciles, each decile's share of total spend
+    // in basis points — "do 10% of users carry 80% of value". The global
+    // ntile sorts USERS (already one row each after the keyed rollup),
+    // not events; output is 10 rows at any scale. Ties broken by user_id
+    // so the decile assignment is deterministic in both engines.
+    "events_pareto" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n_events"))
+      val w = Window.orderBy(col("cents").desc, col("user_id"))
+      val tot = perUser.agg(sum(col("cents")).as("total_cents"))
+      perUser.withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("decile_cents"),
+          sum(col("n_events")).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile").cast("long").as("decile"), col("n_users"),
+          col("decile_cents"), col("n_events"),
+          expr("(decile_cents * 10000) div total_cents").as("share_bp"))
+        .orderBy(col("decile"))
+    }),
+
+    // Per-user inter-arrival profile: gap stats in whole seconds between
+    // consecutive events (burst detection / bot heuristics read min_gap;
+    // churn models read max_gap). The lag window shuffles once on
+    // user_id; gaps are exact integer seconds (epoch-microsecond
+    // subtraction, truncating div), and the median is the DISCRETE
+    // percentile (value at rank ceil(n/2) — no interpolation), so every
+    // column is integer-exact across engines. Output is one row per user.
+    "events_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("user_id"),
+          expr("(unix_micros(ts) - unix_micros(prev)) div 1000000").as("gap_s"))
+      val wRank = Window.partitionBy(col("user_id")).orderBy(col("gap_s"))
+      gaps.withColumn("rk", row_number().over(wRank))
+        .withColumn("nw", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"),
+          sum(col("gap_s")).as("sum_gap_s"),
+          max(when(col("rk") === expr("(nw + 1) div 2"), col("gap_s")))
+            .as("median_gap_s"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Character-class composition per doc: alpha / digit / space / other
+    // counts and truncating basis points — the cheapest "is this text or
+    // garbage" probe, one codegen'd per-row kernel, zero shuffles beyond
+    // the final order. Explicit ASCII classes so Java and RE2 regex
+    // semantics can't diverge.
+    "text_char_classes" -> ((s, dir) => {
+      val t = col("text")
+      val nAlpha = length(t) - length(regexp_replace(t, "[A-Za-z]", ""))
+      val nDigit = length(t) - length(regexp_replace(t, "[0-9]", ""))
+      val nSpace = length(t) - length(regexp_replace(t, " ", ""))
+      Tables.documents(s, dir)
+        .where(length(t) > 0)
+        .select(
+          col("doc_id"), length(t).cast("long").as("n_chars"),
+          nAlpha.cast("long").as("n_alpha"), nDigit.cast("long").as("n_digit"),
+          nSpace.cast("long").as("n_space"),
+          (length(t) - nAlpha - nDigit - nSpace).cast("long").as("n_other"))
+        .withColumn("alpha_bp", expr("(10000 * n_alpha) div n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-length histogram on log2 buckets — the sequence-length
+    // distribution a training job reads to pick packing / truncation
+    // lengths. The bucket is integer-exact in both engines: length of the
+    // binary rendering of the token count (floor(log2)+1) — no floating
+    // log whose last ulp could disagree. Output is ~log2(maxlen) rows.
+    "corpus_length_hist" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(TA.tokenCount(col("text")).as("nt"))
+        .withColumn("bucket", length(bin(col("nt"))).cast("long"))
+      d.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("nt")).as("min_tokens"), max(col("nt")).as("max_tokens"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Code-likeness detection: brace/bracket/operator density, digit
+    // density, and line shape — the signals a corpus router uses to send
+    // documents to a code pipeline vs a prose one. Pure per-row kernel in
+    // integer basis points; `verdict` is the routed class.
+    "text_code_detect" -> ((s, dir) => {
+      val t = col("text")
+      val nSym = length(t) - length(regexp_replace(t, "[{}()\\[\\];=<>]", ""))
+      Tables.documents(s, dir)
+        .where(length(t) > 0)
+        .select(col("doc_id"), nSym.cast("long").as("n_sym"),
+          length(t).cast("long").as("nc"))
+        .withColumn("sym_bp", expr("(10000 * n_sym) div nc"))
+        .select(col("doc_id"), col("n_sym"), col("sym_bp"),
+          when(col("sym_bp") >= 200, lit("code")).otherwise(lit("prose"))
+            .as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Conditional-aggregate kernels: FILTER-style counts, boolean
+    // aggregates, and conditional sums per group — all map-side partial,
+    // one shuffle on the group key.
+    "q_cond_aggs" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("n_bigqty"),
+          bool_and(col("l_extendedprice") > 0).as("all_pos"),
+          bool_or(col("l_discount") > lit(0.05)).as("any_hidisc"),
+          dsum(when(col("l_discount") > lit(0.05), col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("hidisc_rev"))
+        .orderBy(col("l_returnflag"))),
+
+    // Matryoshka-style two-stage vector search: a COARSE cosine over the
+    // first 16 of 64 dimensions shortlists 50 candidates (4× less memory
+    // traffic per vector — at 100 TB the prefix sub-vectors are a column
+    // a quarter the size, scanned instead of the full embedding), then
+    // the survivors pay the full-dimension cosine and the top 10 win.
+    // Both stages round to 4 dp with id tiebreaks, so the shortlist and
+    // final ranking are deterministic and engine-reproducible.
+    "sim_prefix_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(col("embedding").as("qv"),
+          slice(col("embedding"), 1, 16).as("qp"))
+      val cand = emb.where(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .withColumn("coarse",
+          round(Similarity.cosine(slice(col("embedding"), 1, 16), col("qp")), 4))
+        .orderBy(col("coarse").desc, col("vec_id")).limit(50)
+      cand.withColumn("cos", round(Similarity.cosine(col("embedding"), col("qv")), 4))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("coarse"), col("cos"))
+    })
+  )
+
+  private def charClassSql(cls: String) =
+    s"length(text) - length(regexp_replace(text, '$cls', '', 'g'))"
+
+  val oracle: Map[String, String] = Map(
+    "events_seasonality" ->
+      """WITH e AS (SELECT CAST(strftime(CAST(ts AS TIMESTAMP), '%w') AS BIGINT) AS dow,
+        |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |  user_id, value FROM events),
+        |t AS (SELECT count(*) AS total FROM e)
+        |SELECT dow, hod, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  CAST(count(*) * 10000 // t.total AS BIGINT) AS share_bp
+        |FROM e, t GROUP BY dow, hod, t.total ORDER BY dow, hod""".stripMargin,
+
+    "events_pareto" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT cents, n_events,
+        |  ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile FROM u),
+        |t AS (SELECT sum(cents) AS total_cents FROM u)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS decile_cents,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) * 10000 // t.total_cents AS BIGINT) AS share_bp
+        |FROM d, t GROUP BY decile, t.total_cents ORDER BY decile""".stripMargin,
+
+    "events_interarrival" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |     epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER
+        |       (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+        |      // 1000000 AS gap_s
+        |  FROM events),
+        |r AS (SELECT user_id, gap_s,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rk,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM g WHERE gap_s IS NOT NULL)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
+        |  sum(gap_s) AS sum_gap_s,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "text_char_classes" -> {
+      val alpha = charClassSql("[A-Za-z]")
+      val digit = charClassSql("[0-9]")
+      val space = charClassSql(" ")
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST($alpha AS BIGINT) AS n_alpha,
+         |  CAST($digit AS BIGINT) AS n_digit,
+         |  CAST($space AS BIGINT) AS n_space,
+         |  CAST(length(text) - ($alpha) - ($digit) - ($space) AS BIGINT) AS n_other,
+         |  CAST(10000 * ($alpha) // length(text) AS BIGINT) AS alpha_bp
+         |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "corpus_length_hist" ->
+      """WITH d AS (
+        |  SELECT len(string_split(trim(text), ' ')) AS nt,
+        |    CAST(length(bin(len(string_split(trim(text), ' ')))) AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT bucket, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(min(nt) AS BIGINT) AS min_tokens, CAST(max(nt) AS BIGINT) AS max_tokens
+        |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "text_code_detect" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) - length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g')) AS n_sym,
+        |    length(text) AS nc
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+        |  CAST(10000 * n_sym // nc AS BIGINT) AS sym_bp,
+        |  CASE WHEN 10000 * n_sym // nc >= 200 THEN 'code' ELSE 'prose' END AS verdict
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_cond_aggs" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bigqty,
+        |  bool_and(l_extendedprice > 0) AS all_pos,
+        |  bool_or(l_discount > 0.05) AS any_hidisc,
+        |  CAST(sum(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS hidisc_rev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sim_prefix_rerank" -> {
+      def dotN(x: String, y: String, n: Int) =
+        s"list_sum(list_transform(range(1, ${n + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+      def cosN(x: String, y: String, n: Int) =
+        s"${dotN(x, y, n)} / (sqrt(${dotN(x, x, n)}) * sqrt(${dotN(y, y, n)}))"
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    round(${cosN("e.embedding", "q.qv", 16)}, 4) AS coarse
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY coarse DESC, e.vec_id LIMIT 50)
+         |SELECT vec_id, coarse,
+         |  round(${cosN("c.embedding", "q.qv", 64)}, 4) AS cos
+         |FROM c, q
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    }
+  )
+}

@@ -147,6 +147,25 @@ object SimMm {
           expr("(hits * 10000) div k_exact").as("recall_bp"))
     }),
 
+    // Similarity-distribution histogram: cosine of every pair WITHIN a
+    // label block, bucketed at 0.1 width — the "what threshold should
+    // this corpus use" audit next to dedup_threshold_sweep, for vectors.
+    // Pair cost is Σ block² (the blocking key bounds the join exactly as
+    // an LSH bucket would at 100 TB), and the histogram output is a
+    // handful of rows regardless of corpus size.
+    "sim_cos_hist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+      val b = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+      a.join(b, Seq("label")).where(col("a") < col("b"))
+        .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
+        .withColumn("bucket", floor(col("cos") * 10).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("cos")).as("lo"),
+          max(col("cos")).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // Container-format dispatch: route opaque binaries by their leading
     // byte ("magic number" sniffing — the demux step before per-format
     // decoders). Pure per-row kernel + a tiny keyed rollup; the stub
@@ -445,6 +464,15 @@ object SimMm {
          |  CAST(hits AS BIGINT) AS hits,
          |  CAST(hits * 10000 // k_exact AS BIGINT) AS recall_bp
          |FROM a""".stripMargin,
+
+    "sim_cos_hist" ->
+      s"""WITH p AS (
+         |  SELECT round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id),
+         |h AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, cos FROM p)
+         |SELECT bucket, count(*) AS n_pairs, min(cos) AS lo, max(cos) AS hi
+         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "mm_format_sniff" ->
       """WITH f AS (

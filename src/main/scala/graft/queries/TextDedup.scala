@@ -281,6 +281,28 @@ object TextDedup {
         .orderBy(col("stage"))
     }),
 
+    // Training-epoch plan: every document lands in one of 8 batches by an
+    // engine-portable md5-derived hash (the deterministic "shuffle" of an
+    // epoch — re-runnable, resumable, no RNG state). Output is the batch
+    // balance audit (docs, tokens, share) a training job checks before
+    // reading: one per-row map + one 8-row aggregate, zero wide shuffles
+    // beyond the rollup.
+    "corpus_epoch_plan" -> ((s, dir) => {
+      val batch = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long"), lit(8L))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), batch.as("batch"), TA.tokenCount(col("text")).as("nt"))
+      val tot = d.agg(count(lit(1)).as("total"))
+      d.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .crossJoin(broadcast(tot))
+        .select(col("batch"), col("n_docs"), col("n_tokens"),
+          col("first_doc"), col("last_doc"),
+          expr("(n_docs * 10000) div total").as("share_bp"))
+        .orderBy(col("batch"))
+    }),
+
     // Bigram language-model estimation: P(w2 | w1) in truncated basis
     // points, top-3 continuations per context among contexts seen >= 100
     // times — the n-gram-LM step of a data pipeline (perplexity filters,
@@ -730,6 +752,21 @@ object TextDedup {
          |  (3, 'quality', n3), (4, 'stopwords', n4)) AS r(stage, gate, n_docs)
          |ORDER BY stage""".stripMargin
     },
+
+    "corpus_epoch_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8
+        |      AS batch,
+        |    len(string_split(trim(text), ' ')) AS nt
+        |  FROM documents),
+        |t AS (SELECT count(*) AS total FROM d)
+        |SELECT CAST(batch AS BIGINT) AS batch, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(count(*) * 10000 // t.total AS BIGINT) AS share_bp
+        |FROM d, t GROUP BY batch, t.total ORDER BY batch""".stripMargin,
 
     "text_bigram_lm" ->
       s"""WITH t AS (SELECT $toks AS toksv FROM documents),

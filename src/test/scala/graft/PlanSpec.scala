@@ -45,7 +45,16 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_recall_audit / etl_key_skew: 1-row audit-count / total-count
     //    scalar broadcast under a constant-size result (the
     //    q_scalar_subquery shape)
-    "sim_recall_audit", "etl_key_skew")
+    "sim_recall_audit", "etl_key_skew",
+    //  - corpus_epoch_plan: 1-row corpus-total scalar broadcast under the
+    //    8-row batch rollup
+    "corpus_epoch_plan",
+    //  - events_seasonality / events_pareto: 1-row total scalar broadcast
+    //    under a ≤168-row / 10-row rollup (the q_scalar_subquery shape)
+    "events_seasonality", "events_pareto",
+    //  - sim_prefix_rerank: 1-row broadcast query vector vs every
+    //    candidate (the sim_topk_brute shape, twice)
+    "sim_prefix_rerank")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

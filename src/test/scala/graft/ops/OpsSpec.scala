@@ -109,6 +109,20 @@ class OpsSpec extends AnyFunSuite {
     assert(p == Seq((1L, 2L, 1.0)))
   }
 
+  test("Dedup prefix-filtered pairs equal the all-pairs path on real docs") {
+    // the PPJoin prefix filter (threshold ≥ 0.3 path) must lose NOTHING:
+    // compare against the complete t=0 self-join filtered post-hoc, on
+    // the real document corpus at several thresholds
+    val real = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val all = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, 0.0)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val pref = Dedup.ngramJaccardPairs(real, "doc_id", "text", 3, t)
+        .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref == all.filter(_._3 >= t), s"threshold $t")
+    }
+  }
+
   test("Dedup.ngramJaccardPairs df cap drops stop-shingle candidates") {
     // docs 1,2 share every shingle (df=2 each); maxDf=1 removes them all
     // from the inverted index → no candidate pairs survive
