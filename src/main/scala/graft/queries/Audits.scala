@@ -93,6 +93,29 @@ object Audits {
         .orderBy(col("user_id"))
     }),
 
+    // DAU/WAU stickiness: per day, distinct active users that day vs the
+    // trailing 7-day window, ratio in basis points. The windowed count
+    // can't use a window frame (count DISTINCT over a range isn't
+    // expressible), so the day spine (one row per day — tiny at any
+    // scale) broadcast-joins the deduped user-day set with a 7-day band:
+    // each user-day lands in at most 7 spine days, a bounded fan-out,
+    // never a cross product.
+    "events_stickiness" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        .localCheckpoint(true) // feeds the spine, dau, and the band join
+      val days = ud.select(col("d").as("day")).distinct()
+      val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+      val wau = broadcast(days).join(ud,
+          col("d").between(date_sub(col("day"), 6), col("day")))
+        .groupBy(col("day")).agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          expr("(dau * 10000) div wau").as("stickiness_bp"))
+        .orderBy(col("day"))
+    }),
+
     // Character-class composition per doc: alpha / digit / space / other
     // counts and truncating basis points — the cheapest "is this text or
     // garbage" probe, one codegen'd per-row kernel, zero shuffles beyond
@@ -230,6 +253,20 @@ object Audits {
         |  sum(gap_s) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+        |            FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY d),
+        |wau AS (
+        |  SELECT days.day, count(DISTINCT ud.user_id) AS wau
+        |  FROM days JOIN ud ON ud.d BETWEEN days.day - INTERVAL 6 DAY AND days.day
+        |  GROUP BY days.day)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  CAST(dau.dau * 10000 // wau.wau AS BIGINT) AS stickiness_bp
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     "text_char_classes" -> {
       val alpha = charClassSql("[A-Za-z]")

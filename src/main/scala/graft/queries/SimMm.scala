@@ -166,6 +166,24 @@ object SimMm {
         .orderBy(col("bucket"))
     }),
 
+    // IVF cell purity audit: per cell, the majority ground-truth label's
+    // share in basis points — "do the coarse cells respect the label
+    // structure". ivfAssignAll keeps label next to the assignment (no
+    // join-back rescan); two keyed rollups; the majority pick is a
+    // deterministic lexicographic struct-min (count desc, label asc).
+    // Output is one row per cell regardless of corpus size.
+    "sim_cluster_purity" -> ((s, dir) => {
+      val a = Similarity.ivfAssignAll(Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+      val cl = a.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("c"))
+      cl.groupBy(col("cell"))
+        .agg(sum(col("c")).as("n"),
+          min(struct((-col("c")).as("negc"), col("label"))).as("top"))
+        .select(col("cell"), col("n"), col("top.label").as("major_label"),
+          (-col("top.negc")).as("top_c"))
+        .withColumn("purity_bp", expr("(top_c * 10000) div n"))
+        .orderBy(col("cell"))
+    }),
+
     // Container-format dispatch: route opaque binaries by their leading
     // byte ("magic number" sniffing — the demux step before per-format
     // decoders). Pure per-row kernel + a tiny keyed rollup; the stub

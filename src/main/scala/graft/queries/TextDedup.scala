@@ -191,6 +191,61 @@ object TextDedup {
         .orderBy(col("label"))
     }),
 
+    // Canonical-document selection: within each duplicate cluster keep
+    // the HIGHEST-QUALITY member (token count, id tiebreak), not the
+    // lowest id — the curation policy that preserves the best copy of
+    // boilerplate families. Cluster labels come from the same 3-round
+    // min-label propagation as dedup_clusters; the keeper is a
+    // deterministic lexicographic struct-min per label (one aggregate,
+    // no second window pass).
+    "corpus_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val q = docs.select(col("doc_id").as("id"),
+        TA.tokenCount(col("text")).as("n_tok"))
+      Dedup.minLabelClusters(pairs, 3)
+        .join(q, Seq("id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-col("n_tok")).as("neg"), col("id"))).as("best"))
+        .select(col("label"), col("n_members"),
+          col("best.id").as("keeper"), (-col("best.neg")).as("keeper_tokens"))
+        .orderBy(col("label"))
+    }),
+
+    // Cluster-size histogram over EXACT connected components — the
+    // shape-of-duplication audit ("how big do boilerplate families
+    // get"). Two keyed rollups on top of dedup_cc's labeling; output is
+    // one row per distinct cluster size regardless of corpus size.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // N-gram novelty: the share of a doc's DISTINCT bigrams that occur
+    // in no other document (corpus df = 1) — the inverse of
+    // text_familiarity, a memorization/contamination risk signal. One
+    // distinct explode + one df aggregate + one per-doc rollup, all
+    // keyed shuffles (a hot bigram costs df rows, never df²).
+    "text_ngram_novelty" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(
+          TA.shingles(col("text"), 2))).as("bg"))
+      val dfreq = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      bg.join(dfreq, Seq("bg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bg"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_bg"), col("n_novel"),
+          expr("(n_novel * 10000) div n_bg").as("novel_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction (email / IPv4 / phone → placeholder tokens). The
     // synthetic corpus carries no PII, so each doc's text is AUGMENTED
     // in-query with deterministic doc_id-derived PII — the oracle builds
@@ -938,6 +993,82 @@ object TextDedup {
          |labels AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a)
          |SELECT label, count(*) AS n_members, min(id) AS lo, max(id) AS hi
          |FROM labels GROUP BY label ORDER BY label""".stripMargin,
+
+    "corpus_canonical" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT n.id, least(n.label, coalesce(min(l.label), n.label)) AS label
+           |  FROM l${i - 1} n
+           |  LEFT JOIN edges e ON e.a = n.id
+           |  LEFT JOIN l${i - 1} l ON l.id = e.b
+           |  GROUP BY n.id, n.label)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |$rounds,
+         |q AS (SELECT doc_id AS id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |j AS (SELECT l3.label, l3.id, q.n_tok FROM l3 JOIN q USING (id)),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY label ORDER BY n_tok DESC, id) AS rn FROM j)
+         |SELECT label, count(*) AS n_members,
+         |  max(CASE WHEN rn = 1 THEN id END) AS keeper,
+         |  max(CASE WHEN rn = 1 THEN n_tok END) AS keeper_tokens
+         |FROM rk GROUP BY label ORDER BY label""".stripMargin
+    },
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         |csz AS (SELECT label, count(*) AS sz FROM labels GROUP BY label)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM csz GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |b AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1]))) AS bg FROM t),
+         |dfreq AS (SELECT bg, count(*) AS df FROM b GROUP BY bg)
+         |SELECT doc_id, count(*) AS n_bg,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+         |    AS novel_bp
+         |FROM b JOIN dfreq USING (bg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_dup_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

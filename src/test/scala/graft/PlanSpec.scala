@@ -54,7 +54,11 @@ class PlanSpec extends AnyFunSuite {
     "events_seasonality", "events_pareto",
     //  - sim_prefix_rerank: 1-row broadcast query vector vs every
     //    candidate (the sim_topk_brute shape, twice)
-    "sim_prefix_rerank")
+    "sim_prefix_rerank",
+    //  - events_stickiness: tiny day spine (1 row/day) broadcast over the
+    //    deduped user-day set with a 7-day band — fan-out ≤ 7 per
+    //    user-day, never a cross product
+    "events_stickiness")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
