@@ -116,6 +116,45 @@ object Audits {
         .orderBy(col("day"))
     }),
 
+    // Naive trailing-mean forecast backtest: each day's actual cent total
+    // vs the mean of the previous ≤7 daily totals (integer cents,
+    // truncating div), absolute error in basis points of the forecast.
+    // The window runs over the DAILY rollup (tens of rows), never raw
+    // events — the cheapest "is volume on trend" monitor.
+    "events_forecast_naive" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("prev_sum", sum(col("cents")).over(w))
+        .withColumn("n_prev", count(col("cents")).over(w))
+        .where(col("n_prev") > 0)
+        .withColumn("forecast_cents", expr("prev_sum div n_prev"))
+        .withColumn("err_bp",
+          expr("(abs(cents - forecast_cents) * 10000) div forecast_cents"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"), col("n_prev"), col("forecast_cents"), col("err_bp"))
+        .orderBy(col("day"))
+    }),
+
+    // New-vs-returning split per day: users first seen that day vs the
+    // rest of that day's actives, share in bp. One distinct user-day
+    // projection, a per-user min (first day), and a keyed rollup.
+    "events_new_vs_returning" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+      ud.join(first, Seq("user_id"))
+        .groupBy(date_format(col("d"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("d") === col("fd"), 1L).otherwise(0L)).as("n_new"))
+        .select(col("day"), col("dau"), col("n_new"),
+          (col("dau") - col("n_new")).as("n_returning"),
+          expr("(n_new * 10000) div dau").as("new_share_bp"))
+        .orderBy(col("day"))
+    }),
+
     // Character-class composition per doc: alpha / digit / space / other
     // counts and truncating basis points — the cheapest "is this text or
     // garbage" probe, one codegen'd per-row kernel, zero shuffles beyond
@@ -253,6 +292,34 @@ object Audits {
         |  sum(gap_s) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_forecast_naive" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, cents,
+        |  sum(cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev_sum,
+        |  count(cents) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prev
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, cents,
+        |  CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(prev_sum // n_prev AS BIGINT) AS forecast_cents,
+        |  CAST(abs(cents - prev_sum // n_prev) * 10000 // (prev_sum // n_prev) AS BIGINT)
+        |    AS err_bp
+        |FROM w WHERE n_prev > 0 ORDER BY day""".stripMargin,
+
+    "events_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+        |            FROM events),
+        |f AS (SELECT user_id, min(d) AS fd FROM ud GROUP BY user_id)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS dau,
+        |  CAST(sum(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(count(*) - sum(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(sum(CASE WHEN d = fd THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+        |    AS new_share_bp
+        |FROM ud JOIN f USING (user_id) GROUP BY d ORDER BY day""".stripMargin,
 
     "events_stickiness" ->
       """WITH ud AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id

@@ -492,6 +492,20 @@ object SimMm {
          |SELECT bucket, count(*) AS n_pairs, min(cos) AS lo, max(cos) AS hi
          |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    "sim_cluster_purity" ->
+      s"""WITH $ivfCte,
+         |a AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
+         |j AS (SELECT a.cell, e.label FROM a JOIN embeddings e USING (vec_id)),
+         |cl AS (SELECT cell, label, count(*) AS c FROM j GROUP BY cell, label),
+         |rk AS (SELECT *, row_number() OVER (
+         |    PARTITION BY cell ORDER BY c DESC, label) AS rn2,
+         |  sum(c) OVER (PARTITION BY cell) AS n FROM cl)
+         |SELECT cell, CAST(n AS BIGINT) AS n,
+         |  max(CASE WHEN rn2 = 1 THEN label END) AS major_label,
+         |  CAST(max(CASE WHEN rn2 = 1 THEN c END) AS BIGINT) AS top_c,
+         |  CAST(max(CASE WHEN rn2 = 1 THEN c END) * 10000 // n AS BIGINT) AS purity_bp
+         |FROM rk GROUP BY cell, n ORDER BY cell""".stripMargin,
+
     "mm_format_sniff" ->
       """WITH f AS (
         |  SELECT doc_id, length(text) AS bytes,

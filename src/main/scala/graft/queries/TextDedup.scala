@@ -40,6 +40,22 @@ object TextDedup {
         when(TA.langId(col("text")) === col("lang"), lit(1)).otherwise(lit(0)).as("hit"))
         .orderBy(col("doc_id"))),
 
+    // Language-ID confusion matrix: predicted vs labeled language with
+    // each cell's share of its actual-language row in basis points — the
+    // classifier-quality readout behind text_lang_id's per-doc verdicts.
+    // Two keyed rollups plus a small broadcast join on the ≤5-row
+    // per-language totals; output is ≤ langs² rows at any corpus size.
+    "text_langid_confusion" -> ((s, dir) => {
+      val p = Tables.documents(s, dir)
+        .select(col("lang"), TA.langId(col("text")).as("pred"))
+      val tot = p.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      p.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .join(tot, Seq("lang"))
+        .select(col("lang"), col("pred"), col("n"),
+          expr("(n * 10000) div n_lang").as("share_bp"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
     // Document fingerprints: bag-of-words md5 + min-shingle-hash winnow.
     "text_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -581,6 +597,28 @@ object TextDedup {
          |        AND CAST(len(list_filter(toks, x -> x IN $stopIn)) AS DOUBLE) / len(toks) < 0.5
          |       THEN 1 ELSE 0 END AS ok
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, x -> x IN ('join', 'sort'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> x IN ('the', 'data'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> x IN ('key', 'row'))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> x IN ('merge', 'scan'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(toks, x -> x IN ('query', 'hash'))) AS BIGINT) AS s_zh
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS pred
+         |  FROM sc),
+         |tot AS (SELECT lang, count(*) AS n_lang FROM p GROUP BY lang)
+         |SELECT p.lang, p.pred, count(*) AS n,
+         |  CAST(count(*) * 10000 // tot.n_lang AS BIGINT) AS share_bp
+         |FROM p JOIN tot USING (lang)
+         |GROUP BY p.lang, p.pred, tot.n_lang ORDER BY lang, pred""".stripMargin,
 
     "text_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),

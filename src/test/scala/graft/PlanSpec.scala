@@ -58,7 +58,10 @@ class PlanSpec extends AnyFunSuite {
     //  - events_stickiness: tiny day spine (1 row/day) broadcast over the
     //    deduped user-day set with a 7-day band — fan-out ≤ 7 per
     //    user-day, never a cross product
-    "events_stickiness")
+    "events_stickiness",
+    //  - sim_cluster_purity: every vector vs the 8 broadcast IVF seeds
+    //    (the sim_ivf_cells assignment shape)
+    "sim_cluster_purity")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
