@@ -116,6 +116,63 @@ object Audits {
         .orderBy(col("day"))
     }),
 
+    // Cumulative user growth: per first-seen day, new users and the
+    // running total — the acquisition curve. The cumulative window runs
+    // over the per-day rollup (tens of rows), never users.
+    "events_user_growth" -> ((s, dir) => {
+      val w = Window.orderBy(col("fd"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("fd"))
+        .groupBy(col("fd")).agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(w))
+        .select(date_format(col("fd"), "yyyy-MM-dd").as("day"),
+          col("n_new"), col("cum_users"))
+        .orderBy(col("day"))
+    }),
+
+    // Order-backlog time series: per month, orders placed vs orders fully
+    // shipped (an order ships when its LAST lineitem ships) and the
+    // cumulative open count. Two keyed rollups over a month spine; the
+    // cumulative windows run over months (constant-size), never orders.
+    "q_backlog" -> ((s, dir) => {
+      val placed = Tables.orders(s, dir)
+        .groupBy(trunc(col("o_orderdate"), "month").as("m"))
+        .agg(count(lit(1)).as("n_placed"))
+      val shipped = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("sd"))
+        .groupBy(trunc(col("sd"), "month").as("m"))
+        .agg(count(lit(1)).as("n_shipped"))
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // FULL OUTER on the month key IS the spine — a union+distinct spine
+      // would re-scan both tables a second time
+      placed.join(shipped, Seq("m"), "full_outer")
+        .select(col("m"),
+          coalesce(col("n_placed"), lit(0L)).as("n_placed"),
+          coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
+        .withColumn("open_orders",
+          sum(col("n_placed") - col("n_shipped")).over(w))
+        .select(date_format(col("m"), "yyyy-MM").as("month"),
+          col("n_placed"), col("n_shipped"), col("open_orders"))
+        .orderBy(col("month"))
+    }),
+
+    // Source × language mixing report: doc/token counts per cell with the
+    // cell's token share of the corpus in bp — the input a data-mixing
+    // policy reads. One scan, one small keyed rollup, one 1-row total.
+    "corpus_source_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("lang"), TA.tokenCount(col("text")).as("nt"))
+      val tot = d.agg(sum(col("nt")).as("total_tokens"))
+      d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 10000) div total_tokens").as("token_share_bp"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Naive trailing-mean forecast backtest: each day's actual cent total
     // vs the mean of the previous ≤7 daily totals (integer cents,
     // truncating div), absolute error in basis points of the forecast.
@@ -292,6 +349,46 @@ object Audits {
         |  sum(gap_s) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS fd
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT fd, count(*) AS n_new FROM f GROUP BY fd)
+        |SELECT strftime(fd, '%Y-%m-%d') AS day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY fd ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY day""".stripMargin,
+
+    "q_backlog" ->
+      """WITH placed AS (
+        |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_placed
+        |  FROM orders GROUP BY 1),
+        |shipped AS (
+        |  SELECT date_trunc('month', sd) AS m, count(*) AS n_shipped
+        |  FROM (SELECT l_orderkey, max(l_shipdate) AS sd FROM lineitem
+        |        GROUP BY l_orderkey) o GROUP BY 1),
+        |spine AS (SELECT m FROM placed UNION SELECT m FROM shipped),
+        |j AS (
+        |  SELECT spine.m, coalesce(n_placed, 0) AS n_placed,
+        |    coalesce(n_shipped, 0) AS n_shipped
+        |  FROM spine LEFT JOIN placed USING (m) LEFT JOIN shipped USING (m))
+        |SELECT strftime(m, '%Y-%m') AS month,
+        |  CAST(n_placed AS BIGINT) AS n_placed,
+        |  CAST(n_shipped AS BIGINT) AS n_shipped,
+        |  CAST(sum(n_placed - n_shipped) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS open_orders
+        |FROM j ORDER BY month""".stripMargin,
+
+    "corpus_source_mix" ->
+      """WITH d AS (
+        |  SELECT source, lang, len(string_split(trim(text), ' ')) AS nt
+        |  FROM documents),
+        |t AS (SELECT sum(nt) AS total_tokens FROM d)
+        |SELECT source, lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nt) * 10000 // t.total_tokens AS BIGINT) AS token_share_bp
+        |FROM d, t GROUP BY source, lang, t.total_tokens
+        |ORDER BY source, lang""".stripMargin,
 
     "events_forecast_naive" ->
       """WITH daily AS (

@@ -166,6 +166,20 @@ object SimMm {
         .orderBy(col("bucket"))
     }),
 
+    // LSH bucket-size histogram on integer-exact log2 buckets — the
+    // index-balance audit behind sim_ann_lsh ("are buckets near the
+    // 64-vector target or collapsing into one hot bucket"). Output is
+    // ~log2(max bucket) rows at any corpus size.
+    "sim_bucket_hist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      Similarity.lshBucketStats(emb, "vec_id", "embedding", planes, 64)
+        .withColumn("size_bucket", length(bin(col("n"))).cast("long"))
+        .groupBy(col("size_bucket"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_vecs"))
+        .orderBy(col("size_bucket"))
+    }),
+
     // IVF cell purity audit: per cell, the majority ground-truth label's
     // share in basis points — "do the coarse cells respect the label
     // structure". ivfAssignAll keeps label next to the assignment (no
@@ -491,6 +505,13 @@ object SimMm {
          |h AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, cos FROM p)
          |SELECT bucket, count(*) AS n_pairs, min(cos) AS lo, max(cos) AS hi
          |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "sim_bucket_hist" ->
+      s"""WITH $bucketsCte,
+         |bs AS (SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket)
+         |SELECT CAST(length(bin(n)) AS BIGINT) AS size_bucket,
+         |  count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_vecs
+         |FROM bs GROUP BY 1 ORDER BY size_bucket""".stripMargin,
 
     "sim_cluster_purity" ->
       s"""WITH $ivfCte,

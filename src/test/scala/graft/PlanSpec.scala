@@ -61,7 +61,10 @@ class PlanSpec extends AnyFunSuite {
     "events_stickiness",
     //  - sim_cluster_purity: every vector vs the 8 broadcast IVF seeds
     //    (the sim_ivf_cells assignment shape)
-    "sim_cluster_purity")
+    "sim_cluster_purity",
+    //  - corpus_source_mix: 1-row corpus-token-total scalar broadcast
+    //    under the source×lang rollup (the q_scalar_subquery shape)
+    "corpus_source_mix")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
