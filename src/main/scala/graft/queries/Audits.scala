@@ -266,6 +266,34 @@ object Audits {
         .orderBy(col("doc_id"))
     }),
 
+    // Contingency table with expected counts: observed (returnflag ×
+    // linestatus) cells next to the independence expectation
+    // row_total·col_total/n, scaled ×10000 into integer space so both
+    // engines agree bit-for-bit (the chi-square INPUT, which is the part
+    // an engine should compute — the scalar test statistic is driver
+    // math). One rollup plus two marginal rollups joined back on their
+    // keys; output is cells², never row-sized.
+    "q_contingency" -> ((s, dir) => {
+      // marginals re-aggregate the TINY cell table (≤ flags×statuses
+      // rows), not the corpus — one parquet scan total
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("obs"))
+        .localCheckpoint(true)
+      val rows = cells.groupBy(col("l_returnflag")).agg(sum(col("obs")).as("row_n"))
+      val cols = cells.groupBy(col("l_linestatus")).agg(sum(col("obs")).as("col_n"))
+      val tot = cells.agg(sum(col("obs")).as("n"))
+      cells.join(rows, Seq("l_returnflag")).join(cols, Seq("l_linestatus"))
+        .crossJoin(broadcast(tot))
+        .select(col("l_returnflag"), col("l_linestatus"), col("obs"),
+          col("row_n"), col("col_n"),
+          // DECIMAL(38,0) product: row_n·col_n·10⁴ overflows LONG once
+          // marginals pass ~10⁹ rows — real at 100 TB
+          expr("CAST((CAST(row_n AS DECIMAL(38,0)) * col_n * 10000) div n AS BIGINT)")
+            .as("expected_x10k"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Conditional-aggregate kernels: FILTER-style counts, boolean
     // aggregates, and conditional sums per group — all map-side partial,
     // one shuffle on the group key.
@@ -464,6 +492,20 @@ object Audits {
         |  CAST(10000 * n_sym // nc AS BIGINT) AS sym_bp,
         |  CASE WHEN 10000 * n_sym // nc >= 200 THEN 'code' ELSE 'prose' END AS verdict
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_contingency" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus FROM lineitem),
+        |cells AS (SELECT l_returnflag, l_linestatus, count(*) AS obs
+        |          FROM l GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, count(*) AS row_n FROM l GROUP BY 1),
+        |c AS (SELECT l_linestatus, count(*) AS col_n FROM l GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM l)
+        |SELECT cells.l_returnflag, cells.l_linestatus, cells.obs,
+        |  CAST(r.row_n AS BIGINT) AS row_n, CAST(c.col_n AS BIGINT) AS col_n,
+        |  CAST((CAST(r.row_n AS HUGEINT) * c.col_n * 10000) // t.n AS BIGINT)
+        |    AS expected_x10k
+        |FROM cells JOIN r USING (l_returnflag) JOIN c USING (l_linestatus), t
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_cond_aggs" ->
       """SELECT l_returnflag, count(*) AS n,

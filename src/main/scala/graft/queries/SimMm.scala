@@ -166,6 +166,23 @@ object SimMm {
         .orderBy(col("bucket"))
     }),
 
+    // Embedding-norm distribution per label: the calibration audit a
+    // quantizer (SQ8/PQ) reads before choosing scales. Min/max of the
+    // 4-dp-rounded norm are order-independent; the MEAN comes from an
+    // exact milli-unit integer sum (a raw double sum would be partition-
+    // order dependent). Pure map + one keyed rollup.
+    "sim_norm_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          round(Similarity.norm(col("embedding")), 4).as("nrm"),
+          round(Similarity.norm(col("embedding")) * 1000).cast("long").as("milli"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
+          sum(col("milli")).as("sum_norm_milli"))
+        .withColumn("mean_norm_milli", expr("sum_norm_milli div n"))
+        .orderBy(col("label"))),
+
     // LSH bucket-size histogram on integer-exact log2 buckets — the
     // index-balance audit behind sim_ann_lsh ("are buckets near the
     // 64-vector target or collapsing into one hot bucket"). Output is
@@ -505,6 +522,19 @@ object SimMm {
          |h AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, cos FROM p)
          |SELECT bucket, count(*) AS n_pairs, min(cos) AS lo, max(cos) AS hi
          |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "sim_norm_stats" -> {
+      val d = "list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+      s"""WITH v AS (
+         |  SELECT label, round(sqrt($d), 4) AS nrm,
+         |    CAST(round(sqrt($d) * 1000) AS BIGINT) AS milli
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n,
+         |  min(nrm) AS min_norm, max(nrm) AS max_norm,
+         |  CAST(sum(milli) AS BIGINT) AS sum_norm_milli,
+         |  CAST(sum(milli) // count(*) AS BIGINT) AS mean_norm_milli
+         |FROM v GROUP BY label ORDER BY label""".stripMargin
+    },
 
     "sim_bucket_hist" ->
       s"""WITH $bucketsCte,

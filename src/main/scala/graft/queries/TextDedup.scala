@@ -40,6 +40,20 @@ object TextDedup {
         when(TA.langId(col("text")) === col("lang"), lit(1)).otherwise(lit(0)).as("hit"))
         .orderBy(col("doc_id"))),
 
+    // Prefix dedup: documents grouped by the md5 of their first 16
+    // tokens — catches shared boilerplate heads (crawl banners, license
+    // headers) that full-content hashing misses and pairwise n-gram
+    // methods pay quadratically for. One per-row kernel + one hash
+    // rollup; only multi-member groups are emitted.
+    "text_prefix_dup" -> ((s, dir) => {
+      val pfx = concat_ws(" ", slice(TA.tokens(col("text")), 1, 16))
+      Tables.documents(s, dir)
+        .groupBy(md5(pfx).as("prefix_h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .where(col("n") > 1)
+        .orderBy(col("prefix_h"))
+    }),
+
     // Language-ID confusion matrix: predicted vs labeled language with
     // each cell's share of its actual-language row in basis points — the
     // classifier-quality readout behind text_lang_id's per-doc verdicts.
@@ -597,6 +611,13 @@ object TextDedup {
          |        AND CAST(len(list_filter(toks, x -> x IN $stopIn)) AS DOUBLE) / len(toks) < 0.5
          |       THEN 1 ELSE 0 END AS ok
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_prefix_dup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |h AS (SELECT doc_id, md5(array_to_string(toks[1:16], ' ')) AS prefix_h FROM t)
+         |SELECT prefix_h, count(*) AS n, min(doc_id) AS keeper
+         |FROM h GROUP BY prefix_h HAVING count(*) > 1
+         |ORDER BY prefix_h""".stripMargin,
 
     "text_langid_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),

@@ -64,7 +64,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_cluster_purity",
     //  - corpus_source_mix: 1-row corpus-token-total scalar broadcast
     //    under the source×lang rollup (the q_scalar_subquery shape)
-    "corpus_source_mix")
+    "corpus_source_mix",
+    //  - q_contingency: 1-row grand-total scalar broadcast under the
+    //    ≤ flags×statuses cell table
+    "q_contingency")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
