@@ -116,6 +116,38 @@ object Audits {
         .orderBy(col("day"))
     }),
 
+    // Point-in-time velocity features: per user, event counts in the
+    // trailing 1 h / 24 h / 7 d as of the corpus max timestamp — the
+    // multi-horizon activity features an ML feature store materializes.
+    // One 1-row max-ts scalar broadcast, then conditional sums inside a
+    // single keyed aggregate (three horizons cost one shuffle, not
+    // three).
+    "events_velocity" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val mx = e.agg(max(col("ts")).as("mxts"))
+      e.crossJoin(broadcast(mx))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("ts") >= col("mxts") - expr("INTERVAL 1 HOUR"), 1L)
+            .otherwise(0L)).as("n_1h"),
+          sum(when(col("ts") >= col("mxts") - expr("INTERVAL 24 HOURS"), 1L)
+            .otherwise(0L)).as("n_24h"),
+          sum(when(col("ts") >= col("mxts") - expr("INTERVAL 7 DAYS"), 1L)
+            .otherwise(0L)).as("n_7d"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Multiple DISTINCT aggregates in one pass (users, types, plus plain
+    // counts per day) — exercises Spark's Expand-based rewrite: one scan,
+    // one logical aggregate, no self-joins.
+    "q_count_distinct_multi" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          count_distinct(col("event_type")).as("n_types"))
+        .orderBy(col("day"))),
+
     // Cumulative user growth: per first-seen day, new users and the
     // running total — the acquisition curve. The cumulative window runs
     // over the per-day rollup (tens of rows), never users.
@@ -377,6 +409,25 @@ object Audits {
         |  sum(gap_s) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_velocity" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT max(ts) AS mxts FROM e)
+        |SELECT user_id, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN ts >= mxts - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_1h,
+        |  CAST(sum(CASE WHEN ts >= mxts - INTERVAL 24 HOUR THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_24h,
+        |  CAST(sum(CASE WHEN ts >= mxts - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_7d
+        |FROM e, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_count_distinct_multi" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     "events_user_growth" ->
       """WITH f AS (

@@ -40,6 +40,37 @@ object TextDedup {
         when(TA.langId(col("text")) === col("lang"), lit(1)).otherwise(lit(0)).as("hit"))
         .orderBy(col("doc_id"))),
 
+    // MinHash estimator-quality audit: for every LSH candidate pair, the
+    // signature-agreement estimate of token Jaccard (matches/8 in bp)
+    // next to the EXACT token Jaccard and the absolute error — the
+    // "is k=8 enough seeds" calibration a pipeline checks before trusting
+    // the sketch at scale. All work after candidate generation is
+    // candidate-driven (joins land on the small pair set, never the
+    // corpus); the seed comparison is an 8-slot array zip per pair.
+    "dedup_minhash_est_vs_exact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // both frames feed BOTH pair sides — materialize once each, so the
+      // k-seed fold and the tokenize run once, not per join side
+      val sigs = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
+        .localCheckpoint(true)
+      val toksets = docs.select(col("doc_id").as("doc"),
+        array_distinct(TA.tokens(col("text"))).as("ts"))
+        .localCheckpoint(true)
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+        .join(sigs.select(col("doc").as("a"), col("sig").as("siga")), Seq("a"))
+        .join(sigs.select(col("doc").as("b"), col("sig").as("sigb")), Seq("b"))
+        .join(toksets.select(col("doc").as("a"), col("ts").as("ta")), Seq("a"))
+        .join(toksets.select(col("doc").as("b"), col("ts").as("tb")), Seq("b"))
+        .withColumn("n_match",
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast("long"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .select(col("a"), col("b"), col("n_match"),
+          (col("n_match") * 1250).as("est_bp"),
+          expr("(inter * 10000) div (size(ta) + size(tb) - inter)").as("exact_bp"))
+        .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Prefix dedup: documents grouped by the md5 of their first 16
     // tokens — catches shared boilerplate heads (crawl banners, license
     // headers) that full-content hashing misses and pairwise n-gram
@@ -611,6 +642,50 @@ object TextDedup {
          |        AND CAST(len(list_filter(toks, x -> x IN $stopIn)) AS DOUBLE) / len(toks) < 0.5
          |       THEN 1 ELSE 0 END AS ok
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_est_vs_exact" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct($toks)) AS tok FROM documents),
+         |sigs AS (
+         |  SELECT doc, s.range AS seed, min(md5(CAST(s.range AS VARCHAR) || ':' || tok)) AS mh
+         |  FROM tok CROSS JOIN range(8) s GROUP BY doc, s.range),
+         |bands AS (
+         |  SELECT doc, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(mh, ',' ORDER BY seed) AS bandkey
+         |  FROM sigs GROUP BY doc, CAST(seed // 4 AS INTEGER)),
+         |occ AS (SELECT band, bandkey, count(*) AS m FROM bands GROUP BY band, bandkey),
+         |keep AS (
+         |  SELECT b.doc, b.band, b.bandkey FROM bands b
+         |  JOIN occ USING (band, bandkey) WHERE occ.m <= 50),
+         |cand AS (
+         |  SELECT DISTINCT l.doc AS a, r.doc AS b
+         |  FROM keep l JOIN keep r ON l.band = r.band AND l.bandkey = r.bandkey
+         |  WHERE l.doc < r.doc),
+         |est AS (
+         |  SELECT c.a, c.b,
+         |    CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN sigs sa ON sa.doc = c.a
+         |  JOIN sigs sb ON sb.doc = c.b AND sb.seed = sa.seed
+         |  GROUP BY c.a, c.b),
+         |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc = c.a
+         |  JOIN tok tb ON tb.doc = c.b AND tb.tok = ta.tok
+         |  GROUP BY c.a, c.b)
+         |SELECT est.a, est.b, est.n_match,
+         |  CAST(est.n_match * 1250 AS BIGINT) AS est_bp,
+         |  CAST(coalesce(inter.inter, 0) * 10000
+         |    // (sa.n + sb.n - coalesce(inter.inter, 0)) AS BIGINT) AS exact_bp,
+         |  CAST(abs(est.n_match * 1250 - coalesce(inter.inter, 0) * 10000
+         |    // (sa.n + sb.n - coalesce(inter.inter, 0))) AS BIGINT) AS err_bp
+         |FROM est
+         |LEFT JOIN inter ON inter.a = est.a AND inter.b = est.b
+         |JOIN sizes sa ON sa.doc = est.a
+         |JOIN sizes sb ON sb.doc = est.b
+         |ORDER BY est.a, est.b""".stripMargin,
 
     "text_prefix_dup" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -67,7 +67,10 @@ class PlanSpec extends AnyFunSuite {
     "corpus_source_mix",
     //  - q_contingency: 1-row grand-total scalar broadcast under the
     //    ≤ flags×statuses cell table
-    "q_contingency")
+    "q_contingency",
+    //  - events_velocity: 1-row max-timestamp scalar broadcast under the
+    //    per-user horizon rollup (the events_rfm shape)
+    "events_velocity")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
