@@ -116,6 +116,62 @@ object Audits {
         .orderBy(col("day"))
     }),
 
+    // Attribution-window calibration: conversion counts within 1 h / 6 h /
+    // 24 h / ever of each user's FIRST signup — the sweep that picks a
+    // funnel window before locking a metric definition. Two keyed
+    // aggregates and one user-keyed join; deltas are exact integer
+    // seconds. Single-row output at any scale.
+    "events_funnel_windows" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val signed = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("fs"))
+      val firstPurch = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+        .join(signed, Seq("user_id"))
+        .where(col("ts") > col("fs"))
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts)") - expr("unix_micros(fs)")).as("d_us"))
+      signed.join(firstPurch, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_signed"),
+          count(col("d_us")).as("conv_ever"),
+          sum(when(col("d_us") <= 3600L * 1000000, 1L).otherwise(0L)).as("conv_1h"),
+          sum(when(col("d_us") <= 6 * 3600L * 1000000, 1L).otherwise(0L)).as("conv_6h"),
+          sum(when(col("d_us") <= 24 * 3600L * 1000000, 1L).otherwise(0L)).as("conv_24h"))
+    }),
+
+    // Revenue-LTV cohort triangle: customers bucketed by first-order
+    // month, exact integer-cent revenue per (cohort, months-since) cell
+    // with the running cumulative — the classic LTV curve. Month distance
+    // is pure integer arithmetic (y·12+m), and the cumulative window runs
+    // over the months² cell table, never over orders.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderdate"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val mIdx = (c: org.apache.spark.sql.Column) => year(c) * 12 + month(c)
+      val cohort = o.groupBy(col("o_custkey"))
+        .agg(min(trunc(col("o_orderdate"), "month")).as("cm"))
+      val cells = o.join(cohort, Seq("o_custkey"))
+        .groupBy(date_format(col("cm"), "yyyy-MM").as("cohort"),
+          (mIdx(col("o_orderdate")) - mIdx(col("cm"))).cast("long").as("months_since"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy(col("cohort")).orderBy(col("months_since"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+        .orderBy(col("cohort"), col("months_since"))
+    }),
+
+    // Session-length distribution: sessions bucketed by event count with
+    // duration stats — the engagement histogram on top of sessionize.
+    // One extra keyed rollup over the session table; output is one row
+    // per distinct session length.
+    "events_session_stats" -> ((s, dir) =>
+      graft.ops.Events.sessionStats(Tables.events(s, dir), "user_id", "ts", "event_id", 30)
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("dur_sec")).as("total_dur_sec"),
+          max(col("dur_sec")).as("max_dur_sec"))
+        .orderBy(col("n_events"))),
+
     // Point-in-time velocity features: per user, event counts in the
     // trailing 1 h / 24 h / 7 d as of the corpus max timestamp — the
     // multi-horizon activity features an ML feature store materializes.
@@ -409,6 +465,66 @@ object Audits {
         |  sum(gap_s) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_funnel_windows" ->
+      """WITH s AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS fs FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id,
+        |    min(epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(s.fs)) AS d_us
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s.fs
+        |  GROUP BY e.user_id)
+        |SELECT count(*) AS n_signed,
+        |  CAST(count(p.d_us) AS BIGINT) AS conv_ever,
+        |  CAST(sum(CASE WHEN p.d_us <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS conv_1h,
+        |  CAST(sum(CASE WHEN p.d_us <= 21600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS conv_6h,
+        |  CAST(sum(CASE WHEN p.d_us <= 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS conv_24h
+        |FROM s LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cm
+        |      FROM o GROUP BY o_custkey),
+        |cells AS (
+        |  SELECT strftime(c.cm, '%Y-%m') AS cohort,
+        |    CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+        |      - (year(c.cm) * 12 + month(c.cm)) AS BIGINT) AS months_since,
+        |    count(*) AS n_orders, CAST(sum(o.cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2)
+        |SELECT cohort, months_since, n_orders, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY months_since
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        |FROM cells ORDER BY cohort, months_since""".stripMargin,
+
+    "events_session_stats" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked),
+        |st AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_sec
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT n_events, count(*) AS n_sessions,
+        |  CAST(sum(dur_sec) AS BIGINT) AS total_dur_sec,
+        |  CAST(max(dur_sec) AS BIGINT) AS max_dur_sec
+        |FROM st GROUP BY n_events ORDER BY n_events""".stripMargin,
 
     "events_velocity" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
