@@ -116,6 +116,23 @@ object Audits {
         .orderBy(col("day"))
     }),
 
+    // Hash-bucket balance audit for a 32-bucket keyed layout (the
+    // KeyedParquetSink / bucketed-join shape): per bucket, row count and
+    // load factor in bp of the balanced ideal (10000 = perfectly even).
+    // The bucket is an engine-portable md5-derived hash, so the oracle
+    // reproduces the exact assignment; one rollup + a 1-row total.
+    "etl_bucket_balance" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 2), 16, 10)
+        .cast("long"), lit(32L))
+      val b = Tables.customer(s, dir).select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val tot = b.agg(sum(col("n")).as("total"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          expr("(n * 32 * 10000) div total").as("load_bp"))
+        .orderBy(col("bucket"))
+    }),
+
     // Attribution-window calibration: conversion counts within 1 h / 6 h /
     // 24 h / ever of each user's FIRST signup — the sweep that picks a
     // funnel window before locking a metric definition. Two keyed
@@ -465,6 +482,17 @@ object Audits {
         |  sum(gap_s) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "etl_bucket_balance" ->
+      """WITH b AS (
+        |  SELECT ((strpos('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 16 +
+        |          (strpos('0123456789abcdef', substring(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)) % 32
+        |    AS bucket
+        |  FROM customer),
+        |g AS (SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n FROM b GROUP BY bucket),
+        |t AS (SELECT sum(n) AS total FROM g)
+        |SELECT bucket, n, CAST(n * 32 * 10000 // t.total AS BIGINT) AS load_bp
+        |FROM g, t ORDER BY bucket""".stripMargin,
 
     "events_funnel_windows" ->
       """WITH s AS (

@@ -70,7 +70,10 @@ class PlanSpec extends AnyFunSuite {
     "q_contingency",
     //  - events_velocity: 1-row max-timestamp scalar broadcast under the
     //    per-user horizon rollup (the events_rfm shape)
-    "events_velocity")
+    "events_velocity",
+    //  - etl_bucket_balance: 1-row total scalar broadcast under the
+    //    32-row bucket rollup
+    "etl_bucket_balance")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
