@@ -40,6 +40,28 @@ object TextDedup {
         when(TA.langId(col("text")) === col("lang"), lit(1)).otherwise(lit(0)).as("hit"))
         .orderBy(col("doc_id"))),
 
+    // Shingle document-frequency histogram on log2 buckets — the
+    // index-planning audit behind the dedup df cap (how heavy is the
+    // stop-shingle tail, what does maxDf=50 actually drop). One narrow
+    // df aggregate + a constant-size rollup.
+    "dedup_shingle_df_hist" -> ((s, dir) =>
+      Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", 3)
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+        .orderBy(col("df_bucket"))),
+
+    // Token-length histogram: corpus-wide distribution of token character
+    // lengths with distinct-type counts — tokenizer diagnostics (a heavy
+    // long tail means the whitespace tokenizer is gluing punctuation).
+    "text_token_len_hist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(length(col("tok")).cast("long").as("tok_len"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_distinct(col("tok")).as("n_types"))
+        .orderBy(col("tok_len"))),
+
     // MinHash estimator-quality audit: for every LSH candidate pair, the
     // signature-agreement estimate of token Jaccard (matches/8 in bp)
     // next to the EXACT token Jaccard and the absolute error — the
@@ -642,6 +664,23 @@ object TextDedup {
          |        AND CAST(len(list_filter(toks, x -> x IN $stopIn)) AS DOUBLE) / len(toks) < 0.5
          |       THEN 1 ELSE 0 END AS ok
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_shingle_df_hist" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s)
+         |SELECT CAST(length(bin(df)) AS BIGINT) AS df_bucket,
+         |  count(*) AS n_shingles, CAST(sum(df) AS BIGINT) AS n_postings
+         |FROM dfreq GROUP BY 1 ORDER BY df_bucket""".stripMargin,
+
+    "text_token_len_hist" ->
+      s"""WITH tok AS (SELECT unnest($toks) AS tok FROM documents)
+         |SELECT CAST(length(tok) AS BIGINT) AS tok_len, count(*) AS n_tokens,
+         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_types
+         |FROM tok GROUP BY 1 ORDER BY tok_len""".stripMargin,
 
     "dedup_minhash_est_vs_exact" ->
       s"""WITH tok AS (
