@@ -180,15 +180,17 @@ object Dedup {
       explode(array_distinct(transform(
         TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
 
-  /** Df-filtered distinct postings, materialized once (feeds sizes + both
-    * self-join sides — without the checkpoint the tokenize/shingle/hash
-    * explode re-runs per consumer). */
+  /** Df-filtered distinct postings — NOT materialized here: each pair
+    * path decides what to checkpoint (the prefix path folds postings
+    * into per-doc arrays and checkpoints only those; the all-pairs path
+    * checkpoints the posting list it self-joins). The df semi-join's
+    * build side is the groupBy output, so its exchange is reused. */
   private def filteredPostings(docs: DataFrame, idCol: String, textCol: String,
                                n: Int, maxDf: Int): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol, n)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("s"))
-    sh.join(rare, Seq("s")).localCheckpoint(true)
+    sh.join(rare, Seq("s"))
   }
 
   /** PPJoin-style prefix-filtered candidate pairs with EXACT intersection
@@ -211,6 +213,12 @@ object Dedup {
     *
     * Returns (a, b, inter, na, nb) for a < b. */
   private def prefixCandidateCounts(shr: DataFrame, threshold: Double): DataFrame = {
+    // The ONLY materialization barrier on this path: per-doc sorted
+    // shingle arrays (one compact row per doc). Everything downstream —
+    // the prefix index, the FULL posting side of the candidate join, and
+    // the exact-intersection array lookups — re-derives from this frame
+    // with narrow explodes, so the raw (doc, s) posting stream is never
+    // checkpointed or shuffled a second time.
     val arrs = shr.groupBy(col("doc"))
       .agg(sort_array(collect_list(col("s"))).as("set"),
         count(lit(1)).as("n_sh"))
@@ -218,8 +226,9 @@ object Dedup {
     val prefLen =
       (floor((lit(1.0) - lit(threshold)) * col("n_sh") + lit(1e-4)) + 1).cast("int")
     val pref = arrs.select(col("doc"), explode(slice(col("set"), lit(1), prefLen)).as("s"))
+    val full = arrs.select(col("doc"), explode(col("set")).as("s"))
     val cand = pref.select(col("doc").as("a"), col("s"))
-      .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
+      .join(full.select(col("doc").as("b"), col("s")), Seq("s"))
       .where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -235,7 +244,10 @@ object Dedup {
   /** All-pairs exact intersection counts via the full posting self-join —
     * the only complete shape when the threshold is too low for prefix
     * filtering to prune anything. Returns (a, b, inter, na, nb), a < b. */
-  private def allPairCounts(shr: DataFrame): DataFrame = {
+  private def allPairCounts(shrRaw: DataFrame): DataFrame = {
+    // Referenced three times (sizes + both self-join sides) — materialize
+    // once so the tokenize/shingle/hash/df pipeline doesn't re-run.
+    val shr = shrRaw.localCheckpoint(true)
     val sizes = shr.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     shr.select(col("doc").as("a"), col("s"))
       .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
