@@ -290,8 +290,9 @@ object Similarity {
   /** Milli-unit quantization shared by the PQ kernels (identical to the
     * IVF-training representation): round to 3 dp via DECIMAL, scale to
     * LONG — all downstream distance math is exact integer arithmetic,
-    * bit-stable across engines and partitionings. */
-  private def milliQuant(vecCol: Column): Column =
+    * bit-stable across engines and partitionings. Public: the cosine
+    * histogram audit quantizes per ROW before its pair join. */
+  def milliQuant(vecCol: Column): Column =
     transform(vecCol, x =>
       (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long"))
 

@@ -285,6 +285,11 @@ object Analytics {
     // corpus max-timestamp is a 1-row scalar broadcast under every user
     // row (same plan shape as q_scalar_subquery). Segment labels are
     // rule-based CASE logic — deterministic, no global quantile sort.
+    // Monetary is EXACT INTEGER CENTS (the events_pareto pattern): a
+    // per-row double→DECIMAL cast summed across engines disagrees on
+    // shortest-decimal boundary values (the r6 hash break); a per-row
+    // round(value*100)::long sum is bit-identical, and the segment
+    // threshold compares cents (>= 10000), never a summed double.
     "events_rfm" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_type"), col("value"))
@@ -295,14 +300,15 @@ object Analytics {
           datediff(to_date(first(col("mts"))),
             to_date(max(when(col("event_type") === "purchase", col("ts"))))).as("recency_d"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("frequency"),
-          dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))).as("monetary"))
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("monetary_cents"))
       rfm.withColumn("segment",
           when(col("frequency") === 0, "never")
-            .when(col("recency_d") <= 7 && col("monetary") >= 100, "champion")
+            .when(col("recency_d") <= 7 && col("monetary_cents") >= 10000L, "champion")
             .when(col("recency_d") <= 30, "active")
             .otherwise("lapsed"))
         .select(col("user_id"), col("recency_d"), col("frequency"),
-          col("monetary"), col("segment"))
+          col("monetary_cents"), col("segment"))
         .orderBy(col("user_id"))
     }),
 
@@ -670,12 +676,12 @@ object Analytics {
         |  SELECT user_id,
         |    CAST(date_diff('day', max(CASE WHEN event_type = 'purchase' THEN ts END), mx.mts) AS INTEGER) AS recency_d,
         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS frequency,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4))
-        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS monetary
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS monetary_cents
         |  FROM events, mx GROUP BY user_id, mx.mts)
-        |SELECT user_id, recency_d, frequency, monetary,
+        |SELECT user_id, recency_d, frequency, monetary_cents,
         |  CASE WHEN frequency = 0 THEN 'never'
-        |       WHEN recency_d <= 7 AND monetary >= 100 THEN 'champion'
+        |       WHEN recency_d <= 7 AND monetary_cents >= 10000 THEN 'champion'
         |       WHEN recency_d <= 30 THEN 'active'
         |       ELSE 'lapsed' END AS segment
         |FROM rfm ORDER BY user_id""".stripMargin,

@@ -42,23 +42,45 @@ object Audits {
 
     // Value-concentration (Pareto) audit: users ranked by exact spend in
     // integer cents, cut into deciles, each decile's share of total spend
-    // in basis points — "do 10% of users carry 80% of value". The global
-    // ntile sorts USERS (already one row each after the keyed rollup),
-    // not events; output is 10 rows at any scale. Ties broken by user_id
-    // so the decile assignment is deterministic in both engines.
+    // in basis points — "do 10% of users carry 80% of value". Ties broken
+    // by user_id so the decile assignment is deterministic in both engines.
+    //
+    // The rank over (cents desc, user_id) is TWO-PHASE (the
+    // events_concurrency / Layout.packShards shape): users pre-aggregate
+    // into 10-dollar cents-range blocks, block offsets come from a window
+    // over the SMALL block-count table, and each user adds its
+    // within-block row_number (window partitioned BY BLOCK). Blocks
+    // partition the cents range, so off + rn IS the global rank — and no
+    // window ever sees the user-sized rollup in one partition (a global
+    // ntile would sort 10⁸–10⁹ user rows in a single task at 100 TB).
+    // decile = (rank-1)·10 div n + 1, mirrored verbatim in the oracle.
     "events_pareto" -> ((s, dir) => {
+      // materialized once: feeds the block rollup, the offset join, and
+      // the totals scalar (without this the events scan runs 3×)
       val perUser = Tables.events(s, dir)
         .groupBy(col("user_id"))
         .agg(sum(round(col("value") * 100).cast("long")).as("cents"),
           count(lit(1)).as("n_events"))
-      val w = Window.orderBy(col("cents").desc, col("user_id"))
-      val tot = perUser.agg(sum(col("cents")).as("total_cents"))
-      perUser.withColumn("decile", ntile(10).over(w))
+        .withColumn("blk", expr("cents div 1000"))
+        .localCheckpoint(true)
+      val tot = perUser.agg(sum(col("cents")).as("total_cents"),
+        count(lit(1)).as("n_users_tot"))
+      val wBlk = Window.orderBy(col("blk").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perUser.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("cents").desc, col("user_id"))
+      perUser.join(broadcast(offs), "blk")
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(rk - 1) * 10 div n_users_tot + 1"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("cents")).as("decile_cents"),
-          sum(col("n_events")).as("n_events"))
-        .crossJoin(broadcast(tot))
+          sum(col("n_events")).as("n_events"),
+          max(col("total_cents")).as("total_cents"))
         .select(col("decile").cast("long").as("decile"), col("n_users"),
           col("decile_cents"), col("n_events"),
           expr("(decile_cents * 10000) div total_cents").as("share_bp"))
@@ -73,9 +95,16 @@ object Audits {
     // percentile (value at rank ceil(n/2) — no interpolation), so every
     // column is integer-exact across engines. Output is one row per user.
     "events_interarrival" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // NULL-ts rows are dropped BEFORE the lag window on both sides:
+      // Spark sorts NULLs first ascending, DuckDB last, so a single NULL
+      // ts would shift every lag neighbor in its partition while keeping
+      // row counts identical (the r6 driver-data hash break). event_id
+      // ordering is pinned NULLS FIRST to match Spark's asc default.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id").asc_nulls_first)
       val gaps = Tables.events(s, dir)
         .select(col("user_id"), col("ts"), col("event_id"))
+        .where(col("ts").isNotNull)
         .withColumn("prev", lag(col("ts"), 1).over(w))
         .where(col("prev").isNotNull)
         .select(col("user_id"),
@@ -456,9 +485,10 @@ object Audits {
         |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
         |    count(*) AS n_events
         |  FROM events GROUP BY user_id),
+        |t AS (SELECT sum(cents) AS total_cents, count(*) AS n FROM u),
         |d AS (SELECT cents, n_events,
-        |  ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile FROM u),
-        |t AS (SELECT sum(cents) AS total_cents FROM u)
+        |  (row_number() OVER (ORDER BY cents DESC, user_id) - 1) * 10 // t.n + 1 AS decile
+        |  FROM u, t)
         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
         |  CAST(sum(cents) AS BIGINT) AS decile_cents,
         |  CAST(sum(n_events) AS BIGINT) AS n_events,
@@ -470,9 +500,9 @@ object Audits {
         |  SELECT user_id,
         |    (epoch_us(CAST(ts AS TIMESTAMP)) -
         |     epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER
-        |       (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
+        |       (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id NULLS FIRST)))
         |      // 1000000 AS gap_s
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT user_id, gap_s,
         |  row_number() OVER (PARTITION BY user_id ORDER BY gap_s) AS rk,
         |  count(*) OVER (PARTITION BY user_id) AS n

@@ -153,16 +153,36 @@ object SimMm {
     // Pair cost is Σ block² (the blocking key bounds the join exactly as
     // an LSH bucket would at 100 TB), and the histogram output is a
     // handful of rows regardless of corpus size.
+    //
+    // Cosine is emitted in integer BASIS POINTS from exact milli-unit
+    // integer dot/norm sums: dot and the squared norms are exact LONGs
+    // (≤ 64·10⁶, products ≤ 4.1·10¹⁵ < 2⁵³ so the double conversions are
+    // exact), and ×, sqrt, / are IEEE-correctly-rounded in both engines,
+    // so floor() lands on a bit-identical double. round(double, 4) —
+    // Spark's BigDecimal shortest-decimal HALF_UP vs DuckDB's exact-binary
+    // rounding — never appears (it flipped buckets on driver data in r6).
     "sim_cos_hist" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val a = emb.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
-      val b = emb.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+      val q = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"),
+          Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", graft.functions.LongVectorFunctions.vecDotLong(col("mq"), col("mq")))
+      val a = q.select(col("label"), col("vec_id").as("a"),
+        col("mq").as("qa"), col("nsq").as("na"))
+      val b = q.select(col("label"), col("vec_id").as("b"),
+        col("mq").as("qb"), col("nsq").as("nb"))
       a.join(b, Seq("label")).where(col("a") < col("b"))
-        .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 4))
-        .withColumn("bucket", floor(col("cos") * 10).cast("long"))
+        .withColumn("dotm",
+          graft.functions.LongVectorFunctions.vecDotLong(col("qa"), col("qb")))
+        .withColumn("cos_bp",
+          when(col("na") * col("nb") === 0L, lit(0L))
+            .otherwise(floor((col("dotm") * lit(10000L)).cast("double") /
+              sqrt((col("na") * col("nb")).cast("double"))).cast("long")))
+        // shift keeps the div operand non-negative: truncating div (Spark)
+        // == floor div (DuckDB //) on non-negatives
+        .withColumn("bucket", expr("(cos_bp + 10000) div 1000 - 10"))
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_pairs"), min(col("cos")).as("lo"),
-          max(col("cos")).as("hi"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("cos_bp")).as("lo_bp"),
+          max(col("cos_bp")).as("hi_bp"))
         .orderBy(col("bucket"))
     }),
 
@@ -515,13 +535,25 @@ object SimMm {
          |FROM a""".stripMargin,
 
     "sim_cos_hist" ->
-      s"""WITH p AS (
-         |  SELECT round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id),
-         |h AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket, cos FROM p)
-         |SELECT bucket, count(*) AS n_pairs, min(cos) AS lo, max(cos) AS hi
-         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+      """WITH m AS (
+        |  SELECT vec_id, label, list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, mq,
+        |    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nsq FROM m),
+        |p AS (
+        |  SELECT CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.mq[CAST(i AS INTEGER)] * b.mq[CAST(i AS INTEGER)])) AS BIGINT) AS dotm,
+        |    a.nsq AS na, b.nsq AS nb
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |c AS (
+        |  SELECT CASE WHEN na * nb = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(floor(CAST(dotm * 10000 AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))) AS BIGINT)
+        |    END AS cos_bp
+        |  FROM p)
+        |SELECT CAST((cos_bp + 10000) // 1000 - 10 AS BIGINT) AS bucket,
+        |  count(*) AS n_pairs, min(cos_bp) AS lo_bp, max(cos_bp) AS hi_bp
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "sim_norm_stats" -> {
       val d = "list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"

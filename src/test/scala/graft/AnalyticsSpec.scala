@@ -170,7 +170,7 @@ class AnalyticsSpec extends AnyFunSuite {
       val seg = r.getAs[String]("segment")
       assert(Set("never", "champion", "active", "lapsed")(seg))
       if (r.getAs[Long]("frequency") == 0L) assert(seg == "never")
-      else assert(r.getAs[Double]("monetary") >= 0.0 && !r.isNullAt(r.fieldIndex("recency_d")))
+      else assert(r.getAs[Long]("monetary_cents") >= 0L && !r.isNullAt(r.fieldIndex("recency_d")))
     }
   }
 
