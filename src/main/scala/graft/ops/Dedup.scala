@@ -381,24 +381,29 @@ object Dedup {
     val assigned = Similarity.ivfAssignAll(emb, idCol, vecCol, cells)
       .select(col(idCol), col(vecCol), col("cell"))
       .localCheckpoint(true)
+    // membership and emission in integer basis points (Similarity.cosBp):
+    // a rounded-double threshold can flip which representative claims a
+    // duplicate on engine round-boundary values (the r6 hash-break class)
     val repsDf = assigned
       .withColumn("rrn", row_number().over(
         Window.partitionBy(col("cell")).orderBy(col(idCol))))
       .where(col("rrn") <= reps)
-      .select(col("cell"), col(idCol).as("rep_id"), col(vecCol).as("rep_vec"),
-        Similarity.norm(col(vecCol)).as("rep_n"))
+      .select(col("cell"), col(idCol).as("rep_id"),
+        Similarity.milliQuant(col(vecCol)).as("rep_mq"))
+      .withColumn("rep_nsq", Similarity.normSqMilli(col("rep_mq")))
     assigned
-      .withColumn("vn", Similarity.norm(col(vecCol)))
+      .withColumn("mq", Similarity.milliQuant(col(vecCol)))
+      .withColumn("nsq", Similarity.normSqMilli(col("mq")))
       .join(broadcast(repsDf), Seq("cell"))
       .where(col("rep_id") < col(idCol))
-      .withColumn("cos", round(
-        Similarity.dot(col(vecCol), col("rep_vec")) / (col("vn") * col("rep_n")), 4))
-      .where(col("cos") >= lit(threshold))
+      .withColumn("cos_bp", Similarity.cosBp(
+        Similarity.dotMilli(col("mq"), col("rep_mq")), col("nsq"), col("rep_nsq")))
+      .where(col("cos_bp") >= lit(math.round(threshold * 10000)))
       // the earliest matching representative claims the duplicate
       .withColumn("prn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("rep_id"))))
       .where(col("prn") === 1)
-      .select(col(idCol), col("cell"), col("rep_id").as("kept_by"), col("cos"))
+      .select(col(idCol), col("cell"), col("rep_id").as("kept_by"), col("cos_bp"))
   }
 
   /** Embedding-cosine near-duplicate pairs, partitioned by a blocking
@@ -407,14 +412,20 @@ object Dedup {
     * a single unrolled (codegen'd) dot product. */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, threshold: Double): DataFrame = {
-    val l = emb.select(col(blockCol).as("blk"), col(idCol).as("a"), col(vecCol).as("va"),
-      Similarity.norm(col(vecCol)).as("na"))
-    val r = emb.select(col(blockCol).as("blk"), col(idCol).as("b"), col(vecCol).as("vb"),
-      Similarity.norm(col(vecCol)).as("nb"))
+    // membership AND emission in integer basis points (Similarity.cosBp):
+    // a rounded-double threshold can flip pair membership on engine
+    // round-boundary values (the r6 hash-break class); the milli-basis
+    // integer cosine is bit-stable, and carrying ONE long array per side
+    // through the pair join is narrower than float vector + double norm
+    val q = emb.select(col(blockCol).as("blk"), col(idCol),
+        Similarity.milliQuant(col(vecCol)).as("mq"))
+      .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+    val l = q.select(col("blk"), col(idCol).as("a"), col("mq").as("qa"), col("nsq").as("na"))
+    val r = q.select(col("blk"), col(idCol).as("b"), col("mq").as("qb"), col("nsq").as("nb"))
     l.join(r, Seq("blk")).where(col("a") < col("b"))
-      .withColumn("cos", round(
-        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .where(col("cos") >= lit(threshold))
-      .select(col("a"), col("b"), col("cos"))
+      .withColumn("cos_bp", Similarity.cosBp(
+        Similarity.dotMilli(col("qa"), col("qb")), col("na"), col("nb")))
+      .where(col("cos_bp") >= lit(math.round(threshold * 10000)))
+      .select(col("a"), col("b"), col("cos_bp"))
   }
 }

@@ -53,18 +53,26 @@ object Similarity {
     * meets `minCos` — the radius-query twin of [[topKBrute]] (same
     * broadcast-one-row shape, a threshold instead of a limit). Unlike
     * top-k there is no result bound, so at scale the caller sets the
-    * radius, not a k; the scan side still never shuffles. */
+    * radius, not a k; the scan side still never shuffles.
+    *
+    * MEMBERSHIP is the contract here (a boundary flip changes the result
+    * set, not just a displayed digit), so the cosine is computed and
+    * thresholded in integer basis points ([[cosBp]]) and emitted as
+    * `cos_bp` — no rounded double anywhere. */
   def rangeSearch(emb: DataFrame, idCol: String, vecCol: String,
                   queryId: Long, minCos: Double): DataFrame = {
+    val minBp = math.round(minCos * 10000)
     val q = emb.where(col(idCol) === lit(queryId))
-      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"))
+      .select(milliQuant(col(vecCol)).as("qmq"))
+      .withColumn("qnsq", normSqMilli(col("qmq")))
     emb.where(col(idCol) =!= lit(queryId))
-      .withColumn("vn", norm(col(vecCol)))
+      .withColumn("mq", milliQuant(col(vecCol)))
+      .withColumn("nsq", normSqMilli(col("mq")))
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
-      .where(col("cos") >= minCos)
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_bp", cosBp(dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+      .where(col("cos_bp") >= lit(minBp))
+      .select(col(idCol), col("cos_bp"))
+      .orderBy(col("cos_bp").desc, col(idCol))
   }
 
   /** Deterministic hyperplane weight for (plane p, dim d): an integer in
@@ -291,10 +299,33 @@ object Similarity {
     * IVF-training representation): round to 3 dp via DECIMAL, scale to
     * LONG — all downstream distance math is exact integer arithmetic,
     * bit-stable across engines and partitionings. Public: the cosine
-    * histogram audit quantizes per ROW before its pair join. */
+    * histogram audit and the thresholded dedup ops quantize per ROW
+    * before their pair joins. */
   def milliQuant(vecCol: Column): Column =
     transform(vecCol, x =>
       (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long"))
+
+  /** Exact integer squared norm of a milli-quantized vector. */
+  def normSqMilli(mq: Column): Column =
+    graft.functions.LongVectorFunctions.vecDotLong(mq, mq)
+
+  /** Exact integer dot of two milli-quantized vectors. */
+  def dotMilli(a: Column, b: Column): Column =
+    graft.functions.LongVectorFunctions.vecDotLong(a, b)
+
+  /** Cosine in integer BASIS POINTS from exact integer operands:
+    * cos_bp = floor(dot·10⁴ / sqrt(nsqA·nsqB)). dot and the squared
+    * norms are exact LONGs (64 dims × |milli| ≤ ~10³ ⇒ dot ≤ 6.4·10⁷,
+    * norm-sq products ≤ 4.1·10¹⁵ < 2⁵³, so every double conversion is
+    * exact), and ×, sqrt, / are IEEE-correctly-rounded in both engines —
+    * floor lands on a bit-identical double. round(double, n) (Spark's
+    * shortest-decimal HALF_UP vs DuckDB's exact-binary rounding, the r6
+    * hash-break class) never appears, so thresholding or bucketing the
+    * result is engine-stable. Zero-norm pairs emit 0. */
+  def cosBp(dotm: Column, nsqA: Column, nsqB: Column): Column =
+    when(nsqA * nsqB === 0L, lit(0L))
+      .otherwise(floor((dotm * lit(10000L)).cast("double") /
+        sqrt((nsqA * nsqB).cast("double"))).cast("long"))
 
   /** Per-label mean embedding ("mean pooling" — the chunk→document or
     * document→class aggregation step of an embedding pipeline) in exact

@@ -144,7 +144,9 @@ object SimMm {
         .agg(count(lit(1)).as("k_exact"), count(col("aid")).as("hits"))
         .crossJoin(broadcast(annN))
         .select(col("k_exact"), col("n_ann"), col("hits"),
-          expr("(hits * 10000) div k_exact").as("recall_bp"))
+          // defined 0 (not null) on an empty/absent reference set
+          expr("CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (hits * 10000) div k_exact END").as("recall_bp"))
     }),
 
     // Similarity-distribution histogram: cosine of every pair WITHIN a
@@ -391,6 +393,27 @@ object SimMm {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** Milli-quantized embeddings + exact integer squared norms — the
+    * oracle twin of Similarity.milliQuant / normSqMilli (CTEs `mil` and
+    * `miln`). Shared by every integer-basis-point cosine oracle. */
+  private val milliNormCte =
+    """mil AS (SELECT vec_id, label, list_transform(embedding,
+      |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
+      |  FROM embeddings),
+      |miln AS (SELECT vec_id, label, mq,
+      |    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nsq FROM mil)""".stripMargin
+
+  /** Exact integer dot of two milli-quantized 64-dim vectors. */
+  private def dotmSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
+
+  /** Integer basis-point cosine — the oracle twin of Similarity.cosBp:
+    * floor over an IEEE-correctly-rounded chain on exact integer
+    * operands, bit-identical to the Spark side. */
+  private def cosBpSql(dotm: String, na: String, nb: String): String =
+    s"""(CASE WHEN $na * $nb = 0 THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(floor(CAST(($dotm) * 10000 AS DOUBLE) / sqrt(CAST($na * $nb AS DOUBLE))) AS BIGINT) END)""".stripMargin
+
   /** IVF assignment CTE: hash-sampled seeds, cosine argmax per vector
     * (mirrors Similarity.ivfAssign: 4-dp rounded cosine, seed-id tiebreak). */
   private lazy val ivfCte =
@@ -531,29 +554,19 @@ object SimMm {
          |  (SELECT count(*) FROM ex JOIN ann USING (vec_id)) AS hits)
          |SELECT CAST(k_exact AS BIGINT) AS k_exact, CAST(n_ann AS BIGINT) AS n_ann,
          |  CAST(hits AS BIGINT) AS hits,
-         |  CAST(hits * 10000 // k_exact AS BIGINT) AS recall_bp
+         |  CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(hits * 10000 // k_exact AS BIGINT) END AS recall_bp
          |FROM a""".stripMargin,
 
     "sim_cos_hist" ->
-      """WITH m AS (
-        |  SELECT vec_id, label, list_transform(embedding,
-        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, label, mq,
-        |    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nsq FROM m),
-        |p AS (
-        |  SELECT CAST(list_sum(list_transform(range(1, 65),
-        |      i -> a.mq[CAST(i AS INTEGER)] * b.mq[CAST(i AS INTEGER)])) AS BIGINT) AS dotm,
-        |    a.nsq AS na, b.nsq AS nb
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
-        |c AS (
-        |  SELECT CASE WHEN na * nb = 0 THEN CAST(0 AS BIGINT)
-        |    ELSE CAST(floor(CAST(dotm * 10000 AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))) AS BIGINT)
-        |    END AS cos_bp
-        |  FROM p)
-        |SELECT CAST((cos_bp + 10000) // 1000 - 10 AS BIGINT) AS bucket,
-        |  count(*) AS n_pairs, min(cos_bp) AS lo_bp, max(cos_bp) AS hi_bp
-        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+      s"""WITH $milliNormCte,
+         |p AS (
+         |  SELECT ${dotmSql("a.mq", "b.mq")} AS dotm, a.nsq AS na, b.nsq AS nb
+         |  FROM miln a JOIN miln b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |c AS (SELECT ${cosBpSql("dotm", "na", "nb")} AS cos_bp FROM p)
+         |SELECT CAST((cos_bp + 10000) // 1000 - 10 AS BIGINT) AS bucket,
+         |  count(*) AS n_pairs, min(cos_bp) AS lo_bp, max(cos_bp) AS hi_bp
+         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "sim_norm_stats" -> {
       val d = "list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
@@ -783,24 +796,29 @@ object SimMm {
          |SELECT a, b AS nn, cos FROM ranked WHERE rn = 1 ORDER BY a""".stripMargin,
 
     "sim_range_search" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |c AS (SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
-         |      FROM embeddings, q WHERE vec_id <> 0)
-         |SELECT vec_id, cos FROM c WHERE cos >= 0.25
-         |ORDER BY cos DESC, vec_id""".stripMargin,
+      s"""WITH $milliNormCte,
+         |q AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |c AS (SELECT vec_id,
+         |    ${cosBpSql(dotmSql("mq", "qmq"), "nsq", "qnsq")} AS cos_bp
+         |  FROM miln, q WHERE vec_id <> 0)
+         |SELECT vec_id, cos_bp FROM c WHERE cos_bp >= 2500
+         |ORDER BY cos_bp DESC, vec_id""".stripMargin,
 
     "dedup_embedding" ->
-      s"""SELECT l.vec_id AS a, r.vec_id AS b,
-         |  round(${cosSql("l.embedding", "r.embedding")}, 4) AS cos
-         |FROM embeddings l JOIN embeddings r
-         |  ON l.label = r.label AND l.vec_id < r.vec_id
-         |WHERE round(${cosSql("l.embedding", "r.embedding")}, 4) >= 0.5
+      s"""WITH $milliNormCte,
+         |p AS (
+         |  SELECT l.vec_id AS a, r.vec_id AS b,
+         |    ${cosBpSql(dotmSql("l.mq", "r.mq"), "l.nsq", "r.nsq")} AS cos_bp
+         |  FROM miln l JOIN miln r
+         |    ON l.label = r.label AND l.vec_id < r.vec_id)
+         |SELECT a, b, cos_bp FROM p WHERE cos_bp >= 5000
          |ORDER BY a, b""".stripMargin,
 
     // SemDeDup: same IVF assignment CTE as the sim_ivf_* oracles, 16
     // lowest-id representatives per cell, earliest claimant wins.
     "dedup_semantic" ->
       s"""WITH $ivfCte,
+         |$milliNormCte,
          |cells AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
          |reps AS (
          |  SELECT vec_id AS rep_id, cell,
@@ -808,16 +826,16 @@ object SimMm {
          |  FROM cells QUALIFY rrn <= 16),
          |hits AS (
          |  SELECT c.vec_id, c.cell, r.rep_id AS kept_by,
-         |    round(${cosSql("e.embedding", "re.embedding")}, 4) AS cos
+         |    ${cosBpSql(dotmSql("e.mq", "re.mq"), "e.nsq", "re.nsq")} AS cos_bp
          |  FROM cells c
-         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN miln e ON e.vec_id = c.vec_id
          |  JOIN reps r ON r.cell = c.cell AND r.rep_id < c.vec_id
-         |  JOIN embeddings re ON re.vec_id = r.rep_id
-         |  WHERE round(${cosSql("e.embedding", "re.embedding")}, 4) >= 0.38),
+         |  JOIN miln re ON re.vec_id = r.rep_id
+         |  WHERE ${cosBpSql(dotmSql("e.mq", "re.mq"), "e.nsq", "re.nsq")} >= 3800),
          |first_hit AS (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS prn
          |  FROM hits)
-         |SELECT vec_id, cell, kept_by, cos FROM first_hit
+         |SELECT vec_id, cell, kept_by, cos_bp FROM first_hit
          |WHERE prn = 1 ORDER BY vec_id""".stripMargin,
 
     "mm_binary_meta" ->

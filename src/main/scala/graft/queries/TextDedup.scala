@@ -88,7 +88,11 @@ object TextDedup {
         .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
         .select(col("a"), col("b"), col("n_match"),
           (col("n_match") * 1250).as("est_bp"),
-          expr("(inter * 10000) div (size(ta) + size(tb) - inter)").as("exact_bp"))
+          // degenerate guard: two zero-token docs have union 0 — define
+          // their Jaccard as 10000 (identical) instead of a null row
+          // (the oracle's sizes CTE mirrors the same CASE)
+          expr("CASE WHEN size(ta) + size(tb) - inter = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE (inter * 10000) div (size(ta) + size(tb) - inter) END").as("exact_bp"))
         .withColumn("err_bp", abs(col("est_bp") - col("exact_bp")))
         .orderBy(col("a"), col("b"))
     }),
@@ -707,24 +711,31 @@ object TextDedup {
          |  JOIN sigs sa ON sa.doc = c.a
          |  JOIN sigs sb ON sb.doc = c.b AND sb.seed = sa.seed
          |  GROUP BY c.a, c.b),
-         |sizes AS (SELECT doc, count(*) AS n FROM tok GROUP BY doc),
+         |sizes AS (SELECT doc_id AS doc, CAST(len(list_distinct($toks)) AS BIGINT) AS n
+         |          FROM documents),
          |inter AS (
          |  SELECT c.a, c.b, count(*) AS inter
          |  FROM cand c
          |  JOIN tok ta ON ta.doc = c.a
          |  JOIN tok tb ON tb.doc = c.b AND tb.tok = ta.tok
-         |  GROUP BY c.a, c.b)
-         |SELECT est.a, est.b, est.n_match,
-         |  CAST(est.n_match * 1250 AS BIGINT) AS est_bp,
-         |  CAST(coalesce(inter.inter, 0) * 10000
-         |    // (sa.n + sb.n - coalesce(inter.inter, 0)) AS BIGINT) AS exact_bp,
-         |  CAST(abs(est.n_match * 1250 - coalesce(inter.inter, 0) * 10000
-         |    // (sa.n + sb.n - coalesce(inter.inter, 0))) AS BIGINT) AS err_bp
-         |FROM est
-         |LEFT JOIN inter ON inter.a = est.a AND inter.b = est.b
-         |JOIN sizes sa ON sa.doc = est.a
-         |JOIN sizes sb ON sb.doc = est.b
-         |ORDER BY est.a, est.b""".stripMargin,
+         |  GROUP BY c.a, c.b),
+         |ex AS (
+         |  SELECT est.a, est.b, est.n_match, sa.n + sb.n - coalesce(inter.inter, 0) AS un,
+         |    coalesce(inter.inter, 0) AS itr
+         |  FROM est
+         |  LEFT JOIN inter ON inter.a = est.a AND inter.b = est.b
+         |  JOIN sizes sa ON sa.doc = est.a
+         |  JOIN sizes sb ON sb.doc = est.b),
+         |exb AS (
+         |  SELECT a, b, n_match,
+         |    CASE WHEN un = 0 THEN CAST(10000 AS BIGINT)
+         |         ELSE CAST(itr * 10000 // un AS BIGINT) END AS exact_bp
+         |  FROM ex)
+         |SELECT a, b, n_match,
+         |  CAST(n_match * 1250 AS BIGINT) AS est_bp,
+         |  exact_bp,
+         |  CAST(abs(n_match * 1250 - exact_bp) AS BIGINT) AS err_bp
+         |FROM exb ORDER BY a, b""".stripMargin,
 
     "text_prefix_dup" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

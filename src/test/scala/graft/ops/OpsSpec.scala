@@ -351,9 +351,9 @@ class OpsSpec extends AnyFunSuite {
       (3L, Array(0.7f, 0.7f, 0f))   // cos ≈ 0.707
     ).toDF("vec_id", "embedding")
     val r = Similarity.rangeSearch(vs, "vec_id", "embedding", 0L, 0.5)
-      .as[(Long, Double)].collect().toSeq
+      .as[(Long, Long)].collect().toSeq
     assert(r.map(_._1) == Seq(1L, 3L))
-    assert(r.forall(_._2 >= 0.5))
+    assert(r.forall(_._2 >= 5000L))
   }
 
   test("Similarity.ivfTrainStats separates clusters after one Lloyd round") {
