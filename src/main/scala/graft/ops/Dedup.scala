@@ -273,6 +273,22 @@ object Dedup {
       .where(col("jaccard") >= lit(threshold))
       .select(col("a"), col("b"), col("inter"), col("jaccard"))
 
+  /** The Jaccard candidate-pair index as a BUILD-ONCE, reusable frame:
+    * [[ngramJaccardPairs]] materialized behind a localCheckpoint so the
+    * whole cluster family — label propagation ([[minLabelClusters]]),
+    * exact components ([[connectedComponents]]), canonical-keeper picks,
+    * cluster-size stats — can share a single index build in pipeline
+    * use. Rebuilding the index per consumer costs ~4× the candidate
+    * generation (the dominant cost of every clustering query); sharing
+    * it prices each additional consumer at one aggregate over the tiny
+    * pair frame. The checkpoint also truncates lineage, so per-round
+    * references inside iterative consumers never replay the shingle
+    * pipeline. */
+  def pairIndex(docs: DataFrame, idCol: String, textCol: String,
+                n: Int, threshold: Double, maxDf: Int = 50): DataFrame =
+    ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxDf)
+      .localCheckpoint(true)
+
   /** N-gram CONTAINMENT pairs — the asymmetric near-dup test Jaccard
     * misses: a short doc pasted inside a long one has tiny Jaccard
     * (union is dominated by the long doc) but containment

@@ -27,6 +27,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("cluster family over a fresh pair index matches the shared-index queries") {
+    import org.apache.spark.sql.functions._
+    // the query layer memoizes ONE t=0.5 pair-index build per (session,
+    // dataset); this proves the sharing is pure — an independent,
+    // non-shared build drives every cluster consumer to identical results
+    val fresh = graft.ops.Dedup.pairIndex(
+      graft.sources.Tables.documents(spark, TestSpark.sf), "doc_id", "text", 3, 0.5)
+    val ccFresh = graft.ops.Dedup.connectedComponents(fresh)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().toSet
+    val ccQuery = SparkEntry.queries("dedup_cc")(spark, TestSpark.sf).collect().toSet
+    assert(ccFresh == ccQuery)
+    val mlFresh = graft.ops.Dedup.minLabelClusters(fresh, 3)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().toSet
+    val mlQuery = SparkEntry.queries("dedup_clusters")(spark, TestSpark.sf).collect().toSet
+    assert(mlFresh == mlQuery)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name executes at sf0.001") {
       val df = fn(spark, TestSpark.sf)
