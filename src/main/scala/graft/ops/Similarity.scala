@@ -34,18 +34,24 @@ object Similarity {
     graft.functions.VectorFunctions.vecCosine(a, b)
 
   /** Brute-force top-k by cosine against the vector of `queryId`.
-    * The single-row query side is broadcast; norms are computed once per
-    * row pre-join; tiebreak on id keeps the top-k deterministic. */
+    * The single-row query side is broadcast; squared norms are computed
+    * once per row pre-join; tiebreak on id keeps the top-k deterministic.
+    * Ranking runs in integer BASIS POINTS over milli-quantized components
+    * ([[cosBp]]) — no rounded double anywhere, so the top-k membership is
+    * bit-stable across engines (round(double, 4) ranking is the r6
+    * hash-break class). */
   def topKBrute(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int): DataFrame = {
     val q = emb.where(col(idCol) === lit(queryId))
-      .select(col(vecCol).as("qvec"), norm(col(vecCol)).as("qn"))
+      .select(milliQuant(col(vecCol)).as("qmq"))
+      .withColumn("qnsq", normSqMilli(col("qmq")))
     emb.where(col(idCol) =!= lit(queryId))
-      .withColumn("vn", norm(col(vecCol)))
+      .select(col(idCol), milliQuant(col(vecCol)).as("mq"))
+      .withColumn("nsq", normSqMilli(col("mq")))
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_bp", cosBp(dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+      .select(col(idCol), col("cos_bp"))
+      .orderBy(col("cos_bp").desc, col(idCol))
       .limit(k)
   }
 
@@ -118,19 +124,19 @@ object Similarity {
   /** Append the LSH `bucket` column IN PLACE — the assignment is a pure
     * per-row expression, so callers must never join the vector table back
     * to lshBuckets' output (that join doubles the scan of the biggest
-    * table in the query for no information). The quantized copy lives in
-    * its own projection so it's computed once per row, not once per
-    * plane. */
+    * table in the query for no information). The milli-quantized copy is
+    * KEPT as `mq` (computed once per row, not once per plane): the
+    * searches that consume buckets score candidates through the same
+    * quantized components ([[cosBp]]), so the bucketing and the ranking
+    * share one quantization pass. */
   def withBuckets(emb: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
-    val quant = emb.withColumn("__graft_xq",
-      transform(col(vecCol), x =>
-        (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")))
+    val quant = emb.withColumn("mq", milliQuant(col(vecCol)))
     val bucket = (0 until planes).map { p =>
       val w = typedLit((0 until dim).map(d => planeWeight(p, d).toLong))
-      val dotP = graft.functions.LongVectorFunctions.vecDotLong(col("__graft_xq"), w)
+      val dotP = graft.functions.LongVectorFunctions.vecDotLong(col("mq"), w)
       when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    quant.withColumn("bucket", bucket).drop("__graft_xq")
+    quant.withColumn("bucket", bucket)
   }
 
   /** IVF (inverted-file) coarse quantizer, deterministic variant: the
@@ -138,22 +144,27 @@ object Similarity {
     * deterministic hash sample standing in for trained centroids — the
     * assignment/search plumbing is identical with k-means centroids).
     * Every vector joins the broadcast seed set and takes the seed with
-    * the highest cosine (4-dp rounded, seed-id tiebreak). One broadcast
-    * + one map stage — no shuffle of the vector table. */
+    * the highest integer-basis-point cosine ([[cosBp]], seed-id
+    * tiebreak) — assignment is exact integer arithmetic, so cell
+    * membership is bit-stable across engines. One broadcast + one map
+    * stage — no shuffle of the vector table. */
   /** Every (vector, seed) cosine ranked per vector — the shared core of
-    * cell assignment (rn=1) and multi-cell probing (rn<=nprobe). */
+    * cell assignment (rn=1) and multi-cell probing (rn<=nprobe). Carries
+    * the caller's columns plus (mq, nsq, seed_id, cos_bp, rn) so
+    * consumers never join the vector table back. */
   private def rankedCells(emb: DataFrame, idCol: String, vecCol: String,
                           cells: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = emb.select(col(idCol).as("seed_id"), col(vecCol).as("seed_vec"),
-        md5(col(idCol).cast("string")).as("h"))
+    val seeds = emb.select(col(idCol).as("seed_id"),
+        milliQuant(col(vecCol)).as("smq"), md5(col(idCol).cast("string")).as("h"))
       .orderBy(col("h"), col("seed_id")).limit(cells)
-      .select(col("seed_id"), col("seed_vec"), norm(col("seed_vec")).as("sn"))
+      .select(col("seed_id"), col("smq"), normSqMilli(col("smq")).as("snsq"))
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cos").desc, col("seed_id"))
-    emb.withColumn("vn", norm(col(vecCol)))
+      .orderBy(col("cos_bp").desc, col("seed_id"))
+    emb.withColumn("mq", milliQuant(col(vecCol)))
+      .withColumn("nsq", normSqMilli(col("mq")))
       .crossJoin(broadcast(seeds))
-      .withColumn("cos", round(dot(col(vecCol), col("seed_vec")) / (col("vn") * col("sn")), 4))
+      .withColumn("cos_bp", cosBp(dotMilli(col("mq"), col("smq")), col("nsq"), col("snsq")))
       .withColumn("rn", row_number().over(w))
   }
 
@@ -161,7 +172,7 @@ object Similarity {
                 cells: Int): DataFrame =
     rankedCells(emb, idCol, vecCol, cells)
       .where(col("rn") === 1)
-      .select(col(idCol), col("seed_id").as("cell"), col("cos").as("cell_cos"))
+      .select(col(idCol), col("seed_id").as("cell"), col("cos_bp").as("cell_cos_bp"))
 
   /** [[ivfAssign]] that KEEPS the caller's columns (vector included) next
     * to the assigned `cell` — for consumers that immediately need the
@@ -181,8 +192,9 @@ object Similarity {
     *    representation the LSH bucketing uses), so per-cell centroid
     *    means are integer sums + one floor division — order-independent
     *    and bit-identical in any engine;
-    *  - the re-assignment cosine is a ratio of integer dot products
-    *    (milli² scale cancels), rounded to 4 dp with a cell-id tiebreak.
+    *  - the re-assignment cosine is integer basis points over the exact
+    *    integer dot/norm sums ([[cosBp]]), cell-id tiebreak — no rounded
+    *    double anywhere in the assignment.
     *
     * Scale shape: each mean is one explode + narrow (cell, dim) aggregate
     * (the standard distributed k-means step — at 100 TB you train on a
@@ -193,7 +205,7 @@ object Similarity {
     * replay rounds 1..i (the classic iterative-lineage blowup).
     *
     * Returns per-cell stats of the post-training assignment:
-    * (cell, n, min_id, c_norm). */
+    * (cell, n, min_id, c_norm_milli). */
   def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
                     cells: Int, iters: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -224,20 +236,22 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
           s => s.getField("cq")).as("cvec"))
         .withColumn("dcc", ldot(col("cvec"), col("cvec")))
-      val w = Window.partitionBy(col("vid")).orderBy(col("cos").desc, col("cell"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("cos_bp").desc, col("cell"))
       assign = quant.withColumn("dxx", ldot(col("xq"), col("xq")))
         .crossJoin(broadcast(centArr))
         .withColumn("dxc", ldot(col("xq"), col("cvec")))
-        .withColumn("cos", round(col("dxc").cast("double") /
-          (sqrt(col("dxx").cast("double")) * sqrt(col("dcc").cast("double"))), 4))
+        .withColumn("cos_bp", cosBp(col("dxc"), col("dxx"), col("dcc")))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("vid"), col("cell"), col("dcc"))
         .localCheckpoint(true)
     }
+    // c_norm in integer MILLI-UNITS: floor over an IEEE-exact sqrt of the
+    // exact integer dcc — round(double, 4) emission (the r6 hash-break
+    // class) never appears
     assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
-        round(sqrt(max(col("dcc")).cast("double")) / 1000d, 4).as("c_norm"))
+        floor(sqrt(max(col("dcc")).cast("double"))).cast("long").as("c_norm_milli"))
       .orderBy(col("cell"))
   }
 
@@ -248,18 +262,19 @@ object Similarity {
   def ivfSearchMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
                           queryId: Long, k: Int, cells: Int, nprobe: Int): DataFrame = {
     val ranked = rankedCells(emb, idCol, vecCol, cells)
-    // rankedCells carries the vector and its norm — never join emb back
-    // to the assignment (that doubles the scan of the vector table)
+    // rankedCells carries the quantized vector and its squared norm —
+    // never join emb back to the assignment (that doubles the scan of
+    // the vector table)
     val assigned = ranked.where(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("vn"), col("seed_id").as("cell"))
+      .select(col(idCol), col("mq"), col("nsq"), col("seed_id").as("cell"))
     val qcells = ranked
       .where(col(idCol) === lit(queryId) && col("rn") <= nprobe)
-      .select(col("seed_id").as("cell"), col(vecCol).as("qvec"), col("vn").as("qn"))
+      .select(col("seed_id").as("cell"), col("mq").as("qmq"), col("nsq").as("qnsq"))
     assigned.join(broadcast(qcells), Seq("cell"))
       .where(col(idCol) =!= lit(queryId))
-      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_bp", cosBp(dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+      .select(col(idCol), col("cos_bp"))
+      .orderBy(col("cos_bp").desc, col(idCol))
       .limit(k)
   }
 
@@ -278,20 +293,20 @@ object Similarity {
   def annSearchMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
                           queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
     val withB = withBuckets(emb, vecCol, planes, dim)
-      .withColumn("vn", norm(col(vecCol)))
+      .withColumn("nsq", normSqMilli(col("mq")))
     val q = withB.where(col(idCol) === lit(queryId))
-      .select(col("bucket"), col(vecCol).as("qvec"), col("vn").as("qn"))
+      .select(col("bucket"), col("mq").as("qmq"), col("nsq").as("qnsq"))
     // bucket ids differing in exactly one plane bit are all distinct, so
     // no candidate can enter through two probes — no dedup needed
     val probes = q.select(
       explode(array(col("bucket") +:
         (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"),
-      col("qvec"), col("qn"))
+      col("qmq"), col("qnsq"))
     withB.join(broadcast(probes), Seq("bucket"))
       .where(col(idCol) =!= lit(queryId))
-      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_bp", cosBp(dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+      .select(col(idCol), col("cos_bp"))
+      .orderBy(col("cos_bp").desc, col(idCol))
       .limit(k)
   }
 
@@ -333,7 +348,7 @@ object Similarity {
     * aggregate + one per-label rollup, all map-side-combinable, so a
     * 100 TB corpus pools in two shuffles of label-keyed partial sums.
     * Truncating integer mean — same division contract as ivfTrainStats.
-    * Output: (label, n, c_norm, c0_milli). */
+    * Output: (label, n, c_norm_milli, c0_milli). */
   def centroidStats(emb: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     val cent = emb
       .select(col(labelCol).as("label"), posexplode(milliQuant(col(vecCol))).as(Seq("d", "x")))
@@ -342,7 +357,7 @@ object Similarity {
       .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
     cent.groupBy(col("label"))
       .agg(max(col("n")).as("n"),
-        round(sqrt(sum(col("cq") * col("cq")).cast("double")) / 1000d, 4).as("c_norm"),
+        floor(sqrt(sum(col("cq") * col("cq")).cast("double"))).cast("long").as("c_norm_milli"),
         max(when(col("d") === 0, col("cq"))).as("c0_milli"))
       .orderBy(col("label"))
   }
@@ -433,7 +448,7 @@ object Similarity {
     * and feed the initial encode, the centroid aggregate, and the
     * re-encode; codebooks are broadcast at every step (subs·codebook
     * rows). Returns the post-training assignment census per (sub, code):
-    * (sub, code, n, min_id, c_norm) — codewords that attract no vectors
+    * (sub, code, n, min_id, c_norm_milli) — codewords that attract no vectors
     * drop out, mirroring k-means cluster death. */
   def pqTrainStats(emb: DataFrame, idCol: String, vecCol: String,
                    dim: Int, subs: Int, codebook: Int): DataFrame = {
@@ -470,7 +485,7 @@ object Similarity {
         Seq("sub", "code"))
       .groupBy(col("sub"), col("code"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
-        round(sqrt(max(col("dcc")).cast("double")) / 1000d, 4).as("c_norm"))
+        floor(sqrt(max(col("dcc")).cast("double"))).cast("long").as("c_norm_milli"))
       .orderBy(col("sub"), col("code"))
   }
 
@@ -572,20 +587,20 @@ object Similarity {
              planes: Int, dim: Int, candCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withB = withBuckets(emb, vecCol, planes, dim)
-      .withColumn("vn", norm(col(vecCol)))
+      .withColumn("nsq", normSqMilli(col("mq")))
     val capW = Window.partitionBy(col("bucket"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val l = withB.select(col("bucket"), col(idCol).as("a"),
-      col(vecCol).as("va"), col("vn").as("na"))
+      col("mq").as("ma"), col("nsq").as("nsqa"))
     val r = withB.withColumn("crn", row_number().over(capW))
       .where(col("crn") <= candCap)
-      .select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"), col("vn").as("nb"))
-    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+      .select(col("bucket"), col(idCol).as("b"), col("mq").as("mb"), col("nsq").as("nsqb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos_bp").desc, col("b"))
     l.join(r, Seq("bucket")).where(col("a") =!= col("b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .withColumn("cos_bp", cosBp(dotMilli(col("ma"), col("mb")), col("nsqa"), col("nsqb")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("a"), col("b").as("nn"), col("cos"))
+      .select(col("a"), col("b").as("nn"), col("cos_bp"))
   }
 
   /** ANN top-k: search only within the query vector's LSH bucket, rank by
@@ -593,14 +608,14 @@ object Similarity {
   def annSearch(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int, planes: Int, dim: Int): DataFrame = {
     val withB = withBuckets(emb, vecCol, planes, dim)
-      .withColumn("vn", norm(col(vecCol)))
+      .withColumn("nsq", normSqMilli(col("mq")))
     val q = withB.where(col(idCol) === lit(queryId))
-      .select(col("bucket"), col(vecCol).as("qvec"), col("vn").as("qn"))
+      .select(col("bucket"), col("mq").as("qmq"), col("nsq").as("qnsq"))
     withB.join(broadcast(q), Seq("bucket"))
       .where(col(idCol) =!= lit(queryId))
-      .withColumn("cos", round(dot(col(vecCol), col("qvec")) / (col("vn") * col("qn")), 4))
-      .select(col(idCol), col("cos"))
-      .orderBy(col("cos").desc, col(idCol))
+      .withColumn("cos_bp", cosBp(dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+      .select(col(idCol), col("cos_bp"))
+      .orderBy(col("cos_bp").desc, col(idCol))
       .limit(k)
   }
 }

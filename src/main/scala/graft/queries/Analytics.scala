@@ -60,10 +60,20 @@ object Analytics {
       val varx = nD * sxx - sx * sx
       val vary = nD * syy - sy * sy
       val slope = cov / varx
+      // emissions are floor-scaled integers over the bit-identical double
+      // chain (exact integer sums → IEEE ×,÷,sqrt) — floor is a pure
+      // binary-double op, identical in both engines, where round(double, n)
+      // (Spark shortest-decimal HALF_UP vs DuckDB exact-binary, the r6
+      // hash-break class) is not; zero-variance groups emit defined 0
       agg.select(col("l_returnflag"), col("n"),
-          round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr_qp"),
-          round(slope, 6).as("slope"),
-          round((sy - slope * sx) / nD, 4).as("intercept"))
+          when(varx <= 0 || vary <= 0, lit(0L))
+            .otherwise(floor(cov / (sqrt(varx) * sqrt(vary)) * lit(1e6)).cast("long"))
+            .as("corr_micro"),
+          when(varx <= 0, lit(0L))
+            .otherwise(floor(slope * lit(1e6)).cast("long")).as("slope_micro"),
+          when(varx <= 0, lit(0L))
+            .otherwise(floor((sy - slope * sx) / nD * lit(1e4)).cast("long"))
+            .as("intercept_q"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -541,9 +551,16 @@ object Analytics {
         |    CAST(sum(CAST(qx * py AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 AS sxy
         |  FROM raw GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qp,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+        |  CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor((n * sxy - sx * sy)
+        |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1000000.0) AS BIGINT)
+        |  END AS corr_micro,
+        |  CASE WHEN (n * sxx - sx * sx) <= 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0) AS BIGINT)
+        |  END AS slope_micro,
+        |  CASE WHEN (n * sxx - sx * sx) <= 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n * 10000.0) AS BIGINT)
+        |  END AS intercept_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
 
     "q_decile_stats" ->

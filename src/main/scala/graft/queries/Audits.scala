@@ -447,21 +447,30 @@ object Audits {
     // traffic per vector — at 100 TB the prefix sub-vectors are a column
     // a quarter the size, scanned instead of the full embedding), then
     // the survivors pay the full-dimension cosine and the top 10 win.
-    // Both stages round to 4 dp with id tiebreaks, so the shortlist and
-    // final ranking are deterministic and engine-reproducible.
+    // Both stages rank and emit integer BASIS POINTS over milli-quantized
+    // components (Similarity.cosBp) with id tiebreaks, so the shortlist
+    // and final ranking are bit-stable across engines — round(double, 4)
+    // ranking (the r6 hash-break class) never appears.
     "sim_prefix_rerank" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("mp", slice(col("mq"), 1, 16))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .withColumn("npsq", Similarity.normSqMilli(col("mp")))
       val q = emb.where(col("vec_id") === 0L)
-        .select(col("embedding").as("qv"),
-          slice(col("embedding"), 1, 16).as("qp"))
+        .select(col("mq").as("qmq"), col("mp").as("qmp"),
+          col("nsq").as("qnsq"), col("npsq").as("qnpsq"))
       val cand = emb.where(col("vec_id") =!= 0L)
         .crossJoin(broadcast(q))
-        .withColumn("coarse",
-          round(Similarity.cosine(slice(col("embedding"), 1, 16), col("qp")), 4))
-        .orderBy(col("coarse").desc, col("vec_id")).limit(50)
-      cand.withColumn("cos", round(Similarity.cosine(col("embedding"), col("qv")), 4))
-        .orderBy(col("cos").desc, col("vec_id")).limit(10)
-        .select(col("vec_id"), col("coarse"), col("cos"))
+        .withColumn("coarse_bp",
+          Similarity.cosBp(Similarity.dotMilli(col("mp"), col("qmp")),
+            col("npsq"), col("qnpsq")))
+        .orderBy(col("coarse_bp").desc, col("vec_id")).limit(50)
+      cand.withColumn("cos_bp",
+          Similarity.cosBp(Similarity.dotMilli(col("mq"), col("qmq")),
+            col("nsq"), col("qnsq")))
+        .orderBy(col("cos_bp").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), col("coarse_bp"), col("cos_bp"))
     })
   )
 
@@ -742,20 +751,27 @@ object Audits {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "sim_prefix_rerank" -> {
-      def dotN(x: String, y: String, n: Int) =
-        s"list_sum(list_transform(range(1, ${n + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-      def cosN(x: String, y: String, n: Int) =
-        s"${dotN(x, y, n)} / (sqrt(${dotN(x, x, n)}) * sqrt(${dotN(y, y, n)}))"
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      // integer basis-point cosine over the first n milli-quantized dims —
+      // the oracle twin of Similarity.cosBp(dotMilli(slice), normSq(slice))
+      def dotmN(x: String, y: String, n: Int) =
+        s"CAST(list_sum(list_transform(range(1, ${n + 1}), i -> $x[CAST(i AS INTEGER)] * $y[CAST(i AS INTEGER)])) AS BIGINT)"
+      def cosBpN(x: String, y: String, n: Int) =
+        s"""(CASE WHEN ${dotmN(x, x, n)} * ${dotmN(y, y, n)} = 0 THEN CAST(0 AS BIGINT)
+           |  ELSE CAST(floor(CAST(${dotmN(x, y, n)} * 10000 AS DOUBLE)
+           |    / sqrt(CAST(${dotmN(x, x, n)} * ${dotmN(y, y, n)} AS DOUBLE))) AS BIGINT) END)""".stripMargin
+      s"""WITH mil AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
+         |  FROM embeddings),
+         |q AS (SELECT mq AS qmq FROM mil WHERE vec_id = 0),
          |c AS (
-         |  SELECT e.vec_id, e.embedding,
-         |    round(${cosN("e.embedding", "q.qv", 16)}, 4) AS coarse
-         |  FROM embeddings e, q WHERE e.vec_id <> 0
-         |  ORDER BY coarse DESC, e.vec_id LIMIT 50)
-         |SELECT vec_id, coarse,
-         |  round(${cosN("c.embedding", "q.qv", 64)}, 4) AS cos
+         |  SELECT e.vec_id, e.mq,
+         |    ${cosBpN("e.mq", "q.qmq", 16)} AS coarse_bp
+         |  FROM mil e, q WHERE e.vec_id <> 0
+         |  ORDER BY coarse_bp DESC, e.vec_id LIMIT 50)
+         |SELECT vec_id, coarse_bp,
+         |  ${cosBpN("c.mq", "q.qmq", 64)} AS cos_bp
          |FROM c, q
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin
     }
   )
 }

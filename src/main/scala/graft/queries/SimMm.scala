@@ -7,9 +7,11 @@ import graft.ops.{Similarity, Dedup, Multimodal, Layout}
 /** Similarity search (SURVEY §2.4) over `embeddings` + multimodal-column
   * plumbing (§2.6) over `documents`.
   *
-  * Cross-engine determinism: LSH bucketing uses exact DECIMAL dot products
-  * over 3-dp-quantized components (order-independent signs); cosine values
-  * are rounded to 4 dp before ranking/thresholding.
+  * Cross-engine determinism: LSH bucketing uses exact integer dot products
+  * over milli-quantized components (order-independent signs); every cosine
+  * that is ranked, thresholded, or emitted is integer BASIS POINTS from
+  * exact integer dot/norm sums (Similarity.cosBp) — round(double, n), the
+  * r6 hash-break class, never appears on an emission or ranking path.
   */
 object SimMm {
 
@@ -189,19 +191,22 @@ object SimMm {
     }),
 
     // Embedding-norm distribution per label: the calibration audit a
-    // quantizer (SQ8/PQ) reads before choosing scales. Min/max of the
-    // 4-dp-rounded norm are order-independent; the MEAN comes from an
-    // exact milli-unit integer sum (a raw double sum would be partition-
-    // order dependent). Pure map + one keyed rollup.
+    // quantizer (SQ8/PQ) reads before choosing scales. Norms are integer
+    // MILLI-UNITS — floor over an IEEE-exact sqrt of the exact integer
+    // squared norm (milli-quantized components), so min/max/sum/mean are
+    // all engine- and partition-order-independent; round(double, n)
+    // emission (the r6 hash-break class) never appears. Pure map + one
+    // keyed rollup.
     "sim_norm_stats" -> ((s, dir) =>
       Tables.embeddings(s, dir)
-        .select(col("label"),
-          round(Similarity.norm(col("embedding")), 4).as("nrm"),
-          round(Similarity.norm(col("embedding")) * 1000).cast("long").as("milli"))
+        .select(col("label"), Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("norm_milli",
+          floor(sqrt(Similarity.normSqMilli(col("mq")).cast("double"))).cast("long"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"),
-          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"),
-          sum(col("milli")).as("sum_norm_milli"))
+          min(col("norm_milli")).as("min_norm_milli"),
+          max(col("norm_milli")).as("max_norm_milli"),
+          sum(col("norm_milli")).as("sum_norm_milli"))
         .withColumn("mean_norm_milli", expr("sum_norm_milli div n"))
         .orderBy(col("label"))),
 
@@ -344,32 +349,36 @@ object SimMm {
     // WITHIN its label block (the blocking key an LSH bucket / IVF cell
     // plays at 100 TB — pair cost is Σ block², never corpus²), mutual
     // edges found by a keyed count over the directed edge set (cosine is
-    // symmetric, so both directions carry the same 4-dp value — no second
-    // self-join, ONE aggregate). Norms precompute per row pre-join; the
-    // block side broadcasts (vectors are the small table here).
+    // symmetric, so both directions carry the same basis-point value — no
+    // second self-join, ONE aggregate). Ranking and emission are integer
+    // basis points over milli-quantized components (Similarity.cosBp);
+    // squared norms precompute per row pre-join; the block side
+    // broadcasts (vectors are the small table here).
     "sim_knn_graph" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), col("embedding"),
-          Similarity.norm(col("embedding")).as("nrm"))
+        .select(col("vec_id"), col("label"),
+          Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
       val a = e.select(col("vec_id").as("src"), col("label"),
-        col("embedding").as("va"), col("nrm").as("na"))
+        col("mq").as("ma"), col("nsq").as("na"))
       val b = e.select(col("vec_id").as("dst"), col("label"),
-        col("embedding").as("vb"), col("nrm").as("nb"))
+        col("mq").as("mb"), col("nsq").as("nb"))
       val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos").desc, col("dst"))
+        .orderBy(col("cos_bp").desc, col("dst"))
       val edges = a.join(broadcast(b), Seq("label"))
         .where(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
-          round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos"))
+          Similarity.cosBp(Similarity.dotMilli(col("ma"), col("mb")),
+            col("na"), col("nb")).as("cos_bp"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
       edges
         .groupBy(least(col("src"), col("dst")).as("lo"),
           greatest(col("src"), col("dst")).as("hi"))
-        .agg(min(col("cos")).as("cos"), count(lit(1)).as("nd"))
+        .agg(min(col("cos_bp")).as("cos_bp"), count(lit(1)).as("nd"))
         .where(col("nd") === 2)
-        .select(col("lo").as("src"), col("hi").as("dst"), col("cos"))
+        .select(col("lo").as("src"), col("hi").as("dst"), col("cos_bp"))
         .orderBy(col("src"), col("dst"))
     }),
 
@@ -384,14 +393,6 @@ object SimMm {
           min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
         .orderBy(col("shard")))
   )
-
-  /** Shared SQL fragment: ordered-fold cosine over 64-dim float lists,
-    * mirroring Spark's aggregate(zip_with(...)) left-to-right double fold. */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-  }
 
   /** Milli-quantized embeddings + exact integer squared norms — the
     * oracle twin of Similarity.milliQuant / normSqMilli (CTEs `mil` and
@@ -414,19 +415,23 @@ object SimMm {
     s"""(CASE WHEN $na * $nb = 0 THEN CAST(0 AS BIGINT)
        |  ELSE CAST(floor(CAST(($dotm) * 10000 AS DOUBLE) / sqrt(CAST($na * $nb AS DOUBLE))) AS BIGINT) END)""".stripMargin
 
-  /** IVF assignment CTE: hash-sampled seeds, cosine argmax per vector
-    * (mirrors Similarity.ivfAssign: 4-dp rounded cosine, seed-id tiebreak). */
+  /** IVF assignment CTE: hash-sampled seeds, integer-basis-point cosine
+    * argmax per vector (mirrors Similarity.ivfAssign: cosBp over
+    * milli-quantized components, seed-id tiebreak). REFERENCES `miln` —
+    * every WITH clause using it must place [[milliNormCte]] first. */
   private lazy val ivfCte =
     s"""seeds AS (
-       |  SELECT vec_id AS seed_id, embedding AS seed_vec
+       |  SELECT vec_id AS seed_id
        |  FROM embeddings
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |sv AS (SELECT s.seed_id, m.mq AS smq, m.nsq AS snsq
+       |       FROM seeds s JOIN miln m ON m.vec_id = s.seed_id),
        |ass AS (
        |  SELECT e.vec_id, s.seed_id,
        |    row_number() OVER (PARTITION BY e.vec_id
-       |      ORDER BY round(${cosSql("e.embedding", "s.seed_vec")}, 4) DESC, s.seed_id) AS rn,
+       |      ORDER BY ${cosBpSql(dotmSql("e.mq", "s.smq"), "e.nsq", "s.snsq")} DESC, s.seed_id) AS rn,
        |    s.seed_id AS cell
-       |  FROM embeddings e CROSS JOIN seeds s)""".stripMargin
+       |  FROM miln e CROSS JOIN sv s)""".stripMargin
 
   /** Bucket-assignment CTE with DATA-SCALED planes: np mirrors
     * Similarity.autoPlanes(n, 64) with the SAME integer arithmetic
@@ -473,13 +478,13 @@ object SimMm {
          |a$i AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT x.vec_id, x.cell, row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY round(CAST(x.dxc AS DOUBLE)
-         |        / (sqrt(CAST(v.dxx AS DOUBLE)) * sqrt(CAST(k.dcc AS DOUBLE))), 4) DESC,
+         |      ORDER BY ${cosBpSql("x.dxc", "v.dxx", "k.dcc")} DESC,
          |        x.cell) AS rn
          |    FROM dxc$i x JOIN dxx v USING (vec_id) JOIN dcc$i k USING (cell)) t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $ivfCte,
+    s"""WITH $milliNormCte,
+       |$ivfCte,
        |a0 AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
        |comp2 AS (
        |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
@@ -489,7 +494,7 @@ object SimMm {
        |dxx AS (SELECT vec_id, sum(xq * xq) AS dxx FROM comp2 GROUP BY vec_id),
        |$rounds
        |SELECT f.cell, count(*) AS n, min(f.vec_id) AS min_id,
-       |  round(sqrt(CAST(k.dcc AS DOUBLE)) / 1000, 4) AS c_norm
+       |  CAST(floor(sqrt(CAST(k.dcc AS DOUBLE))) AS BIGINT) AS c_norm_milli
        |FROM a$iters f JOIN dcc$iters k USING (cell)
        |GROUP BY f.cell, k.dcc ORDER BY f.cell""".stripMargin
   }
@@ -534,20 +539,21 @@ object SimMm {
 
   val oracle: Map[String, String] = Map(
     "sim_recall_audit" ->
-      s"""WITH $bucketsCte,
-         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      s"""WITH $milliNormCte,
+         |$bucketsCte,
+         |qv AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
          |ex AS (SELECT vec_id FROM (
-         |    SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 4) AS cos
-         |    FROM embeddings e, qv q WHERE e.vec_id <> 0)
-         |  ORDER BY cos DESC, vec_id LIMIT 10),
-         |qb AS (SELECT b.bucket, e.embedding AS qe
-         |       FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+         |    SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |    FROM miln m, qv q WHERE m.vec_id <> 0)
+         |  ORDER BY cos_bp DESC, vec_id LIMIT 10),
+         |qb AS (SELECT b.bucket, m.mq AS qmq, m.nsq AS qnsq
+         |       FROM buckets b JOIN miln m USING (vec_id) WHERE b.vec_id = 0),
          |ann AS (SELECT vec_id FROM (
-         |    SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 4) AS cos
-         |    FROM embeddings e JOIN buckets b USING (vec_id)
+         |    SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |    FROM miln m JOIN buckets b USING (vec_id)
          |    JOIN qb q ON b.bucket = q.bucket
-         |    WHERE e.vec_id <> 0)
-         |  ORDER BY cos DESC, vec_id LIMIT 10),
+         |    WHERE m.vec_id <> 0)
+         |  ORDER BY cos_bp DESC, vec_id LIMIT 10),
          |a AS (SELECT
          |  (SELECT count(*) FROM ex) AS k_exact,
          |  (SELECT count(*) FROM ann) AS n_ann,
@@ -568,18 +574,16 @@ object SimMm {
          |  count(*) AS n_pairs, min(cos_bp) AS lo_bp, max(cos_bp) AS hi_bp
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
 
-    "sim_norm_stats" -> {
-      val d = "list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
-      s"""WITH v AS (
-         |  SELECT label, round(sqrt($d), 4) AS nrm,
-         |    CAST(round(sqrt($d) * 1000) AS BIGINT) AS milli
-         |  FROM embeddings)
+    "sim_norm_stats" ->
+      s"""WITH $milliNormCte,
+         |v AS (SELECT label,
+         |    CAST(floor(sqrt(CAST(nsq AS DOUBLE))) AS BIGINT) AS norm_milli
+         |  FROM miln)
          |SELECT label, count(*) AS n,
-         |  min(nrm) AS min_norm, max(nrm) AS max_norm,
-         |  CAST(sum(milli) AS BIGINT) AS sum_norm_milli,
-         |  CAST(sum(milli) // count(*) AS BIGINT) AS mean_norm_milli
-         |FROM v GROUP BY label ORDER BY label""".stripMargin
-    },
+         |  min(norm_milli) AS min_norm_milli, max(norm_milli) AS max_norm_milli,
+         |  CAST(sum(norm_milli) AS BIGINT) AS sum_norm_milli,
+         |  CAST(sum(norm_milli) // count(*) AS BIGINT) AS mean_norm_milli
+         |FROM v GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_bucket_hist" ->
       s"""WITH $bucketsCte,
@@ -589,7 +593,8 @@ object SimMm {
          |FROM bs GROUP BY 1 ORDER BY size_bucket""".stripMargin,
 
     "sim_cluster_purity" ->
-      s"""WITH $ivfCte,
+      s"""WITH $milliNormCte,
+         |$ivfCte,
          |a AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
          |j AS (SELECT a.cell, e.label FROM a JOIN embeddings e USING (vec_id)),
          |cl AS (SELECT cell, label, count(*) AS c FROM j GROUP BY cell, label),
@@ -659,7 +664,7 @@ object SimMm {
          |    PARTITION BY vid, sub ORDER BY dist, code) AS rn
          |  FROM d2)
          |SELECT e.sub, e.code, count(*) AS n, min(e.vid) AS min_id,
-         |  round(sqrt(CAST(k.dcc AS DOUBLE)) / 1000, 4) AS c_norm
+         |  CAST(floor(sqrt(CAST(k.dcc AS DOUBLE))) AS BIGINT) AS c_norm_milli
          |FROM enc2 e JOIN dcc k ON k.sub = e.sub AND k.code = e.code
          |WHERE e.rn = 1
          |GROUP BY e.sub, e.code, k.dcc ORDER BY e.sub, e.code""".stripMargin,
@@ -668,7 +673,8 @@ object SimMm {
     // the PQ CTE scores candidates by ADC — same chains as the
     // standalone queries, so the composition cannot drift from its parts
     "sim_ivf_pq_search" ->
-      s"""WITH $ivfCte,
+      s"""WITH $milliNormCte,
+         |$ivfCte,
          |$pqCte,
          |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
          |qc AS (SELECT cell FROM cells WHERE vec_id = 0),
@@ -702,10 +708,11 @@ object SimMm {
          |SELECT vid AS vec_id, adist FROM adc
          |ORDER BY adist, vec_id LIMIT 10""".stripMargin,
     "sim_topk_brute" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |c AS (SELECT vec_id, round(${cosSql("embedding", "qv")}, 4) AS cos
-         |      FROM embeddings, q WHERE vec_id <> 0)
-         |SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+      s"""WITH $milliNormCte,
+         |q AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |c AS (SELECT vec_id, ${cosBpSql(dotmSql("mq", "qmq"), "nsq", "qnsq")} AS cos_bp
+         |      FROM miln, q WHERE vec_id <> 0)
+         |SELECT vec_id, cos_bp FROM c ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $bucketsCte
@@ -713,46 +720,50 @@ object SimMm {
          |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "sim_ann_search" ->
-      s"""WITH $bucketsCte,
-         |q AS (SELECT b.bucket, e.embedding AS qv
-         |      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+      s"""WITH $milliNormCte,
+         |$bucketsCte,
+         |q AS (SELECT b.bucket, m.mq AS qmq, m.nsq AS qnsq
+         |      FROM buckets b JOIN miln m USING (vec_id) WHERE b.vec_id = 0),
          |cand AS (
-         |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
-         |  FROM embeddings e JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
-         |  WHERE e.vec_id <> 0)
-         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+         |  SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |  FROM miln m JOIN buckets b USING (vec_id) JOIN q ON b.bucket = q.bucket
+         |  WHERE m.vec_id <> 0)
+         |SELECT vec_id, cos_bp FROM cand ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ann_multiprobe" ->
-      s"""WITH $bucketsCte,
-         |q AS (SELECT b.bucket, e.embedding AS qv
-         |      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+      s"""WITH $milliNormCte,
+         |$bucketsCte,
+         |q AS (SELECT b.bucket, m.mq AS qmq, m.nsq AS qnsq
+         |      FROM buckets b JOIN miln m USING (vec_id) WHERE b.vec_id = 0),
          |probes AS (
-         |  SELECT bucket AS pb, qv FROM q
+         |  SELECT bucket AS pb, qmq, qnsq FROM q
          |  UNION ALL
-         |  SELECT xor(q.bucket, CAST(1 AS BIGINT) << CAST(p.range AS INTEGER)) AS pb, qv
+         |  SELECT xor(q.bucket, CAST(1 AS BIGINT) << CAST(p.range AS INTEGER)) AS pb, qmq, qnsq
          |  FROM q CROSS JOIN range(63) p
          |  WHERE CAST(p.range AS INTEGER) < (SELECT planes FROM np)),
          |cand AS (
-         |  SELECT e.vec_id, round(${cosSql("e.embedding", "probes.qv")}, 4) AS cos
-         |  FROM embeddings e JOIN buckets b USING (vec_id)
+         |  SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "probes.qmq"), "m.nsq", "probes.qnsq")} AS cos_bp
+         |  FROM miln m JOIN buckets b USING (vec_id)
          |  JOIN probes ON b.bucket = probes.pb
-         |  WHERE e.vec_id <> 0)
-         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+         |  WHERE m.vec_id <> 0)
+         |SELECT vec_id, cos_bp FROM cand ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ivf_multiprobe" ->
-      s"""WITH $ivfCte,
+      s"""WITH $milliNormCte,
+         |$ivfCte,
          |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
-         |q AS (SELECT a.cell, e.embedding AS qv
-         |      FROM ass a JOIN embeddings e USING (vec_id)
+         |q AS (SELECT a.cell, m.mq AS qmq, m.nsq AS qnsq
+         |      FROM ass a JOIN miln m USING (vec_id)
          |      WHERE a.vec_id = 0 AND a.rn <= 2),
          |cand AS (
-         |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
-         |  FROM embeddings e JOIN cells c USING (vec_id) JOIN q ON c.cell = q.cell
-         |  WHERE e.vec_id <> 0)
-         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+         |  SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |  FROM miln m JOIN cells c USING (vec_id) JOIN q ON c.cell = q.cell
+         |  WHERE m.vec_id <> 0)
+         |SELECT vec_id, cos_bp FROM cand ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ivf_cells" ->
-      s"""WITH $ivfCte
+      s"""WITH $milliNormCte,
+         |$ivfCte
          |SELECT cell, count(*) AS n, min(vec_id) AS min_id
          |FROM ass WHERE rn = 1 GROUP BY cell ORDER BY cell""".stripMargin,
 
@@ -765,18 +776,20 @@ object SimMm {
     "sim_ivf_train2" -> ivfTrainSql(2),
 
     "sim_ivf_search" ->
-      s"""WITH $ivfCte,
+      s"""WITH $milliNormCte,
+         |$ivfCte,
          |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
-         |q AS (SELECT c.cell, e.embedding AS qv
-         |      FROM cells c JOIN embeddings e USING (vec_id) WHERE c.vec_id = 0),
+         |q AS (SELECT c.cell, m.mq AS qmq, m.nsq AS qnsq
+         |      FROM cells c JOIN miln m USING (vec_id) WHERE c.vec_id = 0),
          |cand AS (
-         |  SELECT e.vec_id, round(${cosSql("e.embedding", "q.qv")}, 4) AS cos
-         |  FROM embeddings e JOIN cells c USING (vec_id) JOIN q ON c.cell = q.cell
-         |  WHERE e.vec_id <> 0)
-         |SELECT vec_id, cos FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+         |  SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |  FROM miln m JOIN cells c USING (vec_id) JOIN q ON c.cell = q.cell
+         |  WHERE m.vec_id <> 0)
+         |SELECT vec_id, cos_bp FROM cand ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_nn_join" ->
-      s"""WITH $bucketsCte,
+      s"""WITH $milliNormCte,
+         |$bucketsCte,
          |cand AS (
          |  SELECT vec_id, bucket,
          |    row_number() OVER (PARTITION BY bucket
@@ -784,16 +797,16 @@ object SimMm {
          |  FROM buckets),
          |pairs AS (
          |  SELECT l.vec_id AS a, r.vec_id AS b,
-         |    round(${cosSql("le.embedding", "re.embedding")}, 4) AS cos
+         |    ${cosBpSql(dotmSql("lm.mq", "rm.mq"), "lm.nsq", "rm.nsq")} AS cos_bp
          |  FROM buckets l JOIN cand r
          |    ON l.bucket = r.bucket AND l.vec_id <> r.vec_id AND r.crn <= $CandCap
-         |  JOIN embeddings le ON le.vec_id = l.vec_id
-         |  JOIN embeddings re ON re.vec_id = r.vec_id),
+         |  JOIN miln lm ON lm.vec_id = l.vec_id
+         |  JOIN miln rm ON rm.vec_id = r.vec_id),
          |ranked AS (
-         |  SELECT a, b, cos,
-         |    row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS rn
+         |  SELECT a, b, cos_bp,
+         |    row_number() OVER (PARTITION BY a ORDER BY cos_bp DESC, b) AS rn
          |  FROM pairs)
-         |SELECT a, b AS nn, cos FROM ranked WHERE rn = 1 ORDER BY a""".stripMargin,
+         |SELECT a, b AS nn, cos_bp FROM ranked WHERE rn = 1 ORDER BY a""".stripMargin,
 
     "sim_range_search" ->
       s"""WITH $milliNormCte,
@@ -817,8 +830,8 @@ object SimMm {
     // SemDeDup: same IVF assignment CTE as the sim_ivf_* oracles, 16
     // lowest-id representatives per cell, earliest claimant wins.
     "dedup_semantic" ->
-      s"""WITH $ivfCte,
-         |$milliNormCte,
+      s"""WITH $milliNormCte,
+         |$ivfCte,
          |cells AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
          |reps AS (
          |  SELECT vec_id AS rep_id, cell,
@@ -865,7 +878,7 @@ object SimMm {
         |  SELECT label, d, count(*) AS n, sum(x) // count(*) AS cq
         |  FROM comp GROUP BY label, d)
         |SELECT label, CAST(max(n) AS BIGINT) AS n,
-        |  round(sqrt(CAST(sum(cq * cq) AS DOUBLE)) / 1000, 4) AS c_norm,
+        |  CAST(floor(sqrt(CAST(sum(cq * cq) AS DOUBLE))) AS BIGINT) AS c_norm_milli,
         |  CAST(max(CASE WHEN d = 0 THEN cq END) AS BIGINT) AS c0_milli
         |FROM cent GROUP BY label ORDER BY label""".stripMargin,
 
@@ -891,19 +904,20 @@ object SimMm {
          |ORDER BY ham, doc_id LIMIT 20""".stripMargin,
 
     "sim_knn_graph" ->
-      s"""WITH knn AS (
+      s"""WITH $milliNormCte,
+         |knn AS (
          |  SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos,
+         |    ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} AS cos_bp,
          |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY round(${cosSql("a.embedding", "b.embedding")}, 4) DESC, b.vec_id) AS rn
-         |  FROM embeddings a JOIN embeddings b
+         |      ORDER BY ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} DESC, b.vec_id) AS rn
+         |  FROM miln a JOIN miln b
          |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |edges AS (SELECT src, dst, cos FROM knn WHERE rn <= 3),
+         |edges AS (SELECT src, dst, cos_bp FROM knn WHERE rn <= 3),
          |pairs AS (
          |  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
-         |    min(cos) AS cos, count(*) AS n
+         |    min(cos_bp) AS cos_bp, count(*) AS n
          |  FROM edges GROUP BY 1, 2)
-         |SELECT src, dst, cos FROM pairs WHERE n = 2 ORDER BY src, dst""".stripMargin,
+         |SELECT src, dst, cos_bp FROM pairs WHERE n = 2 ORDER BY src, dst""".stripMargin,
 
     "mm_shard_plan" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents),

@@ -367,19 +367,32 @@ object TextDedup {
 
     // Gopher-style quality gate: word count, mean word length, symbol
     // ratio, distinct-stopword presence — the classic pre-training filter
-    // battery, each signal a codegen'd Column kernel.
+    // battery, each signal a codegen'd Column kernel. Ratios are emitted
+    // in integer BASIS POINTS by truncating division over exact integer
+    // char/token counts (round(double, 4) emission is the r6 hash-break
+    // class), and the keep gate thresholds the same integers.
     "text_gopher_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
         TA.tokenCount(col("text")).as("n_tok"),
-        round(TA.meanTokenLen(col("text")), 4).as("mean_wlen"),
-        round(TA.symbolRatio(col("text")), 4).as("sym_ratio"),
+        (length(trim(col("text"))) - (TA.tokenCount(col("text")) - lit(1)))
+          .cast("long").as("tok_chars"),
+        TA.punctCount(col("text")).cast("long").as("n_sym"),
+        length(col("text")).cast("long").as("n_chars"),
         TA.distinctStopwordCount(col("text")).as("n_stop_uniq"))
+        .withColumn("mean_wlen_bp",
+          when(col("n_tok") === 0, lit(0L))
+            .otherwise(expr("(tok_chars * 10000) div n_tok")))
+        .withColumn("sym_ratio_bp",
+          when(col("n_chars") === 0, lit(0L))
+            .otherwise(expr("(n_sym * 10000) div n_chars")))
         .withColumn("keep",
           when(col("n_tok").between(20, 1000) &&
-               col("mean_wlen").between(3.0, 10.0) &&
-               col("sym_ratio") <= 0.1 &&
+               col("mean_wlen_bp").between(30000L, 100000L) &&
+               col("sym_ratio_bp") <= 1000L &&
                col("n_stop_uniq") >= 2, lit(1)).otherwise(lit(0)))
+        .select(col("doc_id"), col("n_tok"), col("mean_wlen_bp"),
+          col("sym_ratio_bp"), col("n_stop_uniq"), col("keep"))
         .orderBy(col("doc_id"))),
 
     // Rejection report: every doc lands in exactly one bucket — its FIRST
@@ -942,14 +955,21 @@ object TextDedup {
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
          |m AS (SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tok,
-         |  round(CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_wlen,
-         |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS sym_ratio,
+         |  CAST(length(trim(text)) - (len(toks) - 1) AS BIGINT) AS tok_chars,
+         |  CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(list_intersect(list_distinct(toks), $stopList)) AS BIGINT) AS n_stop_uniq
-         |  FROM t)
-         |SELECT doc_id, n_tok, mean_wlen, sym_ratio, n_stop_uniq,
-         |  CASE WHEN n_tok BETWEEN 20 AND 1000 AND mean_wlen BETWEEN 3.0 AND 10.0
-         |        AND sym_ratio <= 0.1 AND n_stop_uniq >= 2 THEN 1 ELSE 0 END AS keep
-         |FROM m ORDER BY doc_id""".stripMargin
+         |  FROM t),
+         |b AS (SELECT doc_id, n_tok, n_stop_uniq,
+         |  CASE WHEN n_tok = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(tok_chars * 10000 // n_tok AS BIGINT) END AS mean_wlen_bp,
+         |  CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_sym * 10000 // n_chars AS BIGINT) END AS sym_ratio_bp
+         |  FROM m)
+         |SELECT doc_id, n_tok, mean_wlen_bp, sym_ratio_bp, n_stop_uniq,
+         |  CASE WHEN n_tok BETWEEN 20 AND 1000 AND mean_wlen_bp BETWEEN 30000 AND 100000
+         |        AND sym_ratio_bp <= 1000 AND n_stop_uniq >= 2 THEN 1 ELSE 0 END AS keep
+         |FROM b ORDER BY doc_id""".stripMargin
     },
 
     "corpus_reject_report" -> {

@@ -11,13 +11,14 @@ class AnalyticsSpec extends AnyFunSuite {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, TestSpark.sf)
 
-  test("q_stats_corr: correlations are in [-1, 1] and slope/intercept finite") {
+  test("q_stats_corr: correlations are in [-1, 1] and slope/intercept defined") {
     val rows = run("q_stats_corr").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val corr = r.getAs[Double]("corr_qp")
-      assert(corr >= -1.0 && corr <= 1.0, s"corr out of range: $r")
-      assert(!r.getAs[Double]("slope").isNaN && !r.getAs[Double]("intercept").isNaN)
+      val corr = r.getAs[Long]("corr_micro")
+      assert(corr >= -1000000L && corr <= 1000000L, s"corr out of range: $r")
+      assert(!r.isNullAt(r.fieldIndex("slope_micro")) &&
+        !r.isNullAt(r.fieldIndex("intercept_q")))
     }
   }
 
@@ -179,8 +180,8 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(edges.nonEmpty)
     edges.foreach { r =>
       assert(r.getAs[Long]("src") < r.getAs[Long]("dst"))
-      val c = r.getAs[Double]("cos")
-      assert(c >= -1.0 && c <= 1.0)
+      val c = r.getAs[Long]("cos_bp")
+      assert(c >= -10000L && c <= 10000L)
     }
     val labels = graft.sources.Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("label")).collect()

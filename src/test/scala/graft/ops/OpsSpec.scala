@@ -230,10 +230,10 @@ class OpsSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val cands = (10L to 14L).sortBy(i => (md5hex(i.toString), i)).take(2).toSet
     val nn = Similarity.nnJoin(same, "vec_id", "embedding", 2, 4, candCap = 2)
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(nn.length == 5)                      // probe side stays uncapped
     assert(nn.forall(r => cands.contains(r._2))) // neighbors only from candidates
-    assert(nn.forall(_._3 == 1.0))              // scaled copies: cosine 1
+    assert(nn.forall(_._3 == 10000L))           // scaled copies: cosine 1 = 10000 bp
   }
 
   test("Dedup.semantic drops near-reps, keeps representatives and outliers") {
