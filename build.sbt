@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The harness box has 128 GiB; local[32] with 32 concurrent tasks at
+  // sf0.1 needs real execution memory or queries pay spill/GC instead of
+  // compute (8g left the BlockManager only 4.6 GiB for 32 threads).
+  // 28g stays under the 32 GiB compressed-oops ceiling: a 48g heap
+  // measured 2-3x SLOWER on memory-heavy queries (8-byte oops halve
+  // cache density) than 28g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -18,9 +18,13 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String): Unit =
+    def materialize(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // Drop dead checkpoint blocks from the finished query so the next
+      // one starts with free storage memory (see graft.Caches).
+      Caches.sweep(spark)
+    }
 
     // warm-up: a scan+agg and a join query, untimed
     try { materialize("q_topk"); materialize("q3_join_agg") }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Governance for eagerly-checkpointed frames in long-lived sessions.
+  *
+  * Operators materialize iterative / multi-consumer intermediates with
+  * `localCheckpoint(true)` (lineage truncation for loops, build-once for
+  * self-joins). Each checkpoint persists blocks (MEMORY_AND_DISK) that
+  * Spark never drops on its own — in a session that runs the whole
+  * 195-query registry back-to-back (the driver's Bench / Verify mains),
+  * dead blocks from finished queries pile up until storage memory is
+  * full, and every later query pays eviction churn + GC instead of
+  * compute. (Observed: the same per-row kernel costs 1.2 s in a fresh
+  * session and 17+ s late in an un-swept 195-query run.)
+  *
+  * `sweep` drops every persistent RDD that is not PINNED. Pinning exists
+  * for the one legitimate cross-query cache: the shared t=0.5 pair index
+  * (TextDedup.sharedPairs05) that four clustering queries reuse —
+  * unpersisting a checkpointed frame would be fatal there, because
+  * lineage truncation makes its blocks non-recomputable.
+  *
+  * Harness mains call `sweep` BETWEEN queries only; a query's own
+  * checkpoints are never touched while it runs.
+  */
+object Caches {
+
+  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Pin every checkpointed RDD reachable from this frame's plan so
+    * `sweep` keeps it alive across queries. Returns the frame. */
+  def pin(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }
+      .foreach(pinned.add)
+    df
+  }
+
+  // Unpersisting a checkpointed RDD logs a WARN ("lineage has been
+  // truncated and cannot be recomputed") per RDD. That is exactly the
+  // intended, safe case here — the frame is dead — and 200 copies of it
+  // would drown the bench tail the driver captures. Raise just that
+  // logger to ERROR, once.
+  private lazy val quietUnpersist: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** Unpersist all non-pinned persistent RDDs (non-blocking). */
+  def sweep(spark: SparkSession): Unit = {
+    quietUnpersist
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
+}

@@ -21,7 +21,8 @@ object TextDedup {
       (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private def sharedPairs05(s: org.apache.spark.sql.SparkSession, dir: String) =
     pairIndexCache.getOrElseUpdate((s, dir),
-      Dedup.pairIndex(Tables.documents(s, dir), "doc_id", "text", 3, 0.5))
+      graft.Caches.pin(
+        Dedup.pairIndex(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)))
 
   val queries: Map[String, Q] = Map(
     // Token counting + per-lang corpus stats.

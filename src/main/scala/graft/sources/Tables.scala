@@ -38,7 +38,19 @@ object Tables {
       if (name == "events" && df.schema("ts").dataType == LongType)
         df.withColumn("ts", nsToTs(col("ts")))
       else df
-    rebalance(spark, converted, s"$dir/$name.parquet")
+    // Parquet µs timestamps written with isAdjustedToUTC=false come back
+    // as TIMESTAMP_NTZ (the regenerated testdata does this; the old data
+    // was TIMESTAMP(NANOS) → long → nsToTs). Normalize every NTZ column
+    // to TimestampType: under the UTC session timezone the cast is a
+    // bit-exact no-op on the stored micros, and it keeps TIMESTAMP-typed
+    // functions (unix_micros, etc.) resolving unchanged. DuckDB reads the
+    // same column as its naive TIMESTAMP, so oracle parity is unaffected.
+    val ntzFixed = converted.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(converted) { (d, c) =>
+      d.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
+    rebalance(spark, ntzFixed, s"$dir/$name.parquet")
   }
 
   /** Single-row-group files give the scan ONE split, serializing every
