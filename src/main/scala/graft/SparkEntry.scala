@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Relational, Etl, TextDedup, SimMm, Advanced, Analytics, Vocab, Audits}
+import graft.queries.{Relational, Etl, TextDedup, SimMm, Advanced, Analytics, Vocab, Audits, Round8}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -19,10 +19,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Etl.queries ++ TextDedup.queries ++ SimMm.queries ++
-      Advanced.queries ++ Analytics.queries ++ Vocab.queries ++ Audits.queries
+      Advanced.queries ++ Analytics.queries ++ Vocab.queries ++ Audits.queries ++
+      Round8.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ TextDedup.oracle ++ SimMm.oracle ++
-      Advanced.oracle ++ Analytics.oracle ++ Vocab.oracle ++ Audits.oracle
+      Advanced.oracle ++ Analytics.oracle ++ Vocab.oracle ++ Audits.oracle ++
+      Round8.oracle
 }

@@ -1,0 +1,553 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, TextAnalysis => TA}
+
+/** Round-8 additions: activity-streak (gaps-and-islands) analytics, burst
+  * detection, integer percent-rank/cume-dist, null-safe join semantics,
+  * table-freshness and reconciliation-checksum audits, exact per-group
+  * mode, and a distributed equi-depth histogram.
+  *
+  * Same house rules as every other query file: exact integer/decimal
+  * aggregation, truncating-div basis points, doubles only in final
+  * expressions over bit-identical operands, deterministic tiebreaks.
+  */
+object Round8 {
+
+  val queries: Map[String, Q] = Map(
+    // Gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    // classic streak query — retention/habit features). day - row_number
+    // is constant within a consecutive run, so one partitioned window +
+    // two keyed aggregates produce streak stats; nothing in the plan is
+    // ever user-corpus-sized in one partition.
+    "q_gaps_islands" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .where(col("ts").isNotNull)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days.withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Burst detection on the hourly rollup: an hour is a burst when its
+    // count is >= 2x the mean of the trailing 24 OBSERVED hours (integer
+    // cross-multiplication, no division) with at least 12 hours of
+    // history. The window runs over the hourly ROLLUP (bounded by the
+    // time range, never event-sized), like the q_backlog month spine.
+    "events_burst" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .where(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+      hourly
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:00").as("hr"),
+          col("n"), col("win_n"), col("win_sum"),
+          when(col("win_n") >= 12 &&
+               col("n") * col("win_n") >= col("win_sum") * 2, lit(1L))
+            .otherwise(lit(0L)).as("burst"))
+        .orderBy(col("hr"))
+    }),
+
+    // percent_rank / cume_dist in integer basis points (per-priority
+    // price position — the feature-scaling shape). Built from row_number
+    // + partition count with truncating div instead of the built-in
+    // DOUBLE percent_rank, so the output is bit-stable cross-engine.
+    "q_percent_rank" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      val wn = Window.partitionBy(col("o_orderpriority"))
+      o.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          col("rk").cast("long").as("rk"),
+          when(col("n") > 1,
+            expr("((rk - 1) * 10000) div (n - 1)")).otherwise(lit(0L))
+            .as("pct_bp"),
+          expr("(rk * 10000) div n").as("cume_bp"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    }),
+
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL-keyed
+    // rows MATCH each other instead of silently dropping — the semantics
+    // a keyed reconciliation needs when the key itself is nullable. The
+    // dim side is a keyed rollup of the same table, so every group
+    // (including the NULL group) must find exactly one dim row.
+    "q_null_safe_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        expr("nullif(day(o_orderdate) % 7, 0)").as("k"))
+      val dim = o.groupBy(col("k")).agg(count(lit(1)).as("dim_n"))
+        .withColumnRenamed("k", "dk")
+      o.join(broadcast(dim), col("k") <=> col("dk"), "left")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("dim_n")).as("dim_n"),
+          sum(col("cents")).as("cents"))
+        .select(col("k").cast("long").as("k"), col("n_orders"),
+          col("dim_n"), col("cents"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // Table-freshness audit: per event type, last event time (epoch
+    // seconds) and staleness vs the freshest type — the first thing an
+    // on-call checks when a CDC feed stalls (reference runs on a cron;
+    // this is the "did every table sync" readout). 1-row global max is
+    // broadcast; integer-seconds arithmetic end to end.
+    "etl_freshness" -> ((s, dir) => {
+      val mx = Tables.events(s, dir)
+        .where(col("ts").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(max(col("ts")).as("max_ts"), count(lit(1)).as("n"))
+      val g = mx.agg(max(col("max_ts")).as("global_ts"))
+      mx.crossJoin(broadcast(g))
+        .select(col("event_type"), col("n"),
+          expr("unix_micros(max_ts) div 1000000").as("max_ts_s"),
+          expr("(unix_micros(global_ts) - unix_micros(max_ts)) div 1000000")
+            .as("stale_s"))
+        .withColumn("is_stale",
+          when(col("stale_s") > 86400, lit(1L)).otherwise(lit(0L)))
+        .orderBy(col("event_type"))
+    }),
+
+    // Reconciliation checksums: order-independent per-bucket row digests
+    // (row -> md5 -> 24-bit int -> SUM) over the canonical field string.
+    // Two systems loading the same table compare 16 (bucket, n, checksum)
+    // rows instead of re-reading each other's data — the cheap answer to
+    // "did the upsert land identically". 24-bit terms keep the BIGINT sum
+    // overflow-free to ~3x10^11 rows per bucket.
+    "etl_row_checksum" -> ((s, dir) => {
+      val line = concat_ws("|", col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), line.as("line"))
+        .select(
+          pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 2),
+            16, 10).cast("long"), lit(16)).as("bucket"),
+          conv(substring(md5(col("line")), 1, 6), 16, 10).cast("long").as("sig"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("sig")).as("checksum"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Exact per-group mode with a deterministic tiebreak (most frequent
+    // order priority per month; ties break to the lexicographically
+    // smallest value). count rollup -> rank-1 filter rides Spark 4's
+    // WindowGroupLimit pushdown, so no month's full distribution is ever
+    // materialized through the sort.
+    "q_mode" -> ((s, dir) => {
+      val cnt = Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("month"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      cnt.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("month"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+        .orderBy(col("month"))
+    }),
+
+    // Equi-depth histogram (quartiles of line-item price) via the same
+    // TWO-PHASE distributed rank as events_pareto: per-block partial
+    // counts + broadcast offsets + in-block row_number — a global sort's
+    // semantics without a global single-partition sort. bucket =
+    // (rank-1)*4 div n; emits each quartile's bounds and mass.
+    "q_hist_equidepth" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .withColumn("blk", expr("cents div 100000"))
+      val tot = li.agg(count(lit(1)).as("n_tot"))
+      val wBlk = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = li.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum(col("bn")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      li.join(broadcast(offs), "blk")
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .crossJoin(broadcast(tot))
+        .withColumn("bucket", expr("((rk - 1) * 4) div n_tot"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .select(col("bucket").cast("long").as("bucket"), col("n"),
+          col("lo_cents"), col("hi_cents"), col("sum_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Fuzzy (edit-distance) near-dup pairs: candidates come from the SAME
+    // MinHash-LSH band buckets as dedup_minhash_lsh (capped, never all
+    // pairs), then exact Levenshtein verifies each candidate — the
+    // OCR-noise/typo dedup layer that token-set Jaccard can't see. The
+    // length gate (<= 400 chars both sides) bounds the O(len²) DP per
+    // pair; similarity is integer basis points of (1 - dist/max_len).
+    "text_edit_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = docs.select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+        .join(t.select(col("doc_id").as("a"), col("text").as("ta"),
+          col("len").as("la")), "a")
+        .join(t.select(col("doc_id").as("b"), col("text").as("tb"),
+          col("len").as("lb")), "b")
+        .where(col("la") <= 400 && col("lb") <= 400)
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+          greatest(col("la"), col("lb")).as("max_len"))
+        .withColumn("sim_bp", when(col("max_len") === 0, lit(10000L))
+          .otherwise(expr("((max_len - dist) * 10000) div max_len")))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Zipf rank-frequency audit over the corpus vocabulary: top-30 tokens
+    // with corpus share, cumulative share, and rank-to-next frequency
+    // ratio in integer basis points — the sanity check that token
+    // frequencies follow the expected power law (a broken crawl or
+    // boilerplate flood shows up as a flat head). TakeOrdered top-30;
+    // the 30-row windows never see the full vocab.
+    "text_zipf_audit" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val tot = freq.agg(sum(col("n")).as("total"))
+      val top = freq.orderBy(col("n").desc, col("tok")).limit(30)
+      val w = Window.orderBy(col("n").desc, col("tok"))
+      top
+        .withColumn("rank", row_number().over(w))
+        .withColumn("next_n", lead(col("n"), 1).over(w))
+        .withColumn("cum", sum(col("n")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rank").cast("long").as("rank"), col("tok"), col("n"),
+          expr("(n * 10000) div total").as("share_bp"),
+          when(col("next_n").isNull, lit(0L))
+            .otherwise(expr("(n * 10000) div next_n")).as("ratio_next_bp"),
+          expr("(cum * 10000) div total").as("cum_bp"))
+        .orderBy(col("rank"))
+    }),
+
+    // Language-rebalance plan: per-language doc share and the sampling
+    // weight (in bp) that would flatten the mix to uniform — the
+    // data-mixing knob next to corpus_mix_budget's hard budget. Integer
+    // arithmetic end to end; output is one row per language.
+    "corpus_lang_balance" -> ((s, dir) => {
+      val pl = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val tot = pl.agg(sum(col("n_docs")).as("n_total"),
+        count(lit(1)).as("n_langs"))
+      pl.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("(n_docs * 10000) div n_total").as("share_bp"),
+          expr("n_total div n_langs").as("target_n"),
+          expr("((n_total div n_langs) * 10000) div n_docs").as("weight_bp"))
+        .orderBy(col("lang"))
+    }),
+
+    // LSH band/row tuning sweep: from ONE set of k=8 MinHash signatures,
+    // evaluate rows-per-band r ∈ {2,4,8} — bucket count, over-cap
+    // buckets, total candidate checks Σ m(m-1)/2 (the index COST curve),
+    // and distinct under-cap candidate pairs (the RECALL curve). This is
+    // the table you read before picking the production banding; one
+    // signature build feeds all three configurations.
+    "dedup_lsh_tune" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatureArray(
+        Tables.documents(s, dir), "doc_id", "text", 8)
+        .localCheckpoint(true)
+      val perR = Seq(2, 4, 8).map { r =>
+        val nB = 8 / r
+        val bandKeys = (0 until nB).map(b =>
+          concat_ws(",", slice(col("sig"), b * r + 1, r)))
+        val bands = sigs.select(col("doc"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val occ = bands.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("m"))
+          .localCheckpoint(true) // feeds stats AND the kept-bucket join
+        val stats = occ.agg(
+          count(lit(1)).as("n_buckets"),
+          count(when(col("m") > 50, 1)).as("n_overcap"),
+          sum(expr("(m * (m - 1)) div 2")).as("cand_checks"))
+        val kept = bands.join(
+          occ.where(col("m") <= 50).select(col("band"), col("key")),
+          Seq("band", "key"))
+        val cnt = kept.as("l").join(kept.as("r"), Seq("band", "key"))
+          .where(col("l.doc") < col("r.doc"))
+          .select(col("l.doc").as("a"), col("r.doc").as("b")).distinct()
+          .agg(count(lit(1)).as("n_pairs"))
+        stats.crossJoin(cnt).select(
+          lit(r).cast("long").as("r"), lit(nB).cast("long").as("n_bands"),
+          col("n_buckets"), col("n_overcap"), col("cand_checks"),
+          col("n_pairs"))
+      }
+      perR.reduce(_ unionAll _).orderBy(col("r"))
+    }),
+
+    // Payload-size histogram per sniffed container format (log2 buckets,
+    // same integer-exact bin(length) bucketing as corpus_length_hist) —
+    // the storage-planning twin of mm_format_sniff.
+    "mm_size_hist" -> ((s, dir) => {
+      val magic = substring(col("text"), 1, 1)
+      Tables.documents(s, dir)
+        .withColumn("format",
+          when(magic.between("a", "f"), "image")
+            .when(magic.between("g", "p"), "audio")
+            .when(magic.between("q", "z"), "video")
+            .otherwise("binary"))
+        .withColumn("bytes", length(col("text")).cast("long"))
+        .withColumn("bucket", length(bin(col("bytes"))).cast("long"))
+        .groupBy(col("format"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("bytes")).as("min_bytes"), max(col("bytes")).as("max_bytes"),
+          sum(col("bytes")).as("bytes"))
+        .orderBy(col("format"), col("bucket"))
+    }),
+  )
+
+  /** MinHash signature CTEs — same chain as TextDedup's dedup_minhash_lsh
+    * oracle (k=8 seeds, min over md5(seed:token)), so the band-derived
+    * oracles here cannot drift from the dedup family's. */
+  private val sigsCte =
+    s"""tok AS (
+       |  SELECT doc_id AS doc, unnest(list_distinct($toksSql)) AS tok FROM documents),
+       |sigs AS (
+       |  SELECT doc, s.range AS seed, min(md5(CAST(s.range AS VARCHAR) || ':' || tok)) AS mh
+       |  FROM tok CROSS JOIN range(8) s GROUP BY doc, s.range)""".stripMargin
+
+  /** Per-r band/occupancy/keep CTEs for the LSH tuning sweep. */
+  private def lshTuneCtes(r: Int): String =
+    s"""bands$r AS (
+       |  SELECT doc, CAST(seed // $r AS INTEGER) AS band,
+       |    string_agg(mh, ',' ORDER BY seed) AS key
+       |  FROM sigs GROUP BY doc, CAST(seed // $r AS INTEGER)),
+       |occ$r AS (SELECT band, key, count(*) AS m FROM bands$r GROUP BY band, key),
+       |keep$r AS (
+       |  SELECT b.doc, b.band, b.key FROM bands$r b
+       |  JOIN occ$r o USING (band, key) WHERE o.m <= 50)""".stripMargin
+
+  private def lshTuneSelect(r: Int): String = {
+    val nB = 8 / r
+    s"""SELECT CAST($r AS BIGINT) AS r, CAST($nB AS BIGINT) AS n_bands,
+       |  (SELECT count(*) FROM occ$r) AS n_buckets,
+       |  (SELECT count(*) FROM occ$r WHERE m > 50) AS n_overcap,
+       |  (SELECT CAST(sum((m * (m - 1)) // 2) AS BIGINT) FROM occ$r) AS cand_checks,
+       |  (SELECT count(*) FROM (
+       |     SELECT DISTINCT l.doc AS a, rr.doc AS b FROM keep$r l
+       |     JOIN keep$r rr ON l.band = rr.band AND l.key = rr.key
+       |     WHERE l.doc < rr.doc) p) AS n_pairs""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "text_edit_distance" ->
+      s"""WITH $sigsCte,
+         |bands AS (
+         |  SELECT doc, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(mh, ',' ORDER BY seed) AS bandkey
+         |  FROM sigs GROUP BY doc, CAST(seed // 4 AS INTEGER)),
+         |occ AS (SELECT band, bandkey, count(*) AS m FROM bands GROUP BY band, bandkey),
+         |keep AS (
+         |  SELECT b.doc, b.band, b.bandkey FROM bands b
+         |  JOIN occ USING (band, bandkey) WHERE occ.m <= 50),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc AS a, r.doc AS b
+         |  FROM keep l JOIN keep r ON l.band = r.band AND l.bandkey = r.bandkey
+         |  WHERE l.doc < r.doc),
+         |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents)
+         |SELECT p.a, p.b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist,
+         |  greatest(da.len, db.len) AS max_len,
+         |  CAST(CASE WHEN greatest(da.len, db.len) = 0 THEN 10000
+         |    ELSE ((greatest(da.len, db.len) - levenshtein(da.text, db.text)) * 10000)
+         |         // greatest(da.len, db.len) END AS BIGINT) AS sim_bp
+         |FROM pairs p JOIN d da ON da.doc_id = p.a JOIN d db ON db.doc_id = p.b
+         |WHERE da.len <= 400 AND db.len <= 400
+         |ORDER BY a, b""".stripMargin,
+
+    "text_zipf_audit" ->
+      s"""WITH f AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM f GROUP BY tok),
+         |t AS (SELECT sum(n) AS total FROM c),
+         |top AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+         |        FROM c QUALIFY rank <= 30),
+         |w AS (SELECT rank, tok, n,
+         |  lead(n) OVER (ORDER BY rank) AS next_n,
+         |  sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM top)
+         |SELECT CAST(rank AS BIGINT) AS rank, tok, n,
+         |  CAST((n * 10000) // t.total AS BIGINT) AS share_bp,
+         |  CAST(CASE WHEN next_n IS NULL THEN 0
+         |       ELSE (n * 10000) // next_n END AS BIGINT) AS ratio_next_bp,
+         |  CAST((cum * 10000) // t.total AS BIGINT) AS cum_bp
+         |FROM w, t ORDER BY rank""".stripMargin,
+
+    "corpus_lang_balance" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs) AS n_total, count(*) AS n_langs FROM pl)
+        |SELECT lang, n_docs,
+        |  CAST((n_docs * 10000) // t.n_total AS BIGINT) AS share_bp,
+        |  CAST(t.n_total // t.n_langs AS BIGINT) AS target_n,
+        |  CAST(((t.n_total // t.n_langs) * 10000) // n_docs AS BIGINT) AS weight_bp
+        |FROM pl, t ORDER BY lang""".stripMargin,
+
+    "dedup_lsh_tune" ->
+      s"""WITH $sigsCte,
+         |${lshTuneCtes(2)},
+         |${lshTuneCtes(4)},
+         |${lshTuneCtes(8)}
+         |${lshTuneSelect(2)}
+         |UNION ALL
+         |${lshTuneSelect(4)}
+         |UNION ALL
+         |${lshTuneSelect(8)}
+         |ORDER BY r""".stripMargin,
+
+    "mm_size_hist" ->
+      """WITH f AS (
+        |  SELECT CAST(length(text) AS BIGINT) AS bytes,
+        |    CASE WHEN substring(text, 1, 1) BETWEEN 'a' AND 'f' THEN 'image'
+        |         WHEN substring(text, 1, 1) BETWEEN 'g' AND 'p' THEN 'audio'
+        |         WHEN substring(text, 1, 1) BETWEEN 'q' AND 'z' THEN 'video'
+        |         ELSE 'binary' END AS format
+        |  FROM documents)
+        |SELECT format, CAST(length(bin(bytes)) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, min(bytes) AS min_bytes, max(bytes) AS max_bytes,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes
+        |FROM f GROUP BY format, CAST(length(bin(bytes)) AS BIGINT)
+        |ORDER BY format, bucket""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |i AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM d),
+        |g AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY user_id, isl)
+        |SELECT user_id, sum(len) AS active_days, count(*) AS n_streaks,
+        |  max(len) AS longest_streak
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_burst" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |w AS (SELECT hr, n,
+        |  count(*) OVER win AS win_n,
+        |  COALESCE(sum(n) OVER win, 0) AS win_sum
+        |  FROM h WINDOW win AS (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(hr, '%Y-%m-%d %H:00') AS hr, n,
+        |  CAST(win_n AS BIGINT) AS win_n, CAST(win_sum AS BIGINT) AS win_sum,
+        |  CAST(CASE WHEN win_n >= 12 AND n * win_n >= win_sum * 2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS burst
+        |FROM w ORDER BY hr""".stripMargin,
+
+    "q_percent_rank" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT o_orderkey, o_orderpriority, cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY cents, o_orderkey) AS rk,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM o)
+        |SELECT o_orderkey, o_orderpriority, cents, CAST(rk AS BIGINT) AS rk,
+        |  CAST(CASE WHEN n > 1 THEN ((rk - 1) * 10000) // (n - 1)
+        |       ELSE 0 END AS BIGINT) AS pct_bp,
+        |  CAST((rk * 10000) // n AS BIGINT) AS cume_bp
+        |FROM r ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    nullif(EXTRACT(day FROM o_orderdate) % 7, 0) AS k
+        |  FROM orders),
+        |dim AS (SELECT k AS dk, count(*) AS dim_n FROM o GROUP BY k)
+        |SELECT CAST(o.k AS BIGINT) AS k, count(*) AS n_orders,
+        |  CAST(max(dim.dim_n) AS BIGINT) AS dim_n, sum(o.cents) AS cents
+        |FROM o LEFT JOIN dim ON o.k IS NOT DISTINCT FROM dim.dk
+        |GROUP BY o.k ORDER BY k NULLS FIRST""".stripMargin,
+
+    "etl_freshness" ->
+      """WITH m AS (
+        |  SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS max_ts, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type),
+        |g AS (SELECT max(max_ts) AS global_ts FROM m)
+        |SELECT event_type, n,
+        |  epoch_us(max_ts) // 1000000 AS max_ts_s,
+        |  (epoch_us(g.global_ts) - epoch_us(max_ts)) // 1000000 AS stale_s,
+        |  CAST(CASE WHEN (epoch_us(g.global_ts) - epoch_us(max_ts)) // 1000000 > 86400
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+        |FROM m, g ORDER BY event_type""".stripMargin,
+
+    "etl_row_checksum" ->
+      """WITH hx AS (SELECT '0123456789abcdef' AS cs),
+        |r AS (
+        |  SELECT md5(CAST(c_custkey AS VARCHAR)) AS kh,
+        |    md5(concat_ws('|', CAST(c_custkey AS VARCHAR),
+        |      CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+        |      c_mktsegment)) AS lh
+        |  FROM customer),
+        |v AS (SELECT
+        |  ((strpos(cs, substring(kh, 1, 1)) - 1) * 16 +
+        |   (strpos(cs, substring(kh, 2, 1)) - 1)) % 16 AS bucket,
+        |  (strpos(cs, substring(lh, 1, 1)) - 1) * 1048576 +
+        |  (strpos(cs, substring(lh, 2, 1)) - 1) * 65536 +
+        |  (strpos(cs, substring(lh, 3, 1)) - 1) * 4096 +
+        |  (strpos(cs, substring(lh, 4, 1)) - 1) * 256 +
+        |  (strpos(cs, substring(lh, 5, 1)) - 1) * 16 +
+        |  (strpos(cs, substring(lh, 6, 1)) - 1) AS sig
+        |  FROM r, hx)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+        |  CAST(sum(sig) AS BIGINT) AS checksum
+        |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT month, o_orderpriority, n,
+        |  row_number() OVER (PARTITION BY month
+        |                     ORDER BY n DESC, o_orderpriority) AS rk
+        |  FROM c)
+        |SELECT month, o_orderpriority AS mode_priority, n
+        |FROM r WHERE rk = 1 ORDER BY month""".stripMargin,
+
+    "q_hist_equidepth" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |t AS (SELECT count(*) AS n_tot FROM li),
+        |r AS (SELECT cents,
+        |  row_number() OVER (ORDER BY cents, l_orderkey, l_linenumber) AS rk
+        |  FROM li),
+        |b AS (SELECT cents, ((rk - 1) * 4) // t.n_tot AS bucket FROM r, t)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  sum(cents) AS sum_cents
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+  )
+}

@@ -391,7 +391,52 @@ object SimMm {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
           min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
-        .orderBy(col("shard")))
+        .orderBy(col("shard"))),
+
+    // Batched top-k serving: 8 query vectors against the corpus in ONE
+    // scan — the real online-retrieval shape (a query batch amortizes the
+    // corpus read). The 8-row query side broadcasts; per-query ranking is
+    // a qid-partitioned window (rank<=5 rides WindowGroupLimit), so the
+    // shuffle carries candidates keyed by qid — batch size × corpus scan
+    // cost stays ONE scan at 100 TB, never Q scans.
+    "sim_batch_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+      val q = m.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("mq").as("qmq"), col("nsq").as("qnsq"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_bp").desc, col("vec_id"))
+      m.where(col("vec_id") >= 8)
+        .crossJoin(broadcast(q))
+        .select(col("qid"), col("vec_id"),
+          Similarity.cosBp(Similarity.dotMilli(col("mq"), col("qmq")),
+            col("nsq"), col("qnsq")).as("cos_bp"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("cos_bp"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
+    // Per-dimension distribution of the milli-quantized corpus (n, min,
+    // max, truncating mean, zero count) — the calibration table a scalar
+    // quantizer or PCA whitening step reads first. One posexplode + one
+    // 64-key aggregate; map-side partials collapse the corpus, so the
+    // reducer sees 64 rows per partition at any scale.
+    "sim_dim_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_milli"), max(col("x")).as("max_milli"),
+          sum(col("x")).as("sx"),
+          count(when(col("x") === 0L, 1)).as("n_zero"))
+        .select(col("d").cast("long").as("d"), col("n"),
+          col("min_milli"), col("max_milli"),
+          expr("(sx - sx % n) div n").as("mean_milli"), col("n_zero"))
+        .orderBy(col("d")))
   )
 
   /** Milli-quantized embeddings + exact integer squared norms — the
@@ -936,6 +981,32 @@ object SimMm {
         |ch AS (SELECT doc_id, text, unnest(range(0, n)) AS chunk_idx FROM d)
         |SELECT doc_id, chunk_idx,
         |  md5(substring(text, CAST(chunk_idx * 64 + 1 AS INTEGER), 64)) AS chunk_md5
-        |FROM ch WHERE chunk_idx % 4 = 0 ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM ch WHERE chunk_idx % 4 = 0 ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sim_batch_topk" ->
+      s"""WITH $milliNormCte,
+         |q AS (SELECT vec_id AS qid, mq AS qmq, nsq AS qnsq
+         |      FROM miln WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT q.qid, m.vec_id,
+         |    ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |  FROM miln m CROSS JOIN q WHERE m.vec_id >= 8),
+         |r AS (SELECT qid, vec_id, cos_bp,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos_bp DESC, vec_id) AS rk
+         |  FROM cand)
+         |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos_bp
+         |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_dim_stats" ->
+      """WITH comp AS (
+        |  SELECT CAST(d.range AS BIGINT) AS d,
+        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS x
+        |  FROM embeddings CROSS JOIN range(64) d)
+        |SELECT d, count(*) AS n,
+        |  min(x) AS min_milli, max(x) AS max_milli,
+        |  CAST(sum(x) // count(*) AS BIGINT) AS mean_milli,
+        |  CAST(count(CASE WHEN x = 0 THEN 1 END) AS BIGINT) AS n_zero
+        |FROM comp GROUP BY d ORDER BY d""".stripMargin
   )
 }

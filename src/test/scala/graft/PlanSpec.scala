@@ -73,7 +73,17 @@ class PlanSpec extends AnyFunSuite {
     "events_velocity",
     //  - etl_bucket_balance: 1-row total scalar broadcast under the
     //    32-row bucket rollup
-    "etl_bucket_balance")
+    "etl_bucket_balance",
+    //  - round-8 scalar-subquery shapes: 1-row totals / global-max
+    //    broadcast under a bounded rollup (corpus_lang_balance,
+    //    etl_freshness, q_hist_equidepth, text_zipf_audit: ≤ langs /
+    //    types / 4 buckets / 30 rows) or per-config stat row
+    //    (dedup_lsh_tune: 3 rows)
+    "corpus_lang_balance", "etl_freshness", "q_hist_equidepth",
+    "text_zipf_audit", "dedup_lsh_tune",
+    //  - sim_batch_topk: every corpus vector vs the 8 broadcast query
+    //    vectors (the sim_ivf_cells assignment shape; that IS the batch)
+    "sim_batch_topk")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -96,9 +106,11 @@ class PlanSpec extends AnyFunSuite {
       "etl_changelog_dispatch" -> 4,   // events ×2 (pushdown-pruned) + 2 entities
       "text_tfidf" -> 3,
       "q3_join_agg" -> 3,
-      "etl_fk_orphans" -> 6      // 4 FK edges, each CHILD table read once
+      "etl_fk_orphans" -> 6,     // 4 FK edges, each CHILD table read once
                                  // (lineitem 1× for its 3 edges, orders as
                                  // child + as parent-key source, 3 dims)
+      "text_edit_distance" -> 4  // LSH pair gen (checkpoint-fed) + the
+                                 // text join's a-side and b-side scans
     ).withDefaultValue(3)
     val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_clusters", "dedup_containment", "dedup_threshold_sweep")

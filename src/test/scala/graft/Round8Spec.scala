@@ -1,0 +1,210 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Value-level invariants for the round-8 operators (exact cross-engine
+  * values are checked by tools/verify_local.py; these pin the semantic
+  * properties the oracle compare can't express). */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  test("q_gaps_islands: streak accounting reconciles per user") {
+    val rows = run("q_gaps_islands").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val active = r.getAs[Long]("active_days")
+      val streaks = r.getAs[Long]("n_streaks")
+      val longest = r.getAs[Long]("longest_streak")
+      assert(streaks >= 1 && longest >= 1)
+      assert(longest <= active, s"longest > active: $r")
+      // n_streaks disjoint runs covering active_days days
+      assert(streaks <= active && active <= streaks * longest, s"irreconcilable: $r")
+    }
+    // cross-check active day total against the raw distinct (user, day) set
+    val total = rows.map(_.getAs[Long]("active_days")).sum
+    val raw = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct().count()
+    assert(total == raw, s"active_days total $total != raw user-days $raw")
+  }
+
+  test("events_burst: flags require 12h history and the 2x integer test") {
+    val rows = run("events_burst").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, wn, ws, b) = (r.getAs[Long]("n"), r.getAs[Long]("win_n"),
+        r.getAs[Long]("win_sum"), r.getAs[Long]("burst"))
+      assert(wn <= 24)
+      val expect = if (wn >= 12 && n * wn >= ws * 2) 1L else 0L
+      assert(b == expect, s"burst flag mismatch: $r")
+    }
+  }
+
+  test("q_percent_rank: bp ranges and per-partition extremes") {
+    val rows = run("q_percent_rank").collect()
+    val byPrio = rows.groupBy(_.getAs[String]("o_orderpriority"))
+    byPrio.foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.head.getAs[Long]("pct_bp") == 0L, s"$p first pct_bp")
+      assert(sorted.last.getAs[Long]("pct_bp") == 10000L || rs.length == 1)
+      assert(sorted.last.getAs[Long]("cume_bp") == 10000L)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("pct_bp") >= 0 && r.getAs[Long]("pct_bp") <= 10000)
+        assert(r.getAs[Long]("cume_bp") >= 1 && r.getAs[Long]("cume_bp") <= 10000)
+      }
+    }
+  }
+
+  test("q_null_safe_join: every group (incl NULL key) finds its dim row") {
+    val rows = run("q_null_safe_join").collect()
+    assert(rows.exists(_.isNullAt(0)), "expected a NULL-key group")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orders") == r.getAs[Long]("dim_n"),
+        s"dim count mismatch (null-safe join must match NULL keys): $r")
+    }
+  }
+
+  test("etl_freshness: exactly one type is the freshest (stale_s = 0)") {
+    val rows = run("etl_freshness").collect()
+    assert(rows.count(_.getAs[Long]("stale_s") == 0L) >= 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("stale_s") >= 0)
+      val expect = if (r.getAs[Long]("stale_s") > 86400) 1L else 0L
+      assert(r.getAs[Long]("is_stale") == expect)
+    }
+  }
+
+  test("etl_row_checksum: checksums are order-independent and total rows reconcile") {
+    val rows = run("etl_row_checksum").collect()
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    val raw = graft.sources.Tables.customer(spark, TestSpark.sf).count()
+    assert(total == raw)
+    // rerunning yields identical digests (deterministic, order-independent)
+    val again = run("etl_row_checksum").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("q_mode: one mode per month and it is the true argmax") {
+    val modes = run("q_mode").collect()
+    val months = modes.map(_.getAs[String]("month"))
+    assert(months.distinct.length == months.length)
+    val counts = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority")).count().collect()
+      .groupBy(_.getAs[String]("month"))
+    modes.foreach { r =>
+      val m = r.getAs[String]("month")
+      val best = counts(m).map(_.getAs[Long]("count")).max
+      assert(r.getAs[Long]("n") == best, s"$m mode is not argmax")
+    }
+  }
+
+  test("q_hist_equidepth: 4 buckets, sizes within 1, monotone bounds") {
+    val rows = run("q_hist_equidepth").collect().sortBy(_.getAs[Long]("bucket"))
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 1L, 2L, 3L))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.max - ns.min <= 1, s"equi-depth sizes differ by >1: ${ns.toSeq}")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"),
+          "bucket bounds overlap")
+      case _ => ()
+    }
+  }
+
+  test("text_edit_distance: dist/sim consistency and symmetry bound") {
+    val rows = run("text_edit_distance").collect()
+    rows.foreach { r =>
+      val (d, ml, bp) = (r.getAs[Long]("dist"), r.getAs[Long]("max_len"),
+        r.getAs[Long]("sim_bp"))
+      assert(d >= 0 && d <= ml, s"dist outside [0, max_len]: $r")
+      assert(bp >= 0 && bp <= 10000)
+      if (ml > 0) assert(bp == ((ml - d) * 10000) / ml)
+    }
+  }
+
+  test("text_zipf_audit: ranks contiguous, frequencies non-increasing, cum monotone") {
+    val rows = run("text_zipf_audit").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n") >= b.getAs[Long]("n"), "freq not non-increasing")
+        assert(a.getAs[Long]("cum_bp") <= b.getAs[Long]("cum_bp"), "cum not monotone")
+      case _ => ()
+    }
+    rows.dropRight(1).foreach(r => assert(r.getAs[Long]("ratio_next_bp") >= 10000))
+  }
+
+  test("corpus_lang_balance: shares sum to ~10000 bp, weights invert shares") {
+    val rows = run("corpus_lang_balance").collect()
+    val share = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(share <= 10000 && share > 10000 - rows.length)
+    rows.foreach { r =>
+      // under-represented languages get weight > 10000, over-represented < 10000
+      val over = r.getAs[Long]("n_docs") > r.getAs[Long]("target_n")
+      if (over) assert(r.getAs[Long]("weight_bp") <= 10000)
+      else assert(r.getAs[Long]("weight_bp") >= 10000 ||
+        r.getAs[Long]("n_docs") == r.getAs[Long]("target_n"))
+    }
+  }
+
+  test("dedup_lsh_tune: fewer rows per band -> at least as many candidate pairs") {
+    val rows = run("dedup_lsh_tune").collect().sortBy(_.getAs[Long]("r"))
+    assert(rows.map(_.getAs[Long]("r")).toSeq == Seq(2L, 4L, 8L))
+    // r=2 (4 bands of 2 rows) is the most permissive banding; r=8 (1 band
+    // of all 8 rows) the strictest — pair recall must be monotone in -r
+    // when no bucket hits the cap (tiny fixture: verify and then assert)
+    if (rows.forall(_.getAs[Long]("n_overcap") == 0L)) {
+      val pairs = rows.map(_.getAs[Long]("n_pairs"))
+      assert(pairs(0) >= pairs(1) && pairs(1) >= pairs(2),
+        s"pair recall not monotone in banding: ${pairs.toSeq}")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bands") == 8L / r.getAs[Long]("r"))
+      assert(r.getAs[Long]("n_buckets") >= 1)
+    }
+  }
+
+  test("mm_size_hist: bucket is the bit length of the sizes inside it") {
+    val rows = run("mm_size_hist").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_bytes"),
+        r.getAs[Long]("max_bytes"))
+      assert(lo <= hi)
+      assert(java.lang.Long.toBinaryString(lo).length == b, s"lo not in bucket: $r")
+      assert(java.lang.Long.toBinaryString(hi).length == b, s"hi not in bucket: $r")
+    }
+  }
+
+  test("sim_batch_topk: 5 ranked hits per query, scores non-increasing") {
+    val rows = run("sim_batch_topk").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to 5L).toSeq, s"q$q ranks")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("cos_bp") >= b.getAs[Long]("cos_bp"), s"q$q not sorted")
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getAs[Long]("vec_id") >= 8L, s"q$q self-match"))
+    }
+  }
+
+  test("sim_dim_stats: 64 dims, corpus-sized counts, min <= mean <= max") {
+    val rows = run("sim_dim_stats").collect()
+    assert(rows.length == 64)
+    val n = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("min_milli") <= r.getAs[Long]("mean_milli"))
+      assert(r.getAs[Long]("mean_milli") <= r.getAs[Long]("max_milli"))
+    }
+  }
+}
