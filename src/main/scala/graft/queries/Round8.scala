@@ -304,6 +304,118 @@ object Round8 {
       perR.reduce(_ unionAll _).orderBy(col("r"))
     }),
 
+    // Per-user spend drawdown: running-sum cents, running max, and the
+    // largest peak-to-trough gap — the churn/fraud analytic that needs
+    // BOTH running aggregates over one shared per-user sort (one window
+    // shuffle on user_id, integer cents end to end).
+    "events_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .where(col("ts").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("cum", sum(col("cents")).over(w))
+        .withColumn("runmax", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("runmax") - col("cum")).as("max_drawdown_cents"),
+          max(col("cum")).as("peak_cents"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Sliding 24-hour distinct users per observed hour WITHOUT an
+    // inequality join: each distinct (user, hour) EXPLODES to the 24
+    // spine hours it covers (bounded fan-out, pure equality groupBy),
+    // then a semi join restricts output to observed hours. The shape that
+    // replaces a range self-join at 100 TB. Hours are integer epoch-hour
+    // indices (engine-portable).
+    "events_sliding_users" -> ((s, dir) => {
+      val uh = Tables.events(s, dir)
+        .where(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .distinct()
+        .localCheckpoint(true) // feeds the spine AND the coverage explode
+      val spine = uh.select(col("h").as("sh")).distinct()
+      uh.select(col("user_id"),
+          explode(sequence(col("h"), col("h") + 23)).as("sh"))
+        .join(spine, Seq("sh"), "left_semi")
+        .groupBy(col("sh"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_user_hours"))
+        .orderBy(col("sh"))
+    }),
+
+    // Conversion-latency histogram: first signup → first subsequent
+    // purchase per user, seconds bucketed on integer-exact log2 bins —
+    // the attribution-window evidence behind events_funnel_windows'
+    // fixed sweep. Two keyed min-aggregates + one join, never a per-pair
+    // explosion.
+    "events_convert_latency" -> ((s, dir) => {
+      val e = Tables.events(s, dir).where(col("ts").isNotNull)
+      val su = e.where(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val pu = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      su.join(pu, Seq("user_id"))
+        .where(col("p_ts") >= col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("s_ts")).as("s_ts"),
+          min(col("p_ts")).as("p_ts"))
+        .select(col("user_id"),
+          expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000").as("lat_s"))
+        .withColumn("bucket", length(bin(col("lat_s") + 1)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("lat_s")).as("min_s"), max(col("lat_s")).as("max_s"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Vocabulary-truncation coverage: share of corpus bigram VOLUME
+    // covered by the top-k bigrams for k ∈ {1,4,16,64} — the curve that
+    // decides how big an n-gram table (or tokenizer merge list) needs to
+    // be. TakeOrdered top-64; the windows only ever see 64 rows.
+    "text_bigram_coverage" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(explode(TA.shingles(col("text"), 2)).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      val tot = bi.agg(sum(col("n")).as("total"))
+      val w = Window.orderBy(col("n").desc, col("bg"))
+      val top = bi.orderBy(col("n").desc, col("bg")).limit(64)
+        .withColumn("rank", row_number().over(w))
+      top.select(col("rank"), col("n"),
+          explode(array(Seq(1, 4, 16, 64).map(lit): _*)).as("k"))
+        .where(col("rank") <= col("k"))
+        .groupBy(col("k"))
+        .agg(sum(col("n")).as("top_n"))
+        .crossJoin(broadcast(tot))
+        .select(col("k").cast("long").as("k"), col("top_n"),
+          expr("(top_n * 10000) div total").as("covered_bp"))
+        .orderBy(col("k"))
+    }),
+
+    // Exact-dedup savings report: bytes a content-hash dedup would
+    // reclaim, attributed to the source of each NON-KEEPER copy (keeper =
+    // lowest doc_id per hash, the dedup_exact contract). The
+    // storage-and-cost readout behind the dedup family.
+    "corpus_dedup_savings" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("bytes"), md5(col("text")).as("h"))
+      val keep = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+      d.join(keep, Seq("h"))
+        .withColumn("dup", when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
+          sum(col("dup")).as("n_dups"),
+          coalesce(sum(when(col("dup") === 1L, col("bytes"))), lit(0L)).as("bytes_saved"))
+        .select(col("source"), col("n_docs"), col("bytes"), col("n_dups"),
+          col("bytes_saved"),
+          expr("(bytes_saved * 10000) div bytes").as("savings_bp"))
+        .orderBy(col("source"))
+    }),
+
     // Payload-size histogram per sniffed container format (log2 buckets,
     // same integer-exact bin(length) bucketing as corpus_length_hist) —
     // the storage-planning twin of mm_format_sniff.
@@ -421,6 +533,85 @@ object Round8 {
          |UNION ALL
          |${lshTuneSelect(8)}
          |ORDER BY r""".stripMargin,
+
+    "events_drawdown" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL),
+        |r1 AS (SELECT user_id, ts, event_id, cents,
+        |  sum(cents) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM e),
+        |r AS (SELECT user_id, cents, cum,
+        |  max(cum) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM r1)
+        |SELECT user_id, count(*) AS n_events,
+        |  max(runmax - cum) AS max_drawdown_cents,
+        |  max(cum) AS peak_cents, sum(cents) AS total_cents
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_sliding_users" ->
+      """WITH uh AS (
+        |  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |  FROM events WHERE ts IS NOT NULL),
+        |spine AS (SELECT DISTINCT h AS sh FROM uh),
+        |cover AS (
+        |  SELECT user_id, h + CAST(i.range AS BIGINT) AS sh
+        |  FROM uh CROSS JOIN range(24) i)
+        |SELECT c.sh, count(DISTINCT c.user_id) AS n_users,
+        |  count(*) AS n_user_hours
+        |FROM cover c JOIN spine s ON s.sh = c.sh
+        |GROUP BY c.sh ORDER BY c.sh""".stripMargin,
+
+    "events_convert_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE ts IS NOT NULL),
+        |su AS (SELECT user_id, min(ts) AS s_ts FROM e
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(su.s_ts) AS s_ts, min(e.ts) AS p_ts
+        |  FROM su JOIN e ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY e.user_id),
+        |lat AS (SELECT user_id,
+        |  (epoch_us(p_ts) - epoch_us(s_ts)) // 1000000 AS lat_s FROM conv)
+        |SELECT CAST(length(bin(lat_s + 1)) AS BIGINT) AS bucket,
+        |  count(*) AS n_users, min(lat_s) AS min_s, max(lat_s) AS max_s
+        |FROM lat GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "text_bigram_coverage" ->
+      s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+         |c AS (SELECT bg, count(*) AS n FROM b GROUP BY bg),
+         |tot AS (SELECT sum(n) AS total FROM c),
+         |top AS (SELECT bg, n, row_number() OVER (ORDER BY n DESC, bg) AS rank
+         |        FROM c QUALIFY rank <= 64),
+         |ks AS (SELECT unnest([1, 4, 16, 64]) AS k)
+         |SELECT CAST(ks.k AS BIGINT) AS k, CAST(sum(top.n) AS BIGINT) AS top_n,
+         |  CAST((sum(top.n) * 10000) // tot.total AS BIGINT) AS covered_bp
+         |FROM ks JOIN top ON top.rank <= ks.k, tot
+         |GROUP BY ks.k, tot.total ORDER BY k""".stripMargin,
+
+    "corpus_dedup_savings" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS bytes,
+        |    md5(text) AS h
+        |  FROM documents),
+        |keep AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
+        |j AS (SELECT d.*, CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END AS dup
+        |      FROM d JOIN keep k USING (h))
+        |SELECT source, count(*) AS n_docs, sum(bytes) AS bytes,
+        |  CAST(sum(dup) AS BIGINT) AS n_dups,
+        |  CAST(coalesce(sum(CASE WHEN dup = 1 THEN bytes END), 0) AS BIGINT) AS bytes_saved,
+        |  CAST((coalesce(sum(CASE WHEN dup = 1 THEN bytes END), 0) * 10000)
+        |       // sum(bytes) AS BIGINT) AS savings_bp
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "mm_size_hist" ->
       """WITH f AS (

@@ -420,6 +420,40 @@ object SimMm {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Residual-norm statistics after centroid subtraction, per label:
+    // ‖x − c‖² = ‖x‖² − 2·x·c + ‖c‖² from exact integer sums (truncating
+    // integer centroid means, the ivf_train contract) — the evidence for
+    // WHY IVF-PQ quantizes residuals (they are much smaller than raw
+    // vectors). Two label-keyed aggregates + one broadcast of the
+    // labels×64 centroid table; nothing pairwise.
+    "sim_residual_stats" -> ((s, dir) => {
+      val comp = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+        .localCheckpoint(true) // feeds the centroid build AND the residual join
+      val cent = comp.groupBy(col("label"), col("d"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cn"))
+        .withColumn("cq", ((col("sx") - col("sx") % col("cn")) / col("cn")).cast("long"))
+        .select(col("label"), col("d"), col("cq"))
+        .localCheckpoint(true) // broadcast side of both joins below
+      val csq = cent.groupBy(col("label")).agg(sum(col("cq") * col("cq")).as("csq"))
+      val per = comp.join(broadcast(cent), Seq("label", "d"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("x") * col("x")).as("nsq"), sum(col("x") * col("cq")).as("xc"))
+        .join(broadcast(csq), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          floor(sqrt((col("nsq") - col("xc") * 2 + col("csq")).cast("double")))
+            .cast("long").as("resid_milli"))
+      per.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("resid_milli")).as("min_milli"),
+          max(col("resid_milli")).as("max_milli"),
+          sum(col("resid_milli")).as("sr"))
+        .select(col("label"), col("n"), col("min_milli"), col("max_milli"),
+          expr("(sr - sr % n) div n").as("mean_milli"))
+        .orderBy(col("label"))
+    }),
+
     // Per-dimension distribution of the milli-quantized corpus (n, min,
     // max, truncating mean, zero count) — the calibration table a scalar
     // quantizer or PCA whitening step reads first. One posexplode + one
@@ -996,6 +1030,33 @@ object SimMm {
          |  FROM cand)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos_bp
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    "sim_residual_stats" ->
+      """WITH comp AS (
+        |  SELECT vec_id, label, CAST(d.range AS INTEGER) AS d,
+        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS x
+        |  FROM embeddings CROSS JOIN range(64) d),
+        |cent AS (
+        |  SELECT label, d, sum(x) // count(*) AS cq
+        |  FROM comp GROUP BY label, d),
+        |csq AS (SELECT label, CAST(sum(cq * cq) AS BIGINT) AS csq
+        |        FROM cent GROUP BY label),
+        |per AS (
+        |  SELECT c.vec_id, c.label,
+        |    CAST(sum(c.x * c.x) AS BIGINT) AS nsq,
+        |    CAST(sum(c.x * ct.cq) AS BIGINT) AS xc
+        |  FROM comp c JOIN cent ct ON ct.label = c.label AND ct.d = c.d
+        |  GROUP BY c.vec_id, c.label),
+        |r AS (
+        |  SELECT p.vec_id, p.label,
+        |    CAST(floor(sqrt(CAST(p.nsq - p.xc * 2 + q.csq AS DOUBLE))) AS BIGINT)
+        |      AS resid_milli
+        |  FROM per p JOIN csq q USING (label))
+        |SELECT label, count(*) AS n,
+        |  min(resid_milli) AS min_milli, max(resid_milli) AS max_milli,
+        |  CAST(sum(resid_milli) // count(*) AS BIGINT) AS mean_milli
+        |FROM r GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_dim_stats" ->
       """WITH comp AS (

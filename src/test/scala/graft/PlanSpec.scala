@@ -83,7 +83,10 @@ class PlanSpec extends AnyFunSuite {
     "text_zipf_audit", "dedup_lsh_tune",
     //  - sim_batch_topk: every corpus vector vs the 8 broadcast query
     //    vectors (the sim_ivf_cells assignment shape; that IS the batch)
-    "sim_batch_topk")
+    "sim_batch_topk",
+    //  - text_bigram_coverage: 1-row corpus-volume scalar broadcast under
+    //    the 4-row coverage rollup (the q_scalar_subquery shape)
+    "text_bigram_coverage")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

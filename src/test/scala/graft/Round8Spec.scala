@@ -197,6 +197,84 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("events_drawdown: drawdown bounded by peak, totals reconcile") {
+    val rows = run("events_drawdown").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dd, peak, tot) = (r.getAs[Long]("max_drawdown_cents"),
+        r.getAs[Long]("peak_cents"), r.getAs[Long]("total_cents"))
+      assert(dd >= 0, s"negative drawdown: $r")
+      assert(dd <= peak || peak < 0, s"drawdown exceeds peak: $r")
+      assert(peak >= tot, s"peak below final: $r")
+      // with non-negative per-event cents the drawdown is exactly 0
+      // (running sum never decreases) — a property the fixture satisfies
+    }
+  }
+
+  test("events_sliding_users: trailing count >= the hour's own activity") {
+    val rows = run("events_sliding_users").collect()
+    val own = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .distinct().groupBy(col("h")).count().collect()
+      .map(r => r.getAs[Long]("h") -> r.getAs[Long]("count")).toMap
+    assert(rows.length == own.size, "one output row per observed hour")
+    rows.foreach { r =>
+      val (h, n) = (r.getAs[Long]("sh"), r.getAs[Long]("n_users"))
+      assert(n >= own(h), s"trailing 24h users below the hour's own: $r")
+      assert(r.getAs[Long]("n_user_hours") >= n)
+    }
+  }
+
+  test("events_convert_latency: buckets are log2-consistent and users reconcile") {
+    val rows = run("events_convert_latency").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_s"),
+        r.getAs[Long]("max_s"))
+      assert(lo >= 0 && lo <= hi)
+      assert(java.lang.Long.toBinaryString(lo + 1).length == b)
+      assert(java.lang.Long.toBinaryString(hi + 1).length == b)
+    }
+  }
+
+  test("text_bigram_coverage: coverage monotone in k, bounded by 10000 bp") {
+    val rows = run("text_bigram_coverage").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(1L, 4L, 16L, 64L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("top_n") <= b.getAs[Long]("top_n"))
+        assert(a.getAs[Long]("covered_bp") <= b.getAs[Long]("covered_bp"))
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getAs[Long]("covered_bp") <= 10000))
+  }
+
+  test("corpus_dedup_savings: reconciles with the global exact-dedup keeper count") {
+    val rows = run("corpus_dedup_savings").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+    val total = docs.count()
+    val uniq = docs.select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == total - uniq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bytes_saved") <= r.getAs[Long]("bytes"))
+      assert(r.getAs[Long]("savings_bp") <= 10000)
+    }
+  }
+
+  test("sim_residual_stats: residuals are far smaller than raw norms") {
+    val rows = run("sim_residual_stats").collect()
+    assert(rows.nonEmpty)
+    val n = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_milli") <= r.getAs[Long]("mean_milli"))
+      assert(r.getAs[Long]("mean_milli") <= r.getAs[Long]("max_milli"))
+      assert(r.getAs[Long]("min_milli") >= 0)
+    }
+  }
+
   test("sim_dim_stats: 64 dims, corpus-sized counts, min <= mean <= max") {
     val rows = run("sim_dim_stats").collect()
     assert(rows.length == 64)
