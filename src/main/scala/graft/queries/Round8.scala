@@ -416,6 +416,93 @@ object Round8 {
         .orderBy(col("source"))
     }),
 
+    // Changelog paging profile — the reference pages its change log in
+    // fixed id batches and skips NULL-key rows before extract
+    // (models/EtlLogger.js:6-27: 100k pages, reference_no/table NOT NULL
+    // filter). Same semantics on the events-as-changelog mapping: pure
+    // integer id paging (no window, no shuffle beyond the rollup), per
+    // batch row/distinct-ref/skip counts — the table an operator reads
+    // to size extract batches.
+    "etl_changelog_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("batch", expr("event_id div 1000"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("user_id")).as("n_refs"),
+          count(when(col("user_id").isNull || col("event_type").isNull, 1))
+            .as("n_skips"),
+          min(col("event_id")).as("lo_id"), max(col("event_id")).as("hi_id"))
+        .orderBy(col("batch"))),
+
+    // Partition-layout planning stats: per order month — row count,
+    // distinct customers, active days, exact total cents — the rollup a
+    // partitioned-table writer consults to pick partition grain before a
+    // backfill. One keyed aggregate; months are bounded.
+    "etl_partition_stats" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("o_custkey")).as("n_custs"),
+          count_distinct(to_date(col("o_orderdate"))).as("n_days"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"),
+          min(col("o_orderkey")).as("lo_key"), max(col("o_orderkey")).as("hi_key"))
+        .orderBy(col("month"))),
+
+    // Cross-source duplication matrix: how many exact-dup content hashes
+    // each PAIR of sources shares — the contamination/provenance audit
+    // behind a multi-crawl merge. The self-join runs on the DISTINCT
+    // (hash, source) set, so a hash shared by s sources costs s(s-1)/2
+    // rows (s = #sources, a constant), never doc².
+    "text_dedup_xsource" -> ((s, dir) => {
+      val hs = Tables.documents(s, dir)
+        .select(md5(col("text")).as("h"), col("source")).distinct()
+        .localCheckpoint(true) // both sides of the self-join
+      hs.as("l").join(hs.as("r"), col("l.h") === col("r.h"))
+        .where(col("l.source") < col("r.source"))
+        .groupBy(col("l.source").as("src_a"), col("r.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Concentration thresholds: the SMALLEST user prefix (by spend rank)
+    // covering ≥ {25,50,75,90}% of total value — "how many whales pay
+    // for everything". Same two-phase distributed rank AND prefix sum as
+    // events_pareto (block partials + broadcast offsets), so the global
+    // cumulative curve exists without a global single-partition sort.
+    "events_top_coverage" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .withColumn("blk", expr("cents div 1000"))
+        .localCheckpoint(true)
+      val tot = perUser.agg(sum(col("cents")).as("total_cents"),
+        count(lit(1)).as("n_users_tot"))
+      val wBlk = Window.orderBy(col("blk").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = perUser.groupBy(col("blk"))
+        .agg(count(lit(1)).as("bn"), sum(col("cents")).as("bc"))
+        .withColumn("offN", coalesce(sum(col("bn")).over(wBlk), lit(0L)))
+        .withColumn("offC", coalesce(sum(col("bc")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("offN"), col("offC"))
+      val wIn = Window.partitionBy(col("blk"))
+        .orderBy(col("cents").desc, col("user_id"))
+      perUser.join(broadcast(offs), "blk")
+        .withColumn("rk", col("offN") + row_number().over(wIn))
+        .withColumn("cum", col("offC") + sum(col("cents"))
+          .over(wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+        .select(col("rk"), col("cum"), col("total_cents"), col("n_users_tot"),
+          explode(array(Seq(2500, 5000, 7500, 9000).map(lit): _*)).as("thr_bp"))
+        .where(col("cum") * 10000 >= col("thr_bp") * col("total_cents"))
+        .groupBy(col("thr_bp"))
+        .agg(min(col("rk")).as("n_users"),
+          max(col("n_users_tot")).as("n_users_tot"))
+        .select(col("thr_bp").cast("long").as("thr_bp"), col("n_users"),
+          expr("(n_users * 10000) div n_users_tot").as("users_share_bp"))
+        .orderBy(col("thr_bp"))
+    }),
+
     // Payload-size histogram per sniffed container format (log2 buckets,
     // same integer-exact bin(length) bucketing as corpus_length_hist) —
     // the storage-planning twin of mm_format_sniff.
@@ -533,6 +620,45 @@ object Round8 {
          |UNION ALL
          |${lshTuneSelect(8)}
          |ORDER BY r""".stripMargin,
+
+    "etl_changelog_stats" ->
+      """SELECT event_id // 1000 AS batch, count(*) AS n_rows,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_refs,
+        |  CAST(count(CASE WHEN user_id IS NULL OR event_type IS NULL THEN 1 END)
+        |    AS BIGINT) AS n_skips,
+        |  min(event_id) AS lo_id, max(event_id) AS hi_id
+        |FROM events GROUP BY 1 ORDER BY batch""".stripMargin,
+
+    "etl_partition_stats" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_rows,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  min(o_orderkey) AS lo_key, max(o_orderkey) AS hi_key
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "text_dedup_xsource" ->
+      """WITH hs AS (SELECT DISTINCT md5(text) AS h, source FROM documents)
+        |SELECT l.source AS src_a, r.source AS src_b, count(*) AS n_shared
+        |FROM hs l JOIN hs r ON l.h = r.h AND l.source < r.source
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    "events_top_coverage" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT sum(cents) AS total_cents, count(*) AS n_users_tot FROM u),
+        |r AS (SELECT cents,
+        |  row_number() OVER (ORDER BY cents DESC, user_id) AS rk,
+        |  sum(cents) OVER (ORDER BY cents DESC, user_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM u),
+        |thr AS (SELECT unnest([2500, 5000, 7500, 9000]) AS thr_bp)
+        |SELECT CAST(thr.thr_bp AS BIGINT) AS thr_bp,
+        |  CAST(min(r.rk) AS BIGINT) AS n_users,
+        |  CAST((min(r.rk) * 10000) // t.n_users_tot AS BIGINT) AS users_share_bp
+        |FROM r, t, thr WHERE r.cum * 10000 >= thr.thr_bp * t.total_cents
+        |GROUP BY thr.thr_bp, t.n_users_tot ORDER BY thr_bp""".stripMargin,
 
     "events_drawdown" ->
       """WITH e AS (

@@ -420,6 +420,33 @@ object SimMm {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // Recall@k curve (k ∈ {1,5,10}): the ANN quality readout as a CURVE
+    // instead of sim_recall_audit's single point — how fast LSH recall
+    // decays as k shrinks. Both top-10 result sets materialize once
+    // (checkpoint); each k row is a constant-size filtered re-count of
+    // the same 10×10 join, so the corpus is scanned exactly twice.
+    "sim_recall_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val planes = Similarity.autoPlanes(emb.count(), TargetBucket)
+      val wR = Window.orderBy(col("cos_bp").desc, col("vec_id"))
+      val exact = Similarity.topKBrute(emb, "vec_id", "embedding", 0L, 10)
+        .withColumn("re", row_number().over(wR))
+        .select(col("vec_id"), col("re")).localCheckpoint(true)
+      val ann = Similarity.annSearch(emb, "vec_id", "embedding", 0L, 10, planes, 64)
+        .withColumn("ra", row_number().over(wR))
+        .select(col("vec_id").as("aid"), col("ra")).localCheckpoint(true)
+      val j = exact.join(ann, col("vec_id") === col("aid"), "left")
+      Seq(1, 5, 10).map { k =>
+        j.where(col("re") <= k)
+          .agg(count(lit(1)).as("k_exact"),
+            count(when(col("ra") <= k, 1)).as("hits"))
+          .select(lit(k).cast("long").as("k"), col("k_exact"), col("hits"),
+            expr("CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE (hits * 10000) div k_exact END").as("recall_bp"))
+      }.reduce(_ unionAll _).orderBy(col("k"))
+    }),
+
     // Residual-norm statistics after centroid subtraction, per label:
     // ‖x − c‖² = ‖x‖² − 2·x·c + ‖c‖² from exact integer sums (truncating
     // integer centroid means, the ivf_train contract) — the evidence for
@@ -1030,6 +1057,45 @@ object SimMm {
          |  FROM cand)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos_bp
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // same ex/ann chains as sim_recall_audit, ranked; one UNION ALL arm
+    // per k so the curve and the single-point audit cannot drift
+    "sim_recall_curve" -> {
+      val arm = (k: Int) =>
+        s"""SELECT CAST($k AS BIGINT) AS k,
+           |  (SELECT count(*) FROM exr WHERE re <= $k) AS k_exact,
+           |  (SELECT count(*) FROM exr JOIN anr USING (vec_id)
+           |     WHERE exr.re <= $k AND anr.ra <= $k) AS hits,
+           |  CASE WHEN (SELECT count(*) FROM exr WHERE re <= $k) = 0
+           |       THEN CAST(0 AS BIGINT)
+           |       ELSE CAST((SELECT count(*) FROM exr JOIN anr USING (vec_id)
+           |                  WHERE exr.re <= $k AND anr.ra <= $k) * 10000
+           |                 // (SELECT count(*) FROM exr WHERE re <= $k) AS BIGINT)
+           |  END AS recall_bp""".stripMargin
+      s"""WITH $milliNormCte,
+         |$bucketsCte,
+         |qv AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |exr AS (SELECT vec_id, row_number() OVER (ORDER BY cos_bp DESC, vec_id) AS re
+         |  FROM (
+         |    SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |    FROM miln m, qv q WHERE m.vec_id <> 0
+         |    ORDER BY cos_bp DESC, vec_id LIMIT 10)),
+         |qb AS (SELECT b.bucket, m.mq AS qmq, m.nsq AS qnsq
+         |       FROM buckets b JOIN miln m USING (vec_id) WHERE b.vec_id = 0),
+         |anr AS (SELECT vec_id, row_number() OVER (ORDER BY cos_bp DESC, vec_id) AS ra
+         |  FROM (
+         |    SELECT m.vec_id, ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |    FROM miln m JOIN buckets b USING (vec_id)
+         |    JOIN qb q ON b.bucket = q.bucket
+         |    WHERE m.vec_id <> 0
+         |    ORDER BY cos_bp DESC, vec_id LIMIT 10))
+         |${arm(1)}
+         |UNION ALL
+         |${arm(5)}
+         |UNION ALL
+         |${arm(10)}
+         |ORDER BY k""".stripMargin
+    },
 
     "sim_residual_stats" ->
       """WITH comp AS (

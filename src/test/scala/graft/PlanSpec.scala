@@ -86,7 +86,13 @@ class PlanSpec extends AnyFunSuite {
     "sim_batch_topk",
     //  - text_bigram_coverage: 1-row corpus-volume scalar broadcast under
     //    the 4-row coverage rollup (the q_scalar_subquery shape)
-    "text_bigram_coverage")
+    "text_bigram_coverage",
+    //  - sim_recall_curve: the sim_recall_audit shape (1-row query vector
+    //    vs all rows), three constant-size re-counts of one 10x10 join
+    "sim_recall_curve",
+    //  - events_top_coverage: 1-row totals scalar broadcast under the
+    //    4-row threshold rollup (the events_pareto shape)
+    "events_top_coverage")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -263,6 +263,67 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("etl_changelog_stats: batches partition the id space, rows reconcile") {
+    val rows = run("etl_changelog_stats").collect().sortBy(_.getAs[Long]("batch"))
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.sources.Tables.events(spark, TestSpark.sf).count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("batch")
+      assert(r.getAs[Long]("lo_id") / 1000 == b && r.getAs[Long]("hi_id") / 1000 == b)
+      assert(r.getAs[Long]("n_refs") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("etl_partition_stats: month rollup reconciles with the order count") {
+    val rows = run("etl_partition_stats").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      graft.sources.Tables.orders(spark, TestSpark.sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_custs") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_days") <= 31)
+      assert(r.getAs[Long]("lo_key") <= r.getAs[Long]("hi_key"))
+    }
+  }
+
+  test("text_dedup_xsource: pairs are ordered and bounded by the hash count") {
+    val rows = run("text_dedup_xsource").collect()
+    val uniq = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(md5(col("text"))).distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Long]("n_shared") >= 1 && r.getAs[Long]("n_shared") <= uniq)
+    }
+  }
+
+  test("events_top_coverage: thresholds monotone, shares consistent") {
+    val rows = run("events_top_coverage").collect().sortBy(_.getAs[Long]("thr_bp"))
+    assert(rows.map(_.getAs[Long]("thr_bp")).toSeq == Seq(2500L, 5000L, 7500L, 9000L))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_users") <= b.getAs[Long]("n_users"),
+          "covering more value cannot need fewer users")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") >= 1)
+      assert(r.getAs[Long]("users_share_bp") <= 10000)
+    }
+  }
+
+  test("sim_recall_curve: recall@10 matches the single-point audit") {
+    val curve = run("sim_recall_curve").collect().sortBy(_.getAs[Long]("k"))
+    assert(curve.map(_.getAs[Long]("k")).toSeq == Seq(1L, 5L, 10L))
+    curve.foreach { r =>
+      assert(r.getAs[Long]("hits") <= r.getAs[Long]("k_exact"))
+      assert(r.getAs[Long]("recall_bp") <= 10000)
+    }
+    val audit = run("sim_recall_audit").collect().head
+    val k10 = curve.last
+    assert(k10.getAs[Long]("k_exact") == audit.getAs[Long]("k_exact"))
+    assert(k10.getAs[Long]("hits") == audit.getAs[Long]("hits"))
+    assert(k10.getAs[Long]("recall_bp") == audit.getAs[Long]("recall_bp"))
+  }
+
   test("sim_residual_stats: residuals are far smaller than raw norms") {
     val rows = run("sim_residual_stats").collect()
     assert(rows.nonEmpty)
