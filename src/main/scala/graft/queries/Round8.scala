@@ -503,6 +503,34 @@ object Round8 {
         .orderBy(col("thr_bp"))
     }),
 
+    // Robust outlier bounds per event type via discrete quartiles and the
+    // 1.5×IQR fence — the box-plot complement of events_anomaly_mad's
+    // median/MAD flags, in exact integer cents (discrete percentile =
+    // value at rank ceil(p·n), integer rank math, no interpolation).
+    "events_anomaly_iqr" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("cv"))
+      val wn = Window.partitionBy(col("event_type"))
+      val bounds = e.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          max(when(col("rk") === expr("(n + 3) div 4"), col("cv"))).as("q1"),
+          max(when(col("rk") === expr("(3 * n + 3) div 4"), col("cv"))).as("q3"))
+        .withColumn("iqr", col("q3") - col("q1"))
+        .withColumn("lo", col("q1") - expr("(3 * iqr) div 2"))
+        .withColumn("hi", col("q3") + expr("(3 * iqr) div 2"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("q1")).as("q1_cents"),
+          max(col("q3")).as("q3_cents"), max(col("iqr")).as("iqr_cents"),
+          max(col("lo")).as("lo_cents"), max(col("hi")).as("hi_cents"),
+          count(when(col("cv") < col("lo") || col("cv") > col("hi"), 1))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // Payload-size histogram per sniffed container format (log2 buckets,
     // same integer-exact bin(length) bucketing as corpus_length_hist) —
     // the storage-planning twin of mm_format_sniff.
@@ -738,6 +766,28 @@ object Round8 {
         |  CAST((coalesce(sum(CASE WHEN dup = 1 THEN bytes END), 0) * 10000)
         |       // sum(bytes) AS BIGINT) AS savings_bp
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "events_anomaly_iqr" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cv FROM events),
+        |r AS (SELECT event_type, cv,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY cv) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |q AS (SELECT event_type, max(n) AS n,
+        |  max(CASE WHEN rk = (n + 3) // 4 THEN cv END) AS q1,
+        |  max(CASE WHEN rk = (3 * n + 3) // 4 THEN cv END) AS q3
+        |  FROM r GROUP BY event_type),
+        |b AS (SELECT event_type, n, q1, q3, q3 - q1 AS iqr,
+        |  q1 - (3 * (q3 - q1)) // 2 AS lo, q3 + (3 * (q3 - q1)) // 2 AS hi
+        |  FROM q)
+        |SELECT e.event_type, CAST(max(b.n) AS BIGINT) AS n,
+        |  max(b.q1) AS q1_cents, max(b.q3) AS q3_cents,
+        |  max(b.iqr) AS iqr_cents, max(b.lo) AS lo_cents, max(b.hi) AS hi_cents,
+        |  CAST(count(CASE WHEN e.cv < b.lo OR e.cv > b.hi THEN 1 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
 
     "mm_size_hist" ->
       """WITH f AS (

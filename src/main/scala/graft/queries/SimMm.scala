@@ -420,6 +420,24 @@ object SimMm {
         .orderBy(col("qid"), col("rk"))
     }),
 
+    // PQ distortion audit: per subspace, the exact integer sub-L2 between
+    // each vector and its chosen codeword (pqCodes already emits it) —
+    // the quantization-error readout that says whether 16 codewords per
+    // subspace are enough. One keyed rollup over the encode output.
+    "sim_pq_distortion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqCodes(emb, "vec_id", "embedding", 64, 4,
+          Similarity.pqSeeds(emb, "vec_id", "embedding", 16))
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"),
+          max(col("dist")).as("max_dist"),
+          count(when(col("dist") === 0L, 1)).as("n_exact"))
+        .select(col("sub"), col("n"),
+          expr("(sd - sd % n) div n").as("mean_dist"),
+          col("max_dist"), col("n_exact"))
+        .orderBy(col("sub"))
+    }),
+
     // Recall@k curve (k ∈ {1,5,10}): the ANN quality readout as a CURVE
     // instead of sim_recall_audit's single point — how fast LSH recall
     // decays as k shrinks. Both top-10 result sets materialize once
@@ -1057,6 +1075,17 @@ object SimMm {
          |  FROM cand)
          |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos_bp
          |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
+    // same encode chain as sim_pq_encode (pqCte) so the distortion audit
+    // cannot drift from the encoder it audits
+    "sim_pq_distortion" ->
+      s"""WITH $pqCte
+         |SELECT sub, count(*) AS n,
+         |  CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist,
+         |  max(dist) AS max_dist,
+         |  CAST(count(CASE WHEN dist = 0 THEN 1 END) AS BIGINT) AS n_exact
+         |FROM enc WHERE rn = 1
+         |GROUP BY sub ORDER BY sub""".stripMargin,
 
     // same ex/ann chains as sim_recall_audit, ranked; one UNION ALL arm
     // per k so the curve and the single-point audit cannot drift

@@ -24,6 +24,22 @@ object TextDedup {
       graft.Caches.pin(
         Dedup.pairIndex(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)))
 
+  /** First-failing admission gate per doc — ONE definition shared by
+    * corpus_reject_report (global rollup) and corpus_reject_by_source
+    * (per-source breakdown) so the gate chain cannot drift. */
+  private def withRejectReason(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col("text")))
+    df.withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keeper"), lit("dup_exact"))
+          .when(TA.tokenCount(col("text")) < 20, lit("too_short"))
+          .when(!TA.meanTokenLen(col("text")).between(3.0, 10.0) ||
+                TA.symbolRatio(col("text")) > 0.1, lit("low_quality"))
+          .when(TA.distinctStopwordCount(col("text")) < 2, lit("few_stopwords"))
+          .otherwise(lit("kept")))
+  }
+
   val queries: Map[String, Q] = Map(
     // Token counting + per-lang corpus stats.
     "text_token_stats" -> ((s, dir) =>
@@ -400,22 +416,21 @@ object TextDedup {
     // failing filter (dedup wins over quality, mirroring pipeline order) —
     // so the counts sum to the corpus size. The shape a 100 TB curation
     // run reports to its operator.
-    "corpus_reject_report" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(md5(col("text")))
-      Tables.documents(s, dir)
-        .withColumn("keeper", min(col("doc_id")).over(w))
-        .withColumn("reason",
-          when(col("doc_id") =!= col("keeper"), lit("dup_exact"))
-            .when(TA.tokenCount(col("text")) < 20, lit("too_short"))
-            .when(!TA.meanTokenLen(col("text")).between(3.0, 10.0) ||
-                  TA.symbolRatio(col("text")) > 0.1, lit("low_quality"))
-            .when(TA.distinctStopwordCount(col("text")) < 2, lit("few_stopwords"))
-            .otherwise(lit("kept")))
+    "corpus_reject_report" -> ((s, dir) =>
+      withRejectReason(Tables.documents(s, dir))
         .groupBy(col("reason"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
-        .orderBy(col("reason"))
-    }),
+        .orderBy(col("reason"))),
+
+    // Per-source breakdown of the SAME first-failing-gate chain (shared
+    // helper — the two reports cannot drift): which crawl/feed is
+    // producing the rejects. The crawl-triage readout next to the global
+    // corpus_reject_report.
+    "corpus_reject_by_source" -> ((s, dir) =>
+      withRejectReason(Tables.documents(s, dir))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
+        .orderBy(col("source"), col("reason"))),
 
     // Curation FUNNEL: cumulative survivor counts through the admission
     // gates in pipeline order (raw → exact-dedup keeper → min length →
@@ -672,6 +687,25 @@ object TextDedup {
   )
 
   private val toks = toksSql
+
+  /** Oracle twin of [[withRejectReason]] — one CTE chain for both
+    * rejection reports. */
+  private lazy val rejectCtes: String = {
+    val stopList = graft.ops.TextAnalysis.stopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""t AS (SELECT doc_id, source, text, $toks AS toks,
+       |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents),
+       |m AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id <> keeper THEN 'dup_exact'
+       |       WHEN len(toks) < 20 THEN 'too_short'
+       |       WHEN NOT (CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks)
+       |                 BETWEEN 3.0 AND 10.0)
+       |         OR CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |            / length(text) > 0.1 THEN 'low_quality'
+       |       WHEN len(list_intersect(list_distinct(toks), $stopList)) < 2 THEN 'few_stopwords'
+       |       ELSE 'kept' END AS reason
+       |  FROM t)""".stripMargin
+  }
   private val stopIn = stopInSql
 
   val oracle: Map[String, String] = Map(
@@ -973,24 +1007,15 @@ object TextDedup {
          |FROM b ORDER BY doc_id""".stripMargin
     },
 
-    "corpus_reject_report" -> {
-      val stopList = graft.ops.TextAnalysis.stopwords
-        .map(s => s"'$s'").mkString("[", ", ", "]")
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks,
-         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents),
-         |m AS (SELECT doc_id,
-         |  CASE WHEN doc_id <> keeper THEN 'dup_exact'
-         |       WHEN len(toks) < 20 THEN 'too_short'
-         |       WHEN NOT (CAST(length(trim(text)) - (len(toks) - 1) AS DOUBLE) / len(toks)
-         |                 BETWEEN 3.0 AND 10.0)
-         |         OR CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-         |            / length(text) > 0.1 THEN 'low_quality'
-         |       WHEN len(list_intersect(list_distinct(toks), $stopList)) < 2 THEN 'few_stopwords'
-         |       ELSE 'kept' END AS reason
-         |  FROM t)
+    "corpus_reject_report" ->
+      s"""WITH $rejectCtes
          |SELECT reason, count(*) AS n_docs, min(doc_id) AS sample_doc
-         |FROM m GROUP BY reason ORDER BY reason""".stripMargin
-    },
+         |FROM m GROUP BY reason ORDER BY reason""".stripMargin,
+
+    "corpus_reject_by_source" ->
+      s"""WITH $rejectCtes
+         |SELECT source, reason, count(*) AS n_docs, min(doc_id) AS sample_doc
+         |FROM m GROUP BY source, reason ORDER BY source, reason""".stripMargin,
 
     "corpus_funnel" -> {
       val stopList = graft.ops.TextAnalysis.stopwords

@@ -90,6 +90,9 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_recall_curve: the sim_recall_audit shape (1-row query vector
     //    vs all rows), three constant-size re-counts of one 10x10 join
     "sim_recall_curve",
+    //  - sim_pq_distortion: every vector vs the 16 broadcast codewords
+    //    (the sim_pq_encode assignment shape it audits)
+    "sim_pq_distortion",
     //  - events_top_coverage: 1-row totals scalar broadcast under the
     //    4-row threshold rollup (the events_pareto shape)
     "events_top_coverage")

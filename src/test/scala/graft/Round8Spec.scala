@@ -336,6 +336,40 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("corpus_reject_by_source: per-source cells sum to the global report") {
+    val global = run("corpus_reject_report").collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[Long]("n_docs")).toMap
+    val bySrc = run("corpus_reject_by_source").collect()
+      .groupBy(_.getAs[String]("reason"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_docs")).sum }
+    assert(bySrc == global, s"per-source cells drift from the global gate: $bySrc vs $global")
+  }
+
+  test("events_anomaly_iqr: fences ordered, outliers bounded") {
+    val rows = run("events_anomaly_iqr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q1, q3) = (r.getAs[Long]("q1_cents"), r.getAs[Long]("q3_cents"))
+      assert(q1 <= q3)
+      assert(r.getAs[Long]("iqr_cents") == q3 - q1)
+      assert(r.getAs[Long]("lo_cents") <= q1 && q3 <= r.getAs[Long]("hi_cents"))
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n") / 2,
+        s"fence rejects half the data: $r")
+    }
+  }
+
+  test("sim_pq_distortion: 4 subspaces, mean <= max, counts reconcile") {
+    val rows = run("sim_pq_distortion").collect().sortBy(_.getAs[Int]("sub"))
+    assert(rows.map(_.getAs[Int]("sub")).toSeq == Seq(0, 1, 2, 3))
+    val n = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("mean_dist") <= r.getAs[Long]("max_dist"))
+      // the 16 seed vectors encode themselves exactly in every subspace
+      assert(r.getAs[Long]("n_exact") >= 16L.min(n))
+    }
+  }
+
   test("sim_dim_stats: 64 dims, corpus-sized counts, min <= mean <= max") {
     val rows = run("sim_dim_stats").collect()
     assert(rows.length == 64)
