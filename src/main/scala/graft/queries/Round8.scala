@@ -63,18 +63,31 @@ object Round8 {
     }),
 
     // percent_rank / cume_dist in integer basis points (per-priority
-    // price position — the feature-scaling shape). Built from row_number
-    // + partition count with truncating div instead of the built-in
-    // DOUBLE percent_rank, so the output is bit-stable cross-engine.
+    // price position — the feature-scaling shape). Built from a TWO-PHASE
+    // rank (per-(priority, value-block) row_number + broadcast block
+    // offsets — the events_pareto pattern) instead of a window
+    // partitioned by the 5-value priority column, which would sort each
+    // priority's full order set in ONE task at scale; and from truncating
+    // div instead of the built-in DOUBLE percent_rank, so the output is
+    // bit-stable cross-engine.
     "q_percent_rank" -> ((s, dir) => {
       val o = Tables.orders(s, dir).select(
         col("o_orderkey"), col("o_orderpriority"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val w = Window.partitionBy(col("o_orderpriority"))
+        .withColumn("blk", expr("cents div 100000"))
+      val grp = o.groupBy(col("o_orderpriority"), col("blk"))
+        .agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true) // feeds offsets AND per-priority totals
+      val wB = Window.partitionBy(col("o_orderpriority")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = grp.withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("o_orderpriority"), col("blk"), col("off"))
+      val tot = grp.groupBy(col("o_orderpriority")).agg(sum(col("bn")).as("n"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("blk"))
         .orderBy(col("cents"), col("o_orderkey"))
-      val wn = Window.partitionBy(col("o_orderpriority"))
-      o.withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
+      o.join(broadcast(offs), Seq("o_orderpriority", "blk"))
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .join(broadcast(tot), Seq("o_orderpriority"))
         .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
           col("rk").cast("long").as("rk"),
           when(col("n") > 1,
@@ -507,13 +520,27 @@ object Round8 {
     // 1.5×IQR fence — the box-plot complement of events_anomaly_mad's
     // median/MAD flags, in exact integer cents (discrete percentile =
     // value at rank ceil(p·n), integer rank math, no interpolation).
+    // Ranks come from the TWO-PHASE per-(type, value-block) pattern, not
+    // a window partitioned by the handful of event types (which would
+    // sort each type's full event set in one task at scale). Equal values
+    // share a block, so the value AT a rank is deterministic even though
+    // tie order inside a block is not.
     "events_anomaly_iqr" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("event_type"), round(col("value") * 100).cast("long").as("cv"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("cv"))
-      val wn = Window.partitionBy(col("event_type"))
-      val bounds = e.withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("blk", expr("cv div 1000"))
+      val grp = e.groupBy(col("event_type"), col("blk"))
+        .agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true) // feeds offsets AND per-type totals
+      val wB = Window.partitionBy(col("event_type")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = grp.withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("event_type"), col("blk"), col("off"))
+      val tot = grp.groupBy(col("event_type")).agg(sum(col("bn")).as("n"))
+      val wIn = Window.partitionBy(col("event_type"), col("blk")).orderBy(col("cv"))
+      val bounds = e.join(broadcast(offs), Seq("event_type", "blk"))
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .join(broadcast(tot), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"),
           max(when(col("rk") === expr("(n + 3) div 4"), col("cv"))).as("q1"),
