@@ -227,6 +227,10 @@ object Round8 {
         .join(t.select(col("doc_id").as("b"), col("text").as("tb"),
           col("len").as("lb")), "b")
         .where(col("la") <= 400 && col("lb") <= 400)
+        // the DP is CPU-bound, not byte-bound: AQE coalesces the ~MBs of
+        // candidate pairs into one or two partitions, which would run the
+        // whole O(len²) kernel on one core — spread to full width first
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("a"), col("b"),
           levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
           greatest(col("la"), col("lb")).as("max_len"))
