@@ -266,6 +266,29 @@ object Round8 {
         .orderBy(col("rank"))
     }),
 
+    // Vocabulary-tail audit: token types bucketed by occurrence count
+    // (hapax = 1, rare = 2-10, mid = 11-100, head > 100) with type and
+    // volume shares in bp — the tail-side complement of text_zipf_audit's
+    // head (a fat hapax band is the classic OCR-noise / tokenizer-damage
+    // signal). One freq aggregate + one 4-row rollup.
+    "text_hapax_rate" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val band = when(col("n") === 1, "1_hapax")
+        .when(col("n") <= 10, "2_rare")
+        .when(col("n") <= 100, "3_mid")
+        .otherwise("4_head")
+      val tot = freq.agg(count(lit(1)).as("n_types"), sum(col("n")).as("volume"))
+      freq.groupBy(band.as("band"))
+        .agg(count(lit(1)).as("n_types_band"), sum(col("n")).as("vol_band"))
+        .crossJoin(broadcast(tot))
+        .select(col("band"), col("n_types_band"), col("vol_band"),
+          expr("(n_types_band * 10000) div n_types").as("type_share_bp"),
+          expr("(vol_band * 10000) div volume").as("vol_share_bp"))
+        .orderBy(col("band"))
+    }),
+
     // Language-rebalance plan: per-language doc share and the sampling
     // weight (in bp) that would flatten the mix to uniform — the
     // data-mixing knob next to corpus_mix_budget's hard budget. Integer
@@ -658,6 +681,20 @@ object Round8 {
          |       ELSE (n * 10000) // next_n END AS BIGINT) AS ratio_next_bp,
          |  CAST((cum * 10000) // t.total AS BIGINT) AS cum_bp
          |FROM w, t ORDER BY rank""".stripMargin,
+
+    "text_hapax_rate" ->
+      s"""WITH f AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM f GROUP BY tok),
+         |t AS (SELECT count(*) AS n_types, sum(n) AS volume FROM c),
+         |b AS (SELECT CASE WHEN n = 1 THEN '1_hapax'
+         |        WHEN n <= 10 THEN '2_rare'
+         |        WHEN n <= 100 THEN '3_mid'
+         |        ELSE '4_head' END AS band, n
+         |      FROM c)
+         |SELECT band, count(*) AS n_types_band, CAST(sum(n) AS BIGINT) AS vol_band,
+         |  CAST((count(*) * 10000) // t.n_types AS BIGINT) AS type_share_bp,
+         |  CAST((sum(n) * 10000) // t.volume AS BIGINT) AS vol_share_bp
+         |FROM b, t GROUP BY band, t.n_types, t.volume ORDER BY band""".stripMargin,
 
     "corpus_lang_balance" ->
       """WITH pl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

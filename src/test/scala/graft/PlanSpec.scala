@@ -84,9 +84,10 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_batch_topk: every corpus vector vs the 8 broadcast query
     //    vectors (the sim_ivf_cells assignment shape; that IS the batch)
     "sim_batch_topk",
-    //  - text_bigram_coverage: 1-row corpus-volume scalar broadcast under
-    //    the 4-row coverage rollup (the q_scalar_subquery shape)
-    "text_bigram_coverage",
+    //  - text_bigram_coverage / text_hapax_rate: 1-row corpus-volume
+    //    scalar broadcast under a 4-row rollup (the q_scalar_subquery
+    //    shape)
+    "text_bigram_coverage", "text_hapax_rate",
     //  - sim_recall_curve: the sim_recall_audit shape (1-row query vector
     //    vs all rows), three constant-size re-counts of one 10x10 join
     "sim_recall_curve",

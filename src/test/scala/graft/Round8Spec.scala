@@ -139,6 +139,18 @@ class Round8Spec extends AnyFunSuite {
     rows.dropRight(1).foreach(r => assert(r.getAs[Long]("ratio_next_bp") >= 10000))
   }
 
+  test("text_hapax_rate: bands partition the vocabulary, shares bounded") {
+    val rows = run("text_hapax_rate").collect()
+    val typeShare = rows.map(_.getAs[Long]("type_share_bp")).sum
+    val volShare = rows.map(_.getAs[Long]("vol_share_bp")).sum
+    assert(typeShare <= 10000 && typeShare > 10000 - rows.length)
+    assert(volShare <= 10000 && volShare > 10000 - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_types_band") >= 1)
+      assert(r.getAs[Long]("vol_band") >= r.getAs[Long]("n_types_band"))
+    }
+  }
+
   test("corpus_lang_balance: shares sum to ~10000 bp, weights invert shares") {
     val rows = run("corpus_lang_balance").collect()
     val share = rows.map(_.getAs[Long]("share_bp")).sum
