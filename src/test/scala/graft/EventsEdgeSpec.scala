@@ -91,6 +91,41 @@ class EventsEdgeSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 250L, "active")))
   }
 
+  test("q_gaps_islands merges consecutive days and drops NULL-ts rows") {
+    val out = SparkEntry.queries("q_gaps_islands")(spark, edgeDir)
+      .select($"user_id", $"active_days", $"n_streaks", $"longest_streak")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 4 tied-instant events are still ONE active day / one streak
+    assert(out(2L) == ((1L, 1L, 1L)))
+    // NULL-ts rows contribute no days; both real events fall on 03-01
+    assert(out(3L) == ((1L, 1L, 1L)))
+    // two CONSECUTIVE days merge into a single length-2 streak
+    assert(out(4L) == ((2L, 1L, 2L)))
+  }
+
+  test("events_drawdown: non-negative values never draw down; NULL ts excluded") {
+    val out = SparkEntry.queries("events_drawdown")(spark, edgeDir)
+      .select($"user_id", $"n_events", $"max_drawdown_cents", $"total_cents")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // all fixture values are positive -> the running sum never decreases
+    out.values.foreach { case (_, dd, _) => assert(dd == 0L) }
+    // user 3's two NULL-ts rows (5.0 + 7.0) are excluded from the cents
+    assert(out(3L) == ((2L, 0L, 1400L)))
+    // tied instants still accumulate all four events
+    assert(out(2L) == ((4L, 0L, 1000L)))
+  }
+
+  test("events_sliding_users covers exactly the observed hours") {
+    val rows = SparkEntry.queries("events_sliding_users")(spark, edgeDir)
+      .select($"sh", $"n_users").as[(Long, Long)].collect().toMap
+    // observed hours: 03-01 08/09/10 and 03-02 08 (NULL ts contribute none)
+    assert(rows.size == 4)
+    // by 03-01 10:00 the trailing 24 h has seen every user with a real ts
+    assert(rows.values.max == 4L)
+  }
+
   private implicit class Map2[A, B, C, D, E](rows: Array[(A, B, C, D, E)]) {
     def toMap2: Map[A, (B, C, D, E)] = rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
   }
