@@ -311,7 +311,11 @@ object Round8 {
     // buckets, total candidate checks Σ m(m-1)/2 (the index COST curve),
     // and distinct under-cap candidate pairs (the RECALL curve). This is
     // the table you read before picking the production banding; one
-    // signature build feeds all three configurations.
+    // signature build feeds all three configurations. The audit's
+    // `distinct` runs over the cap-bounded candidate stream (≤ m(m-1)/2
+    // per ≤50-occupant bucket, ≤4 bands), mirrored in the oracle — the
+    // PRODUCTION pair generator (Dedup.lshCandidatePairs) still dedups
+    // locally via its first-matching-band rule, never a global distinct.
     "dedup_lsh_tune" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatureArray(
         Tables.documents(s, dir), "doc_id", "text", 8)
