@@ -338,6 +338,21 @@ object StreamOps {
       }
   }
 
+  /** Continuous table-freshness monitor — the streaming twin of the
+    * batch `etl_freshness` audit: per event type, the latest event time
+    * seen so far (epoch seconds, integer-exact). State is ONE max per
+    * type (bounded by the type cardinality, no watermark needed — max is
+    * monotone), emitted in complete mode so the sink always holds the
+    * current freshness table an on-call reads when a CDC feed stalls. */
+  def freshnessStream(events: DataFrame, tsCol: String,
+                      typeCol: String): DataFrame =
+    events
+      .where(col(tsCol).isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n"), max(col(tsCol)).as("max_ts"))
+      .select(col(typeCol), col("n"),
+        expr(s"unix_micros(max_ts) div 1000000").as("max_ts_s"))
+
   /** The batch cleaning kernel applied to a stream — identical Columns
     * (graft.etl.Normalize), proving the transforms are engine-mode
     * agnostic. */

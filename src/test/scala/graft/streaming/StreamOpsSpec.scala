@@ -126,6 +126,23 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 2L)))
   }
 
+  test("freshnessStream tracks the per-type max event time across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(5), 1, "view", 2.0))
+    val q = StreamOps.freshnessStream(input.toDF(), "ts", "event_type")
+      .writeStream.outputMode("complete").format("memory").queryName("fresh").start()
+    q.processAllAvailable()
+    // a later batch advances only its own type's freshness
+    input.addData(Ev(3, ts(30), 2, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fresh").select($"event_type", $"n", $"max_ts_s")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("click") == ((2L, ts(30).getTime / 1000)))
+    assert(got("view") == ((1L, ts(5).getTime / 1000)))
+  }
+
   test("nearDedupStream flags later near-dup docs against the first keeper") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
