@@ -41,6 +41,21 @@ object ScaleProbe {
     time("nn_join")(
       graft.ops.Similarity.nnJoin(emb, "vec_id", "embedding",
         graft.ops.Similarity.autoPlanes(emb.count(), 64), 64, 256).count())
+    // the fuzzy-dedup kernel: O(len²) DP per candidate pair — the band
+    // cap must bound the pair count (and therefore total DP work) even
+    // when every replica lands in the same buckets
+    time("edit_distance") {
+      val t = docs.withColumn("len", length(col("text")).cast("long"))
+      graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+        .join(t.select(col("doc_id").as("a"), col("text").as("ta"),
+          col("len").as("la")), "a")
+        .join(t.select(col("doc_id").as("b"), col("text").as("tb"),
+          col("len").as("lb")), "b")
+        .where(col("la") <= 400 && col("lb") <= 400)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(levenshtein(col("ta"), col("tb")).as("d"))
+        .agg(sum(col("d"))).count()
+    }
     spark.stop()
   }
 }
