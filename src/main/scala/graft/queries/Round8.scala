@@ -460,6 +460,35 @@ object Round8 {
         .orderBy(col("source"))
     }),
 
+    // Interval coalescing (merge-overlapping-ranges): each order opens a
+    // 7-day coverage window; per customer, overlapping/adjacent windows
+    // merge into maximal intervals — the classic SQL range-merge pattern
+    // (entitlement windows, on-call coverage, session stitching). A new
+    // interval starts exactly when a start exceeds the running max end
+    // so far; two stacked per-customer windows over one shared sort, all
+    // integer day arithmetic.
+    "q_merge_intervals" -> ((s, dir) => {
+      val iv = Tables.orders(s, dir).select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("s"))
+        .withColumn("e", col("s") + 7)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("s"), col("e"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("maxe", max(col("e")).over(wPrev))
+        .withColumn("new_iv",
+          when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("new_iv")).over(wRun))
+        .groupBy(col("o_custkey"), col("isl"))
+        .agg(min(col("s")).as("ivs"), max(col("e")).as("ive"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("ive") - col("ivs")).as("covered_days"),
+          max(col("ive") - col("ivs")).as("longest_days"),
+          min(col("ivs")).as("first_day"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Changelog paging profile — the reference pages its change log in
     // fixed id batches and skips NULL-key rows before extract
     // (models/EtlLogger.js:6-27: 100k pages, reference_no/table NOT NULL
@@ -720,6 +749,31 @@ object Round8 {
          |UNION ALL
          |${lshTuneSelect(8)}
          |ORDER BY r""".stripMargin,
+
+    "q_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS s,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 7 AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |  max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |n AS (SELECT o_custkey, s, e,
+        |  CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS new_iv
+        |  FROM m),
+        |r AS (SELECT o_custkey, s, e,
+        |  sum(new_iv) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM n),
+        |g AS (SELECT o_custkey, isl, min(s) AS ivs, max(e) AS ive
+        |      FROM r GROUP BY o_custkey, isl)
+        |SELECT o_custkey, count(*) AS n_windows,
+        |  CAST(sum(ive - ivs) AS BIGINT) AS covered_days,
+        |  CAST(max(ive - ivs) AS BIGINT) AS longest_days,
+        |  min(ivs) AS first_day
+        |FROM g GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "etl_changelog_stats" ->
       """SELECT event_id // 1000 AS batch, count(*) AS n_rows,

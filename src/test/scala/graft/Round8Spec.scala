@@ -116,6 +116,24 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("q_merge_intervals: coverage accounting is internally consistent") {
+    val rows = run("q_merge_intervals").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val (nw, cov, lng) = (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("covered_days"), r.getAs[Long]("longest_days"))
+      val nOrders = orders(r.getAs[Long]("o_custkey"))
+      assert(nw >= 1 && nw <= nOrders, s"window count outside [1, orders]: $r")
+      // each merged window spans >= 7 days; coverage sums the disjoint spans
+      assert(lng >= 7 && cov >= nw * 7, s"window shorter than one order span: $r")
+      assert(cov <= nOrders * 7, s"coverage exceeds the unmerged total: $r")
+      assert(lng <= cov)
+    }
+  }
+
   test("text_edit_distance: dist/sim consistency and symmetry bound") {
     val rows = run("text_edit_distance").collect()
     rows.foreach { r =>
