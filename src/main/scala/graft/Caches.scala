@@ -26,13 +26,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Caches {
 
-  private val pinned = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // Keyed by (applicationId, rddId): RDD ids are small per-SparkContext
+  // ints, so a bare-id set would let a stale pin from a stopped context
+  // shadow an unrelated RDD in a later one (test suites, session
+  // restarts) and make sweep keep dead blocks alive.
+  private val pinned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** Pin every checkpointed RDD reachable from this frame's plan so
     * `sweep` keeps it alive across queries. Returns the frame. */
   def pin(df: DataFrame): DataFrame = {
-    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }
-      .foreach(pinned.add)
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRDD => (l.rdd.context.applicationId, l.rdd.id)
+    }.foreach(pinned.add)
     df
   }
 
@@ -49,8 +55,12 @@ object Caches {
   /** Unpersist all non-pinned persistent RDDs (non-blocking). */
   def sweep(spark: SparkSession): Unit = {
     quietUnpersist
+    val app = spark.sparkContext.applicationId
+    // Spark allows one active SparkContext per JVM, so pins from any
+    // other applicationId belong to a stopped context — drop them.
+    pinned.removeIf(e => e._1 != app)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinned.contains(id)) rdd.unpersist(blocking = false)
+      if (!pinned.contains((app, id))) rdd.unpersist(blocking = false)
     }
   }
 }

@@ -44,6 +44,58 @@ object ScaleProbe {
     // the fuzzy-dedup kernel: O(len²) DP per candidate pair — the band
     // cap must bound the pair count (and therefore total DP work) even
     // when every replica lands in the same buckets
+    // Two-phase distributed rank (q_percent_rank's kernel, Round8): at
+    // mult× the per-(priority, block) row_number windows stay bounded —
+    // no single task ever sorts a full priority's orders. Output is one
+    // row per order BY DESIGN (an operator that assigns a rank to every
+    // row has output ∝ input); the probe pins that the COMPUTE scales
+    // linearly, not that the output shrinks.
+    time("percent_rank_2phase") {
+      import org.apache.spark.sql.expressions.Window
+      val o = graft.sources.Tables.orders(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("o_orderkey") * mult + col("rep")).as("o_orderkey"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("blk", expr("cents div 100000"))
+        .localCheckpoint(true)
+      val grp = o.groupBy(col("o_orderpriority"), col("blk"))
+        .agg(count(lit(1)).as("bn")).localCheckpoint(true)
+      val wB = Window.partitionBy(col("o_orderpriority")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = grp.withColumn("off",
+        coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("o_orderpriority"), col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("blk"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      o.join(broadcast(offs), Seq("o_orderpriority", "blk"))
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .count()
+    }
+    // events_sliding_users' coverage explode under SPARSE hours: the
+    // production query semi-joins the 24-way explode against the spine of
+    // observed hours, which assumes nothing about density — cost is
+    // 24 × |distinct (user, hour)| whether hours are adjacent or not.
+    // Sparsify by spreading hour indices ×997 (every observed hour
+    // isolated, so ~23/24 of cover rows miss the spine) and replicate
+    // users mult×: runtime must stay ~linear in the explode size and
+    // output collapses to one row per observed hour.
+    time("sliding_users_sparse") {
+      val uh = graft.sources.Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("user_id") * mult + col("rep")).as("user_id"),
+          (expr("unix_micros(ts) div 3600000000") * 997).as("h"))
+        .distinct()
+        .localCheckpoint(true)
+      val spine = uh.select(col("h").as("sh")).distinct()
+      uh.select(col("user_id"),
+          explode(sequence(col("h"), col("h") + 23)).as("sh"))
+        .join(spine, Seq("sh"), "left_semi")
+        .groupBy(col("sh"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .count()
+    }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))
       graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)

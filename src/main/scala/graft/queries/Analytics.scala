@@ -692,7 +692,7 @@ object Analytics {
         |rfm AS (
         |  SELECT user_id,
         |    CAST(date_diff('day', max(CASE WHEN event_type = 'purchase' THEN ts END), mx.mts) AS INTEGER) AS recency_d,
-        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS frequency,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS frequency,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT)
         |             ELSE 0 END) AS BIGINT) AS monetary_cents
         |  FROM events, mx GROUP BY user_id, mx.mts)

@@ -518,7 +518,7 @@ object Audits {
         |  FROM g WHERE gap_s IS NOT NULL)
         |SELECT user_id, count(*) AS n_gaps,
         |  min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s,
-        |  sum(gap_s) AS sum_gap_s,
+        |  CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
         |  max(CASE WHEN rk = (n + 1) // 2 THEN gap_s END) AS median_gap_s
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -830,8 +830,9 @@ object Round8 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
         |  FROM r1)
         |SELECT user_id, count(*) AS n_events,
-        |  max(runmax - cum) AS max_drawdown_cents,
-        |  max(cum) AS peak_cents, sum(cents) AS total_cents
+        |  CAST(max(runmax - cum) AS BIGINT) AS max_drawdown_cents,
+        |  CAST(max(cum) AS BIGINT) AS peak_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_sliding_users" ->
@@ -886,7 +887,7 @@ object Round8 {
         |keep AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
         |j AS (SELECT d.*, CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END AS dup
         |      FROM d JOIN keep k USING (h))
-        |SELECT source, count(*) AS n_docs, sum(bytes) AS bytes,
+        |SELECT source, count(*) AS n_docs, CAST(sum(bytes) AS BIGINT) AS bytes,
         |  CAST(sum(dup) AS BIGINT) AS n_dups,
         |  CAST(coalesce(sum(CASE WHEN dup = 1 THEN bytes END), 0) AS BIGINT) AS bytes_saved,
         |  CAST((coalesce(sum(CASE WHEN dup = 1 THEN bytes END), 0) * 10000)
@@ -937,7 +938,7 @@ object Round8 {
         |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
         |  FROM d),
         |g AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY user_id, isl)
-        |SELECT user_id, sum(len) AS active_days, count(*) AS n_streaks,
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days, count(*) AS n_streaks,
         |  max(len) AS longest_streak
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
@@ -978,7 +979,8 @@ object Round8 {
         |  FROM orders),
         |dim AS (SELECT k AS dk, count(*) AS dim_n FROM o GROUP BY k)
         |SELECT CAST(o.k AS BIGINT) AS k, count(*) AS n_orders,
-        |  CAST(max(dim.dim_n) AS BIGINT) AS dim_n, sum(o.cents) AS cents
+        |  CAST(max(dim.dim_n) AS BIGINT) AS dim_n,
+        |  CAST(sum(o.cents) AS BIGINT) AS cents
         |FROM o LEFT JOIN dim ON o.k IS NOT DISTINCT FROM dim.dk
         |GROUP BY o.k ORDER BY k NULLS FIRST""".stripMargin,
 
@@ -1040,7 +1042,7 @@ object Round8 {
         |b AS (SELECT cents, ((rk - 1) * 4) // t.n_tot AS bucket FROM r, t)
         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
         |  min(cents) AS lo_cents, max(cents) AS hi_cents,
-        |  sum(cents) AS sum_cents
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 }

@@ -21,6 +21,36 @@ for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+
+# --- Oracle output-type lint (SURVEY §6) -------------------------------
+# DuckDB types sum(BIGINT) / sum(INTEGER) as HUGEINT (int128); the
+# driver's hasher serializes int128 differently from int64, so any
+# HUGEINT column EMITTED by an oracle hash-mismatches even when the
+# values are exactly equal to Spark's int64.  DESCRIBE only sees the
+# emitted schema, so internal window/CTE aggregates (which are also
+# HUGEINT mid-query, e.g. a running `sum(cents) OVER ...` consumed by a
+# later max()) are correctly ignored — only CAST on EMIT is required.
+# The same applies to windowed aggregates that are selected directly.
+BANNED_TYPES = ('HUGEINT', 'UHUGEINT')
+lint_fails = []
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception as e:
+        lint_fails.append((name, f'describe error: {e}'))
+        continue
+    for col, typ, *_ in desc:
+        if any(b in typ.upper() for b in BANNED_TYPES):
+            lint_fails.append(
+                (name, f'column `{col}` is {typ}: wrap in CAST(... AS BIGINT)'))
+if lint_fails:
+    print(f"ORACLE TYPE LINT: {len(lint_fails)} violation(s)")
+    for n, m in lint_fails:
+        print(f"LINT {n}: {m}")
+    sys.exit(2)
+
 passed, fails = [], []
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
@@ -45,8 +75,18 @@ for name, sql in sorted(oracle.items()):
     cols = list(got.columns)
     got = got.sort_values(by=cols, kind='mergesort').reset_index(drop=True)
     exp = exp.sort_values(by=cols, kind='mergesort').reset_index(drop=True)
+    # Both frames come through DuckDB's fetchdf, so NULL-bearing integer
+    # columns float-promote identically on both sides; after widening
+    # int32→int64 (Spark INT vs DuckDB-inferred INTEGER is a legitimate
+    # pair) any remaining dtype gap is a real physical-type divergence —
+    # exactly the class check_dtype=False masked for three rounds.
+    for df in (got, exp):
+        for c in df.columns:
+            if str(df[c].dtype) in ('int8', 'int16', 'int32',
+                                    'uint8', 'uint16', 'uint32'):
+                df[c] = df[c].astype('int64')
     try:
-        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
         passed.append(name)
     except AssertionError as e:
         msg = str(e).replace('\n', ' | ')[:300]
