@@ -147,21 +147,24 @@ case class MinHashSignatures(child: Expression, k: Int) extends UnaryExpression 
   * token ARRAY yields 0 (null votes fall through `when(vote > 0)`). */
 object SimHashCompute {
 
-  def compute(tokens: ArrayData): Long = {
+  /** nbits ≤ 64: bit j reads hex digit j/4 of the 32-digit md5, so 16
+    * bits consume 4 digits and 64 bits the first 16 digits (64 bits) of
+    * the digest. */
+  def compute(tokens: ArrayData, nbits: Int): Long = {
     if (tokens == null) return 0L
-    val votes = new Array[Long](16)
+    val votes = new Array[Long](nbits)
     val md = Md5Local.get()
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (tokens.isNullAt(i)) {
         var j = 0
-        while (j < 16) { votes(j) -= 1; j += 1 }
+        while (j < nbits) { votes(j) -= 1; j += 1 }
       } else {
         md.reset(); md.update(tokens.getUTF8String(i).getBytes)
         val d = md.digest()
         var j = 0
-        while (j < 16) {
+        while (j < nbits) {
           val digit = j / 4
           val b = d(digit / 2)
           val v = if (digit % 2 == 0) (b >> 4) & 0xf else b & 0xf
@@ -173,7 +176,7 @@ object SimHashCompute {
     }
     var r = 0L
     var j = 0
-    while (j < 16) { if (votes(j) > 0) r |= 1L << j; j += 1 }
+    while (j < nbits) { if (votes(j) > 0) r |= 1L << j; j += 1 }
     r
   }
 }
@@ -195,7 +198,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     }
 
   override def eval(input: InternalRow): Any =
-    SimHashCompute.compute(child.eval(input).asInstanceOf[ArrayData])
+    SimHashCompute.compute(child.eval(input).asInstanceOf[ArrayData], 16)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
@@ -203,7 +206,7 @@ case class SimHash16(child: Expression) extends UnaryExpression {
       code = code"""
         |${c.code}
         |long ${ev.value} = graft.functions.SimHashCompute.compute(
-        |  ${c.isNull} ? null : ${c.value});
+        |  ${c.isNull} ? null : ${c.value}, 16);
         |""".stripMargin,
       isNull = FalseLiteral)
   }
@@ -211,6 +214,45 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash16"
+}
+
+/** simhash64(tokens): 64-bit SimHash fingerprint — the same per-token
+  * bit-vote scheme as [[SimHash16]] extended over the digest's first 16
+  * hex digits. Wide enough for Hamming-band pigeonhole joins: split into
+  * 4 disjoint 16-bit bands, any pair at Hamming distance ≤ 3 matches on
+  * at least one whole band, and a 16-bit band keyspace keeps bucket
+  * occupancy sub-quadratic (a 4-bit band of the 16-bit fingerprint would
+  * put 1/16th of the corpus in every bucket). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+  override def eval(input: InternalRow): Any =
+    SimHashCompute.compute(child.eval(input).asInstanceOf[ArrayData], 64)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |long ${ev.value} = graft.functions.SimHashCompute.compute(
+        |  ${c.isNull} ? null : ${c.value}, 64);
+        |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
 }
 
 /** md5_min(arr): minimum md5 hex over the array's non-null strings, NULL
@@ -272,6 +314,10 @@ object TextFunctions {
   /** Column wrapper for [[SimHash16]]. */
   def simhash16(tokens: Column): Column =
     Bridge.column(SimHash16(Bridge.expression(tokens)))
+
+  /** Column wrapper for [[SimHash64]]. */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   /** Column wrapper for [[Md5Min]]. */
   def md5Min(arr: Column): Column =

@@ -156,6 +156,9 @@ object VectorFunctions {
     (FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (args: Seq[Expression]) => SimHash16(args(0))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
     (FunctionIdentifier("md5_min"),
       new ExpressionInfo(classOf[Md5Min].getName, "md5_min"),
       (args: Seq[Expression]) => Md5Min(args(0))),

@@ -157,6 +157,42 @@ object Dedup {
     simhash16(docs, idCol, textCol)
       .groupBy("simhash").agg(count(lit(1)).as("n"), min(col("doc")).as("keeper"))
 
+  /** SimHash near-dup pairs at Hamming distance ≤ maxHamming via band
+    * pigeonhole over a 64-BIT fingerprint: split into 4 disjoint 16-bit
+    * bands; d(a,b) ≤ 3 < 4 flips can touch at most 3 bands, so every
+    * qualifying pair matches EXACTLY on at least one band — candidate
+    * generation is 4 equality self-joins (one shuffle on (band, key)),
+    * never a cross join or a distance scan. The 16-bit fingerprint can't
+    * support this (its 4-bit bands put 1/16th of the corpus in every
+    * bucket — quadratic); hence simhash64. Band-bucket occupancy is
+    * capped like the LSH path: a band value shared by > maxBucket docs
+    * (an exact-dup/boilerplate cluster) is dropped before the self-join,
+    * so one hot key can never go quadratic at corpus scale. Candidates
+    * are verified with an exact popcount (bit_count(fa ^ fb), both
+    * engines' arithmetic-shift/XOR semantics agree on signed 64-bit). */
+  def simhashHammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    // fingerprint once; the band explode + occupancy + join all reference it
+    val fp = docs.select(col(idCol).as("doc"),
+      graft.functions.TextFunctions.simhash64(tokens(col(textCol))).as("fp"))
+      .localCheckpoint(true)
+    val bands = fp.select(col("doc"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    val occ = bands.groupBy(col("band"), col("key")).agg(count(lit(1)).as("m"))
+    val kept = bands.join(occ.where(col("m") <= maxBucket), Seq("band", "key"))
+      .select(col("band"), col("key"), col("doc"), col("fp"))
+    kept.select(col("band"), col("key"), col("doc").as("a"), col("fp").as("fa"))
+      .join(kept.select(col("band"), col("key"), col("doc").as("b"), col("fp").as("fb")),
+        Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        expr("bit_count(fa ^ fb)").cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Word n-gram Jaccard similarity pairs. Candidates come from an
     * equality join on shared shingles (inverted-index shape), so pair work
     * is proportional to true overlap, not n².
