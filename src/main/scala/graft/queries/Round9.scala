@@ -119,6 +119,126 @@ object Round9 {
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"))
     }),
+
+    // Lag-{1,7} autocorrelation INGREDIENTS of the daily event series —
+    // exact integer moment sums (n, Σx, Σy, Σxy, Σx², Σy²) from which a
+    // client derives Pearson r; no double ever crosses the engine
+    // boundary. The lag join runs over the daily ROLLUP (bounded by the
+    // time range, never event-sized) keyed on epoch-day equality.
+    "events_autocorr" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // both sides of the lag join
+      val lags = Seq(1L, 7L).toDF("lg")
+      val y = d.select(col("d").as("dy"), col("n").as("y"))
+      d.select(col("d"), col("n").as("x"))
+        .crossJoin(broadcast(lags))
+        .join(y, col("dy") === col("d") + col("lg"))
+        .groupBy(col("lg"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+        .orderBy(col("lg"))
+    }),
+
+    // Changepoint scan over the daily series: for every split day, the
+    // cross-multiplied before/after mean difference
+    // |n_b·Σ_a − n_a·Σ_b| (integer, no division) — the CUSUM-style
+    // level-shift score. Prefix sums ride a window over the bounded day
+    // spine; totals broadcast from a 1-row aggregate.
+    "events_changepoint" -> ((s, dir) => {
+      val d = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds the prefix window AND the totals
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = d.agg(sum(col("n")).as("tot_n"), count(lit(1)).as("tot_c"))
+      d.withColumn("sum_before", sum(col("n")).over(w))
+        .withColumn("n_before", count(lit(1)).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_after", col("tot_c") - col("n_before"))
+        .withColumn("sum_after", col("tot_n") - col("sum_before"))
+        .where(col("n_after") > 0)
+        .select(col("d").as("day_epoch"), col("n_before"), col("sum_before"),
+          col("n_after"), col("sum_after"),
+          abs(col("n_before") * col("sum_after") -
+            col("n_after") * col("sum_before")).as("score"))
+        .orderBy(col("day_epoch"))
+    }),
+
+    // Readability banding: vowels-per-word and words-per-"sentence" in
+    // integer basis points (the Flesch ingredients without its float
+    // constants), banded and rolled up — a per-row kernel + keyed agg,
+    // the ideal 100 TB shape.
+    "text_readability_bands" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        TA.tokenCount(col("text")).as("w"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.!?]", ""))).cast("long").as("sents"),
+        length(regexp_replace(lower(col("text")), "[^aeiou]", ""))
+          .cast("long").as("vowels"))
+        .withColumn("wps_bp", expr("(w * 10000) div greatest(sents, 1L)"))
+        .withColumn("vpw_bp", expr("(vowels * 10000) div greatest(w, 1L)"))
+      d.groupBy(expr("vpw_bp div 1000").as("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sum_words"),
+          sum(col("wps_bp")).as("sum_wps_bp"),
+          min(col("vpw_bp")).as("min_vpw_bp"), max(col("vpw_bp")).as("max_vpw_bp"))
+        .orderBy(col("band"))
+    }),
+
+    // Source-interleave fairness audit: position-within-source via the
+    // TWO-PHASE rank (per-(source, doc-block) counts + broadcast
+    // offsets + within-block row_number — no source-sized window
+    // partition), then per 50-position stripe × source counts. Equal
+    // per-stripe counts until a source exhausts = a fair round-robin
+    // training order.
+    "corpus_interleave_plan" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("blk", expr("doc_id div 256"))
+      val grp = d.groupBy(col("source"), col("blk")).agg(count(lit(1)).as("bn"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1) // over blocks: bounded
+      val offs = grp.withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("source"), col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
+      d.join(broadcast(offs), Seq("source", "blk"))
+        .withColumn("pos", col("off") + row_number().over(wIn) - 1)
+        .groupBy(expr("pos div 50").as("pos_blk"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("pos_blk"), col("source"))
+    }),
+
+    // TTL retention-policy audit: per event type, how many rows a sweep
+    // with per-type TTLs (errors 30 d, views/clicks 90 d, else 365 d)
+    // would expire, anchored at the corpus max timestamp. Millisecond
+    // epoch comparison (unix_millis ↔ epoch_ms — both truncate µs), so
+    // the expiry predicate is engine-exact.
+    "etl_ttl_sweep" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("ts").isNotNull)
+      val ref = ev.agg(max(unix_millis(col("ts"))).as("ref"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("ttl_days",
+          when(col("event_type") === "error", lit(30L))
+            .when(col("event_type").isin("view", "click"), lit(90L))
+            .otherwise(lit(365L)))
+        .withColumn("expired",
+          (unix_millis(col("ts")) < col("ref") - col("ttl_days") * 86400000L)
+            .cast("long"))
+        .groupBy(col("event_type"), col("ttl_days"))
+        .agg(count(lit(1)).as("n_total"), sum(col("expired")).as("n_expired"),
+          (count(lit(1)) - sum(col("expired"))).as("n_retained"),
+          min(when(col("expired") === 0,
+            date_format(col("ts"), "yyyy-MM-dd"))).as("oldest_retained"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,5 +319,84 @@ object Round9 {
          |  CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_autocorr" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |l AS (SELECT CAST(lg AS BIGINT) AS lg
+        |      FROM (VALUES (1), (7)) t(lg)),
+        |p AS (SELECT l.lg, a.n AS x, b.n AS y
+        |      FROM daily a CROSS JOIN l JOIN daily b ON b.d = a.d + l.lg)
+        |SELECT lg, count(*) AS n_pairs,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(sum(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(sum(y * y) AS BIGINT) AS sum_y2
+        |FROM p GROUP BY lg ORDER BY lg""".stripMargin,
+
+    "events_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |pre AS (SELECT d, n,
+        |  sum(n) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_before,
+        |  count(*) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_before
+        |  FROM daily),
+        |tot AS (SELECT sum(n) AS tot_n, count(*) AS tot_c FROM daily)
+        |SELECT d AS day_epoch, n_before,
+        |  CAST(sum_before AS BIGINT) AS sum_before,
+        |  tot_c - n_before AS n_after,
+        |  CAST(tot_n - sum_before AS BIGINT) AS sum_after,
+        |  CAST(abs(n_before * (tot_n - sum_before) -
+        |    (tot_c - n_before) * sum_before) AS BIGINT) AS score
+        |FROM pre, tot WHERE tot_c - n_before > 0 ORDER BY day_epoch""".stripMargin,
+
+    "text_readability_bands" ->
+      s"""WITH d AS (
+         |  SELECT CAST(len($toksSql) AS BIGINT) AS w,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS sents,
+         |    CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+         |      AS BIGINT) AS vowels
+         |  FROM documents),
+         |r AS (SELECT w,
+         |  (w * 10000) // greatest(sents, 1) AS wps_bp,
+         |  (vowels * 10000) // greatest(w, 1) AS vpw_bp FROM d)
+         |SELECT vpw_bp // 1000 AS band, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS sum_words,
+         |  CAST(sum(wps_bp) AS BIGINT) AS sum_wps_bp,
+         |  min(vpw_bp) AS min_vpw_bp, max(vpw_bp) AS max_vpw_bp
+         |FROM r GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "corpus_interleave_plan" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT pos // 50 AS pos_blk, source, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY 1, 2 ORDER BY pos_blk, source""".stripMargin,
+
+    "etl_ttl_sweep" ->
+      """WITH r AS (SELECT max(epoch_ms(CAST(ts AS TIMESTAMP))) AS ref
+        |           FROM events WHERE ts IS NOT NULL),
+        |e AS (SELECT event_type, ts, epoch_ms(CAST(ts AS TIMESTAMP)) AS ems,
+        |  CAST(CASE WHEN event_type = 'error' THEN 30
+        |       WHEN event_type IN ('view', 'click') THEN 90
+        |       ELSE 365 END AS BIGINT) AS ttl_days
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type, ttl_days, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN ems < r.ref - ttl_days * 86400000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_expired,
+        |  CAST(count(*) - sum(CASE WHEN ems < r.ref - ttl_days * 86400000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  min(CASE WHEN ems >= r.ref - ttl_days * 86400000
+        |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END) AS oldest_retained
+        |FROM e, r GROUP BY event_type, ttl_days ORDER BY event_type""".stripMargin,
   )
 }

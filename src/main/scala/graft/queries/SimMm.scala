@@ -22,6 +22,39 @@ object SimMm {
   private val TargetBucket = 64
   private val CandCap = 256
 
+  /** Mutual top-3 cosine kNN edges, label-blocked (pair cost Σ block²,
+    * never corpus²) — shared by sim_knn_graph and sim_knn_cc. Mutual
+    * edges come from ONE keyed aggregate over the directed edge set
+    * (cosine is symmetric; both directions carry the same basis-point
+    * value). Columns: src < dst, cos_bp. */
+  private def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        Similarity.milliQuant(col("embedding")).as("mq"))
+      .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+    val a = e.select(col("vec_id").as("src"), col("label"),
+      col("mq").as("ma"), col("nsq").as("na"))
+    val b = e.select(col("vec_id").as("dst"), col("label"),
+      col("mq").as("mb"), col("nsq").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_bp").desc, col("dst"))
+    val edges = a.join(broadcast(b), Seq("label"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.cosBp(Similarity.dotMilli(col("ma"), col("mb")),
+          col("na"), col("nb")).as("cos_bp"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    edges
+      .groupBy(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .agg(min(col("cos_bp")).as("cos_bp"), count(lit(1)).as("nd"))
+      .where(col("nd") === 2)
+      .select(col("lo").as("src"), col("hi").as("dst"), col("cos_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Brute-force cosine top-k vs the vec_id=0 query vector.
     "sim_topk_brute" -> ((s, dir) =>
@@ -354,32 +387,62 @@ object SimMm {
     // basis points over milli-quantized components (Similarity.cosBp);
     // squared norms precompute per row pre-join; the block side
     // broadcasts (vectors are the small table here).
-    "sim_knn_graph" -> ((s, dir) => {
+    "sim_knn_graph" -> ((s, dir) =>
+      mutualKnnEdges(s, dir).orderBy(col("src"), col("dst"))),
+
+    // Connected components over the mutual-kNN graph — the "semantic
+    // cluster discovery" step (near-dup islands in embedding space).
+    // Reuses the capped label-blocked edge builder above and the
+    // dedup_cc min-label-propagation kernel (scalar convergence probe,
+    // localCheckpoint per round — never a data collect). Output is one
+    // row per COMPONENT (≪ corpus), so emission is bounded.
+    "sim_knn_cc" -> ((s, dir) => {
+      val edges = mutualKnnEdges(s, dir)
+        .select(col("src").as("a"), col("dst").as("b"))
+      Dedup.connectedComponents(edges)
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("component"))
+    }),
+
+    // Rank agreement between EXACT cosine order and the SQ8 int8
+    // surrogate order over the query's true top-32 — the quantization
+    // quality audit (Spearman ingredients as exact integers: Σd², Σ|d|,
+    // max|d|). Exact top-32 lowers to TakeOrderedAndProject (one corpus
+    // scan, no global sort); both rankings then run over the BOUNDED
+    // 32-row set, and the SQ8 surrogate is the same integer score
+    // sim_sq8_search ranks by — no float math anywhere.
+    "sim_rank_corr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"),
-          Similarity.milliQuant(col("embedding")).as("mq"))
+      val m = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
         .withColumn("nsq", Similarity.normSqMilli(col("mq")))
-      val a = e.select(col("vec_id").as("src"), col("label"),
-        col("mq").as("ma"), col("nsq").as("na"))
-      val b = e.select(col("vec_id").as("dst"), col("label"),
-        col("mq").as("mb"), col("nsq").as("nb"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("cos_bp").desc, col("dst"))
-      val edges = a.join(broadcast(b), Seq("label"))
-        .where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst"),
-          Similarity.cosBp(Similarity.dotMilli(col("ma"), col("mb")),
-            col("na"), col("nb")).as("cos_bp"))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-      edges
-        .groupBy(least(col("src"), col("dst")).as("lo"),
-          greatest(col("src"), col("dst")).as("hi"))
-        .agg(min(col("cos_bp")).as("cos_bp"), count(lit(1)).as("nd"))
-        .where(col("nd") === 2)
-        .select(col("lo").as("src"), col("hi").as("dst"), col("cos_bp"))
-        .orderBy(col("src"), col("dst"))
+      val q = m.where(col("vec_id") === 0)
+        .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
+      val top = m.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.cosBp(Similarity.dotMilli(col("mq"), col("qmq")),
+            col("nsq"), col("qnsq")).as("cos_bp"))
+        .orderBy(col("cos_bp").desc, col("vec_id"))
+        .limit(32)
+      val codes = Similarity.sq8Codes(Tables.embeddings(s, dir), "vec_id", "embedding")
+      val qc = codes.where(col("vec_id") === 0)
+        .select(col("codes").as("qcodes"), col("scale").as("qs"))
+      val scored = top.join(codes, Seq("vec_id")).crossJoin(broadcast(qc))
+        .select(col("vec_id"), col("cos_bp"),
+          (graft.functions.LongVectorFunctions.vecDotLong(col("codes"), col("qcodes")) *
+            col("scale") * col("qs")).as("sq8_score"))
+      val wx = Window.orderBy(col("cos_bp").desc, col("vec_id"))   // 32 rows: bounded
+      val wa = Window.orderBy(col("sq8_score").desc, col("vec_id"))
+      scored
+        .withColumn("exact_rank", row_number().over(wx).cast("long"))
+        .withColumn("approx_rank", row_number().over(wa).cast("long"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("exact_rank") - col("approx_rank")) *
+            (col("exact_rank") - col("approx_rank"))).as("sum_d2"),
+          sum(abs(col("exact_rank") - col("approx_rank"))).as("sum_absd"),
+          max(abs(col("exact_rank") - col("approx_rank"))).as("max_absd"))
     }),
 
     // Byte-balanced training-shard plan over payload sizes: two-phase
@@ -660,6 +723,23 @@ object SimMm {
       |            WHEN x < 0 THEN -(abs(x) * 127 // scale)
       |            ELSE x * 127 // scale END) AS codes
       |  FROM sc)""".stripMargin
+
+  /** Mutual top-3 kNN pair CTE (oracle twin of [[mutualKnnEdges]]).
+    * REFERENCES `miln` — place [[milliNormCte]] first. Yields `pairs`
+    * (src < dst, cos_bp, n); mutual edges are the n = 2 rows. */
+  private lazy val knnPairsCte: String =
+    s"""knn AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} AS cos_bp,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} DESC, b.vec_id) AS rn
+       |  FROM miln a JOIN miln b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |edges AS (SELECT src, dst, cos_bp FROM knn WHERE rn <= 3),
+       |pairs AS (
+       |  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
+       |    min(cos_bp) AS cos_bp, count(*) AS n
+       |  FROM edges GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_recall_audit" ->
@@ -1029,19 +1109,48 @@ object SimMm {
 
     "sim_knn_graph" ->
       s"""WITH $milliNormCte,
-         |knn AS (
-         |  SELECT a.vec_id AS src, b.vec_id AS dst,
-         |    ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} AS cos_bp,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} DESC, b.vec_id) AS rn
-         |  FROM miln a JOIN miln b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id),
-         |edges AS (SELECT src, dst, cos_bp FROM knn WHERE rn <= 3),
-         |pairs AS (
-         |  SELECT least(src, dst) AS src, greatest(src, dst) AS dst,
-         |    min(cos_bp) AS cos_bp, count(*) AS n
-         |  FROM edges GROUP BY 1, 2)
+         |$knnPairsCte
          |SELECT src, dst, cos_bp FROM pairs WHERE n = 2 ORDER BY src, dst""".stripMargin,
+
+    "sim_knn_cc" ->
+      s"""WITH RECURSIVE $milliNormCte,
+         |$knnPairsCte,
+         |mp AS (SELECT src, dst FROM pairs WHERE n = 2),
+         |ed AS (SELECT src AS a, dst AS b FROM mp
+         |       UNION ALL SELECT dst, src FROM mp),
+         |nodes AS (SELECT DISTINCT a AS id FROM ed),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT w.id, e.b AS r FROM reach w JOIN ed e ON e.a = w.r),
+         |lab AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT component, count(*) AS n_members, max(id) AS max_id
+         |FROM lab GROUP BY component ORDER BY component""".stripMargin,
+
+    "sim_rank_corr" ->
+      s"""WITH $milliNormCte,
+         |$sq8Cte,
+         |qv AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |topx AS (SELECT vec_id, cos_bp FROM (
+         |    SELECT e.vec_id,
+         |      ${cosBpSql(dotmSql("e.mq", "q.qmq"), "e.nsq", "q.qnsq")} AS cos_bp
+         |    FROM miln e, qv q WHERE e.vec_id <> 0)
+         |  ORDER BY cos_bp DESC, vec_id LIMIT 32),
+         |qc AS (SELECT codes AS qcodes, scale AS qs FROM cq WHERE vec_id = 0),
+         |sc2 AS (
+         |  SELECT t.vec_id, t.cos_bp,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> c.codes[i] * q.qcodes[i])) * c.scale * q.qs AS BIGINT) AS sq8_score
+         |  FROM topx t JOIN cq c USING (vec_id), qc q),
+         |r AS (SELECT
+         |    CAST(row_number() OVER (ORDER BY cos_bp DESC, vec_id) AS BIGINT) AS exact_rank,
+         |    CAST(row_number() OVER (ORDER BY sq8_score DESC, vec_id) AS BIGINT) AS approx_rank
+         |  FROM sc2)
+         |SELECT count(*) AS n,
+         |  CAST(sum((exact_rank - approx_rank) * (exact_rank - approx_rank)) AS BIGINT) AS sum_d2,
+         |  CAST(sum(abs(exact_rank - approx_rank)) AS BIGINT) AS sum_absd,
+         |  CAST(max(abs(exact_rank - approx_rank)) AS BIGINT) AS max_absd
+         |FROM r""".stripMargin,
 
     "mm_shard_plan" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes FROM documents),

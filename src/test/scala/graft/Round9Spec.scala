@@ -115,4 +115,128 @@ class Round9Spec extends AnyFunSuite {
         s"shard ${r.getAs[Long]("shard")} closed before its budget filled")
     }
   }
+
+  test("sim_knn_cc: components match an independent union-find over the kNN edges") {
+    val edges = run("sim_knn_graph").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+    val expected = nodes.groupBy(find)
+      .map { case (root, ms) => (ms.min, ms.length.toLong, ms.max) }.toSet
+    val got = run("sim_knn_cc").collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("max_id"))).toSet
+    assert(got == expected, "component (min-id label, size, max-id) sets differ")
+  }
+
+  test("sim_rank_corr: Spearman ingredients over a 32-row rank permutation") {
+    val r = run("sim_rank_corr").collect()(0)
+    val (n, d2, ad, mx) = (r.getAs[Long]("n"), r.getAs[Long]("sum_d2"),
+      r.getAs[Long]("sum_absd"), r.getAs[Long]("max_absd"))
+    assert(n == 32)
+    // both rankings are permutations of 1..n over the SAME set, so Σd = 0
+    // ⇒ Σ|d| is even; and d² ≥ |d| pointwise ⇒ Σd² ≥ Σ|d|
+    assert(ad % 2 == 0, "Σ|d| must be even when Σd = 0")
+    assert(d2 >= ad)
+    assert(mx <= n - 1 && mx * mx <= d2)
+  }
+
+  test("events_autocorr: moment sums match a driver-side recompute") {
+    val daily = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Long]("n")).toMap
+    val rows = run("events_autocorr").collect()
+      .map(r => r.getAs[Long]("lg") -> r).toMap
+    assert(rows.keySet == Set(1L, 7L))
+    Seq(1L, 7L).foreach { lg =>
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d + lg).map(y => (x, y)) }
+      val r = rows(lg)
+      assert(r.getAs[Long]("n_pairs") == pairs.length.toLong, s"lag $lg n_pairs")
+      assert(r.getAs[Long]("sum_xy") == pairs.map(p => p._1 * p._2).sum, s"lag $lg Σxy")
+      assert(r.getAs[Long]("sum_x2") == pairs.map(p => p._1 * p._1).sum, s"lag $lg Σx²")
+    }
+  }
+
+  test("events_changepoint: every split conserves totals; score is the cross-product") {
+    val rows = run("events_changepoint").collect()
+    val totN = rows.head.getAs[Long]("n_before") + rows.head.getAs[Long]("n_after")
+    val totS = rows.head.getAs[Long]("sum_before") + rows.head.getAs[Long]("sum_after")
+    assert(rows.length == totN - 1, "one split per day except the last")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_before") + r.getAs[Long]("n_after") == totN)
+      assert(r.getAs[Long]("sum_before") + r.getAs[Long]("sum_after") == totS)
+      assert(r.getAs[Long]("score") ==
+        math.abs(r.getAs[Long]("n_before") * r.getAs[Long]("sum_after") -
+          r.getAs[Long]("n_after") * r.getAs[Long]("sum_before")))
+    }
+  }
+
+  test("text_readability_bands: bands partition the corpus and bound their ratios") {
+    val rows = run("text_readability_bands").collect()
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("band")
+      assert(b >= 0, "vowel counts are non-negative")
+      assert(r.getAs[Long]("min_vpw_bp") / 1000 == b)
+      assert(r.getAs[Long]("max_vpw_bp") / 1000 == b)
+      assert(r.getAs[Long]("min_vpw_bp") <= r.getAs[Long]("max_vpw_bp"))
+    }
+  }
+
+  test("corpus_interleave_plan: full 50-doc stripes per source until exhaustion") {
+    val rows = run("corpus_interleave_plan").collect()
+    val perSource = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == perSource.keySet)
+    bySource.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("pos_blk"))
+      assert(sorted.map(_.getAs[Long]("n_docs")).sum == perSource(src))
+      // every stripe but the last is exactly full; ranges don't overlap
+      sorted.dropRight(1).foreach(r => assert(r.getAs[Long]("n_docs") == 50L,
+        s"$src stripe ${r.getAs[Long]("pos_blk")} not full"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("etl_ttl_sweep: expiry split conserves counts and matches the policy") {
+    val rows = run("etl_ttl_sweep").collect()
+    val ttlOf = Map("error" -> 30L, "view" -> 90L, "click" -> 90L,
+      "purchase" -> 365L, "signup" -> 365L)
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("event_type"), unix_millis(col("ts")).as("ems")).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("ems")))
+    val ref = ev.map(_._2).max
+    assert(rows.map(_.getAs[Long]("n_total")).sum == ev.length.toLong)
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("ttl_days") == ttlOf(et))
+      assert(r.getAs[Long]("n_expired") + r.getAs[Long]("n_retained") ==
+        r.getAs[Long]("n_total"))
+      val cutoff = ref - ttlOf(et) * 86400000L
+      assert(r.getAs[Long]("n_expired") ==
+        ev.count(e => e._1 == et && e._2 < cutoff).toLong, s"$et expired count")
+    }
+  }
 }
