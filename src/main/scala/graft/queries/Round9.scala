@@ -239,6 +239,71 @@ object Round9 {
             date_format(col("ts"), "yyyy-MM-dd"))).as("oldest_retained"))
         .orderBy(col("event_type"))
     }),
+
+    // Event-type audience overlap as a BITMASK HISTOGRAM: each user
+    // folds to one bit_or'd mask (alphabetical bit order), masks roll up
+    // to ≤ 2⁵−1 rows — the full inclusion/exclusion overlap matrix for
+    // any type subset is derivable client-side from this bounded table,
+    // with no pairwise user-set self-joins anywhere.
+    "events_type_overlap" -> ((s, dir) => {
+      val bit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "purchase", 4L)
+        .when(col("event_type") === "signup", 8L)
+        .when(col("event_type") === "view", 16L).otherwise(0L)
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"), bit.as("bit"))
+        .groupBy(col("user_id")).agg(expr("bit_or(bit)").as("mask"))
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("mask"), bit_count(col("mask")).cast("long").as("n_types"),
+          col("n_users"))
+        .orderBy(col("mask"))
+    }),
+
+    // Integer EWMA over the last 8 OBSERVED days (weights 2⁷…2⁰ —
+    // halving decay with an exact dyadic numerator/denominator; the
+    // emitted ewma_milli is truncating integer division). Eight lag()
+    // taps over the bounded day spine; missing history shortens the
+    // window (den shrinks to the observed weights), so early days are
+    // well-defined without NULL arithmetic.
+    "events_ewma" -> ((s, dir) => {
+      val d = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("d"))
+      val taps = (0 to 7).map { i =>
+        val weight = 1L << (7 - i)
+        val x = if (i == 0) col("n") else lag(col("n"), i).over(w)
+        (when(x.isNotNull, x * weight).otherwise(lit(0L)),
+          when(x.isNotNull, lit(weight)).otherwise(lit(0L)))
+      }
+      d.withColumn("num", taps.map(_._1).reduce(_ + _))
+        .withColumn("den", taps.map(_._2).reduce(_ + _))
+        .select(col("d").as("day_epoch"), col("n"), col("num"), col("den"),
+          expr("(num * 1000) div den").as("ewma_milli"))
+        .orderBy(col("day_epoch"))
+    }),
+
+    // Exact covariance INGREDIENTS of the embedding space: Σ xᵢ·xⱼ over
+    // the milli-quantized components for every dimension pair i ≤ j
+    // (2080 cells) — the Gram/covariance input to whitening or OPQ
+    // rotation fit. One scan, per-row upper-triangle expansion, map-side
+    // partial agg collapses to the 2080-cell grid; means come from
+    // sim_dim_stats, so no doubles are needed here.
+    "sim_cov_moments" -> ((s, dir) => {
+      val pairs = Tables.embeddings(s, dir)
+        .select(graft.ops.Similarity.milliQuant(col("embedding")).as("mq"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+            |  transform(sequence(i, 63), j ->
+            |    struct(CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
+            |           mq[i] * mq[j] AS xy))))""".stripMargin)).as("p"))
+      pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sum_xy"))
+        .orderBy(col("d1"), col("d2"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -398,5 +463,57 @@ object Round9 {
         |  min(CASE WHEN ems >= r.ref - ttl_days * 86400000
         |    THEN strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') END) AS oldest_retained
         |FROM e, r GROUP BY event_type, ttl_days ORDER BY event_type""".stripMargin,
+
+    "events_type_overlap" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |      WHEN 'view' THEN 16 ELSE 0 END AS BIGINT) AS bit
+        |  FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT user_id, bit_or(bit) AS mask FROM b GROUP BY user_id)
+        |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+        |  count(*) AS n_users
+        |FROM m GROUP BY mask ORDER BY mask""".stripMargin,
+
+    "events_ewma" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT d, n,
+        |  lag(n, 1) OVER w AS n1, lag(n, 2) OVER w AS n2,
+        |  lag(n, 3) OVER w AS n3, lag(n, 4) OVER w AS n4,
+        |  lag(n, 5) OVER w AS n5, lag(n, 6) OVER w AS n6,
+        |  lag(n, 7) OVER w AS n7
+        |  FROM daily WINDOW w AS (ORDER BY d)),
+        |e AS (SELECT d, n,
+        |  n * 128 + coalesce(n1, 0) * 64 + coalesce(n2, 0) * 32 +
+        |  coalesce(n3, 0) * 16 + coalesce(n4, 0) * 8 + coalesce(n5, 0) * 4 +
+        |  coalesce(n6, 0) * 2 + coalesce(n7, 0) AS num,
+        |  128 + CASE WHEN n1 IS NULL THEN 0 ELSE 64 END +
+        |  CASE WHEN n2 IS NULL THEN 0 ELSE 32 END +
+        |  CASE WHEN n3 IS NULL THEN 0 ELSE 16 END +
+        |  CASE WHEN n4 IS NULL THEN 0 ELSE 8 END +
+        |  CASE WHEN n5 IS NULL THEN 0 ELSE 4 END +
+        |  CASE WHEN n6 IS NULL THEN 0 ELSE 2 END +
+        |  CASE WHEN n7 IS NULL THEN 0 ELSE 1 END AS den
+        |  FROM t)
+        |SELECT d AS day_epoch, n, CAST(num AS BIGINT) AS num,
+        |  CAST(den AS BIGINT) AS den,
+        |  CAST((num * 1000) // den AS BIGINT) AS ewma_milli
+        |FROM e ORDER BY day_epoch""".stripMargin,
+
+    "sim_cov_moments" ->
+      """WITH mil AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT CAST(i.range AS BIGINT) AS d1, CAST(j.range AS BIGINT) AS d2,
+        |    mq[CAST(i.range AS INTEGER) + 1] * mq[CAST(j.range AS INTEGER) + 1] AS xy
+        |  FROM mil CROSS JOIN range(64) i CROSS JOIN range(64) j
+        |  WHERE j.range >= i.range)
+        |SELECT d1, d2, count(*) AS n, CAST(sum(xy) AS BIGINT) AS sum_xy
+        |FROM p GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
   )
 }

@@ -219,6 +219,62 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("events_type_overlap: mask histogram partitions users; masks decode to real types") {
+    val rows = run("events_type_overlap").collect()
+    val users = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("mask")
+      assert(m >= 1 && m <= 31, "mask covers only the 5 known types")
+      assert(r.getAs[Long]("n_types") == java.lang.Long.bitCount(m).toLong)
+    }
+    // derivability: users who did BOTH click (bit 1) and purchase (bit 4)
+    // from the histogram == a direct intersect count
+    val both = rows.filter(r => (r.getAs[Long]("mask") & 5L) == 5L)
+      .map(_.getAs[Long]("n_users")).sum
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+    val direct = ev.where(col("event_type") === "click").select(col("user_id"))
+      .intersect(ev.where(col("event_type") === "purchase").select(col("user_id")))
+      .count()
+    assert(both == direct, "click∩purchase from masks vs direct intersect")
+  }
+
+  test("events_ewma: dyadic weights reconstruct from the daily series") {
+    val daily = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+        .cast("long").as("d"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("n"))).sortBy(_._1)
+    val rows = run("events_ewma").collect()
+    assert(rows.length == daily.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val taps = (0 to 7).flatMap(k => if (i - k >= 0) Some((1L << (7 - k), daily(i - k)._2)) else None)
+      val num = taps.map(t => t._1 * t._2).sum
+      val den = taps.map(_._1).sum
+      assert(r.getAs[Long]("num") == num, s"row $i num")
+      assert(r.getAs[Long]("den") == den, s"row $i den")
+      assert(r.getAs[Long]("ewma_milli") == num * 1000 / den)
+    }
+  }
+
+  test("sim_cov_moments: full upper triangle; diagonal matches norm sums") {
+    val rows = run("sim_cov_moments").collect()
+    assert(rows.length == 64 * 65 / 2, "2080 upper-triangle cells")
+    val nVec = graft.sources.Tables.embeddings(spark, TestSpark.sf).count()
+    rows.foreach(r => assert(r.getAs[Long]("n") == nVec))
+    // Σ over the diagonal = Σ over vectors of ‖x‖² (exact integer twin)
+    val diag = rows.filter(r => r.getAs[Long]("d1") == r.getAs[Long]("d2"))
+      .map(_.getAs[Long]("sum_xy")).sum
+    val normSum = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(graft.ops.Similarity.normSqMilli(
+        graft.ops.Similarity.milliQuant(col("embedding"))).as("nsq"))
+      .agg(sum(col("nsq"))).collect()(0).getLong(0)
+    assert(diag == normSum, "trace of the Gram moments vs direct norm sums")
+  }
+
   test("etl_ttl_sweep: expiry split conserves counts and matches the policy") {
     val rows = run("etl_ttl_sweep").collect()
     val ttlOf = Map("error" -> 30L, "view" -> 90L, "click" -> 90L,
