@@ -96,6 +96,13 @@ object ScaleProbe {
         .agg(count_distinct(col("user_id")).as("n_users"))
         .count()
     }
+    // SimHash Hamming pairs under the identical-text worst case: every
+    // replica shares ALL FOUR 16-bit band keys, so every band bucket is
+    // maximally hot and the bucket cap (200) is what stands between this
+    // and (0.8·n)²·4 join rows. Work must stay ~linear in mult (cap² per
+    // bucket × buckets), and the exact-popcount verify bounds emissions.
+    time("simhash_hamming_pairs")(
+      graft.ops.Dedup.simhashHammingPairs(docs, "doc_id", "text").count())
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))
       graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
