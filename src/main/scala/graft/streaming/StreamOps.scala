@@ -41,6 +41,15 @@ case class HhState(counts: Map[Long, Long])
 case class HhOut(event_type: String, win_start: java.sql.Timestamp,
                  user_id: Long, est_count: Long, rank: Int)
 
+/** One observation for the audience-overlap mask tracker. */
+case class MaskObs(user_id: Long, bit: Long)
+
+/** Emitted when a user's event-type bitmask GROWS — a CDC-style change
+  * feed from which a downstream sink maintains the batch
+  * `events_type_overlap` mask histogram incrementally
+  * (histogram[new]+1, histogram[prev]−1 per change). */
+case class MaskChange(user_id: Long, prev_mask: Long, new_mask: Long)
+
 /** Structured-Streaming twins of the batch operators (SURVEY §2.7).
   *
   * The reference runs its ETL on a cron schedule (index.js:75-86) — the
@@ -335,6 +344,41 @@ object StreamOps {
               math.max(winStartMs + winMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
+      }
+  }
+
+  /** Audience-overlap mask tracker — the streaming twin of the batch
+    * `events_type_overlap` bitmask rollup. Per-user state is ONE long
+    * (the bit_or of type bits seen so far); a row is emitted only when
+    * the mask GROWS, so the output is a change feed bounded by
+    * users × types, not by event volume. No watermark/timeout: the mask
+    * is monotone (set-union), so late events can only be no-ops or
+    * valid growth — the reason this state needs no eviction to stay
+    * correct. At 100 TB the state store holds one long per user — the
+    * keyed-state shape RocksDB-backed stores are sized for. */
+  def typeOverlapStream(events: DataFrame, typeCol: String,
+                        keyCol: String): Dataset[MaskChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bit = when(col(typeCol) === "click", 1L)
+      .when(col(typeCol) === "error", 2L)
+      .when(col(typeCol) === "purchase", 4L)
+      .when(col(typeCol) === "signup", 8L)
+      .when(col(typeCol) === "view", 16L).otherwise(0L)
+    events
+      .where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long").as("user_id"), bit.as("bit")).as[MaskObs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, MaskChange](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val batchBits = it.foldLeft(0L)((m, o) => m | o.bit)
+          val next = prev | batchBits
+          if (next != prev) {
+            state.update(next)
+            Iterator.single(MaskChange(uid, prev, next))
+          } else Iterator.empty
       }
   }
 

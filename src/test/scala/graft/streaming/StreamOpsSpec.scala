@@ -143,6 +143,27 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got("view") == ((1L, ts(5).getTime / 1000)))
   }
 
+  test("typeOverlapStream emits a change only when a user's mask grows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    input.addData(Ev(1, ts(1), 1, "click", 1.0), Ev(2, ts(2), 2, "view", 1.0))
+    val q = StreamOps.typeOverlapStream(input.toDF(), "event_type", "user_id")
+      .writeStream.outputMode("append").format("memory").queryName("masks").start()
+    q.processAllAvailable()
+    // user 1 adds purchase (grows 1 → 5); a repeat click must NOT emit
+    input.addData(Ev(3, ts(3), 1, "purchase", 1.0), Ev(4, ts(4), 1, "click", 1.0),
+      Ev(5, ts(5), 2, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("masks").as[MaskChange].collect()
+      .groupBy(_.user_id).view.mapValues(_.sortBy(_.new_mask).toSeq).toMap
+    assert(got(1L) == Seq(MaskChange(1, 0, 1), MaskChange(1, 1, 5)))
+    assert(got(2L) == Seq(MaskChange(2, 0, 16)), "user 2's repeat view must not emit")
+    // replaying the final masks reconstructs the batch histogram rollup
+    val masks = got.values.map(_.maxBy(_.new_mask).new_mask).toSeq
+    assert(masks.sorted == Seq(5L, 16L))
+  }
+
   test("nearDedupStream flags later near-dup docs against the first keeper") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
