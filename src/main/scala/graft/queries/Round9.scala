@@ -304,6 +304,68 @@ object Round9 {
         .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sum_xy"))
         .orderBy(col("d1"), col("d2"))
     }),
+
+    // TPC-H Q7 shape: bilateral trade volume — revenue between every
+    // (supplier nation, customer nation) pair by ship year. Fact-side
+    // shuffle join lineitem⋈orders; supplier and both nation legs
+    // broadcast; customer is left to AQE (broadcast at test SF, shuffle
+    // at 100 TB — the plan adapts, the declaration doesn't change).
+    "q7_trade_volume" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("yr"),
+        col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("c_nk"))
+      val su = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("s_nk"))
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), Seq("s_nk")).join(broadcast(n2), Seq("c_nk"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("yr"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("yr"))
+    }),
+
+    // TPC-H Q8 shape: market share per (order year, supplier nation) in
+    // integer basis points. Revenue accumulates as EXACT integer
+    // micro-cents (price_cents · (100 − disc_bp): both factors are
+    // exact 2-dp decimals, so no float product ever rounds), then
+    // truncates to cents BEFORE the share division — identical
+    // truncation order on both engines, and the ×10000 numerator stays
+    // far inside LONG at any scale. Yearly totals re-aggregate the
+    // nation rollup (bounded), never the fact table twice.
+    "q8_market_share" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_micro"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      val su = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("s_nk"))
+      val n = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+      val nat = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), Seq("s_nk"))
+        .groupBy(col("yr"), col("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          expr("sum(rev_micro) div 100").as("nat_cents"))
+      // yearly totals via a window over the BOUNDED nation rollup
+      // (≤ nations rows per year) — one fact pass, no second aggregate
+      nat.withColumn("tot_cents",
+          sum(col("nat_cents")).over(Window.partitionBy(col("yr"))))
+        .select(col("yr"), col("nation"), col("n_items"), col("nat_cents"),
+          expr("(nat_cents * 10000) div tot_cents").as("share_bp"))
+        .orderBy(col("yr"), col("nation"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -515,5 +577,38 @@ object Round9 {
         |  WHERE j.range >= i.range)
         |SELECT d1, d2, count(*) AS n, CAST(sum(xy) AS BIGINT) AS sum_xy
         |FROM p GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
+
+    "q7_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name AS nation,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_micro
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |nat AS (
+        |  SELECT yr, nation, count(*) AS n_items,
+        |    CAST(sum(rev_micro) AS BIGINT) // 100 AS nat_cents
+        |  FROM f GROUP BY yr, nation),
+        |tot AS (SELECT yr, CAST(sum(nat_cents) AS BIGINT) AS tot_cents
+        |        FROM nat GROUP BY yr)
+        |SELECT n.yr, n.nation, n.n_items, n.nat_cents,
+        |  (n.nat_cents * 10000) // t.tot_cents AS share_bp
+        |FROM nat n JOIN tot t ON n.yr = t.yr
+        |ORDER BY n.yr, n.nation""".stripMargin,
   )
 }

@@ -96,7 +96,16 @@ class PlanSpec extends AnyFunSuite {
     "sim_pq_distortion",
     //  - events_top_coverage: 1-row totals scalar broadcast under the
     //    4-row threshold rollup (the events_pareto shape)
-    "events_top_coverage")
+    "events_top_coverage",
+    //  - round-9 scalar/tiny-side broadcast shapes: etl_ttl_sweep
+    //    (1-row corpus max-timestamp under every event — the events_rfm
+    //    shape), events_autocorr (2-row lag table under the bounded
+    //    daily rollup), events_changepoint (1-row totals under the
+    //    bounded day spine), sim_rank_corr (1-row query vector / query
+    //    codes vs the corpus scan and the 32-row exact top-k — the
+    //    sim_topk_brute + sim_sq8_search shapes composed)
+    "etl_ttl_sweep", "events_autocorr", "events_changepoint",
+    "sim_rank_corr")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -122,8 +131,16 @@ class PlanSpec extends AnyFunSuite {
       "etl_fk_orphans" -> 6,     // 4 FK edges, each CHILD table read once
                                  // (lineitem 1× for its 3 edges, orders as
                                  // child + as parent-key source, 3 dims)
-      "text_edit_distance" -> 4  // LSH pair gen (checkpoint-fed) + the
+      "text_edit_distance" -> 4, // LSH pair gen (checkpoint-fed) + the
                                  // text join's a-side and b-side scans
+      "q7_trade_volume" -> 6,    // 6-table star join (nation read twice:
+                                 // supplier leg + customer leg)
+      "q8_market_share" -> 4,    // lineitem + orders + supplier + nation
+      "sim_rank_corr" -> 4       // exact side (corpus + 1-row query) and
+                                 // SQ8 side (codes + 1-row query codes)
+                                 // each scan the vector table — re-scans
+                                 // beat materializing a corpus-sized
+                                 // checkpoint just to dedup them
     ).withDefaultValue(3)
     val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_clusters", "dedup_containment", "dedup_threshold_sweep")

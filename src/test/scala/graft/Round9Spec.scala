@@ -275,6 +275,45 @@ class Round9Spec extends AnyFunSuite {
     assert(diag == normSum, "trace of the Gram moments vs direct norm sums")
   }
 
+  test("q7_trade_volume: bilateral pairs exclude domestic trade and cover all cross-nation items") {
+    val rows = run("q7_trade_volume").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("supp_nation") != r.getAs[String]("cust_nation"))
+      assert(r.getAs[Long]("n_items") > 0)
+    }
+    // completeness: cross-nation + domestic item counts partition the
+    // joined fact table (independent single-pass recompute)
+    val l = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val o = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = graft.sources.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"), col("c_nationkey").as("c_nk"))
+    val su = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .select(col("s_suppkey"), col("s_nationkey").as("s_nk"))
+    val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+    val cross = joined.where(col("s_nk") =!= col("c_nk")).count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == cross)
+  }
+
+  test("q8_market_share: shares are exact truncating divisions that sum to ~10000 per year") {
+    val rows = run("q8_market_share").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("yr")).foreach { case (yr, rs) =>
+      val tot = rs.map(_.getAs[Long]("nat_cents")).sum
+      rs.foreach { r =>
+        assert(r.getAs[Long]("share_bp") ==
+          r.getAs[Long]("nat_cents") * 10000 / tot, s"$yr share mismatch")
+      }
+      val sumBp = rs.map(_.getAs[Long]("share_bp")).sum
+      assert(sumBp <= 10000 && sumBp > 10000 - rs.length,
+        s"$yr: truncating shares must sum within one ulp per nation")
+    }
+  }
+
   test("etl_ttl_sweep: expiry split conserves counts and matches the policy") {
     val rows = run("etl_ttl_sweep").collect()
     val ttlOf = Map("error" -> 30L, "view" -> 90L, "click" -> 90L,
