@@ -366,6 +366,32 @@ object Round9 {
           expr("(nat_cents * 10000) div tot_cents").as("share_bp"))
         .orderBy(col("yr"), col("nation"))
     }),
+
+    // Weekday-baseline anomaly: a day is HIGH when its count beats 1.5×
+    // its own weekday's mean, LOW when it drops below half — the
+    // seasonality-adjusted complement of the IQR/MAD fences (a quiet
+    // Sunday is normal; a Sunday at Tuesday volume is not). Weekday is
+    // engine-free arithmetic on the epoch day ((d+4) mod 7; day 0 was a
+    // Thursday), and both tests are integer cross-multiplications
+    // against the per-dow (sum, count) rolled up from the bounded day
+    // spine.
+    "events_dow_anomaly" -> ((s, dir) => {
+      val d = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", expr("(d + 4) % 7"))
+      val w = Window.partitionBy(col("dow")) // ≤ 7 partitions of the day spine
+      d.withColumn("dow_sum", sum(col("n")).over(w))
+        .withColumn("dow_cnt", count(lit(1)).over(w))
+        .select(col("d").as("day_epoch"), col("n"), col("dow"),
+          col("dow_sum"), col("dow_cnt"),
+          when(col("n") * col("dow_cnt") * 2 > col("dow_sum") * 3, 1L)
+            .otherwise(0L).as("hi_flag"),
+          when(col("n") * col("dow_cnt") * 2 < col("dow_sum"), 1L)
+            .otherwise(0L).as("lo_flag"))
+        .orderBy(col("day_epoch"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -610,5 +636,20 @@ object Round9 {
         |  (n.nat_cents * 10000) // t.tot_cents AS share_bp
         |FROM nat n JOIN tot t ON n.yr = t.yr
         |ORDER BY n.yr, n.nation""".stripMargin,
+
+    "events_dow_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT d, n, (d + 4) % 7 AS dow FROM daily),
+        |g AS (SELECT dow, CAST(sum(n) AS BIGINT) AS dow_sum,
+        |      count(*) AS dow_cnt FROM t GROUP BY dow)
+        |SELECT t.d AS day_epoch, t.n, t.dow, g.dow_sum, g.dow_cnt,
+        |  CAST(CASE WHEN t.n * g.dow_cnt * 2 > g.dow_sum * 3 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS hi_flag,
+        |  CAST(CASE WHEN t.n * g.dow_cnt * 2 < g.dow_sum THEN 1 ELSE 0 END
+        |    AS BIGINT) AS lo_flag
+        |FROM t JOIN g USING (dow) ORDER BY day_epoch""".stripMargin,
   )
 }

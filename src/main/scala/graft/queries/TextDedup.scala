@@ -359,6 +359,35 @@ object TextDedup {
         .orderBy(col("cluster_size"))
     }),
 
+    // Train/val split with NEAR-DUP LEAKAGE audit: a deterministic
+    // md5-bucket 90/10 split (the corpus_epoch_plan hash convention),
+    // then the t=0.5 near-dup pairs (the build-once shared index) that
+    // CROSS the split boundary — each one is an eval doc whose
+    // near-duplicate sits in training, i.e. silent contamination. The
+    // leak scalar broadcasts under the 2-row split rollup; pair-side
+    // joins touch only the (small) pair set.
+    "corpus_split_leakage" -> ((s, dir) => {
+      val bucket = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long"), lit(10L))
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        when(bucket === 0, "val").otherwise("train").as("split"),
+        TA.tokenCount(col("text")).as("nt"))
+      val splits = d.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val p = sharedPairs05(s, dir)
+      val leak = p
+        .join(d.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+        .join(d.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+        .agg(count(lit(1)).as("total_pairs"),
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_pairs"))
+      splits.crossJoin(broadcast(leak))
+        .select(col("split"), col("n_docs"), col("n_tokens"), col("leak_pairs"),
+          when(col("total_pairs") === 0, 0L)
+            .otherwise(expr("(leak_pairs * 10000) div total_pairs")).as("leak_bp"))
+        .orderBy(col("split"))
+    }),
+
     // N-gram novelty: the share of a doc's DISTINCT bigrams that occur
     // in no other document (corpus df = 1) — the inverse of
     // text_familiarity, a memorization/contamination risk signal. One
@@ -1288,6 +1317,41 @@ object TextDedup {
          |  max(CASE WHEN rn = 1 THEN n_tok END) AS keeper_tokens
          |FROM rk GROUP BY label ORDER BY label""".stripMargin
     },
+
+    "corpus_split_leakage" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |             (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 10 = 0
+         |       THEN 'val' ELSE 'train' END AS split,
+         |  CAST(len($toks) AS BIGINT) AS nt
+         |  FROM documents),
+         |splits AS (SELECT split, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM sp GROUP BY split),
+         |leak AS (
+         |  SELECT count(*) AS total_pairs,
+         |    CAST(coalesce(sum(CASE WHEN a_s.split <> b_s.split THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS leak_pairs
+         |  FROM pairs JOIN sp a_s ON a_s.doc_id = pairs.a
+         |             JOIN sp b_s ON b_s.doc_id = pairs.b)
+         |SELECT split, n_docs, n_tokens, leak_pairs,
+         |  CASE WHEN total_pairs = 0 THEN 0
+         |       ELSE (leak_pairs * 10000) // total_pairs END AS leak_bp
+         |FROM splits, leak ORDER BY split""".stripMargin,
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),

@@ -105,7 +105,10 @@ class PlanSpec extends AnyFunSuite {
     //    codes vs the corpus scan and the 32-row exact top-k — the
     //    sim_topk_brute + sim_sq8_search shapes composed)
     "etl_ttl_sweep", "events_autocorr", "events_changepoint",
-    "sim_rank_corr")
+    "sim_rank_corr",
+    //  - corpus_split_leakage: 1-row leakage scalar broadcast under the
+    //    2-row split rollup (the q_scalar_subquery shape)
+    "corpus_split_leakage")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -314,6 +314,49 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("corpus_split_leakage: splits partition the corpus; leakage matches the pair set") {
+    val rows = run("corpus_split_leakage").collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "val"))
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // leakage recomputed from the independently-run jaccard pair op and
+    // the documented hash-split rule
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = "%02x".format(h(0))
+      (Character.digit(hex(0), 16) * 16 + Character.digit(hex(1), 16)) % 10
+    }
+    val pairs = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+      .filter(_._3 >= 0.5)
+    val expLeak = pairs.count { case (a, b, _) => (bucket(a) == 0) != (bucket(b) == 0) }
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("leak_pairs") == expLeak.toLong)
+      assert(r.getAs[Long]("leak_bp") ==
+        (if (pairs.isEmpty) 0L else expLeak.toLong * 10000 / pairs.length))
+    }
+  }
+
+  test("events_dow_anomaly: weekday baselines and flags reconstruct from the spine") {
+    val rows = run("events_dow_anomaly").collect()
+    val byDow = rows.groupBy(_.getAs[Long]("dow"))
+    assert(byDow.keySet.subsetOf((0L to 6L).toSet))
+    byDow.foreach { case (dow, rs) =>
+      val sum = rs.map(_.getAs[Long]("n")).sum
+      val cnt = rs.length.toLong
+      rs.foreach { r =>
+        assert(r.getAs[Long]("dow_sum") == sum && r.getAs[Long]("dow_cnt") == cnt)
+        assert((r.getAs[Long]("day_epoch") + 4) % 7 == dow)
+        assert(r.getAs[Long]("hi_flag") ==
+          (if (r.getAs[Long]("n") * cnt * 2 > sum * 3) 1L else 0L))
+        assert(r.getAs[Long]("lo_flag") ==
+          (if (r.getAs[Long]("n") * cnt * 2 < sum) 1L else 0L))
+      }
+    }
+  }
+
   test("etl_ttl_sweep: expiry split conserves counts and matches the policy") {
     val rows = run("etl_ttl_sweep").collect()
     val ttlOf = Map("error" -> 30L, "view" -> 90L, "click" -> 90L,
