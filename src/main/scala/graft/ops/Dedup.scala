@@ -212,9 +212,14 @@ object Dedup {
     * (collision odds ≈ |shingles|²/2⁶⁴, immaterial). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame =
-    docs.select(col(idCol).as("doc"),
-      explode(array_distinct(transform(
-        TextAnalysis.shingles(col(textCol), n), s => xxhash64(s)))).as("s"))
+    // tokens projected ONCE, then shingled as an array attribute — the
+    // inline form re-splits the text per element inside the
+    // CodegenFallback HOF (O(tokens²) splits/doc; see
+    // TextAnalysis.shinglesOf), which taxed every pair generator's scan
+    docs.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        explode(array_distinct(transform(
+          TextAnalysis.shinglesOf(col("toks"), n), s => xxhash64(s)))).as("s"))
 
   /** Df-filtered distinct postings — NOT materialized here: each pair
     * path decides what to checkpoint (the prefix path folds postings

@@ -36,8 +36,15 @@ object TextAnalysis {
   /** Word n-gram shingles (space-joined), empty array when too short.
     * 1-based element_at; guarded so Spark's descending `sequence` on
     * start>stop can never fire. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shingles(c: Column, n: Int): Column = shinglesOf(tokens(c), n)
+
+  /** Shingles from an ALREADY-SPLIT token-array column. Callers on a hot
+    * path should project `tokens(text)` into a named column first and
+    * shingle that attribute: higher-order functions are CodegenFallback,
+    * so an inline `tokens(text)` child is re-evaluated by EVERY
+    * element_at — O(tokens²) full-string splits per document. Shingling
+    * a materialized array attribute is linear. */
+  def shinglesOf(toks: Column, n: Int): Column = {
     val make = transform(sequence(lit(1), size(toks) - lit(n - 1)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*))
     when(size(toks) >= n, make).otherwise(array().cast("array<string>"))

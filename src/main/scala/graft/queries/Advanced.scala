@@ -156,7 +156,8 @@ object Advanced {
     "text_ngram_freq" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("s"))
       Tables.documents(s, dir)
-        .select(col("lang"), explode(TA.shingles(col("text"), 2)).as("s"))
+        .select(col("lang"), TA.tokens(col("text")).as("toks")) // split once
+        .select(col("lang"), explode(TA.shinglesOf(col("toks"), 2)).as("s"))
         .groupBy(col("lang"), col("s")).agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 5)

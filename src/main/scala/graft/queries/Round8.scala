@@ -423,7 +423,8 @@ object Round8 {
     // be. TakeOrdered top-64; the windows only ever see 64 rows.
     "text_bigram_coverage" -> ((s, dir) => {
       val bi = Tables.documents(s, dir)
-        .select(explode(TA.shingles(col("text"), 2)).as("bg"))
+        .select(TA.tokens(col("text")).as("toks")) // split once; see shinglesOf
+        .select(explode(TA.shinglesOf(col("toks"), 2)).as("bg"))
         .groupBy(col("bg")).agg(count(lit(1)).as("n"))
       val tot = bi.agg(sum(col("n")).as("total"))
       val w = Window.orderBy(col("n").desc, col("bg"))

@@ -392,6 +392,66 @@ object Round9 {
             .otherwise(0L).as("lo_flag"))
         .orderBy(col("day_epoch"))
     }),
+
+    // Integer LM surprisal: per-bigram bits = floor(log2 c(w1·)) −
+    // floor(log2 c(w1w2)) ≈ log2(1/p) within 1 bit, computed as
+    // length(bin(n)) differences — EXACT integers, so the
+    // perplexity-proxy histogram is engine-stable where a float log
+    // never is. Corpus counts are keyed rollups; the occurrence⋈count
+    // joins shuffle on token keys (the inverted-index shape).
+    "text_surprisal_bits" -> ((s, dir) => {
+      // one per-(doc, bigram) pre-aggregate feeds BOTH the count model
+      // and the scoring join; joins ride 64-bit hashes, not bigram
+      // strings (the shingle-postings convention — collision odds are
+      // ~|vocab|²/2⁶⁵, the accepted trade everywhere else in Dedup)
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TA.shinglesOf(col("toks"), 2)).as("bg"))
+        .groupBy(col("doc_id"), xxhash64(col("bg")).as("bh"),
+          xxhash64(split(col("bg"), " ").getItem(0)).as("w1h"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)
+      val c2 = occ.groupBy(col("bh"), col("w1h")).agg(sum(col("k")).as("n2"))
+      val c1 = c2.groupBy(col("w1h")).agg(sum(col("n2")).as("n1"))
+      val model = c2.join(c1, Seq("w1h")).select(col("bh"), col("n2"), col("n1"))
+      val perDoc = occ.join(model, Seq("bh"))
+        .select(col("doc_id"), col("k"),
+          ((length(bin(col("n1"))) - length(bin(col("n2")))).cast("long") *
+            col("k")).as("bits"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bits")).as("sum_bits"), sum(col("k")).as("nb"))
+      perDoc.groupBy(expr("sum_bits div nb").as("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("sum_bits")).as("sum_bits"),
+          sum(col("nb")).as("sum_bigrams"))
+        .orderBy(col("band"))
+    }),
+
+    // Source-priority exact-dedup policy: duplicate groups keep the copy
+    // from the lexicographically-least source (doc_id tiebreak) instead
+    // of the global min-id — the "prefer curated feeds over crawl"
+    // keeper rule. Emits the per-source win/drop ledger (≤ sources
+    // rows): one md5 groupBy + a struct-min, no window over the corpus.
+    "dedup_priority_keeper" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .localCheckpoint(true) // feeds the keeper pick AND the drop ledger
+      val g = d.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("source"), col("doc_id"))).as("k"))
+        .where(col("n") > 1)
+        .select(col("h"), col("k.source").as("ksrc"), col("k.doc_id").as("kid"))
+        .localCheckpoint(true) // dup-group set is ≪ corpus
+      val wins = g.groupBy(col("ksrc").as("source"))
+        .agg(count(lit(1)).as("n_wins"))
+      val drops = d.join(g, Seq("h"))
+        .where(col("doc_id") =!= col("kid"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dropped"))
+      wins.join(drops, Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_wins"), lit(0L)).as("n_wins"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy(col("source"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -651,5 +711,44 @@ object Round9 {
         |  CAST(CASE WHEN t.n * g.dow_cnt * 2 < g.dow_sum THEN 1 ELSE 0 END
         |    AS BIGINT) AS lo_flag
         |FROM t JOIN g USING (dow) ORDER BY day_epoch""".stripMargin,
+
+    "text_surprisal_bits" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toksv FROM documents),
+         |occ AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toksv)),
+         |    i -> toksv[i] || ' ' || toksv[i+1])) AS bg
+         |  FROM t),
+         |o2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM occ),
+         |c2 AS (SELECT bg, count(*) AS n2 FROM occ GROUP BY bg),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |       CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(length(bin(n1)) - length(bin(n2)) AS BIGINT) AS bits
+         |  FROM o2 JOIN c2 USING (bg) JOIN c1 USING (w1)),
+         |d AS (SELECT doc_id, CAST(sum(bits) AS BIGINT) AS sum_bits,
+         |      count(*) AS nb FROM sc GROUP BY doc_id)
+         |SELECT sum_bits // nb AS band, count(*) AS n_docs,
+         |  CAST(sum(sum_bits) AS BIGINT) AS sum_bits,
+         |  CAST(sum(nb) AS BIGINT) AS sum_bigrams
+         |FROM d GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "dedup_priority_keeper" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |grp AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1),
+        |rk AS (
+        |  SELECT d.h, d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.h ORDER BY d.source, d.doc_id) AS rn
+        |  FROM d JOIN grp USING (h)),
+        |g AS (SELECT h, source AS ksrc, doc_id AS kid FROM rk WHERE rn = 1),
+        |wins AS (SELECT ksrc AS source, count(*) AS n_wins FROM g GROUP BY 1),
+        |drops AS (
+        |  SELECT d.source, count(*) AS n_dropped
+        |  FROM d JOIN g USING (h) WHERE d.doc_id <> g.kid GROUP BY 1)
+        |SELECT coalesce(w.source, dr.source) AS source,
+        |  CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins,
+        |  CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped
+        |FROM wins w FULL OUTER JOIN drops dr ON w.source = dr.source
+        |ORDER BY source""".stripMargin,
   )
 }

