@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based pins for the pure Column kernels, against independent
+  * Scala reference implementations. Inputs come from deterministic
+  * ScalaCheck generators (fixed seed — the suite must not flake), and
+  * each property batches all its cases into ONE Spark job: the point is
+  * coverage of the input space, not 200 job round-trips. */
+class KernelPropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sample of `n` values from a Gen (seed fixed). */
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate(Seed(42L))(_.next)
+      .map(s => g.pureApply(Gen.Parameters.default, s))
+      .take(n).toSeq
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  test("shinglesOf matches a sliding-window reference and the inline form on random token lists") {
+    val docs = sample(Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)), 200)
+      .map(_.mkString(" "))
+    val df = docs.toDF("text")
+      .withColumn("toks", graft.ops.TextAnalysis.tokens(col("text")))
+      .select(col("text"),
+        graft.ops.TextAnalysis.shinglesOf(col("toks"), 2).as("fast"),
+        graft.ops.TextAnalysis.shingles(col("text"), 2).as("inline"))
+    df.collect().foreach { r =>
+      val text = r.getAs[String]("text")
+      // reference: tokens are the single-space split of the trimmed text
+      val toks = text.trim.split(" ", -1).toSeq
+      val expected =
+        if (toks.length < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(r.getSeq[String](1).toList == expected.toList, s"fast path for '$text'")
+      assert(r.getSeq[String](2).toList == expected.toList, s"inline path for '$text'")
+    }
+  }
+
+  test("md5 split-bucket rule matches a JVM MessageDigest reference on random ids") {
+    val ids = sample(Gen.chooseNum(0L, 1000000L), 300).distinct
+    val bucket = pmod(conv(substring(md5(col("id").cast("string")), 1, 2), 16, 10)
+      .cast("long"), lit(10L))
+    val got = ids.toDF("id").select(col("id"), bucket.as("b")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("b")).toMap
+    ids.foreach { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val ref = ((h(0) & 0xFF) % 10 + 10) % 10
+      assert(got(id) == ref.toLong, s"bucket for id $id")
+    }
+  }
+
+  test("dsum DECIMAL accumulation equals an exact BigDecimal reference on random 2-dp values") {
+    val vals = sample(Gen.chooseNum(-99999L, 99999L), 500).map(_ / 100.0)
+    val got = vals.toDF("v").agg(graft.queries.dsum(col("v"))).collect()(0).getDouble(0)
+    val ref = vals.map(v => BigDecimal(v).setScale(4)).sum.toDouble
+    assert(got == ref, "decimal-accumulated sum must be bit-exact vs BigDecimal")
+  }
+
+  test("floor-log2 via bin-length equals numberOfLeadingZeros on random positive longs") {
+    val ns = sample(Gen.chooseNum(1L, Long.MaxValue), 300).distinct
+    val got = ns.toDF("n")
+      .select(col("n"), (length(bin(col("n"))) - 1).cast("long").as("fl")).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("fl")).toMap
+    ns.foreach { n =>
+      assert(got(n) == (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong,
+        s"floor(log2($n))")
+    }
+  }
+
+  test("Normalize.numOrNull accepts exactly the float-or-NULL grammar on random strings") {
+    val junk = Gen.oneOf(Gen.stringOfN(3, Gen.alphaChar),
+      Gen.const(""), Gen.const("  "), Gen.const("1.2.3"), Gen.const("--5"))
+    val num = Gen.chooseNum(-100000L, 100000L).map(n => (n / 100.0).toString)
+    val inputs = sample(Gen.oneOf(junk, num), 300)
+    val got = inputs.toDF("s")
+      .select(col("s"), graft.etl.Normalize.numOrNull(col("s")).as("v")).collect()
+    got.foreach { r =>
+      val s = r.getAs[String]("s")
+      // reference semantics: JS `parseFloat(x) || null` — unparseable OR
+      // zero both fold to NULL (falsy zero, etlService.js coercions)
+      val expected = (try Some(s.trim.toDouble)
+        catch { case _: NumberFormatException => None })
+        .filterNot(_ == 0.0)
+      val actual = Option(r.get(1)).map(_.asInstanceOf[Double])
+      assert(actual == expected, s"numOrNull('$s')")
+    }
+  }
+}
