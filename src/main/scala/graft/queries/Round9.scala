@@ -452,6 +452,70 @@ object Round9 {
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
         .orderBy(col("source"))
     }),
+
+    // Sequence packing WITH splitting: tokens stream contiguously into
+    // fixed 20k shards and a doc may straddle the boundary (the real
+    // training-shard writer, vs corpus_pack_budget's whole-doc greedy).
+    // Prefix sums are the two-phase shape; each doc explodes into only
+    // the shards its span touches (fan-out ≤ 1 + nt/20000), and the
+    // per-shard token total must land exactly at the budget for every
+    // non-final shard — an in-query conservation audit.
+    "corpus_pack_split" -> ((s, dir) => {
+      val B = 20000L
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), TA.tokenCount(col("text")).as("nt"))
+        .withColumn("blk", expr("doc_id div 256"))
+      val grp = d.groupBy(col("blk")).agg(sum(col("nt")).as("bn"))
+      val wB = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1) // over blocks: bounded
+      val offs = grp.withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(offs), Seq("blk"))
+        .withColumn("prev",
+          col("off") + coalesce(sum(col("nt")).over(wIn), lit(0L)))
+        .where(col("nt") > 0)
+        .withColumn("s0", expr(s"prev div $B"))
+        .withColumn("s1", expr(s"(prev + nt - 1) div $B"))
+        .select(col("doc_id"), col("nt"), col("prev"), col("s0"),
+          explode(sequence(col("s0"), col("s1"))).as("shard"))
+        .withColumn("contrib",
+          least(col("prev") + col("nt"), (col("shard") + 1) * B) -
+            greatest(col("prev"), col("shard") * B))
+        .groupBy(col("shard"))
+        .agg(sum(when(col("s0") === col("shard"), 1L).otherwise(0L)).as("n_started"),
+          sum(when(col("s0") < col("shard"), 1L).otherwise(0L)).as("n_carried_in"),
+          sum(col("contrib")).as("n_tokens"))
+        .orderBy(col("shard"))
+    }),
+
+    // Deterministic quality-WEIGHTED sampling: each doc's keep-rate in
+    // basis points derives from integer quality signals (stopword share
+    // capped at 4000 bp + 4000 bp for sane length + 2000 bp floor), and
+    // the doc keeps iff its md5 draw (4 hex digits mod 10⁴) lands under
+    // the rate — the reproducible "sample better data more" policy
+    // (quality-proportional mixing). Pure per-row kernel + per-source
+    // rollup.
+    "corpus_quality_sample" -> ((s, dir) => {
+      val nt = TA.tokenCount(col("text"))
+      val stopBp = expr("(n_stop * 10000) div greatest(n_tok, 1L)")
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), nt.as("n_tok"),
+        TA.stopwordCount(col("text")).as("n_stop"))
+        .withColumn("keep_bp",
+          lit(2000L) + least(stopBp, lit(4000L)) +
+            when(col("n_tok").between(5, 1000), lit(4000L)).otherwise(lit(0L)))
+        .withColumn("draw_bp",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long"), lit(10000L)))
+        .withColumn("kept", when(col("draw_bp") < col("keep_bp"), 1L).otherwise(0L))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1, col("n_tok")).otherwise(0L)).as("kept_tokens"),
+          expr("(sum(kept) * 10000) div count(1)").as("keep_share_bp"))
+        .orderBy(col("source"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -750,5 +814,49 @@ object Round9 {
         |  CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped
         |FROM wins w FULL OUTER JOIN drops dr ON w.source = dr.source
         |ORDER BY source""".stripMargin,
+
+    "corpus_pack_split" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+         |c AS (SELECT doc_id, nt,
+         |  COALESCE(sum(nt) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM d),
+         |sp AS (SELECT doc_id, nt, CAST(prev AS BIGINT) AS prev,
+         |  CAST(prev AS BIGINT) // 20000 AS s0,
+         |  (CAST(prev AS BIGINT) + nt - 1) // 20000 AS s1
+         |  FROM c WHERE nt > 0),
+         |ex AS (SELECT doc_id, nt, prev, s0,
+         |  CAST(sh.range AS BIGINT) AS shard
+         |  FROM sp CROSS JOIN range(64) sh
+         |  WHERE sh.range BETWEEN s0 AND s1)
+         |SELECT shard,
+         |  CAST(sum(CASE WHEN s0 = shard THEN 1 ELSE 0 END) AS BIGINT) AS n_started,
+         |  CAST(sum(CASE WHEN s0 < shard THEN 1 ELSE 0 END) AS BIGINT) AS n_carried_in,
+         |  CAST(sum(least(prev + nt, (shard + 1) * 20000) -
+         |           greatest(prev, shard * 20000)) AS BIGINT) AS n_tokens
+         |FROM ex GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "corpus_quality_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter($toksSql, t -> t IN $stopInSql)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |k AS (SELECT doc_id, source, n_tok,
+         |  2000 + least((n_stop * 10000) // greatest(n_tok, 1), 4000) +
+         |    CASE WHEN n_tok BETWEEN 5 AND 1000 THEN 4000 ELSE 0 END AS keep_bp,
+         |  (((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+         |    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+         |    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+         |    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))) % 10000 AS draw_bp
+         |  FROM d),
+         |f AS (SELECT source, n_tok,
+         |  CASE WHEN draw_bp < keep_bp THEN 1 ELSE 0 END AS kept FROM k)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CAST(sum(kept) AS BIGINT) * 10000 // count(*) AS keep_share_bp
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -393,6 +393,53 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("corpus_pack_split: every non-final shard lands exactly on budget; carries chain") {
+    val rows = run("corpus_pack_split").collect().sortBy(_.getAs[Long]("shard"))
+    assert(rows.nonEmpty)
+    val totalTokens = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .agg(sum(graft.ops.TextAnalysis.tokenCount(col("text")))).collect()(0).getLong(0)
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getAs[Long]("shard") == i) }
+    // splitting packs PERFECTLY: every shard but the last holds exactly 20k
+    rows.dropRight(1).foreach(r => assert(r.getAs[Long]("n_tokens") == 20000L,
+      s"shard ${r.getAs[Long]("shard")} not exactly on budget"))
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    // a doc carried into shard s must have started in an earlier shard,
+    // and at most one doc can straddle each boundary going forward
+    rows.foreach(r => assert(r.getAs[Long]("n_carried_in") <= 1 ||
+      r.getAs[Long]("shard") > 0))
+    val nDocs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .where(graft.ops.TextAnalysis.tokenCount(col("text")) > 0).count()
+    assert(rows.map(_.getAs[Long]("n_started")).sum == nDocs)
+  }
+
+  test("corpus_quality_sample: keep decisions reconstruct from the documented policy") {
+    val rows = run("corpus_quality_sample").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("nt"),
+        graft.ops.TextAnalysis.stopwordCount(col("text")).as("ns")).collect()
+    def draw(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (((h(0) & 0xFF).toLong * 256 + (h(1) & 0xFF)) % 10000 + 10000) % 10000
+    }
+    val ref = docs.map { r =>
+      val (id, src, nt, ns) = (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("nt"), r.getAs[Long]("ns"))
+      val keepBp = 2000L + math.min(ns * 10000 / math.max(nt, 1L), 4000L) +
+        (if (nt >= 5 && nt <= 1000) 4000L else 0L)
+      (src, if (draw(id) < keepBp) 1L else 0L, nt)
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val kept = ref(src).map(_._2).sum
+      assert(r.getAs[Long]("n_kept") == kept, s"$src kept")
+      assert(r.getAs[Long]("kept_tokens") ==
+        ref(src).filter(_._2 == 1).map(_._3).sum, s"$src kept tokens")
+      assert(r.getAs[Long]("keep_share_bp") == kept * 10000 / ref(src).size)
+    }
+  }
+
   test("etl_ttl_sweep: expiry split conserves counts and matches the policy") {
     val rows = run("etl_ttl_sweep").collect()
     val ttlOf = Map("error" -> 30L, "view" -> 90L, "click" -> 90L,
