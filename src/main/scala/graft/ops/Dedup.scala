@@ -212,14 +212,16 @@ object Dedup {
     * (collision odds ≈ |shingles|²/2⁶⁴, immaterial). */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame =
-    // tokens projected ONCE, then shingled as an array attribute — the
-    // inline form re-splits the text per element inside the
-    // CodegenFallback HOF (O(tokens²) splits/doc; see
-    // TextAnalysis.shinglesOf), which taxed every pair generator's scan
+    // tokens projected ONCE (the inline form re-splits the text per
+    // element inside a CodegenFallback HOF — O(tokens²) splits/doc; see
+    // TextAnalysis.shinglesOf), then one native codegen pass produces
+    // the distinct n-gram hashes directly — no HOF lambda frames, no
+    // intermediate shingle-string array (ShingleHashes64 is
+    // hash-identical to the array_distinct∘transform∘xxhash64 chain,
+    // spec-pinned in ShingleExpressionSpec)
     docs.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc"),
-        explode(array_distinct(transform(
-          TextAnalysis.shinglesOf(col("toks"), n), s => xxhash64(s)))).as("s"))
+        explode(graft.functions.ShingleFunctions.shingleHashes64(col("toks"), n)).as("s"))
 
   /** Df-filtered distinct postings — NOT materialized here: each pair
     * path decides what to checkpoint (the prefix path folds postings
