@@ -165,6 +165,19 @@ object VectorFunctions {
     (FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[LongVectorDot].getName, "vec_dot_long"),
       (args: Seq[Expression]) => LongVectorDot(args(0), args(1))),
+    (FunctionIdentifier("shingle_hashes64"),
+      new ExpressionInfo(classOf[ShingleHashes64].getName, "shingle_hashes64"),
+      (args: Seq[Expression]) => {
+        // n shapes the window loop, so it must be a literal
+        def bad() = throw new IllegalArgumentException(
+          "shingle_hashes64(tokens, n): n must be a positive literal integer")
+        if (args.length != 2) bad()
+        (if (args(1).foldable) args(1).eval() else bad()) match {
+          case i: Int if i > 0 => ShingleHashes64(args(0), i)
+          case l: Long if l > 0 && l <= Int.MaxValue => ShingleHashes64(args(0), l.toInt)
+          case _ => bad()
+        }
+      }),
     (FunctionIdentifier("vec_l2sq_slice"),
       new ExpressionInfo(classOf[LongVectorL2Slice].getName, "vec_l2sq_slice"),
       (args: Seq[Expression]) => {

@@ -48,6 +48,14 @@ class ShingleExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_hashes64 is callable from SQL and matches the Column form") {
+    val rows = spark.sql(
+      "SELECT shingle_hashes64(array('a', 'b', 'c'), 2) AS h").collect()
+    val direct = Seq(Seq("a", "b", "c")).toDF("toks")
+      .select(ShingleFunctions.shingleHashes64(col("toks"), 2).as("h")).collect()
+    assert(rows(0).getSeq[Long](0) == direct(0).getSeq[Long](0))
+  }
+
   test("whole-stage codegen stays intact around the native expression") {
     val plan = graft.sources.Tables.documents(spark, TestSpark.sf)
       .select(graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
