@@ -55,6 +55,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Euclidean (L2) top-k vs one query vector — the metric twin of
+    * [[topKBrute]] for pipelines that index un-normalized embeddings.
+    * Distance is the EXACT integer squared L2 in milli units
+    * (‖a−b‖² = nsqA + nsqB − 2·a·b — three exact LONG operands, no
+    * sqrt, no double anywhere), so ranking and the emitted column are
+    * bit-stable across engines. Same scale shape: one broadcast query
+    * row, a never-shuffled scan, distributed TakeOrdered. */
+  def l2TopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(milliQuant(col(vecCol)).as("qmq"))
+      .withColumn("qnsq", normSqMilli(col("qmq")))
+    emb.where(col(idCol) =!= lit(queryId))
+      .select(col(idCol), milliQuant(col(vecCol)).as("mq"))
+      .withColumn("nsq", normSqMilli(col("mq")))
+      .crossJoin(broadcast(q))
+      .withColumn("l2m_sq",
+        col("nsq") + col("qnsq") - lit(2L) * dotMilli(col("mq"), col("qmq")))
+      .select(col(idCol), col("l2m_sq"))
+      .orderBy(col("l2m_sq"), col(idCol))
+      .limit(k)
+  }
+
   /** Range search: every vector whose cosine with the `queryId` vector
     * meets `minCos` — the radius-query twin of [[topKBrute]] (same
     * broadcast-one-row shape, a threshold instead of a limit). Unlike

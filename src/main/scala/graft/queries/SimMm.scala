@@ -60,6 +60,11 @@ object SimMm {
     "sim_topk_brute" -> ((s, dir) =>
       Similarity.topKBrute(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
 
+    // Euclidean top-k (exact integer squared-L2 in milli units) — the
+    // un-normalized-embedding metric twin of sim_topk_brute.
+    "sim_l2_topk" -> ((s, dir) =>
+      Similarity.l2TopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+
     // Random-hyperplane LSH bucket statistics (the ANN index shape).
     // Planes scale with the data: ceil(log2(n/64)) hyperplanes targets
     // 64-vector buckets at ANY corpus size (no fixed bucket-count ceiling).
@@ -917,6 +922,14 @@ object SimMm {
          |c AS (SELECT vec_id, ${cosBpSql(dotmSql("mq", "qmq"), "nsq", "qnsq")} AS cos_bp
          |      FROM miln, q WHERE vec_id <> 0)
          |SELECT vec_id, cos_bp FROM c ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
+
+    "sim_l2_topk" ->
+      s"""WITH $milliNormCte,
+         |q AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |c AS (SELECT vec_id,
+         |  CAST(miln.nsq + q.qnsq - 2 * ${dotmSql("mq", "qmq")} AS BIGINT) AS l2m_sq
+         |      FROM miln, q WHERE vec_id <> 0)
+         |SELECT vec_id, l2m_sq FROM c ORDER BY l2m_sq, vec_id LIMIT 10""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $bucketsCte

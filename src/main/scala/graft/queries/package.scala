@@ -16,6 +16,11 @@ package object queries {
   /** Deterministic 'yyyy-MM-dd' rendering (oracle twin: strftime). */
   def iso(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** Integer division on Columns (SQL `div`; oracle twin: DuckDB `//`).
+    * Exact on longs — unlike floor(a/b), whose double division loses
+    * bits past 2⁵³. */
+  def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+
   /** DuckDB tokenizer fragment — the oracle twin of TextAnalysis.tokens.
     * Single definition so the Spark and SQL sides can't drift. */
   val toksSql: String = "string_split(trim(text), ' ')"

@@ -1,0 +1,238 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Value-level invariants for the round-9 batch-2 operators (exact
+  * cross-engine values are checked by tools/verify_local.py; these pin
+  * the semantic properties — conservation laws, independent in-memory
+  * recomputes — that a hash compare can't localize when it breaks). */
+class Round9bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+  private def lineitemCount =
+    graft.sources.Tables.lineitem(spark, TestSpark.sf).count()
+
+  test("q9_profit: every lineitem lands in exactly one (nation, year) cell") {
+    val rows = run("q9_profit").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_items")).sum == lineitemCount)
+    // bounded output: nations × years
+    val nNat = graft.sources.Tables.nation(spark, TestSpark.sf).count()
+    val years = rows.map(_.getAs[Long]("yr")).distinct
+    assert(rows.length <= nNat * years.length)
+  }
+
+  test("q10_returns: top-20 is ordered and returned-only") {
+    val rows = run("q10_returns").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("rev_cents"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "desc order")
+    assert(rows.map(_.getAs[Long]("c_custkey")).distinct.length == rows.length)
+    assert(revs.forall(_ > 0))
+  }
+
+  test("q12_ship_latency: bands partition the fact table") {
+    val rows = run("q12_ship_latency").collect()
+    assert(rows.map(_.getAs[String]("band")).toSet
+      .subsetOf(Set("0-30d", "31-90d", "90d+")))
+    val tot = rows.map(r =>
+      r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum
+    assert(tot == lineitemCount, "every lineitem in exactly one band")
+  }
+
+  test("q13_custdist: double-aggregation conservation") {
+    val rows = run("q13_custdist").collect()
+    val nCust = graft.sources.Tables.customer(spark, TestSpark.sf).count()
+    val nOrd = graft.sources.Tables.orders(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust,
+      "every customer in exactly one bucket")
+    assert(rows.map(r =>
+      r.getAs[Long]("c_count") * r.getAs[Long]("custdist")).sum == nOrd,
+      "order-count conservation")
+  }
+
+  test("q14_promo_share: shares are valid basis points, revenue conserved") {
+    val rows = run("q14_promo_share").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("promo_cents"); val t = r.getAs[Long]("total_cents")
+      val bp = r.getAs[Long]("promo_share_bp")
+      assert(p >= 0 && p <= t)
+      assert(bp == p * 10000 / t)
+    }
+    val months = rows.map(_.getAs[String]("month"))
+    assert(months.sorted.sameElements(months))
+  }
+
+  test("q18_big_orders: exactly the >= 250-qty tail, independently recomputed") {
+    val rows = run("q18_big_orders").collect()
+    val expect = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q")).collect()
+      .map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Long]("q"))
+      .filter(_._2 >= 250).toMap
+    assert(rows.length == expect.size, "tail membership")
+    rows.foreach { r =>
+      assert(expect(r.getAs[Long]("o_orderkey")) == r.getAs[Long]("total_qty"))
+    }
+  }
+
+  test("q22_idle_customers: membership = above-mean balance AND orderless") {
+    val rows = run("q22_idle_customers").collect()
+    val cust = graft.sources.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("b")).collect()
+    val avg = {
+      val pos = cust.map(_.getAs[Long]("b")).filter(_ > 0)
+      pos.sum / pos.length
+    }
+    val withOrders = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val expect = cust.filter(r => r.getAs[Long]("b") > avg &&
+      !withOrders(r.getAs[Long]("c_custkey")))
+      .groupBy(_.getAs[Int]("c_nationkey").toLong)
+      .view.mapValues(g => (g.length.toLong, g.map(_.getAs[Long]("b")).sum)).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = r.getAs[Int]("c_nationkey").toLong
+      assert(expect(k) == ((r.getAs[Long]("n_custs"), r.getAs[Long]("bal_cents"))))
+    }
+  }
+
+  test("graph_pagerank: top-30 matches an exact in-memory fixed-point replay") {
+    val rows = run("graph_pagerank").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("pr"))
+    val e0 = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (s"s:${r.getLong(0)}", s"p:${r.getLong(1)}"))
+    val edges = e0 ++ e0.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = deg.size.toLong
+    val S = 1000000000L
+    val base = 15L * (S / n) / 100L
+    var pr: Map[String, Long] = deg.map { case (k, _) => k -> S / n }
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      edges.foreach { case (src, dst) =>
+        contrib(dst) = contrib.getOrElse(dst, 0L) + pr(src) / deg(src)
+      }
+      pr = contrib.map { case (k, c) => k -> (base + 85L * c / 100L) }.toMap
+    }
+    val expect = pr.toSeq.sortBy { case (k, v) => (-v, k) }.take(30)
+    assert(rows.toSeq == expect, "bit-exact fixed-point top-30")
+  }
+
+  test("events_rolling_median: one user's windows replayed in memory") {
+    val rows = run("events_rolling_median").collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    val uid = byUser.keys.min
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull && col("user_id") === uid)
+      .select(col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .sortBy(r => (r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id")))
+      .map(_.getAs[Long]("cents"))
+    val meds = evs.indices.map { i =>
+      val w = evs.slice(math.max(0, i - 6), i + 1).sorted
+      w((w.length + 1) / 2 - 1) // lower median, 1-based (n+1)/2
+    }
+    val r = byUser(uid)
+    assert(r.getAs[Long]("n") == meds.length)
+    assert(r.getAs[Long]("sum_med") == meds.sum)
+    assert(r.getAs[Long]("min_med") == meds.min)
+    assert(r.getAs[Long]("max_med") == meds.max)
+  }
+
+  test("events_type_affinity: co-occurrence bounded by marginals") {
+    val rows = run("events_type_affinity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("ta") < r.getAs[String]("tb"))
+      assert(r.getAs[Long]("c_xy") <=
+        math.min(r.getAs[Long]("c_a"), r.getAs[Long]("c_b")))
+      assert(r.getAs[Long]("lift_bp") >= 0)
+    }
+  }
+
+  test("etl_late_arrivals: bands partition events; on_time is exact") {
+    val rows = run("etl_late_arrivals").collect()
+    val nEv = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEv)
+    rows.foreach { r =>
+      if (r.getAs[String]("band") == "on_time")
+        assert(r.getAs[Long]("max_late_s") == 0L)
+      else assert(r.getAs[Long]("max_late_s") > 0L)
+    }
+  }
+
+  test("etl_compaction_plan: byte conservation and contiguous groups") {
+    val rows = run("etl_compaction_plan").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("b"),
+        count(lit(1)).as("nd")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("b"), r.getAs[Long]("nd"))).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, g) =>
+      assert(g.map(_.getAs[Long]("bytes")).sum == docs(src)._1, s"$src bytes")
+      assert(g.map(_.getAs[Long]("n_docs")).sum == docs(src)._2, s"$src docs")
+      val sorted = g.sortBy(_.getAs[Long]("grp"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_file") < b.getAs[Long]("first_file"),
+            s"$src: groups overlap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("text_keyword_search: every hit contains all terms; scores ordered") {
+    val rows = run("text_keyword_search").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Long]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .where(col("doc_id").isin(ids.toSeq: _*))
+      .select(col("doc_id"), col("text")).collect()
+    assert(texts.length == ids.size)
+    texts.foreach { r =>
+      val toks = r.getAs[String]("text").trim.split(" ").toSet
+      assert(Set("spark", "merge", "window").subsetOf(toks),
+        s"doc ${r.getAs[Long]("doc_id")} missing a term")
+    }
+  }
+
+  test("text_cooccur_lift: pairs ordered, co-occurrence bounded by df") {
+    val rows = run("text_cooccur_lift").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val cs = rows.map(_.getAs[Long]("c_xy"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getAs[String]("ta") < r.getAs[String]("tb")))
+  }
+
+  test("sim_l2_topk: matches an exact in-memory milli-quant recompute") {
+    val rows = run("sim_l2_topk").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("l2m_sq")))
+    // quantize through the SAME milliQuant expression (its rounding is
+    // oracle-pinned elsewhere); the distance + ranking are replayed
+    // independently in memory
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        graft.ops.Similarity.milliQuant(col("embedding")).as("mq")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1).toArray)
+      .toMap
+    val q = vecs(0L)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, l2(q, v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    assert(rows.toSeq == expect)
+  }
+}
