@@ -24,6 +24,18 @@ object Round9b {
 
   private val SCALE = 1000000000L // PageRank fixed-point scale (1e9)
 
+  /** First-3-nibble md5 hash (0..4095) of a string Column — the CMS row
+    * hash. conv(hex, 16, 10) on 3 digits is exact in both engines. */
+  private def h3(e: org.apache.spark.sql.Column) =
+    conv(substring(md5(e), 1, 3), 16, 10).cast("long")
+
+  /** DuckDB twin of [[h3]] via nibble expansion (no base-16 conv). */
+  private def h3Sql(e: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
+    s"(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)})"
+  }
+
   /** Discounted revenue in exact integer cents. */
   private def revCents = {
     val cents = round(col("l_extendedprice") * 100).cast("long")
@@ -401,6 +413,73 @@ object Round9b {
         .orderBy(col("c_xy").desc, col("ta"), col("tb"))
         .limit(50)
     }),
+
+    // Count-min sketch heavy hitters with the exact audit twin (house
+    // sketch convention: the estimate ships WITH its exact value and an
+    // in-query error-bound flag, so even the approximate op is
+    // hash-checked). Sketch = 4 md5-hashed rows × 1024 counters built
+    // in ONE keyed rollup (≤4096 cells at any data size — the whole
+    // point of CMS at 100 TB); estimates = min over the 4 probed cells
+    // for the exact top-10 keys. over·width ≤ 2·N is the classic
+    // bound check (est ≥ exact is structural).
+    "q_cms_heavy" -> ((s, dir) => {
+      val W = 1024L
+      val ev = Tables.events(s, dir).select(col("user_id"))
+        .localCheckpoint(true) // feeds sketch, exact top-10, AND the total
+      val rs = array((0 until 4).map(lit): _*)
+      def bucket(keyCol: org.apache.spark.sql.Column,
+                 rCol: org.apache.spark.sql.Column) =
+        pmod(h3(concat(rCol.cast("string"), lit(":"), keyCol.cast("string"))),
+          lit(W))
+      val sketch = ev.select(col("user_id"), explode(rs).as("r"))
+        .withColumn("bucket", bucket(col("user_id"), col("r")))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      val tot = ev.agg(count(lit(1)).as("nn"))
+      exact.select(col("user_id"), col("exact_n"), explode(rs).as("r"))
+        .withColumn("bucket", bucket(col("user_id"), col("r")))
+        .join(broadcast(sketch), Seq("r", "bucket"))
+        .groupBy(col("user_id"), col("exact_n"))
+        .agg(min(col("cnt")).as("est_n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("overcount", col("est_n") - col("exact_n"))
+        .withColumn("bound_ok",
+          when(col("overcount") * W <= lit(2L) * col("nn"), 1L).otherwise(0L))
+        .select(col("user_id"), col("exact_n"), col("est_n"),
+          col("overcount"), col("bound_ok"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+    }),
+
+    // Shard manifest: the reproducibility record a training run pins —
+    // per 20k-token shard (corpus_pack_budget's assignment, same
+    // two-phase prefix sum), the doc count, token count, id span, and
+    // an order-independent md5 over the sorted member ids. Per-shard
+    // member lists are bounded by the token budget, so the collect_list
+    // never exceeds ~budget elements in one task.
+    "corpus_shard_manifest" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), TA.tokenCount(col("text")).as("nt"))
+        .withColumn("blk", expr("doc_id div 256"))
+      val grp = d.groupBy(col("blk")).agg(sum(col("nt")).as("bn"))
+      val wB = Window.orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1) // over blocks: bounded
+      val offs = grp.withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(offs), Seq("blk"))
+        .withColumn("prev",
+          col("off") + coalesce(sum(col("nt")).over(wIn), lit(0L)))
+        .withColumn("shard", expr("prev div 20000"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"),
+          md5(array_join(
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",")).as("manifest_md5"))
+        .orderBy(col("shard"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -620,6 +699,46 @@ object Round9b {
          |      FROM tf GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, score FROM d
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_cms_heavy" ->
+      s"""WITH ev AS (SELECT user_id FROM events),
+         |r AS (SELECT CAST(range AS BIGINT) AS r FROM range(4)),
+         |h AS (
+         |  SELECT user_id, r,
+         |    ${h3Sql("CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+         |      % 1024 AS bucket
+         |  FROM ev CROSS JOIN r),
+         |sketch AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY r, bucket),
+         |exact AS (SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id
+         |          ORDER BY exact_n DESC, user_id LIMIT 10),
+         |cand AS (
+         |  SELECT e.user_id, e.exact_n, r.r,
+         |    ${h3Sql("CAST(r.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")}
+         |      % 1024 AS bucket
+         |  FROM exact e CROSS JOIN r),
+         |est AS (
+         |  SELECT c.user_id, c.exact_n, min(s.cnt) AS est_n
+         |  FROM cand c JOIN sketch s ON s.r = c.r AND s.bucket = c.bucket
+         |  GROUP BY c.user_id, c.exact_n),
+         |n AS (SELECT count(*) AS nn FROM ev)
+         |SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount,
+         |  CAST(CASE WHEN (est_n - exact_n) * 1024 <= 2 * nn THEN 1 ELSE 0 END
+         |    AS BIGINT) AS bound_ok
+         |FROM est, n ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    "corpus_shard_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+         |c AS (SELECT doc_id, nt,
+         |  COALESCE(sum(nt) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM d)
+         |SELECT CAST(prev // 20000 AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         |    AS manifest_md5
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_cooccur_lift" ->
       s"""WITH dt0 AS (

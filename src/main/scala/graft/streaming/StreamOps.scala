@@ -50,6 +50,17 @@ case class MaskObs(user_id: Long, bit: Long)
   * (histogram[new]+1, histogram[prev]−1 per change). */
 case class MaskChange(user_id: Long, prev_mask: Long, new_mask: Long)
 
+/** One observation for the late-arrival monitor (`us` = event-time epoch
+  * micros; `event_id` orders arrivals WITHIN a micro-batch so replaying
+  * a log in id order reproduces the batch audit exactly). */
+case class LateObs(event_type: String, event_id: Long, us: Long)
+
+/** Per-micro-batch lateness rollup for one event type: how many events
+  * arrived after a later-timestamped event of the same type had already
+  * been seen, bucketed like the batch `etl_late_arrivals` audit. */
+case class LateBands(event_type: String, band: String, n: Long,
+                     max_late_s: Long)
+
 /** Structured-Streaming twins of the batch operators (SURVEY §2.7).
   *
   * The reference runs its ETL on a cron schedule (index.js:75-86) — the
@@ -379,6 +390,47 @@ object StreamOps {
             state.update(next)
             Iterator.single(MaskChange(uid, prev, next))
           } else Iterator.empty
+      }
+  }
+
+  /** Continuous late-arrival monitor — the streaming twin of the batch
+    * `etl_late_arrivals` audit. State is ONE long per event type (the
+    * running max event time in micros — bounded by type cardinality, no
+    * watermark needed: a max is monotone). Each micro-batch emits the
+    * type's lateness-band counts for the events it carried; arrival
+    * order within a batch is pinned to `event_id` so a log replayed in
+    * id order reproduces the batch operator's totals bit-for-bit (the
+    * spec proves it). The integer lateness ((prev − us) div 10⁶) and
+    * band edges are the batch kernel's. */
+  def lateArrivalsStream(events: DataFrame, tsCol: String, typeCol: String,
+                         idCol: String): Dataset[LateBands] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(tsCol).isNotNull)
+      .select(col(typeCol).as("event_type"), col(idCol).cast("long").as("event_id"),
+        unix_micros(col(tsCol).cast("timestamp")).as("us")).as[LateObs]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Long, LateBands](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (typ, it, state: GroupState[Long]) =>
+          var mx = state.getOption.getOrElse(Long.MinValue)
+          val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          it.toSeq.sortBy(_.event_id).foreach { o =>
+            val late =
+              if (mx == Long.MinValue || mx <= o.us) 0L
+              else (mx - o.us) / 1000000L
+            val band =
+              if (late <= 0) "on_time"
+              else if (late < 60) "lt_1m"
+              else if (late < 3600) "lt_1h"
+              else "ge_1h"
+            val (n, m) = acc.getOrElse(band, (0L, 0L))
+            acc(band) = (n + 1, math.max(m, late))
+            if (o.us > mx) mx = o.us
+          }
+          state.update(mx)
+          acc.iterator.map { case (band, (n, m)) => LateBands(typ, band, n, m) }
       }
   }
 

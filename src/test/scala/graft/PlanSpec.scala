@@ -108,7 +108,18 @@ class PlanSpec extends AnyFunSuite {
     "sim_rank_corr",
     //  - corpus_split_leakage: 1-row leakage scalar broadcast under the
     //    2-row split rollup (the q_scalar_subquery shape)
-    "corpus_split_leakage")
+    "corpus_split_leakage",
+    //  - round-9b scalar/tiny-side broadcast shapes: q22_idle_customers
+    //    (1-row mean-balance scalar under the customer scan — the
+    //    q_scalar_subquery shape), graph_pagerank (1-row node-count
+    //    scalar under each iteration's per-node rollup), q_cms_heavy
+    //    (1-row stream-total under the 10-row candidate rollup),
+    //    events_type_affinity / text_cooccur_lift (1-row population
+    //    count under a bounded pair rollup: ≤10 type pairs / ≤C(30,2)
+    //    token pairs), sim_l2_topk (1-row broadcast query vector vs
+    //    every candidate — the sim_topk_brute shape)
+    "q22_idle_customers", "graph_pagerank", "q_cms_heavy",
+    "events_type_affinity", "text_cooccur_lift", "sim_l2_topk")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -139,11 +150,13 @@ class PlanSpec extends AnyFunSuite {
       "q7_trade_volume" -> 6,    // 6-table star join (nation read twice:
                                  // supplier leg + customer leg)
       "q8_market_share" -> 4,    // lineitem + orders + supplier + nation
-      "sim_rank_corr" -> 4       // exact side (corpus + 1-row query) and
+      "sim_rank_corr" -> 4,      // exact side (corpus + 1-row query) and
                                  // SQ8 side (codes + 1-row query codes)
                                  // each scan the vector table — re-scans
                                  // beat materializing a corpus-sized
                                  // checkpoint just to dedup them
+      "q9_profit" -> 5,          // 5-table star join (fact + 4 dims)
+      "q10_returns" -> 4         // 4-table star join (fact + 3 dims)
     ).withDefaultValue(3)
     val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_clusters", "dedup_containment", "dedup_threshold_sweep")

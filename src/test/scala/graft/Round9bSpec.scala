@@ -216,6 +216,49 @@ class Round9bSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[String]("ta") < r.getAs[String]("tb")))
   }
 
+  test("q_cms_heavy: estimate dominates exact and respects the CMS bound") {
+    val rows = run("q_cms_heavy").collect()
+    assert(rows.length == 10)
+    val nEv = graft.sources.Tables.events(spark, TestSpark.sf).count()
+    // independent exact top-10 recompute
+    val expect = graft.sources.Tables.events(spark, TestSpark.sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+      .sortBy { case (u, n) => (-n, u) }.take(10).toMap
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n"); val est = r.getAs[Long]("est_n")
+      val over = r.getAs[Long]("overcount")
+      assert(expect(r.getAs[Long]("user_id")) == exact)
+      assert(est >= exact, "CMS never underestimates")
+      assert(over == est - exact)
+      assert(r.getAs[Long]("bound_ok") == (if (over * 1024 <= 2 * nEv) 1L else 0L))
+    }
+  }
+
+  test("corpus_shard_manifest: conservation + manifest md5 recomputed") {
+    val rows = run("corpus_shard_manifest").collect()
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs)
+    // shards span disjoint contiguous id ranges in shard order
+    val sorted = rows.sortBy(_.getAs[Long]("shard"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ => ()
+    }
+    // recompute one shard's manifest hash from its id span
+    val r0 = sorted.head
+    val ids = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .where(col("doc_id").between(
+        r0.getAs[Long]("first_doc"), r0.getAs[Long]("last_doc")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.length == r0.getAs[Long]("n_docs"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md == r0.getAs[String]("manifest_md5"))
+  }
+
   test("sim_l2_topk: matches an exact in-memory milli-quant recompute") {
     val rows = run("sim_l2_topk").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("l2m_sq")))

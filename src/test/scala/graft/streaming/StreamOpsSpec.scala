@@ -271,4 +271,51 @@ class StreamOpsSpec extends AnyFunSuite {
     // space-saving overestimate: key 3 reports min+1 = 2
     assert(got == Seq((1L, 3L, 1), (3L, 2L, 2)))
   }
+
+  test("lateArrivalsStream bands lateness against the running max") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // arrival order (event_id): t=10 → on_time; t=9 → 60s late (lt_1m
+    // edge is <60 ⇒ 60 lands in lt_1h); t=11 advances the max; t=5 →
+    // 360s late (lt_1h)
+    input.addData(Ev(1, ts(10), 1, "click", 0), Ev(2, ts(9), 1, "click", 0))
+    val q = StreamOps.lateArrivalsStream(input.toDF(), "ts", "event_type",
+        "event_id")
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    q.processAllAvailable()
+    // state (max=00:10) must persist across batches
+    input.addData(Ev(3, ts(11), 1, "click", 0), Ev(4, ts(5), 1, "click", 0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late").as[LateBands].collect()
+      .groupBy(_.band).view.mapValues(g =>
+        (g.map(_.n).sum, g.map(_.max_late_s).max)).toMap
+    assert(got("on_time") == ((2L, 0L)))
+    assert(got("lt_1h") == ((2L, 360L)), "60s and 360s both band lt_1h")
+  }
+
+  test("lateArrivalsStream replayed in id order reproduces the batch audit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(_.event_id)
+    val input = MemoryStream[Ev]
+    val q = StreamOps.lateArrivalsStream(input.toDF(), "ts", "event_type",
+        "event_id")
+      .writeStream.outputMode("append").format("memory").queryName("latefull").start()
+    evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("latefull").as[LateBands].collect()
+      .groupBy(b => (b.event_type, b.band)).view.mapValues(g =>
+        (g.map(_.n).sum, g.map(_.max_late_s).max)).toMap
+    val batch = graft.SparkEntry.queries("etl_late_arrivals")(spark, TestSpark.sf)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[String]("band")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("max_late_s")))).toMap
+    assert(streamed == batch, "stream replay == batch etl_late_arrivals")
+  }
 }
