@@ -114,19 +114,19 @@ object ScaleProbe {
         .select(concat(lit("s:"), ((col("l_suppkey") * mult) + col("rep")).cast("string")).as("a"),
           concat(lit("p:"), ((col("l_partkey") * mult) + col("rep")).cast("string")).as("b"))
         .distinct()
-      val edges = li.select(col("a").as("src"), col("b").as("dst"))
+      val edges0 = li.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .localCheckpoint(true)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-        .localCheckpoint(true)
+      val edgesOd = edges0.join(deg, Seq("src")).localCheckpoint(true)
       val nn = deg.agg(count(lit(1)).as("n"))
       var pr = deg.crossJoin(broadcast(nn))
         .select(col("src").as("node"), expr("1000000000 div n").as("pr"))
       for (_ <- 1 to 3) {
         val contrib = pr
-          .join(deg.withColumnRenamed("src", "node"), Seq("node"))
-          .select(col("node").as("src"), expr("pr div od").as("c"))
-          .join(edges, Seq("src"))
+          .withColumnRenamed("node", "src")
+          .join(edgesOd, Seq("src"))
+          .select(col("dst"), expr("pr div od").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
         pr = contrib.crossJoin(broadcast(nn))
           .select(col("dst").as("node"),

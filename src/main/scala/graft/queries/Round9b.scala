@@ -218,23 +218,27 @@ object Round9b {
         .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
           concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
         .distinct()
-      val edges = li.select(col("a").as("src"), col("b").as("dst"))
+      val edges0 = li.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true) // scanned 3× by the iterations
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .localCheckpoint(true)
+      // out-degree folded INTO the edge list once, so each iteration is
+      // ONE join + ONE rollup (pr ⋈ edgesOd on src, sum by dst) instead
+      // of a separate degree re-attach — 3 joins saved over the run
+      val edgesOd = edges0.join(deg, Seq("src"))
+        .localCheckpoint(true) // scanned 3× by the iterations
       val nn = deg.agg(count(lit(1)).as("n"))
       val base = idiv(lit(15L) * idiv(lit(SCALE), col("n")), lit(100L))
       var pr = deg.crossJoin(broadcast(nn))
         .select(col("src").as("node"), idiv(lit(SCALE), col("n")).as("pr"))
       for (_ <- 1 to 3) {
-        // name-based joins on renamed projections: the same edge/degree
-        // frames appear in every iteration's lineage, and dataset-
-        // qualified column refs would be ambiguous by exprId
+        // name-based joins on renamed projections: the same edge frame
+        // appears in every iteration's lineage, and dataset-qualified
+        // column refs would be ambiguous by exprId
         val contrib = pr
-          .join(deg.withColumnRenamed("src", "node"), Seq("node"))
-          .select(col("node").as("src"), idiv(col("pr"), col("od")).as("c"))
-          .join(edges, Seq("src"))
+          .withColumnRenamed("node", "src")
+          .join(edgesOd, Seq("src"))
+          .select(col("dst"), idiv(col("pr"), col("od")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
         pr = contrib.crossJoin(broadcast(nn))
           .select(col("dst").as("node"),
