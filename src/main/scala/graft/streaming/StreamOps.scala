@@ -434,6 +434,26 @@ object StreamOps {
       }
   }
 
+  /** Continuous count-min sketch — the streaming twin of the batch
+    * q_cms_heavy sketch build. The sketch is a watermark-free global
+    * aggregate over (row, bucket): state is bounded at 4×1024 counter
+    * cells NO MATTER the stream volume (the CMS property), each
+    * micro-batch folds in via map-side partial counts, and the sink
+    * (update mode) always holds the current sketch a reader probes
+    * with the same md5 row hashes. Hashing is the batch kernel's
+    * (first-3-nibble md5 of "r:key" mod 1024), so a batch probe over
+    * the streamed sketch returns the batch estimates exactly. */
+  def cmsSketchStream(events: DataFrame, keyCol: String,
+                      depth: Int = 4, width: Int = 1024): DataFrame =
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("k"))), 1, 3), 16, 10).cast("long"), lit(width.toLong)))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Continuous table-freshness monitor — the streaming twin of the
     * batch `etl_freshness` audit: per event type, the latest event time
     * seen so far (epoch seconds, integer-exact). State is ONE max per

@@ -294,6 +294,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got("lt_1h") == ((2L, 360L)), "60s and 360s both band lt_1h")
   }
 
+  test("cmsSketchStream converges to the batch sketch over micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect()
+    val input = MemoryStream[Ev]
+    val q = StreamOps.cmsSketchStream(input.toDF(), "user_id")
+      .writeStream.outputMode("complete").format("memory").queryName("cms").start()
+    evs.grouped(evs.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("cms").select($"r", $"bucket", $"cnt")
+      .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // batch twin: the same explode + hash + rollup over the full table
+    val batch = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("user_id").cast("string").as("k"),
+        explode(array((0 until 4).map(lit): _*)).as("r"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("k"))), 1, 3), 16, 10).cast("long"), lit(1024L)))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(streamed == batch, "streamed sketch cells == batch sketch cells")
+    assert(streamed.size <= 4 * 1024, "state bounded by depth x width")
+  }
+
   test("lateArrivalsStream replayed in id order reproduces the batch audit") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
