@@ -118,7 +118,8 @@ object ScaleProbe {
         .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .localCheckpoint(true)
-      val edgesOd = edges0.join(deg, Seq("src")).localCheckpoint(true)
+      val edgesOd = edges0.join(deg, Seq("src"))
+        .repartition(col("src")).localCheckpoint(true)
       val nn = deg.agg(count(lit(1)).as("n"))
       var pr = deg.crossJoin(broadcast(nn))
         .select(col("src").as("node"), expr("1000000000 div n").as("pr"))

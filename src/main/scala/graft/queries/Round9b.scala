@@ -222,10 +222,14 @@ object Round9b {
         .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
       val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .localCheckpoint(true)
-      // out-degree folded INTO the edge list once, so each iteration is
-      // ONE join + ONE rollup (pr ⋈ edgesOd on src, sum by dst) instead
-      // of a separate degree re-attach — 3 joins saved over the run
+      // out-degree folded INTO the edge list once, and the list
+      // REPARTITIONED BY src before the checkpoint: localCheckpoint
+      // preserves the hash partitioning in the LogicalRDD, so each
+      // iteration's pr ⋈ edges join exchanges only the |V|-sized rank
+      // frame — the O(|E|) edge list never shuffles again after the
+      // build (the win that matters when |E| ≫ |V|)
       val edgesOd = edges0.join(deg, Seq("src"))
+        .repartition(col("src"))
         .localCheckpoint(true) // scanned 3× by the iterations
       val nn = deg.agg(count(lit(1)).as("n"))
       val base = idiv(lit(15L) * idiv(lit(SCALE), col("n")), lit(100L))
