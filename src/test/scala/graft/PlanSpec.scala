@@ -119,7 +119,10 @@ class PlanSpec extends AnyFunSuite {
     //    token pairs), sim_l2_topk (1-row broadcast query vector vs
     //    every candidate — the sim_topk_brute shape)
     "q22_idle_customers", "graph_pagerank", "q_cms_heavy",
-    "events_type_affinity", "text_cooccur_lift", "sim_l2_topk")
+    "events_type_affinity", "text_cooccur_lift", "sim_l2_topk",
+    //  - q15_top_supplier: 1-row max-revenue scalar broadcast under the
+    //    bounded per-supplier rollup (the q_scalar_subquery shape)
+    "q15_top_supplier")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
