@@ -26,4 +26,15 @@ object Formats {
     spark.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .json(path)
+
+  /** ORC — the other columnar interchange format a lakehouse boundary
+    * meets (Hive-era warehouses export it). Schema-explicit like the
+    * rest: ORC files carry their own schema, but pinning the expected
+    * one fails fast on drift instead of silently widening downstream.
+    * Predicate pushdown and column pruning work as with parquet. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

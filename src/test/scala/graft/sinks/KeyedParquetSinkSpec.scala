@@ -104,4 +104,22 @@ class KeyedParquetSinkSpec extends AnyFunSuite {
     val want = Seq((1L, "x", 1.5), (2L, "y", 2.5))
     assert(csvBack == want && jsonBack == want)
   }
+
+  test("Formats round-trips ORC and pushes filters into the ORC scan") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val df = graft.sources.Tables.orders(spark, graft.TestSpark.sf)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    Formats.writeOrc(df, s"$tmp/orc")
+    val back = Formats.readOrc(spark, s"$tmp/orc", df.schema)
+    assert(back.count() == df.count())
+    // byte-identical values through the round trip
+    assert(back.orderBy("o_orderkey").as[(Long, Long, Double)].collect().toSeq ==
+      df.orderBy("o_orderkey").as[(Long, Long, Double)].collect().toSeq)
+    // predicate + projection reach the ORC scan like parquet
+    val plan = back.where($"o_orderkey" < 100).select($"o_orderkey")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan(o_orderkey"),
+      s"no ORC pushdown:\n$plan")
+  }
 }
