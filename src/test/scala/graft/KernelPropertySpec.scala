@@ -92,4 +92,59 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(actual == expected, s"numOrNull('$s')")
     }
   }
+
+  test("discounted-revenue cents kernel matches an exact BigInteger reference") {
+    // the Round9b/Tpch money rule: cents·(10⁴−disc_bp) div 10⁴, one
+    // rounding per source column, integer after — the property pins
+    // bounds (0 ≤ rev ≤ cents for valid discounts) AND exact values
+    val cases = sample(for {
+      price <- Gen.chooseNum(0L, 99999999L).map(_ / 100.0)
+      disc <- Gen.chooseNum(0L, 10000L).map(_ / 10000.0)
+    } yield (price, disc), 400)
+    val cents = round(col("price") * 100).cast("long")
+    val discBp = round(col("disc") * 10000).cast("long")
+    val got = cases.toDF("price", "disc")
+      .select(col("price"), col("disc"),
+        org.apache.spark.sql.functions.call_function("div",
+          cents * (lit(10000L) - discBp), lit(10000L)).as("rev")).collect()
+    got.foreach { r =>
+      val cents = math.round(r.getAs[Double]("price") * 100)
+      val bp = math.round(r.getAs[Double]("disc") * 10000)
+      val expect = cents * (10000L - bp) / 10000L
+      val rev = r.getAs[Long]("rev")
+      assert(rev == expect, s"rev(${r.get(0)}, ${r.get(1)})")
+      assert(rev >= 0 && rev <= cents, "bounds")
+    }
+  }
+
+  test("h3 md5 hash lands in [0, 4096) and matches a MessageDigest reference") {
+    val keys = sample(Gen.chooseNum(0L, 10000000L), 300).distinct
+    val h3 = conv(substring(md5(col("k").cast("string")), 1, 3), 16, 10).cast("long")
+    val got = keys.toDF("k").select(col("k"), h3.as("h")).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Long]("h")).toMap
+    keys.foreach { k =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      val ref = ((d(0) & 0xFF) << 4) | ((d(1) & 0xFF) >> 4)
+      assert(got(k) == ref.toLong && got(k) >= 0 && got(k) < 4096, s"h3($k)")
+    }
+  }
+
+  test("CMS estimates dominate exact counts on random streams (in-memory model)") {
+    // the q_cms_heavy structural guarantee, checked over a random
+    // multiset: min over d row-buckets of bucket sums ≥ the key's count
+    val stream = sample(Gen.chooseNum(0L, 40L), 500)
+    def bucket(r: Int, k: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$k".getBytes("UTF-8"))
+      ((((d(0) & 0xFF) << 4) | ((d(1) & 0xFF) >> 4)) % 1024 + 1024) % 1024
+    }
+    val sketch = Array.fill(4, 1024)(0L)
+    stream.foreach(k => (0 until 4).foreach(r => sketch(r)(bucket(r, k)) += 1))
+    val exact = stream.groupBy(identity).view.mapValues(_.length.toLong)
+    exact.foreach { case (k, n) =>
+      val est = (0 until 4).map(r => sketch(r)(bucket(r, k))).min
+      assert(est >= n, s"CMS underestimated key $k: $est < $n")
+    }
+  }
 }
