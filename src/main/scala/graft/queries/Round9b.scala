@@ -488,6 +488,62 @@ object Round9b {
               x => x.cast("string")), ",")).as("manifest_md5"))
         .orderBy(col("shard"))
     }),
+
+    // Incremental dedup — the PRODUCTION dedup shape: verdicts for a
+    // new batch (doc_id ≡ 4 mod 5, a deterministic 20% slice) against
+    // the HISTORY corpus only, never history×history. Exact path: md5
+    // against the history hash set (earliest keeper). Near path, only
+    // for non-exact batch docs: minhash band keys joined to the
+    // history's band index (hot buckets capped at 50 — the boilerplate
+    // guard), verified by exact trigram-Jaccard ≥ 0.5 via the integer
+    // cross-mult 2·|∩| ≥ |∪|. At 100 TB the daily batch joins a
+    // precomputed history index; nothing here rescans history pairs.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.ops.{Dedup => DD}
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val hist = docs.where(pmod(col("doc_id"), lit(5)) < 4)
+      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 4)
+      val hh = hist.select(md5(col("text")).as("h"), col("doc_id"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("ex_keeper"))
+      val bx = batch.withColumn("h", md5(col("text")))
+        .join(hh, Seq("h"), "left")
+        .select(col("doc_id"), col("text"), col("ex_keeper"))
+        .localCheckpoint(true) // feeds the verdicts AND the near path
+      val rem = bx.where(col("ex_keeper").isNull)
+        .select(col("doc_id"), col("text"))
+      val hbands = DD.lshBands(
+          DD.minhashSignatureArray(hist, "doc_id", "text", 8), 4)
+        .localCheckpoint(true) // occupancy + candidate join both read it
+      val occ = hbands.groupBy(col("band"), col("bandkey"))
+        .agg(count(lit(1)).as("m"))
+      val hkeep = hbands.join(occ, Seq("band", "bandkey"))
+        .where(col("m") <= 50).select(col("doc").as("hdoc"), col("band"),
+          col("bandkey"))
+      val bbands = DD.lshBands(
+          DD.minhashSignatureArray(rem, "doc_id", "text", 8), 4)
+        .select(col("doc").as("bdoc"), col("band"), col("bandkey"))
+      val cand = bbands.join(hkeep, Seq("band", "bandkey"))
+        .select(col("bdoc"), col("hdoc")).distinct()
+      val shB = rem.select(col("doc_id").as("bdoc"),
+        array_distinct(TA.shingles(col("text"), 3)).as("sa"))
+      val shH = hist.select(col("doc_id").as("hdoc"),
+        array_distinct(TA.shingles(col("text"), 3)).as("sb"))
+      val near = cand.join(shB, Seq("bdoc")).join(shH, Seq("hdoc"))
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .withColumn("uni",
+          size(col("sa")).cast("long") + size(col("sb")) - col("inter"))
+        .where(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+        .groupBy(col("bdoc")).agg(min(col("hdoc")).as("near_keeper"))
+      bx.select(col("doc_id"), col("ex_keeper"))
+        .join(near.withColumnRenamed("bdoc", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("ex_keeper").isNotNull, "exact_dup")
+            .when(col("near_keeper").isNotNull, "near_dup")
+            .otherwise("unique"))
+        .withColumn("keeper", coalesce(col("ex_keeper"), col("near_keeper")))
+        .select(col("doc_id"), col("status"), col("keeper"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -707,6 +763,61 @@ object Round9b {
          |      FROM tf GROUP BY doc_id HAVING count(*) = 3)
          |SELECT doc_id, score FROM d
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |hist AS (SELECT * FROM d WHERE doc_id % 5 < 4),
+         |batch AS (SELECT * FROM d WHERE doc_id % 5 = 4),
+         |hh AS (SELECT md5(text) AS h, min(doc_id) AS ex_keeper
+         |       FROM hist GROUP BY md5(text)),
+         |bx AS (SELECT b.doc_id, b.text, hh.ex_keeper
+         |       FROM batch b LEFT JOIN hh ON md5(b.text) = hh.h),
+         |rem AS (SELECT doc_id, text FROM bx WHERE ex_keeper IS NULL),
+         |htok AS (SELECT doc_id AS doc, unnest(list_distinct($toksSql)) AS tok
+         |         FROM hist),
+         |hsig AS (SELECT doc, s.range AS seed,
+         |           min(md5(CAST(s.range AS VARCHAR) || ':' || tok)) AS mh
+         |         FROM htok CROSS JOIN range(8) s GROUP BY doc, s.range),
+         |hband AS (SELECT doc, CAST(seed // 4 AS INTEGER) AS band,
+         |            string_agg(mh, ',' ORDER BY seed) AS bandkey
+         |          FROM hsig GROUP BY doc, CAST(seed // 4 AS INTEGER)),
+         |occ AS (SELECT band, bandkey, count(*) AS m FROM hband
+         |        GROUP BY band, bandkey),
+         |hkeep AS (SELECT hband.doc AS hdoc, hband.band, hband.bandkey
+         |          FROM hband JOIN occ USING (band, bandkey) WHERE occ.m <= 50),
+         |btok AS (SELECT doc_id AS doc, unnest(list_distinct($toksSql)) AS tok
+         |         FROM rem),
+         |bsig AS (SELECT doc, s.range AS seed,
+         |           min(md5(CAST(s.range AS VARCHAR) || ':' || tok)) AS mh
+         |         FROM btok CROSS JOIN range(8) s GROUP BY doc, s.range),
+         |bband AS (SELECT doc AS bdoc, CAST(seed // 4 AS INTEGER) AS band,
+         |            string_agg(mh, ',' ORDER BY seed) AS bandkey
+         |          FROM bsig GROUP BY doc, CAST(seed // 4 AS INTEGER)),
+         |cand AS (SELECT DISTINCT b.bdoc, h.hdoc
+         |         FROM bband b JOIN hkeep h USING (band, bandkey)),
+         |shB AS (SELECT doc_id AS bdoc,
+         |          list_distinct(list_transform(range(1, len($toksSql) - 1),
+         |            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])) AS sa
+         |        FROM rem),
+         |shH AS (SELECT doc_id AS hdoc,
+         |          list_distinct(list_transform(range(1, len($toksSql) - 1),
+         |            i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])) AS sb
+         |        FROM hist),
+         |near AS (
+         |  SELECT c.bdoc, min(c.hdoc) AS near_keeper
+         |  FROM cand c JOIN shB ON shB.bdoc = c.bdoc JOIN shH ON shH.hdoc = c.hdoc,
+         |    LATERAL (SELECT CAST(len(list_intersect(shB.sa, shH.sb)) AS BIGINT) AS inter,
+         |             CAST(len(shB.sa) + len(shH.sb)
+         |               - len(list_intersect(shB.sa, shH.sb)) AS BIGINT) AS uni) x
+         |  WHERE x.uni > 0 AND x.inter * 2 >= x.uni
+         |  GROUP BY c.bdoc)
+         |SELECT bx.doc_id,
+         |  CASE WHEN bx.ex_keeper IS NOT NULL THEN 'exact_dup'
+         |       WHEN near.near_keeper IS NOT NULL THEN 'near_dup'
+         |       ELSE 'unique' END AS status,
+         |  coalesce(bx.ex_keeper, near.near_keeper) AS keeper
+         |FROM bx LEFT JOIN near ON near.bdoc = bx.doc_id
+         |ORDER BY bx.doc_id""".stripMargin,
 
     "q_cms_heavy" ->
       s"""WITH ev AS (SELECT user_id FROM events),

@@ -259,6 +259,46 @@ class Round9bSpec extends AnyFunSuite {
     assert(md == r0.getAs[String]("manifest_md5"))
   }
 
+  test("dedup_incremental: exact / near / unique verdicts on a straddling fixture") {
+    import spark.implicits._
+    // the real testdata has no exact-duplicate texts, so the exact path
+    // is pinned on a fixture where a dup pair straddles the 80/20 split
+    // (history = id%5<4, batch = id%5==4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val src = java.nio.file.Paths.get(TestSpark.sf)
+    java.nio.file.Files.list(src).forEach { p =>
+      if (p.getFileName.toString != "documents.parquet")
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(dir, p.getFileName.toString))
+    }
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    Seq(
+      (1L, base, "en", "srcA"),                     // history
+      (4L, base, "en", "srcA"),                     // batch: EXACT dup of 1
+      (2L, base + " extra", "en", "srcA"),          // history near-neighbor
+      (9L, base + " bonus", "en", "srcA"),          // batch: NEAR dup of 2 (and 1)
+      (14L, "completely different words with no shared trigrams at all here today", "en", "srcB")) // batch: unique
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val out = run("dedup_incremental").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.get(r.fieldIndex("keeper"))))))
+      .toMap
+    val fx = SparkEntry.queries("dedup_incremental")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.get(r.fieldIndex("keeper"))))))
+      .toMap
+    assert(fx(4L) == (("exact_dup", Some(1L))), "identical text → exact, earliest keeper")
+    assert(fx(9L)._1 == "near_dup", "one-word delta → near dup")
+    assert(fx(14L) == (("unique", None)), "no shared trigrams → unique")
+    // on the real corpus: every batch doc gets exactly one verdict row
+    val batchN = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .where(pmod(col("doc_id"), lit(5)) === 4).count()
+    assert(out.size.toLong == batchN)
+    assert(out.values.forall { case (s, k) =>
+      (s == "unique") == k.isEmpty }, "keeper present iff dup")
+  }
+
   test("sim_l2_topk: matches an exact in-memory milli-quant recompute") {
     val rows = run("sim_l2_topk").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("l2m_sq")))
