@@ -524,10 +524,17 @@ object Round9b {
         .select(col("doc").as("bdoc"), col("band"), col("bandkey"))
       val cand = bbands.join(hkeep, Seq("band", "bandkey"))
         .select(col("bdoc"), col("hdoc")).distinct()
-      val shB = rem.select(col("doc_id").as("bdoc"),
-        array_distinct(TA.shingles(col("text"), 3)).as("sa"))
-      val shH = hist.select(col("doc_id").as("hdoc"),
-        array_distinct(TA.shingles(col("text"), 3)).as("sb"))
+        .localCheckpoint(true) // prunes BOTH shingle builds below
+      // shingle only the docs that reached candidate verification — the
+      // semi-joins keep the trigram build ∝ candidates, not ∝ corpus
+      val shB = rem
+        .join(cand.select(col("bdoc")), col("doc_id") === col("bdoc"), "left_semi")
+        .select(col("doc_id").as("bdoc"),
+          array_distinct(TA.shingles(col("text"), 3)).as("sa"))
+      val shH = hist
+        .join(cand.select(col("hdoc")), col("doc_id") === col("hdoc"), "left_semi")
+        .select(col("doc_id").as("hdoc"),
+          array_distinct(TA.shingles(col("text"), 3)).as("sb"))
       val near = cand.join(shB, Seq("bdoc")).join(shH, Seq("hdoc"))
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni",
