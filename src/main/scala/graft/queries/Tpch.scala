@@ -1,12 +1,17 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** TPC-H shape completion (round 9): Q4/Q6/Q15/Q17/Q19/Q21 — with
+/** TPC-H shape completion: Q4/Q6/Q15/Q17/Q19/Q21 (round 9) plus the
+  * partsupp-dependent Q2/Q11/Q16/Q20 (round 10) — with
   * Q1/Q3/Q5/Q7/Q8/Q9/Q10/Q12/Q13/Q14/Q18/Q22 already registered this
-  * covers 18 of the 22 TPC-H query shapes; Q2/Q11/Q16/Q20 need the
-  * partsupp table the testdata doesn't carry. Every output is
+  * covers all 22 TPC-H query shapes. The testdata carries no partsupp
+  * table, so [[partsupp]] DERIVES one deterministically from lineitem's
+  * distinct (partkey, suppkey) pairs with md5-derived availqty /
+  * supplycost — the identical construction runs as a CTE inside each
+  * oracle, so both engines query the same table. Every output is
   * integer-exact (cents / counts), and every correlated predicate is
   * rewritten into its distributed form (semi/anti join or group-having)
   * rather than a per-row subquery.
@@ -23,6 +28,49 @@ object Tpch {
     idiv(cents * (lit(10000L) - discBp), lit(10000L))
   }
 
+  /** First-`n`-nibble md5 hash of a string Column (0 .. 16ⁿ−1).
+    * conv(hex, 16, 10) is exact for n ≤ 15 digits in both engines. */
+  private def hN(e: Column, n: Int): Column =
+    conv(substring(md5(e), 1, n), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hN]] via nibble expansion (DuckDB has no base-16
+    * conv) — same pattern as Round9b.h3Sql. */
+  private def hNSql(e: String, n: Int): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
+    (1 to n).map(i => s"${nib(i)} * ${1L << (4 * (n - i))}")
+      .mkString("(", " + ", ")")
+  }
+
+  /** Derived partsupp: one row per distinct lineitem (partkey, suppkey)
+    * pair, with availqty ∈ [1, 5000] and supplycost ∈ [100, 100099]
+    * cents derived from md5 of the pair key — deterministic, engine-
+    * portable, and sf-scaling like the real TPC-H table (|partsupp| ∝
+    * |lineitem| distinct pairs). The distinct is one keyed rollup; the
+    * hash columns are per-row codegen'd kernels. */
+  def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val key = concat(col("ps_partkey").cast("string"), lit(":"),
+      col("ps_suppkey").cast("string"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty", lit(1L) + hN(key, 4) % 5000L)
+      .withColumn("ps_supplycost_cents",
+        lit(100L) + hN(concat(lit("c:"), key), 5) % 100000L)
+  }
+
+  /** Oracle CTE building the SAME derived partsupp (`ps`) in DuckDB. */
+  private val psKeySql =
+    "CAST(ps_partkey AS VARCHAR) || ':' || CAST(ps_suppkey AS VARCHAR)"
+  val psSql: String =
+    s"""ps0 AS (SELECT DISTINCT l_partkey AS ps_partkey,
+       |               l_suppkey AS ps_suppkey FROM lineitem),
+       |ps AS (SELECT ps_partkey, ps_suppkey,
+       |  CAST(1 + ${hNSql(psKeySql, 4)} % 5000 AS BIGINT) AS ps_availqty,
+       |  CAST(100 + ${hNSql(s"'c:' || $psKeySql", 5)} % 100000 AS BIGINT)
+       |    AS ps_supplycost_cents
+       |  FROM ps0)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Q4: order-priority checking — orders in a one-year window with at
@@ -35,9 +83,11 @@ object Tpch {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
       val late = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_shipdate"))
+      // both sides compared as DATEs (the oracle casts too): a non-
+      // midnight shipdate must not make day-60 count as late here only
       ord.join(late,
           ord("o_orderkey") === late("l_orderkey") &&
-            late("l_shipdate") > date_add(ord("o_orderdate"), 60),
+            to_date(late("l_shipdate")) > date_add(ord("o_orderdate"), 60),
           "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
@@ -135,8 +185,8 @@ object Tpch {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late",
-          when(col("l_shipdate") > date_add(col("o_orderdate"), 30), 1L)
+        .withColumn("late",  // DATE-vs-DATE, matching the oracle's casts
+          when(to_date(col("l_shipdate")) > date_add(col("o_orderdate"), 30), 1L)
             .otherwise(0L))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("late")).as("late"))
@@ -152,6 +202,127 @@ object Tpch {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
         .limit(20)
+    }),
+
+    // TPC-H Q2: minimum-cost supplier per part — the correlated
+    // min-per-group subquery. The correlation decorelates into a
+    // per-part min rollup joined back onto the candidate set (both
+    // sides already keyed by ps_partkey, so the rollup join reuses the
+    // partitioning). Region-filtered suppliers are a bounded dim
+    // (≤ |supplier|) and broadcast; the part filter (size + type) lands
+    // in the parquet scan. Output: top-100 by balance like the spec.
+    "q2_min_cost_supp" -> ((s, dir) => {
+      val eur = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .where(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+      val pr = Tables.part(s, dir)
+        .where(col("p_size") <= 25 && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val cand = partsupp(s, dir)
+        .join(pr, col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"), col("ps_supplycost_cents"),
+          col("s_suppkey"), col("s_name"), col("n_name"), col("bal_cents"))
+        .localCheckpoint(true) // feeds the per-part min AND the winner filter
+      val minc = cand.groupBy(col("ps_partkey").as("pk"))
+        .agg(min(col("ps_supplycost_cents")).as("min_cost"))
+      cand.join(minc, col("ps_partkey") === col("pk") &&
+          col("ps_supplycost_cents") === col("min_cost"))
+        .select(col("bal_cents"), col("s_name"), col("n_name"),
+          col("ps_partkey").as("p_partkey"),
+          col("ps_supplycost_cents").as("cost_cents"))
+        .orderBy(col("bal_cents").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11: important-stock parts — HAVING against a GLOBAL scalar
+    // (group value > fraction of the grand total). Both the per-part
+    // rollup and the total come from ONE nation-filtered partsupp frame
+    // (checkpointed so it builds once); the share test is the exact
+    // integer cross-multiplication value·1000 > total (share > 0.1%) —
+    // no double division. The 1-row total is a broadcast cross join.
+    "q11_inventory_share" -> ((s, dir) => {
+      val natSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val psn = partsupp(s, dir)
+        .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+        .localCheckpoint(true) // feeds the per-part rollup AND the total
+      val tot = psn.agg(sum(col("v")).as("total"))
+      psn.groupBy(col("ps_partkey"))
+        .agg(sum(col("v")).as("value_cents"))
+        .crossJoin(broadcast(tot))
+        .where(col("value_cents") * 1000 > col("total"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    }),
+
+    // TPC-H Q16: supplier-part counts — NOT IN over a filtered supplier
+    // set becomes a broadcast LEFT-ANTI join (s_suppkey is non-null, so
+    // anti ≡ NOT IN here); the brand/type/size exclusions land in the
+    // part scan; the count-distinct is the standard two-phase
+    // distinct-aggregate. Output ∝ brand×type×size cells.
+    "q16_supp_part_count" -> ((s, dir) => {
+      val pr = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = Tables.supplier(s, dir)
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      partsupp(s, dir)
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(pr, col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20: excess-stock suppliers — the nested EXISTS-with-
+    // aggregate: suppliers holding a 'red%' part whose availqty exceeds
+    // half the quantity they shipped of it in 1996. The correlated
+    // SUM(l_quantity) becomes a per-(part, supp) year rollup inner-
+    // joined to partsupp (a missing rollup row is the NULL-compare-
+    // false of the subquery form), the half test is the integer
+    // cross-mult 2·availqty > Σqty, and both the red-part gate and the
+    // final supplier gate are semi joins.
+    "q20_excess_stock" -> ((s, dir) => {
+      val red = Tables.part(s, dir)
+        .where(col("p_name").like("red%")).select(col("p_partkey"))
+      val shipped = Tables.lineitem(s, dir)
+        .where(year(col("l_shipdate")) === 1996)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sq"))
+      val excess = partsupp(s, dir)
+        .join(red, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .where(col("ps_availqty") * 2 > col("sq"))
+        .select(col("ps_suppkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .where(col("r_name") === "AMERICA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"), col("s_suppkey"))
     }),
   )
 
@@ -241,5 +412,84 @@ object Tpch {
         |FROM po JOIN supplier s ON po.late_supp = s.s_suppkey
         |GROUP BY s.s_suppkey, s.s_name
         |ORDER BY numwait DESC, s.s_suppkey LIMIT 20""".stripMargin,
+
+    // The oracle keeps the textbook CORRELATED min subquery — the shape
+    // the Spark side decorrelates into the rollup join.
+    "q2_min_cost_supp" ->
+      s"""WITH $psSql,
+         |eur AS (
+         |  SELECT s.s_suppkey, s.s_name, n.n_name,
+         |    CAST(round(s.s_acctbal * 100) AS BIGINT) AS bal_cents
+         |  FROM supplier s
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = 'EUROPE'),
+         |cand AS (
+         |  SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+         |    e.s_name, e.n_name, e.bal_cents
+         |  FROM ps
+         |  JOIN part p ON ps.ps_partkey = p.p_partkey
+         |  JOIN eur e ON ps.ps_suppkey = e.s_suppkey
+         |  WHERE p.p_size <= 25 AND p.p_type = 'SMALL')
+         |SELECT c.bal_cents, c.s_name, c.n_name,
+         |  c.ps_partkey AS p_partkey, c.ps_supplycost_cents AS cost_cents
+         |FROM cand c
+         |WHERE c.ps_supplycost_cents = (
+         |  SELECT min(c2.ps_supplycost_cents) FROM cand c2
+         |  WHERE c2.ps_partkey = c.ps_partkey)
+         |ORDER BY c.bal_cents DESC, c.n_name, c.s_name, p_partkey
+         |LIMIT 100""".stripMargin,
+
+    "q11_inventory_share" ->
+      s"""WITH $psSql,
+         |psn AS (
+         |  SELECT ps.ps_partkey,
+         |    ps.ps_supplycost_cents * ps.ps_availqty AS v
+         |  FROM ps
+         |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = 'ASIA'),
+         |tot AS (SELECT CAST(sum(v) AS BIGINT) AS total FROM psn)
+         |SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+         |FROM psn, tot
+         |GROUP BY ps_partkey, tot.total
+         |HAVING sum(v) * 1000 > tot.total
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin,
+
+    // The oracle keeps the textbook NOT IN form; the Spark side runs it
+    // as a broadcast anti join (s_suppkey is non-null, so equivalent).
+    "q16_supp_part_count" ->
+      s"""WITH $psSql
+         |SELECT p.p_brand, p.p_type, p.p_size,
+         |  count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+         |FROM ps JOIN part p ON ps.ps_partkey = p.p_partkey
+         |WHERE p.p_brand <> 'Brand#12' AND p.p_type <> 'PROMO'
+         |  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+         |  AND ps.ps_suppkey NOT IN (
+         |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p.p_brand, p.p_type, p.p_size
+         |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+
+    // The oracle keeps the nested EXISTS-with-aggregate (IN + correlated
+    // SUM) — a missing-year pair compares against NULL and drops, which
+    // the Spark side expresses as the inner rollup join.
+    "q20_excess_stock" ->
+      s"""WITH $psSql
+         |SELECT s.s_suppkey, s.s_name
+         |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'AMERICA'
+         |  AND s.s_suppkey IN (
+         |    SELECT ps.ps_suppkey FROM ps
+         |    WHERE ps.ps_partkey IN
+         |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |      AND ps.ps_availqty * 2 > (
+         |        SELECT sum(CAST(round(l.l_quantity) AS BIGINT))
+         |        FROM lineitem l
+         |        WHERE l.l_partkey = ps.ps_partkey
+         |          AND l.l_suppkey = ps.ps_suppkey
+         |          AND EXTRACT(year FROM l.l_shipdate) = 1996))
+         |ORDER BY s.s_name, s.s_suppkey""".stripMargin,
   )
 }

@@ -122,7 +122,11 @@ class PlanSpec extends AnyFunSuite {
     "events_type_affinity", "text_cooccur_lift", "sim_l2_topk",
     //  - q15_top_supplier: 1-row max-revenue scalar broadcast under the
     //    bounded per-supplier rollup (the q_scalar_subquery shape)
-    "q15_top_supplier")
+    "q15_top_supplier",
+    //  - q11_inventory_share: 1-row inventory-grand-total scalar
+    //    broadcast under the per-part rollup (the HAVING-vs-global-
+    //    scalar shape)
+    "q11_inventory_share")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -159,7 +163,10 @@ class PlanSpec extends AnyFunSuite {
                                  // beat materializing a corpus-sized
                                  // checkpoint just to dedup them
       "q9_profit" -> 5,          // 5-table star join (fact + 4 dims)
-      "q10_returns" -> 4         // 4-table star join (fact + 3 dims)
+      "q10_returns" -> 4,        // 4-table star join (fact + 3 dims)
+      "q20_excess_stock" -> 6    // lineitem twice (derived partsupp +
+                                 // the shipped-qty rollup) + part +
+                                 // supplier + nation + region
     ).withDefaultValue(3)
     val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_clusters", "dedup_containment", "dedup_threshold_sweep")
@@ -175,6 +182,53 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PushedFilters:"))
     assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_quantity"))
+  }
+
+  // TPC-H-family pushdown guards: the selective predicates must land in
+  // the parquet scan (PushedFilters), not run post-scan — at 100 TB the
+  // difference is reading row groups vs reading the table.
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q6_selective_sum pushes discount and quantity bounds into the scan") {
+    val plan = formatted("q6_selective_sum")
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.04"), plan)
+    assert(plan.contains("LessThanOrEqual(l_discount,0.06"), plan)
+    assert(plan.contains("LessThan(l_quantity,24"), plan)
+  }
+
+  test("q10_returns pushes the returnflag filter into the scan") {
+    val plan = formatted("q10_returns")
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+  }
+
+  test("q4_priority_exists pushes the order-status scan prune") {
+    // year(o_orderdate) = 1996 is not a source filter by itself, but the
+    // IsNotNull prune must reach the scan and no full-row read survive
+    val plan = formatted("q4_priority_exists")
+    assert(plan.contains("IsNotNull(o_orderdate)") &&
+      plan.contains("IsNotNull(l_orderkey)"), plan)
+  }
+
+  test("q19_dnf_pred pushes the brand/size DNF into the part scan") {
+    // Catalyst extracts the common p_size >= 1 bound AND pushes the whole
+    // brand/size disjunction as one Or tree into the part scan
+    val plan = formatted("q19_dnf_pred")
+    assert(plan.contains("GreaterThanOrEqual(p_size,1)") &&
+      plan.contains("And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,20))"),
+      plan)
+  }
+
+  // (q2_min_cost_supp's part scan sits behind the eager candidate
+  // checkpoint, so its final plan is a LogicalRDD join — the part-scan
+  // pushdown property is covered by q16 below, which shares the shape.)
+  test("q16_supp_part_count pushes brand/type/size exclusions into the part scan") {
+    val plan = formatted("q16_supp_part_count")
+    assert(plan.contains("Not(EqualTo(p_brand,Brand#12))") &&
+      plan.contains("Not(EqualTo(p_type,PROMO))") &&
+      plan.contains("In(p_size,"), plan)
   }
 
   test("q5_multi_join broadcasts all five dimension sides") {

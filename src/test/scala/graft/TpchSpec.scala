@@ -86,6 +86,122 @@ class TpchSpec extends AnyFunSuite {
     assert(r.getAs[Long]("revenue_cents") > 0)
   }
 
+  // ---- round-10 derived-partsupp family (Q2/Q11/Q16/Q20) ----
+
+  /** In-memory twin of Tpch.partsupp's md5-derived columns. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def hN(s: String, n: Int): Long =
+    java.lang.Long.parseLong(md5hex(s).take(n), 16)
+  private lazy val psMem: Map[(Long, Long), (Long, Long)] =
+    graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct().collect()
+      .map { r =>
+        val (pk, sk) = (r.getLong(0), r.getLong(1))
+        val key = s"$pk:$sk"
+        (pk, sk) -> (1L + hN(key, 4) % 5000L, 100L + hN(s"c:$key", 5) % 100000L)
+      }.toMap
+
+  test("partsupp: derived columns match the JVM md5 reference") {
+    val rows = graft.queries.Tpch.partsupp(spark, TestSpark.sf).collect()
+    assert(rows.length == psMem.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("ps_partkey"), r.getAs[Long]("ps_suppkey"))
+      assert((r.getAs[Long]("ps_availqty"), r.getAs[Long]("ps_supplycost_cents"))
+        == psMem(k), s"mismatch at $k")
+    }
+  }
+
+  test("q2_min_cost_supp: every winner carries its part's true minimum cost") {
+    val eur = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .join(graft.sources.Tables.nation(spark, TestSpark.sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, TestSpark.sf)
+        .where(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val parts = graft.sources.Tables.part(spark, TestSpark.sf)
+      .where(col("p_size") <= 25 && col("p_type") === "SMALL")
+      .select(col("p_partkey")).collect().map(_.getLong(0)).toSet
+    val minCost = psMem.toSeq
+      .filter { case ((pk, sk), _) => parts(pk) && eur(sk) }
+      .groupBy(_._1._1).view.mapValues(_.map(_._2._2).min).toMap
+    val rows = run("q2_min_cost_supp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cost_cents") ==
+        minCost(r.getAs[Long]("p_partkey")))
+    }
+  }
+
+  test("q11_inventory_share: survivors exceed 0.1% of the recomputed total") {
+    val asia = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .join(graft.sources.Tables.nation(spark, TestSpark.sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, TestSpark.sf)
+        .where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val vals = psMem.toSeq.collect {
+      case ((pk, sk), (aq, cost)) if asia(sk) => pk -> aq * cost
+    }
+    val total = vals.map(_._2).sum
+    val perPart = vals.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = perPart.filter { case (_, v) => v * 1000 > total }
+    val rows = run("q11_inventory_share").collect()
+      .map(r => r.getAs[Long]("ps_partkey") -> r.getAs[Long]("value_cents"))
+    assert(rows.toMap == expect && rows.nonEmpty)
+  }
+
+  test("q16_supp_part_count: NOT-IN anti join equals the recomputed counts") {
+    val bad = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      .collect().map(_.getLong(0)).toSet
+    val parts = graft.sources.Tables.part(spark, TestSpark.sf)
+      .where(col("p_brand") =!= "Brand#12" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3))))
+      .toMap
+    val expect = psMem.keys.toSeq
+      .collect { case (pk, sk) if parts.contains(pk) && !bad(sk) =>
+        parts(pk) -> sk }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val rows = run("q16_supp_part_count").collect().map { r =>
+      (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        r.getAs[Int]("p_size")) -> r.getAs[Long]("supplier_cnt")
+    }
+    assert(rows.toMap == expect && rows.nonEmpty)
+  }
+
+  test("q20_excess_stock: nested-aggregate gate recomputed in memory") {
+    val america = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .join(graft.sources.Tables.nation(spark, TestSpark.sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(graft.sources.Tables.region(spark, TestSpark.sf)
+        .where(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).toSet
+    val red = graft.sources.Tables.part(spark, TestSpark.sf)
+      .where(col("p_name").like("red%")).select(col("p_partkey"))
+      .collect().map(_.getLong(0)).toSet
+    val shipped = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .where(year(col("l_shipdate")) === 1996)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getLong(1))).view
+      .mapValues(_.map(r => math.round(r.getDouble(2))).sum).toMap
+    val excess = psMem.collect {
+      case ((pk, sk), (aq, _))
+        if red(pk) && shipped.get((pk, sk)).exists(aq * 2 > _) => sk
+    }.toSet
+    val expect = america.intersect(excess)
+    val got = run("q20_excess_stock").collect()
+      .map(_.getAs[Long]("s_suppkey")).toSet
+    assert(got == expect)
+  }
+
   test("q21_late_supplier: per-order attribution recomputed in memory") {
     val rows = run("q21_late_supplier").collect()
       .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait")).toMap
