@@ -109,63 +109,39 @@ object ScaleProbe {
     // node-count broadcast and per-node state stay O(|V|) spread across
     // partitions — no step ever materializes the graph on one task).
     time("pagerank_3iter") {
+      // the SHARED kernel (graft.ops.Graph.pagerank — the exact code
+      // graph_pagerank registers), fed mult× replicated edges
       val li = graft.sources.Tables.lineitem(spark, dir)
         .crossJoin(spark.range(mult).toDF("rep"))
         .select(concat(lit("s:"), ((col("l_suppkey") * mult) + col("rep")).cast("string")).as("a"),
           concat(lit("p:"), ((col("l_partkey") * mult) + col("rep")).cast("string")).as("b"))
         .distinct()
-      val edges0 = li.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
-      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
-        .localCheckpoint(true)
-      val edgesOd = edges0.join(deg, Seq("src"))
-        .repartition(col("src")).localCheckpoint(true)
-      val nn = deg.agg(count(lit(1)).as("n"))
-      var pr = deg.crossJoin(broadcast(nn))
-        .select(col("src").as("node"), expr("1000000000 div n").as("pr"))
-      for (_ <- 1 to 3) {
-        val contrib = pr
-          .withColumnRenamed("node", "src")
-          .join(edgesOd, Seq("src"))
-          .select(col("dst"), expr("pr div od").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-        pr = contrib.crossJoin(broadcast(nn))
-          .select(col("dst").as("node"),
-            expr("(15 * (1000000000 div n)) div 100 + (85 * csum) div 100").as("pr"))
-      }
-      pr.count()
+      graft.ops.Graph.pagerank(
+        graft.ops.Graph.undirectedEdges(li, "a", "b"), 3).count()
     }
     // text_cooccur_lift's pair fan-out under replication: the vocabulary
     // cap (top-30 by df) bounds per-doc pairs at C(30,2) regardless of
     // corpus size, so total pair rows grow linearly with docs — the cap
     // is what stands between this and |vocab|² explosion.
     time("cooccur_pairs_capped") {
+      // the SHARED kernel (graft.ops.Cooccur.cappedPairs — the exact
+      // code text_cooccur_lift registers), fed mult× replicated docs
       val docTok = docs
         .select(col("doc_id"), explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
         .distinct().localCheckpoint(true)
-      val top = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("tok")).limit(30)
-      val dt = docTok.join(broadcast(top), Seq("tok"))
-      dt.as("l").join(dt.as("r"), Seq("doc_id"))
-        .where(col("l.tok") < col("r.tok"))
-        .groupBy(col("l.tok"), col("r.tok")).agg(count(lit(1)))
-        .count()
+      graft.ops.Cooccur.cappedPairs(docTok, 30).count()
     }
     // q_cms_heavy's sketch build at mult× events: the sketch is 4×1024
     // cells NO MATTER the stream size (that is the point of CMS), so the
     // keyed rollup's map-side combine keeps shuffle rows bounded at
     // 4096 × partitions while scan cost grows linearly.
     time("cms_sketch_build") {
+      // the SHARED kernel (graft.ops.Sketch.cmsSketch — the exact code
+      // q_cms_heavy and cmsSketchStream run), fed mult× replicated keys
       val ev = graft.sources.Tables.events(spark, dir)
         .crossJoin(spark.range(mult).toDF("rep"))
         .select((col("user_id") * mult + col("rep")).as("user_id"))
-      ev.select(col("user_id"),
-          explode(array((0 until 4).map(lit): _*)).as("r"))
-        .withColumn("bucket",
-          pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-            col("user_id").cast("string"))), 1, 3), 16, 10).cast("long"), lit(1024L)))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
-        .count()
+      graft.ops.Sketch.cmsSketch(ev, "user_id", 4, 1024L).count()
     }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))

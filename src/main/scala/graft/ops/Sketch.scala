@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared sketch hashing kernels. ONE definition serves the batch query
+  * (Round9b.q_cms_heavy), the streaming twin (StreamOps.cmsSketchStream)
+  * and the scale probe (ScaleProbe cms_sketch_build), so a probe or a
+  * stream can never silently drift from the oracle-checked query it
+  * claims to characterize.
+  *
+  * All hashing goes through md5 hex nibbles — engine-portable (DuckDB
+  * reproduces it via [[h3Sql]]'s strpos expansion), deterministic, and
+  * codegen'd on the Spark side.
+  */
+object Sketch {
+
+  /** First-3-nibble md5 hash (0..4095) of a string Column — the CMS row
+    * hash. conv(hex, 16, 10) on 3 digits is exact in both engines. */
+  def h3(e: Column): Column =
+    conv(substring(md5(e), 1, 3), 16, 10).cast("long")
+
+  /** DuckDB twin of [[h3]] via nibble expansion (no base-16 conv). */
+  def h3Sql(e: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
+    s"(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)})"
+  }
+
+  /** Count-min bucket for `key` in sketch row `r`: h3("r:key") mod
+    * `width`. The (row, key) concatenation makes the `depth` row hashes
+    * pairwise independent enough for the CMS bound while staying one
+    * md5 per cell. */
+  def cmsBucket(key: Column, r: Column, width: Long): Column =
+    pmod(h3(concat(r.cast("string"), lit(":"), key.cast("string"))),
+      lit(width))
+
+  /** The 4×`width` sketch build: explode each key over the `depth` rows,
+    * bucket, and count — ONE keyed rollup whose map-side combine bounds
+    * shuffle rows at depth·width·partitions no matter the input volume
+    * (the point of CMS at 100 TB). Works identically on a batch frame
+    * and a streaming frame (the groupBy becomes a stateful agg). */
+  def cmsSketch(keyed: org.apache.spark.sql.DataFrame, keyCol: String,
+                depth: Int = 4, width: Long = 1024L): org.apache.spark.sql.DataFrame =
+    keyed
+      .select(col(keyCol).cast("string").as("k"),
+        explode(array((0 until depth).map(lit): _*)).as("r"))
+      .withColumn("bucket", cmsBucket(col("k"), col("r"), width))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+}

@@ -24,17 +24,10 @@ object Round9b {
 
   private val SCALE = 1000000000L // PageRank fixed-point scale (1e9)
 
-  /** First-3-nibble md5 hash (0..4095) of a string Column — the CMS row
-    * hash. conv(hex, 16, 10) on 3 digits is exact in both engines. */
-  private def h3(e: org.apache.spark.sql.Column) =
-    conv(substring(md5(e), 1, 3), 16, 10).cast("long")
-
-  /** DuckDB twin of [[h3]] via nibble expansion (no base-16 conv). */
-  private def h3Sql(e: String): String = {
-    def nib(i: Int) =
-      s"(strpos('0123456789abcdef', substring(md5($e), $i, 1)) - 1)"
-    s"(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)})"
-  }
+  // Shared kernels (graft.ops.Sketch / graft.ops.Graph): ONE definition
+  // serves this oracle-checked query, the streaming twin, and the scale
+  // probe, so none can silently drift from the others.
+  private def h3Sql(e: String): String = graft.ops.Sketch.h3Sql(e)
 
   /** Discounted revenue in exact integer cents. */
   private def revCents = {
@@ -218,37 +211,13 @@ object Round9b {
         .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
           concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
         .distinct()
-      val edges0 = li.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(li.select(col("b").as("src"), col("a").as("dst")))
-      val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
-        .localCheckpoint(true)
-      // out-degree folded INTO the edge list once, and the list
-      // REPARTITIONED BY src before the checkpoint: localCheckpoint
-      // preserves the hash partitioning in the LogicalRDD, so each
-      // iteration's pr ⋈ edges join exchanges only the |V|-sized rank
-      // frame — the O(|E|) edge list never shuffles again after the
-      // build (the win that matters when |E| ≫ |V|)
-      val edgesOd = edges0.join(deg, Seq("src"))
-        .repartition(col("src"))
-        .localCheckpoint(true) // scanned 3× by the iterations
-      val nn = deg.agg(count(lit(1)).as("n"))
-      val base = idiv(lit(15L) * idiv(lit(SCALE), col("n")), lit(100L))
-      var pr = deg.crossJoin(broadcast(nn))
-        .select(col("src").as("node"), idiv(lit(SCALE), col("n")).as("pr"))
-      for (_ <- 1 to 3) {
-        // name-based joins on renamed projections: the same edge frame
-        // appears in every iteration's lineage, and dataset-qualified
-        // column refs would be ambiguous by exprId
-        val contrib = pr
-          .withColumnRenamed("node", "src")
-          .join(edgesOd, Seq("src"))
-          .select(col("dst"), idiv(col("pr"), col("od")).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-        pr = contrib.crossJoin(broadcast(nn))
-          .select(col("dst").as("node"),
-            (base + idiv(lit(85L) * col("csum"), lit(100L))).as("pr"))
-      }
-      pr.orderBy(col("pr").desc, col("node")).limit(30)
+      // the iteration kernel lives in graft.ops.Graph — shared verbatim
+      // with ScaleProbe's pagerank_3iter, so the probe characterizes
+      // THIS plan (edge build repartitioned by src + checkpointed once;
+      // each iteration exchanges only the |V|-sized rank frame)
+      graft.ops.Graph.pagerank(
+          graft.ops.Graph.undirectedEdges(li, "a", "b"), 3, SCALE)
+        .orderBy(col("pr").desc, col("node")).limit(30)
     }),
 
     // Per-user rolling median (7-event window) of purchase cents —
@@ -318,8 +287,11 @@ object Round9b {
         .rowsBetween(Window.unboundedPreceding, -1) // over blocks: bounded
       val offs = grp.withColumn("pm", max(col("bm")).over(wB))
         .select(col("event_type"), col("blk"), col("pm"))
+      // (event_id, us) order: a replayed log can carry duplicate ids,
+      // and with id-only ordering the frame boundary among ties is
+      // nondeterministic — the `us` tiebreaker pins it on BOTH engines
       val wIn = Window.partitionBy(col("event_type"), col("blk"))
-        .orderBy(col("event_id"))
+        .orderBy(col("event_id"), col("us"))
         .rowsBetween(Window.unboundedPreceding, -1)
       e.join(broadcast(offs), Seq("event_type", "blk"))
         .withColumn("prev", greatest(
@@ -406,14 +378,8 @@ object Round9b {
         .localCheckpoint(true) // feeds df, the vocab cap, AND the pairs
       val nd = docTok.select(col("doc_id")).distinct()
         .agg(count(lit(1)).as("nd"))
-      val top = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .orderBy(col("df").desc, col("tok")).limit(30)
-      val dt = docTok.join(broadcast(top), Seq("tok"))
-      val pairs = dt.as("l").join(dt.as("r"), Seq("doc_id"))
-        .where(col("l.tok") < col("r.tok"))
-        .groupBy(col("l.tok").as("ta"), col("l.df").as("df_a"),
-          col("r.tok").as("tb"), col("r.df").as("df_b"))
-        .agg(count(lit(1)).as("c_xy"))
+      // shared kernel (graft.ops.Cooccur) — also what ScaleProbe runs
+      val pairs = graft.ops.Cooccur.cappedPairs(docTok, 30)
       pairs.crossJoin(broadcast(nd))
         .withColumn("lift_bp",
           idiv(col("c_xy") * col("nd") * 10000, col("df_a") * col("df_b")))
@@ -435,18 +401,13 @@ object Round9b {
       val ev = Tables.events(s, dir).select(col("user_id"))
         .localCheckpoint(true) // feeds sketch, exact top-10, AND the total
       val rs = array((0 until 4).map(lit): _*)
-      def bucket(keyCol: org.apache.spark.sql.Column,
-                 rCol: org.apache.spark.sql.Column) =
-        pmod(h3(concat(rCol.cast("string"), lit(":"), keyCol.cast("string"))),
-          lit(W))
-      val sketch = ev.select(col("user_id"), explode(rs).as("r"))
-        .withColumn("bucket", bucket(col("user_id"), col("r")))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val sketch = graft.ops.Sketch.cmsSketch(ev, "user_id", 4, W)
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("user_id")).limit(10)
       val tot = ev.agg(count(lit(1)).as("nn"))
       exact.select(col("user_id"), col("exact_n"), explode(rs).as("r"))
-        .withColumn("bucket", bucket(col("user_id"), col("r")))
+        .withColumn("bucket",
+          graft.ops.Sketch.cmsBucket(col("user_id"), col("r"), W))
         .join(broadcast(sketch), Seq("r", "bucket"))
         .groupBy(col("user_id"), col("exact_n"))
         .agg(min(col("cnt")).as("est_n"))
@@ -736,7 +697,7 @@ object Round9b {
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
         |  FROM events WHERE ts IS NOT NULL),
         |r AS (SELECT event_type, us,
-        |  max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |  max(us) OVER (PARTITION BY event_type ORDER BY event_id, us
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
         |  FROM e),
         |b AS (SELECT event_type,

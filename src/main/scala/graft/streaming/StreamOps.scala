@@ -416,7 +416,9 @@ object StreamOps {
         case (typ, it, state: GroupState[Long]) =>
           var mx = state.getOption.getOrElse(Long.MinValue)
           val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
-          it.toSeq.sortBy(_.event_id).foreach { o =>
+          // (event_id, us) order — the batch audit's tiebreak, so a
+          // replayed log with duplicate ids still reproduces it exactly
+          it.toSeq.sortBy(o => (o.event_id, o.us)).foreach { o =>
             val late =
               if (mx == Long.MinValue || mx <= o.us) 0L
               else (mx - o.us) / 1000000L
@@ -445,14 +447,10 @@ object StreamOps {
     * the streamed sketch returns the batch estimates exactly. */
   def cmsSketchStream(events: DataFrame, keyCol: String,
                       depth: Int = 4, width: Int = 1024): DataFrame =
-    events
-      .select(col(keyCol).cast("string").as("k"),
-        explode(array((0 until depth).map(lit): _*)).as("r"))
-      .withColumn("bucket",
-        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-          col("k"))), 1, 3), 16, 10).cast("long"), lit(width.toLong)))
-      .groupBy(col("r"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    // the shared batch kernel (graft.ops.Sketch) applied to a streaming
+    // frame: the groupBy becomes a stateful agg over the same ≤depth×width
+    // cells, and the hash is BY CONSTRUCTION the one q_cms_heavy probes
+    graft.ops.Sketch.cmsSketch(events, keyCol, depth, width.toLong)
 
   /** Continuous table-freshness monitor — the streaming twin of the
     * batch `etl_freshness` audit: per event type, the latest event time
