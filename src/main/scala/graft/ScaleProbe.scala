@@ -16,6 +16,12 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // comma-separated case names to run (empty = all) — lets the 100×
+    // passes target the iterative/sketch kernels without paying for the
+    // full pair-generator suite each time
+    val only = sys.env.getOrElse("SPARK_GRAFT_SCALE_CASES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def enabled(tag: String): Boolean = only.isEmpty || only(tag)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -29,7 +35,7 @@ object ScaleProbe {
       .localCheckpoint(true)
     println(s"SCALE mult=$mult docs=${docs.count()} vectors=${emb.count()}")
 
-    def time(tag: String)(f: => Long): Unit = {
+    def time(tag: String)(f: => Long): Unit = if (enabled(tag)) {
       val t0 = System.nanoTime()
       val rows = f
       println(f"SCALE $tag rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -142,6 +148,25 @@ object ScaleProbe {
         .crossJoin(spark.range(mult).toDF("rep"))
         .select((col("user_id") * mult + col("rep")).as("user_id"))
       graft.ops.Sketch.cmsSketch(ev, "user_id", 4, 1024L).count()
+    }
+    // dedup_incremental's batch-vs-history path at mult×: every replica
+    // carries the original text plus a per-replica salt token, so NO
+    // batch doc is an exact dup and every one is a near-dup of ~mult
+    // same-origin replicas — the worst case for the near path. The
+    // bucket cap (50) plus the candidate-pruned trigram verify is what
+    // keeps work ∝ candidates instead of ∝ corpus × bucket occupancy.
+    // Kernel = graft.ops.IncrementalDedup.verdictsInline, the EXACT code
+    // the registered query runs.
+    time("dedup_incremental") {
+      val salted = graft.sources.Tables.documents(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("doc_id") * mult + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep").cast("string")).as("text"))
+        .localCheckpoint(true)
+      graft.ops.IncrementalDedup.verdictsInline(
+        salted.where(pmod(col("doc_id"), lit(5)) < 4),
+        salted.where(pmod(col("doc_id"), lit(5)) === 4),
+        "doc_id", "text").count()
     }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))

@@ -46,25 +46,15 @@ object SnapshotDiff {
   }
 
   /** Apply a [[changes]]-shaped insert/update/delete set to `base` —
-    * MERGE semantics including deletes, in ONE shuffle: union the change
-    * rows (priority 1) with the base (priority 0), keep the top row per
-    * key, then drop keys whose winning row is a delete. The two-join
-    * alternative (upsert + anti-join) shuffles the big base twice; this
-    * shape shuffles it once, which is the difference that matters when
-    * `base` is the 100 TB side and `changes` is the daily 0.1%. */
+    * MERGE semantics including deletes, in ONE shuffle (the two-join
+    * alternative, upsert + anti-join, shuffles the big base twice —
+    * the difference that matters when `base` is the 100 TB side and
+    * `changes` is the daily 0.1%).
+    *
+    * The WHEN MATCHED AND change='delete' THEN DELETE specialization of
+    * the unified [[Merge.merge]]. */
   def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
-                   changeCol: String = "change"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cols = base.columns.toSeq
-    val tagged = changes.select((cols.map(col) :+ col(changeCol).as("_graft_chg")): _*)
-      .withColumn("_graft_pri", lit(1))
-      .unionByName(base.select(cols.map(col): _*)
-        .withColumn("_graft_chg", lit(null).cast("string"))
-        .withColumn("_graft_pri", lit(0)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_graft_pri").desc)
-    tagged.withColumn("_graft_rn", row_number().over(w))
-      .where(col("_graft_rn") === 1 &&
-        (col("_graft_chg").isNull || col("_graft_chg") =!= "delete"))
-      .drop("_graft_chg", "_graft_pri", "_graft_rn")
-  }
+                   changeCol: String = "change"): DataFrame =
+    Merge.merge(base, changes, keys,
+      deleteCond = Some(col(changeCol) === "delete"))
 }

@@ -19,16 +19,10 @@ object Upsert {
   /** Merge `updates` into `base` on `keys`. Columns are aligned to `base`'s
     * schema. Among multiple updates for one key, `versionCols` (descending)
     * break ties deterministically.
-    */
+    *
+    * The WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT specialization of
+    * the unified [[Merge.merge]] (same single-shuffle plan). */
   def merge(base: DataFrame, updates: DataFrame, keys: Seq[String],
-            versionCols: Seq[String] = Nil): DataFrame = {
-    val cols = base.columns.toSeq
-    val tagged = updates.select(cols.map(col): _*).withColumn("_graft_pri", lit(1))
-      .unionByName(base.select(cols.map(col): _*).withColumn("_graft_pri", lit(0)))
-    val order = col("_graft_pri").desc +: versionCols.map(col(_).desc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    tagged.withColumn("_graft_rn", row_number().over(w))
-      .where(col("_graft_rn") === 1)
-      .drop("_graft_pri", "_graft_rn")
-  }
+            versionCols: Seq[String] = Nil): DataFrame =
+    Merge.merge(base, updates, keys, versionCols = versionCols)
 }

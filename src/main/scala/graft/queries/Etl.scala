@@ -174,6 +174,37 @@ object Etl {
         .orderBy(col("o_orderkey"))
     }),
 
+    // MERGE INTO, insert-only clause (WHEN NOT MATCHED THEN INSERT with
+    // no matched action): new keys enter with their source values,
+    // existing keys are NOT clobbered even though the source carries
+    // changed values for them — the "backfill without overwriting"
+    // load. One single-shuffle Merge.merge kernel.
+    "etl_merge_insert_only" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val existing = base.where(col("o_orderkey") % 5 =!= 0)
+      val src = base // every key, prices bumped: must only land on new keys
+        .withColumn("o_totalprice",
+          (col("o_totalprice") * lit(1.1)).cast("decimal(18,3)").cast("double"))
+      graft.etl.Merge.merge(existing, src, Seq("o_orderkey"),
+          updateMatched = false)
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // MERGE INTO, update-only clause (WHEN MATCHED THEN UPDATE with no
+    // insert): source rows for unknown keys are discarded — the
+    // "apply corrections, never create" load. Same kernel.
+    "etl_merge_update_only" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val existing = base.where(col("o_orderkey") % 5 =!= 0)
+      val src = base.where(col("o_orderkey") % 3 === 0) // overlaps + new keys
+        .withColumn("o_orderstatus", lit("F"))
+      graft.etl.Merge.merge(existing, src, Seq("o_orderkey"),
+          insertUnmatched = false)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Incremental aggregate maintenance: combine the BASE's partial
     // aggregate with the DELTA batch's — sum-of-sums and sum-of-counts —
     // instead of re-aggregating base detail (the incremental-view-
@@ -324,6 +355,27 @@ object Etl {
         |       THEN CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE)
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+
+    // Insert-only: existing keys keep their ORIGINAL price (the bumped
+    // source value must not land), new keys arrive bumped.
+    "etl_merge_insert_only" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Update-only: keys in base get status F when the source carries
+    // them; source-only keys (%5=0 ∧ %3=0) never appear.
+    "etl_merge_update_only" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'F' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Combining partial aggregates must equal aggregating the whole.
     "etl_incr_agg" ->

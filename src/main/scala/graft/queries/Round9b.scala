@@ -460,61 +460,15 @@ object Round9b {
     // cross-mult 2·|∩| ≥ |∪|. At 100 TB the daily batch joins a
     // precomputed history index; nothing here rescans history pairs.
     "dedup_incremental" -> ((s, dir) => {
-      import graft.ops.{Dedup => DD}
+      // the kernel lives in graft.ops.IncrementalDedup.verdictsInline —
+      // shared verbatim with ScaleProbe (so the probe characterizes
+      // THIS plan) and twinned by the persisted-index production
+      // component (buildIndex/verdicts/append)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val hist = docs.where(pmod(col("doc_id"), lit(5)) < 4)
-      val batch = docs.where(pmod(col("doc_id"), lit(5)) === 4)
-      val hh = hist.select(md5(col("text")).as("h"), col("doc_id"))
-        .groupBy(col("h")).agg(min(col("doc_id")).as("ex_keeper"))
-      val bx = batch.withColumn("h", md5(col("text")))
-        .join(hh, Seq("h"), "left")
-        .select(col("doc_id"), col("text"), col("ex_keeper"))
-        .localCheckpoint(true) // feeds the verdicts AND the near path
-      val rem = bx.where(col("ex_keeper").isNull)
-        .select(col("doc_id"), col("text"))
-      val hbands = DD.lshBands(
-          DD.minhashSignatureArray(hist, "doc_id", "text", 8), 4)
-        .localCheckpoint(true) // occupancy + candidate join both read it
-      val occ = hbands.groupBy(col("band"), col("bandkey"))
-        .agg(count(lit(1)).as("m"))
-      val hkeep = hbands.join(occ, Seq("band", "bandkey"))
-        .where(col("m") <= 50).select(col("doc").as("hdoc"), col("band"),
-          col("bandkey"))
-      val bbands = DD.lshBands(
-          DD.minhashSignatureArray(rem, "doc_id", "text", 8), 4)
-        .select(col("doc").as("bdoc"), col("band"), col("bandkey"))
-      val cand = bbands.join(hkeep, Seq("band", "bandkey"))
-        .select(col("bdoc"), col("hdoc")).distinct()
-        .localCheckpoint(true) // prunes BOTH shingle builds below
-      // shingle only the docs that reached candidate verification — the
-      // semi-joins keep the trigram build ∝ candidates, not ∝ corpus
-      // tokens projected to an attribute before shingling (SURVEY §6):
-      // the HOF over a materialized array is linear, an inline
-      // tokens(text) child re-splits the string per element_at
-      val shB = rem
-        .join(cand.select(col("bdoc")), col("doc_id") === col("bdoc"), "left_semi")
-        .select(col("doc_id").as("bdoc"), TA.tokens(col("text")).as("toks"))
-        .select(col("bdoc"),
-          array_distinct(TA.shinglesOf(col("toks"), 3)).as("sa"))
-      val shH = hist
-        .join(cand.select(col("hdoc")), col("doc_id") === col("hdoc"), "left_semi")
-        .select(col("doc_id").as("hdoc"), TA.tokens(col("text")).as("toks"))
-        .select(col("hdoc"),
-          array_distinct(TA.shinglesOf(col("toks"), 3)).as("sb"))
-      val near = cand.join(shB, Seq("bdoc")).join(shH, Seq("hdoc"))
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("uni",
-          size(col("sa")).cast("long") + size(col("sb")) - col("inter"))
-        .where(col("uni") > 0 && col("inter") * 2 >= col("uni"))
-        .groupBy(col("bdoc")).agg(min(col("hdoc")).as("near_keeper"))
-      bx.select(col("doc_id"), col("ex_keeper"))
-        .join(near.withColumnRenamed("bdoc", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("status",
-          when(col("ex_keeper").isNotNull, "exact_dup")
-            .when(col("near_keeper").isNotNull, "near_dup")
-            .otherwise("unique"))
-        .withColumn("keeper", coalesce(col("ex_keeper"), col("near_keeper")))
-        .select(col("doc_id"), col("status"), col("keeper"))
+      graft.ops.IncrementalDedup.verdictsInline(
+          docs.where(pmod(col("doc_id"), lit(5)) < 4),
+          docs.where(pmod(col("doc_id"), lit(5)) === 4),
+          "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
   )

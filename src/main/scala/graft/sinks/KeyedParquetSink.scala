@@ -77,16 +77,32 @@ object KeyedParquetSink {
     * partitions containing updated keys are read and rewritten. */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keys: Seq[String], numBuckets: Int,
-             versionCols: Seq[String] = Nil): Unit = {
-    val up = withBucket(updates, keys, numBuckets)
+             versionCols: Seq[String] = Nil): Unit =
+    mergeInto(spark, path, updates, keys, numBuckets,
+      versionCols = versionCols)
+
+  /** Full MERGE INTO against the stored keyed table — the
+    * [[graft.etl.Merge]] semantics (WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT / WHEN MATCHED AND deleteCond THEN DELETE) applied
+    * bucket-pruned: only the partitions the source's keys hash into are
+    * read and rewritten, so a daily change batch — including its
+    * deletes, which are keyed rows like any other — costs
+    * |touched buckets| / numBuckets of the table, never a full rewrite. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keys: Seq[String], numBuckets: Int,
+                updateMatched: Boolean = true,
+                insertUnmatched: Boolean = true,
+                deleteCond: Option[org.apache.spark.sql.Column] = None,
+                versionCols: Seq[String] = Nil): Unit = {
+    val up = withBucket(source, keys, numBuckets)
     val touched = up.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted           // bounded by numBuckets
     val base = spark.read.parquet(path)
       .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
-    val merged = Upsert.merge(
+    val merged = graft.etl.Merge.merge(
       base.drop(BucketCol),
       up.drop(BucketCol),
-      keys, versionCols)
+      keys, updateMatched, insertUnmatched, deleteCond, versionCols)
     withBucket(merged, keys, numBuckets)
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite")
