@@ -103,10 +103,28 @@ object KeyedParquetSink {
       base.drop(BucketCol),
       up.drop(BucketCol),
       keys, updateMatched, insertUnmatched, deleteCond, versionCols)
-    withBucket(merged, keys, numBuckets)
-      .repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(path)
+    val mergedB = withBucket(merged, keys, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val survivors = mergedB.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+      mergedB
+        .repartition(col(BucketCol))
+        .write.partitionBy(BucketCol).mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+      // dynamic overwrite only replaces partitions PRESENT in the output:
+      // a touched bucket whose rows were ALL deleted writes nothing, so
+      // its stale directory would survive and resurrect the deleted keys.
+      // Drop those directories explicitly (≤ numBuckets driver-side ops).
+      val emptied = touched.filterNot(survivors)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true)
+        }
+      }
+    } finally mergedB.unpersist()
   }
 }

@@ -222,6 +222,37 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous CDC MERGE sink — [[upsertSink]] plus the delete clause:
+    * each micro-batch of a change stream (rows whose `changeCol` says
+    * insert/update/delete) is MERGE INTO'd against the stored keyed
+    * table via KeyedParquetSink.mergeInto, so deletes remove their keys
+    * from exactly the buckets they hash into (never a full rewrite).
+    * First batch bootstraps the table from its non-delete rows. Within
+    * a batch, `versionCols` descending pick the winner among multiple
+    * changes for one key; re-delivery of a batch is idempotent (a
+    * replayed delete of an absent key is a no-op, a replayed upsert
+    * rewrites the same values), which is what makes the checkpoint
+    * replay after a crash exactly-once in effect. */
+  def cdcSink(stream: DataFrame, path: String, keys: Seq[String],
+              numBuckets: Int, checkpoint: String,
+              changeCol: String = "change",
+              versionCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val spark = b.sparkSession
+        if (!graft.sinks.KeyedParquetSink.tableExists(spark, path))
+          graft.sinks.KeyedParquetSink.write(
+            b.where(col(changeCol) =!= "delete").drop(changeCol),
+            path, keys, numBuckets)
+        else
+          graft.sinks.KeyedParquetSink.mergeInto(spark, path, b, keys,
+            numBuckets, deleteCond = Some(col(changeCol) === "delete"),
+            versionCols = versionCols)
+      }
+      .start()
+
   /** Multi-table CDC dispatch sink — the streaming twin of
     * graft.etl.Changelog.dispatch (reference: one changelog stream whose
     * `table` column routes each record per entity, EtlLogger.js:8-15).
@@ -398,10 +429,16 @@ object StreamOps {
     * running max event time in micros — bounded by type cardinality, no
     * watermark needed: a max is monotone). Each micro-batch emits the
     * type's lateness-band counts for the events it carried; arrival
-    * order within a batch is pinned to `event_id` so a log replayed in
-    * id order reproduces the batch operator's totals bit-for-bit (the
-    * spec proves it). The integer lateness ((prev − us) div 10⁶) and
-    * band edges are the batch kernel's. */
+    * order within a batch is pinned to `(event_id, us)` so a log
+    * replayed in id order reproduces the batch operator's totals
+    * bit-for-bit (the spec proves it). The integer lateness
+    * ((prev − us) div 10⁶) and band edges are the batch kernel's.
+    *
+    * Memory note: the replay-determinism sort materializes one
+    * (type, micro-batch) GROUP per task — bounded by micro-batch
+    * sizing (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`), not by
+    * stream history; a hot type in an unbounded trigger is the one
+    * configuration that can make this buffer large. */
   def lateArrivalsStream(events: DataFrame, tsCol: String, typeCol: String,
                          idCol: String): Dataset[LateBands] = {
     val spark = events.sparkSession

@@ -61,6 +61,20 @@ class MergeSpec extends AnyFunSuite {
       .contains((2L, "new", 2.0)))
   }
 
+  test("mergeInto drops a fully-deleted bucket — deleted keys cannot resurrect") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mergedel").toString + "/t"
+    // many buckets => each key is alone in its bucket, so deleting one
+    // key empties its whole partition (the dynamic-overwrite blind spot)
+    graft.sinks.KeyedParquetSink.write(target, path, Seq("k"), 64)
+    val src = Seq((2L, "b", 20.0, "delete")).toDF("k", "name", "v", "change")
+    graft.sinks.KeyedParquetSink.mergeInto(spark, path, src, Seq("k"), 64,
+      deleteCond = Some(col("change") === "delete"))
+    assert(rows(graft.sinks.KeyedParquetSink.read(spark, path)) ==
+      Set((1L, "a", 10.0), (3L, "c", 30.0)))
+  }
+
   test("mergeInto applies update+insert+delete to the stored keyed table") {
     import spark.implicits._
     val path = java.nio.file.Files

@@ -55,6 +55,39 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 30.0), (4L, 4.0), (5L, 5.0)))
   }
 
+  test("cdcSink merges a change stream incl. deletes; crash replay stays exactly-once") {
+    import spark.implicits._
+    val root = tempDir("recover-cdc")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val table = s"$root/table"
+
+    def deliver(rows: Seq[(Long, String, Double, String)]): Unit =
+      rows.toDF("k", "name", "v", "change").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = StreamOps.cdcSink(
+      spark.readStream
+        .schema("k LONG, name STRING, v DOUBLE, change STRING").parquet(inDir),
+      table, Seq("k"), 4, ckpt)
+
+    // batch 0 bootstraps (its delete rows are dropped, not inserted)
+    deliver(Seq((1L, "a", 1.0, "insert"), (2L, "b", 2.0, "insert"),
+      (9L, "ghost", 0.0, "delete")))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete() // local-FS checksum shadow
+    // batch 1: update 1, delete 2, insert 3
+    deliver(Seq((1L, "a1", 11.0, "update"), (2L, "b", 2.0, "delete"),
+      (3L, "c", 3.0, "insert")))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // batch 0 replayed (its re-inserted rows are overwritten / re-merged
+    // idempotently), then batch 1 applied: update lands, delete removes
+    // key 2, insert lands
+    val got = graft.sinks.KeyedParquetSink.read(spark, table)
+      .select($"k", $"name", $"v").as[(Long, String, Double)]
+      .collect().toSet
+    assert(got == Set((1L, "a1", 11.0), (3L, "c", 3.0)))
+  }
+
   test("nearDedupStream file sink: replayed batch emits no duplicates, state survives restart") {
     import spark.implicits._
     val root = tempDir("recover-neardup")
