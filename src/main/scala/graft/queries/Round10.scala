@@ -12,6 +12,41 @@ import graft.sources.Tables
   */
 object Round10 {
 
+  /** The shared BPE training loop: 3 rounds of (adjacent-pair rollup →
+    * 1-row broadcast top pair → per-row fuse) over the word-frequency
+    * table. Returns the fused table (w, freq, seq) and the per-round
+    * winning (p, cnt, round) frames. Every round is checkpointed so the
+    * two consumers (text_bpe_train / text_bpe_apply) never replay
+    * earlier rounds. */
+  private def bpeRounds(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    import graft.ops.{TextAnalysis => TA}
+    var cur = Tables.documents(s, dir)
+      .select(explode(TA.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", concat(lit(" "),
+        concat_ws(" ", transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))), lit(" ")))
+      .select(col("w"), col("freq"), col("seq"))
+      .localCheckpoint(true)
+    val tops = (1 to 3).map { r =>
+      val pairs = cur
+        .select(col("freq"), split(trim(col("seq")), " ").as("a"))
+        .select(col("freq"), explode(TA.shinglesOf(col("a"), 2)).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("p")).limit(1)
+        .localCheckpoint(true) // read by the fuse AND the output union
+      cur = cur.crossJoin(broadcast(top.select(col("p").as("mp"))))
+        .withColumn("seq", replace(col("seq"),
+          concat(lit(" "), col("mp"), lit(" ")),
+          concat(lit(" "), replace(col("mp"), lit(" "), lit("")), lit(" "))))
+        .select(col("w"), col("freq"), col("seq"))
+        .localCheckpoint(true) // each round builds on the fused table
+      top.withColumn("round", lit(r))
+    }
+    (cur, tops)
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Cross-source near-dup matrix: for each unordered source pair, the
@@ -60,6 +95,39 @@ object Round10 {
         .orderBy(col("event_id"))
     }),
 
+    // BPE merge training — the actual tokenizer-training loop: 3 rounds
+    // of (count adjacent symbol pairs weighted by word frequency → pick
+    // the most frequent pair → fuse it everywhere). All work is bounded
+    // by the WORD-FREQUENCY table (the classic BPE trick — a 100 TB
+    // corpus still trains on its ~1M-row vocab): one corpus pass builds
+    // (word, freq), then each round is a bounded pair rollup + a 1-row
+    // broadcast top pair + a per-row fuse. Sequences are space-joined
+    // symbols with sentinel spaces, fused via non-regex replace —
+    // identical left-to-right non-overlapping semantics in both
+    // engines, so the oracle's chained-CTE replay lands on the same
+    // merges. Output: (round, pair, cnt) — the learned merge table.
+    "text_bpe_train" -> ((s, dir) =>
+      bpeRounds(s, dir)._2.reduce(_ unionByName _)
+        .select(col("round"), col("p").as("pair"), col("cnt"))
+        .orderBy(col("round"))),
+
+    // Applying the learned merges corpus-wide: the compression readout
+    // tokenizer training is FOR. Still entirely on the word-frequency
+    // table — per word, symbols before (= chars) vs after the 3 fuses,
+    // expanded to corpus totals by frequency. One 4-column summary row,
+    // integer-exact (compression in basis points via integer div).
+    "text_bpe_apply" -> ((s, dir) => {
+      val (cur, _) = bpeRounds(s, dir)
+      cur
+        .select(col("freq"), length(col("w")).cast("long").as("nb"),
+          size(split(trim(col("seq")), " ")).cast("long").as("na"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("freq") * col("nb")).as("chars_before"),
+          sum(col("freq") * col("na")).as("syms_after"))
+        .withColumn("compression_bp",
+          idiv(col("syms_after") * 10000, col("chars_before")))
+    }),
+
     // Degree histogram of the supplier–part bipartite graph (the
     // graph_pagerank edge list): per side, how many nodes have each
     // degree — the skew readout that predicts PageRank iteration
@@ -103,6 +171,92 @@ object Round10 {
          |JOIN documents da ON da.doc_id = pairs.a
          |JOIN documents db ON db.doc_id = pairs.b
          |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
+
+    // Chained-CTE replay of the 3 merge rounds — replace() is non-regex
+    // left-to-right in both engines, so the fused sequences (and
+    // therefore every round's pair counts) are bit-identical.
+    "text_bpe_apply" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
+         |s0 AS (SELECT w, freq,
+         |  ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> substring(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seq
+         |  FROM words),
+         |p1 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s0) x) y
+         |  GROUP BY p),
+         |t1 AS (SELECT p FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+         |s1 AS (SELECT s0.w, s0.freq,
+         |  replace(s0.seq, ' ' || t1.p || ' ',
+         |    ' ' || replace(t1.p, ' ', '') || ' ') AS seq FROM s0, t1),
+         |p2 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s1) x) y
+         |  GROUP BY p),
+         |t2 AS (SELECT p FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+         |s2 AS (SELECT s1.w, s1.freq,
+         |  replace(s1.seq, ' ' || t2.p || ' ',
+         |    ' ' || replace(t2.p, ' ', '') || ' ') AS seq FROM s1, t2),
+         |p3 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s2) x) y
+         |  GROUP BY p),
+         |t3 AS (SELECT p FROM p3 ORDER BY cnt DESC, p LIMIT 1),
+         |s3 AS (SELECT s2.w, s2.freq,
+         |  replace(s2.seq, ' ' || t3.p || ' ',
+         |    ' ' || replace(t3.p, ' ', '') || ' ') AS seq FROM s2, t3),
+         |agg AS (
+         |  SELECT count(*) AS n_words,
+         |    CAST(sum(freq * length(w)) AS BIGINT) AS chars_before,
+         |    CAST(sum(freq * len(string_split(trim(seq), ' '))) AS BIGINT)
+         |      AS syms_after
+         |  FROM s3)
+         |SELECT n_words, chars_before, syms_after,
+         |  CAST((syms_after * 10000) // chars_before AS BIGINT)
+         |    AS compression_bp
+         |FROM agg""".stripMargin,
+
+    "text_bpe_train" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
+         |s0 AS (SELECT freq,
+         |  ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> substring(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seq
+         |  FROM words),
+         |p1 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s0) x) y
+         |  GROUP BY p),
+         |t1 AS (SELECT p, cnt FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+         |s1 AS (SELECT s0.freq,
+         |  replace(s0.seq, ' ' || t1.p || ' ',
+         |    ' ' || replace(t1.p, ' ', '') || ' ') AS seq FROM s0, t1),
+         |p2 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s1) x) y
+         |  GROUP BY p),
+         |t2 AS (SELECT p, cnt FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+         |s2 AS (SELECT s1.freq,
+         |  replace(s1.seq, ' ' || t2.p || ' ',
+         |    ' ' || replace(t2.p, ' ', '') || ' ') AS seq FROM s1, t2),
+         |p3 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s2) x) y
+         |  GROUP BY p),
+         |t3 AS (SELECT p, cnt FROM p3 ORDER BY cnt DESC, p LIMIT 1)
+         |SELECT 1 AS round, p AS pair, cnt FROM t1
+         |UNION ALL SELECT 2, p, cnt FROM t2
+         |UNION ALL SELECT 3, p, cnt FROM t3
+         |ORDER BY round""".stripMargin,
 
     "q_asof_tolerance" ->
       """WITH e AS (

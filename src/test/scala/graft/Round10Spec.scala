@@ -57,6 +57,49 @@ class Round10Spec extends AnyFunSuite {
     assert(got.values.exists(_._1.nonEmpty), "some match is fresh enough")
   }
 
+  test("text_bpe_train: the 3 learned merges recompute from a JVM BPE twin") {
+    val got = run("text_bpe_train").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt")))
+    val freqs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).trim.split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    var seqs: Map[Vector[String], Long] = freqs.toSeq
+      .map { case (w, f) => w.map(_.toString).toVector -> f }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expect = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          val k = (p(0), p(1)); counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      val ((x, y), cnt) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, s"$a $b") }
+      // fuse left-to-right non-overlapping, like replace()
+      seqs = seqs.toSeq.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+            out += (x + y); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> f
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (r, s"$x $y", cnt)
+    }
+    assert(got.toSeq.sortBy(_._1) == expect)
+    // text_bpe_apply: corpus totals from the same fused table
+    val applied = run("text_bpe_apply").head
+    val chars = seqs.toSeq.map { case (syms, f) => f * syms.map(_.length).sum }.sum
+    val syms = seqs.toSeq.map { case (syms, f) => f * syms.length }.sum
+    assert(applied.getAs[Long]("chars_before") == chars)
+    assert(applied.getAs[Long]("syms_after") == syms)
+    assert(applied.getAs[Long]("compression_bp") == syms * 10000 / chars)
+  }
+
   test("graph_degree_hist: histogram masses recompute from the edge list") {
     val hist = run("graph_degree_hist").collect()
       .map(r => (r.getAs[String]("side"), r.getAs[Long]("deg")) ->
