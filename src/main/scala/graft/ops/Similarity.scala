@@ -78,6 +78,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximum inner-product top-k vs one query vector — the THIRD metric
+    * twin ([[topKBrute]] = cosine, [[l2TopK]] = Euclidean): recommender
+    * retrieval ranks by raw dot product, where a vector's magnitude IS
+    * part of its score (popular-item embeddings grow long) — neither
+    * cosine nor L2 ranks the same way. Score is the exact integer
+    * milli-unit dot (LONG, no double), same scale shape: one broadcast
+    * query row, a never-shuffled scan, distributed TakeOrdered. */
+  def mipsTopK(emb: DataFrame, idCol: String, vecCol: String,
+               queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(milliQuant(col(vecCol)).as("qmq"))
+    emb.where(col(idCol) =!= lit(queryId))
+      .select(col(idCol), milliQuant(col(vecCol)).as("mq"))
+      .crossJoin(broadcast(q))
+      .withColumn("ip_milli2", dotMilli(col("mq"), col("qmq")))
+      .select(col(idCol), col("ip_milli2"))
+      .orderBy(col("ip_milli2").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Range search: every vector whose cosine with the `queryId` vector
     * meets `minCos` — the radius-query twin of [[topKBrute]] (same
     * broadcast-one-row shape, a threshold instead of a limit). Unlike

@@ -65,6 +65,11 @@ object SimMm {
     "sim_l2_topk" -> ((s, dir) =>
       Similarity.l2TopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
 
+    // Maximum inner-product top-k — the third metric twin (cosine / L2 /
+    // MIPS): raw-dot ranking where vector magnitude is part of the score.
+    "sim_mips_topk" -> ((s, dir) =>
+      Similarity.mipsTopK(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10)),
+
     // Random-hyperplane LSH bucket statistics (the ANN index shape).
     // Planes scale with the data: ceil(log2(n/64)) hyperplanes targets
     // 64-vector buckets at ANY corpus size (no fixed bucket-count ceiling).
@@ -930,6 +935,14 @@ object SimMm {
          |  CAST(miln.nsq + q.qnsq - 2 * ${dotmSql("mq", "qmq")} AS BIGINT) AS l2m_sq
          |      FROM miln, q WHERE vec_id <> 0)
          |SELECT vec_id, l2m_sq FROM c ORDER BY l2m_sq, vec_id LIMIT 10""".stripMargin,
+
+    "sim_mips_topk" ->
+      s"""WITH $milliNormCte,
+         |q AS (SELECT mq AS qmq FROM miln WHERE vec_id = 0),
+         |c AS (SELECT vec_id, CAST(${dotmSql("mq", "qmq")} AS BIGINT) AS ip_milli2
+         |      FROM miln, q WHERE vec_id <> 0)
+         |SELECT vec_id, ip_milli2 FROM c
+         |ORDER BY ip_milli2 DESC, vec_id LIMIT 10""".stripMargin,
 
     "sim_ann_lsh" ->
       s"""WITH $bucketsCte

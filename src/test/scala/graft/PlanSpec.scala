@@ -126,7 +126,10 @@ class PlanSpec extends AnyFunSuite {
     //  - q11_inventory_share: 1-row inventory-grand-total scalar
     //    broadcast under the per-part rollup (the HAVING-vs-global-
     //    scalar shape)
-    "q11_inventory_share")
+    "q11_inventory_share",
+    //  - sim_mips_topk: 1-row broadcast query vector vs every candidate
+    //    (the sim_topk_brute shape, raw-dot metric)
+    "sim_mips_topk")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -100,6 +100,23 @@ class Round10Spec extends AnyFunSuite {
     assert(applied.getAs[Long]("compression_bp") == syms * 10000 / chars)
   }
 
+  test("sim_mips_topk: exact milli-dot ranking recomputed in memory") {
+    val got = run("sim_mips_topk").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("ip_milli2")).toSeq
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => BigDecimal(x.toDouble).setScale(3,
+            BigDecimal.RoundingMode.HALF_UP).*(1000).toLongExact).toVector)
+      .toMap
+    val q = vecs(0L)
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> v.zip(q).map { case (a, b) => a * b }.sum }
+      .sortBy { case (id, ip) => (-ip, id) }.take(10)
+    assert(got == expect)
+  }
+
   test("graph_degree_hist: histogram masses recompute from the edge list") {
     val hist = run("graph_degree_hist").collect()
       .map(r => (r.getAs[String]("side"), r.getAs[Long]("deg")) ->
