@@ -10,8 +10,9 @@ import graft.ops.{TextAnalysis => TA, Dedup, Urls}
 object TextDedup {
 
   /** The t=0.5 trigram Jaccard pair index shared by the cluster family
-    * (dedup_clusters / dedup_cc / corpus_canonical / dedup_cluster_stats)
-    * — memoized per (session, dataset) so four consumers in one run pay
+    * (dedup_clusters / dedup_cc / corpus_canonical / dedup_cluster_stats
+    * / dedup_source_matrix) — memoized per (session, dataset) so five
+    * consumers in one run pay
     * for ONE candidate-generation build (Dedup.pairIndex — the dominant
     * cost of every clustering query) instead of four identical ones.
     * The map holds a handful of checkpointed pair frames (pairs are
@@ -31,8 +32,9 @@ object TextDedup {
   }
 
   /** Materialize the shared t=0.5 pair index (bench warmup). The build is
-    * one-time pipeline infrastructure amortized over its four consumers
-    * (dedup_clusters / dedup_cc / corpus_canonical / dedup_cluster_stats);
+    * one-time pipeline infrastructure amortized over its five consumers
+    * (dedup_clusters / dedup_cc / corpus_canonical / dedup_cluster_stats
+    * / dedup_source_matrix);
     * without the warmup, whichever family member runs first in an
     * alphabetical registry sweep absorbs the whole build (~23 s at sf0.1)
     * and its single-shot time reads 15× its steady-state cost. */
