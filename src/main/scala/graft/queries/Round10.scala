@@ -128,6 +128,32 @@ object Round10 {
           idiv(col("syms_after") * 10000, col("chars_before")))
     }),
 
+    // FORWARD as-of join — the direction the registry's asof family
+    // lacked: for each purchase, the user's NEXT error event and the
+    // integer latency to it (the "did this purchase precede a failure"
+    // attribution). Same single-shuffle union+window shape, frame
+    // flipped to (1 FOLLOWING, UNBOUNDED FOLLOWING); id and timestamp
+    // come from the same first-following-error row.
+    "q_asof_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .where(col("ts").isNotNull &&
+          col("event_type").isin("purchase", "error"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("next_err_id",
+          first(when(col("event_type") === "error", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("next_err_us",
+          first(when(col("event_type") === "error", col("us")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("next_err_id"),
+          idiv(col("next_err_us") - col("us"), lit(1000000L)).as("latency_s"))
+        .orderBy(col("event_id"))
+    }),
+
     // Degree histogram of the supplier–part bipartite graph (the
     // graph_pagerank edge list): per side, how many nodes have each
     // degree — the skew readout that predicts PageRank iteration
@@ -279,6 +305,25 @@ object Round10 {
         |    AS prev_purchase,
         |  CAST((us - prev_us) // 1000000 AS BIGINT) AS stale_s
         |FROM w WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type IN ('purchase', 'error')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    first_value(CASE WHEN event_type = 'error' THEN event_id END
+        |      IGNORE NULLS) OVER win AS next_err_id,
+        |    first_value(CASE WHEN event_type = 'error' THEN us END
+        |      IGNORE NULLS) OVER win AS next_err_us
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, next_err_id,
+        |  CAST((next_err_us - us) // 1000000 AS BIGINT) AS latency_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "graph_degree_hist" ->
       """WITH e0 AS (

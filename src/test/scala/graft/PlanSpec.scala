@@ -234,6 +234,12 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("In(p_size,"), plan)
   }
 
+  test("q16_supp_part_count runs NOT IN as a broadcast left-anti join") {
+    val plan = planOf("q16_supp_part_count")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti join:\n$plan")
+  }
+
   test("q5_multi_join broadcasts all five dimension sides") {
     val plan = planOf("q5_multi_join")
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size

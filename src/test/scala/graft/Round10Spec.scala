@@ -100,6 +100,32 @@ class Round10Spec extends AnyFunSuite {
     assert(applied.getAs[Long]("compression_bp") == syms * 10000 / chars)
   }
 
+  test("q_asof_forward: next-error attribution recomputed in memory") {
+    val got = run("q_asof_forward").collect().map { r =>
+      r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("next_err_id")),
+          Option(r.getAs[java.lang.Long]("latency_s"))))
+    }.toMap
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .filter(r => r._4 == "purchase" || r._4 == "error")
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toSeq
+      sorted.zipWithIndex.collect { case ((_, us, id, "purchase"), i) =>
+        val next = sorted.drop(i + 1).find(_._4 == "error")
+        id -> ((next.map(_._3),
+          next.map(n => Math.floorDiv(n._2 - us, 1000000L))))
+      }
+    }.toMap
+    assert(got == expect)
+    assert(got.values.exists(_._1.nonEmpty) && got.values.exists(_._1.isEmpty),
+      "fixture exercises both matched and unmatched purchases")
+  }
+
   test("sim_mips_topk: exact milli-dot ranking recomputed in memory") {
     val got = run("sim_mips_topk").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("ip_milli2")).toSeq
