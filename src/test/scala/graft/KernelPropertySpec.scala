@@ -147,4 +147,54 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(est >= n, s"CMS underestimated key $k: $est < $n")
     }
   }
+
+  test("Merge.merge matches a JVM MERGE reference on random tables, all clause combos") {
+    // random keyed tables: small key space forces matched/unmatched/
+    // multi-source-row collisions; versions break source ties
+    type R = (Long, Long, Long) // (k, v, ver)
+    val row: Gen[R] = for {
+      k <- Gen.chooseNum(0L, 15L)
+      v <- Gen.chooseNum(0L, 99L)
+      ver <- Gen.chooseNum(0L, 9L)
+    } yield (k, v, ver)
+    // target: one row per key (keyed tables are key-unique)
+    val target: Seq[(Long, Long, Long)] = sample(Gen.listOfN(12, row), 1).head
+      .groupBy(_._1).map(_._2.head).toSeq
+    val source = sample(Gen.listOfN(14, row), 2).last
+    // delete marker: on ~1/4 of source rows (derived from v so the JVM
+    // reference sees the identical flag)
+    def isDel(r: R): Boolean = r._2 % 4 == 0
+
+    // keep (k, ver) collision-free among source rows per key so the
+    // version tiebreak is total and both sides agree deterministically
+    val srcClean: Seq[(Long, Long, Long)] =
+      source.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+    val tDf = target.toDF("k", "v", "ver")
+    val sDf = srcClean.toDF("k", "v", "ver")
+    for {
+      upd <- Seq(true, false)
+      ins <- Seq(true, false)
+      del <- Seq(true, false)
+    } {
+      val got = graft.etl.Merge.merge(tDf, sDf, Seq("k"),
+          updateMatched = upd, insertUnmatched = ins,
+          deleteCond = if (del) Some(col("v") % 4 === 0) else None,
+          versionCols = Seq("ver"))
+        .as[(Long, Long, Long)].collect().toSet
+      val want = {
+        val tByK = target.map(r => r._1 -> r).toMap
+        val sWin = srcClean.groupBy(_._1).view.mapValues(_.maxBy(_._3)).toMap
+        (tByK.keySet ++ sWin.keySet).toSeq.flatMap { k =>
+          (tByK.get(k), sWin.get(k)) match {
+            case (_, Some(s)) if del && isDel(s) => None
+            case (Some(t), Some(s)) => Some(if (upd) s else t)
+            case (None, Some(s)) => if (ins) Some(s) else None
+            case (Some(t), None) => Some(t)
+            case _ => None
+          }
+        }.toSet
+      }
+      assert(got == want, s"clause combo upd=$upd ins=$ins del=$del")
+    }
+  }
 }
