@@ -154,6 +154,45 @@ object Round10 {
         .orderBy(col("event_id"))
     }),
 
+    // Survival curve over user lifespans: for each observed lifespan d
+    // (days between a user's first and last event), how many users'
+    // lifespans END there and how many users survive AT LEAST d days —
+    // the churn readout. Per-user rollup (one shuffle), then a suffix
+    // sum over the lifespan histogram; the unpartitioned window runs
+    // over the day-bounded histogram (≤ observed day range rows at any
+    // volume), the two-phase-exempt bounded-frame pattern.
+    "events_survival" -> ((s, dir) => {
+      val life = Tables.events(s, dir).where(col("ts").isNotNull)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg((max(col("day")) - min(col("day"))).as("lifespan_d"))
+      val hist = life.groupBy(col("lifespan_d")).agg(count(lit(1)).as("n_end"))
+      val w = Window.orderBy(col("lifespan_d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("n_surviving", sum(col("n_end")).over(w))
+        .select(col("lifespan_d"), col("n_end"), col("n_surviving"))
+        .orderBy(col("lifespan_d"))
+    }),
+
+    // Share-of-parent within the returnflag rollup: each (flag, status)
+    // cell's line count as integer basis points of its flag subtotal —
+    // the drill-down ratio every OLAP report renders next to the raw
+    // rollup. Cells and parents come from one fact aggregation tree;
+    // the ≤ flags-sized parent table broadcasts.
+    "q_rollup_share" -> ((s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val parents = cells.groupBy(col("l_returnflag"))
+        .agg(sum(col("n")).as("parent_n"))
+      cells.join(broadcast(parents), Seq("l_returnflag"))
+        .withColumn("share_bp", idiv(col("n") * 10000, col("parent_n")))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("qty"), col("share_bp"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Degree histogram of the supplier–part bipartite graph (the
     // graph_pagerank edge list): per side, how many nodes have each
     // degree — the skew readout that predicts PageRank iteration
@@ -324,6 +363,32 @@ object Round10 {
         |SELECT event_id, user_id, next_err_id,
         |  CAST((next_err_us - us) // 1000000 AS BIGINT) AS latency_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_survival" ->
+      """WITH l AS (
+        |  SELECT user_id,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |      - min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+        |      AS lifespan_d
+        |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+        |h AS (SELECT lifespan_d, count(*) AS n_end FROM l GROUP BY lifespan_d)
+        |SELECT lifespan_d, n_end,
+        |  CAST(sum(n_end) OVER (ORDER BY lifespan_d DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_surviving
+        |FROM h ORDER BY lifespan_d""".stripMargin,
+
+    "q_rollup_share" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |p AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS parent_n
+        |      FROM cells GROUP BY l_returnflag)
+        |SELECT c.l_returnflag, c.l_linestatus, c.n, c.qty,
+        |  CAST((c.n * 10000) // p.parent_n AS BIGINT) AS share_bp
+        |FROM cells c JOIN p USING (l_returnflag)
+        |ORDER BY c.l_returnflag, c.l_linestatus""".stripMargin,
 
     "graph_degree_hist" ->
       """WITH e0 AS (

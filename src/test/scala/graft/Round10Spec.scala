@@ -143,6 +143,34 @@ class Round10Spec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("events_survival: suffix-sum curve is monotone and masses add up") {
+    val rows = run("events_survival").collect()
+      .map(r => (r.getAs[Long]("lifespan_d"), r.getAs[Long]("n_end"),
+        r.getAs[Long]("n_surviving"))).sortBy(_._1)
+    val totalUsers = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull).select(col("user_id")).distinct().count()
+    assert(rows.head._3 == totalUsers, "everyone survives at least day 0... " +
+      "(S at the smallest observed lifespan = all users)")
+    // survival is non-increasing and each step drops by exactly n_end
+    rows.toSeq.sliding(2).foreach {
+      case Seq((_, nEnd, s1), (_, _, s2)) => assert(s2 == s1 - nEnd)
+      case _ => ()
+    }
+    assert(rows.map(_._2).sum == totalUsers, "lifespans partition the users")
+  }
+
+  test("q_rollup_share: cell shares sum to ~10000 bp per parent") {
+    val rows = run("q_rollup_share").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_bp")))
+    rows.groupBy(_._1).foreach { case (rf, cells) =>
+      val bp = cells.map(_._3).sum
+      // truncated integer division: the parent's cells sum to within
+      // (#cells - 1) bp below exactly 10000
+      assert(bp <= 10000 && bp > 10000 - cells.length, s"parent $rf: $bp")
+    }
+  }
+
   test("graph_degree_hist: histogram masses recompute from the edge list") {
     val hist = run("graph_degree_hist").collect()
       .map(r => (r.getAs[String]("side"), r.getAs[Long]("deg")) ->
