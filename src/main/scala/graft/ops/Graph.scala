@@ -28,6 +28,47 @@ object Graph {
     * rank frame — the O(|E|) edge list never shuffles again after the
     * build (the win that matters when |E| ≫ |V|). Returns (node, pr).
     */
+  /** Personalized (seeded) PageRank: teleport mass goes ONLY to the
+    * `seeds` node set (one `node` column), so scores measure proximity
+    * to the seeds — the related-item retrieval kernel. Same integer
+    * fixed-point arithmetic and build-once edge layout as [[pagerank]];
+    * the rank frame stays SPARSE (only seeds plus nodes the mass has
+    * reached appear), which is the representation that matters when the
+    * seed set is tiny against a 100 TB graph. The per-iteration
+    * seed-rejoin is a keyed full-outer (a seed may have no inbound mass
+    * yet must keep its base share). */
+  def personalizedPagerank(edges0: DataFrame, seeds: DataFrame,
+                           iters: Int = 3,
+                           scale: Long = 1000000000L): DataFrame = {
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
+    val edgesOd = edges0.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val sd = seeds.select(col("node")).distinct().localCheckpoint(true)
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    val base = graft.queries.idiv(
+      lit(15L) * graft.queries.idiv(lit(scale), col("ns")), lit(100L))
+    var pr = sd.crossJoin(broadcast(ns))
+      .select(col("node"), graft.queries.idiv(lit(scale), col("ns")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr
+        .withColumnRenamed("node", "src")
+        .join(edgesOd, Seq("src"))
+        .select(col("dst"),
+          graft.queries.idiv(col("pr"), col("od")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      pr = contrib.withColumnRenamed("dst", "node")
+        .join(sd.withColumn("is_seed", lit(1)), Seq("node"), "full_outer")
+        .crossJoin(broadcast(ns))
+        .select(col("node"),
+          (when(col("is_seed") === 1, base).otherwise(lit(0L)) +
+            graft.queries.idiv(lit(85L) * coalesce(col("csum"), lit(0L)),
+              lit(100L))).as("pr"))
+    }
+    pr
+  }
+
   def pagerank(edges0: DataFrame, iters: Int = 3,
                scale: Long = 1000000000L): DataFrame = {
     val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))

@@ -193,6 +193,27 @@ object Round10 {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Personalized PageRank from a seed set: teleport mass only to
+    // every-10th supplier node, so scores measure proximity to the
+    // seeds — the related-item retrieval kernel. Same integer
+    // fixed-point kernel as graph_pagerank (graft.ops.Graph), rank
+    // frame kept SPARSE (seeds + reached nodes only); the oracle
+    // replays the 3 iterations as chained CTEs with the seed rejoin as
+    // a FULL OUTER per round.
+    "graph_pagerank_seeded" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
+          concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
+        .distinct()
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") % 10 === 0)
+        .select(concat(lit("s:"), col("s_suppkey").cast("string")).as("node"))
+      graft.ops.Graph.personalizedPagerank(
+          graft.ops.Graph.undirectedEdges(li, "a", "b"), seeds, 3)
+        .where(col("pr") > 0)
+        .orderBy(col("pr").desc, col("node")).limit(30)
+    }),
+
     // Degree histogram of the supplier–part bipartite graph (the
     // graph_pagerank edge list): per side, how many nodes have each
     // degree — the skew readout that predicts PageRank iteration
@@ -389,6 +410,34 @@ object Round10 {
         |  CAST((c.n * 10000) // p.parent_n AS BIGINT) AS share_bp
         |FROM cells c JOIN p USING (l_returnflag)
         |ORDER BY c.l_returnflag, c.l_linestatus""".stripMargin,
+
+    "graph_pagerank_seeded" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, sum(p.pr // d.od) AS c
+           |       FROM e JOIN p${i - 1} p ON p.node = e.src
+           |       JOIN deg d ON d.src = e.src
+           |       GROUP BY e.dst),
+           |p$i AS (
+           |  SELECT coalesce(c.node, sd.node) AS node,
+           |    (CASE WHEN sd.node IS NOT NULL
+           |          THEN (15 * (1000000000 // ns.ns)) // 100 ELSE 0 END)
+           |    + (85 * coalesce(c.c, 0)) // 100 AS pr
+           |  FROM c$i c FULL OUTER JOIN seeds sd ON sd.node = c.node, ns)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 's:' || l_suppkey AS a, 'p:' || l_partkey AS b
+         |  FROM lineitem),
+         |e AS (SELECT a AS src, b AS dst FROM e0
+         |      UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT src, count(*) AS od FROM e GROUP BY src),
+         |seeds AS (SELECT DISTINCT 's:' || s_suppkey AS node FROM supplier
+         |          WHERE s_suppkey % 10 = 0),
+         |ns AS (SELECT count(*) AS ns FROM seeds),
+         |p0 AS (SELECT node, 1000000000 // ns AS pr FROM seeds, ns),
+         |$rounds
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3 WHERE pr > 0
+         |ORDER BY pr DESC, node LIMIT 30""".stripMargin
+    },
 
     "graph_degree_hist" ->
       """WITH e0 AS (

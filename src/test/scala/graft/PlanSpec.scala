@@ -129,7 +129,10 @@ class PlanSpec extends AnyFunSuite {
     "q11_inventory_share",
     //  - sim_mips_topk: 1-row broadcast query vector vs every candidate
     //    (the sim_topk_brute shape, raw-dot metric)
-    "sim_mips_topk")
+    "sim_mips_topk",
+    //  - graph_pagerank_seeded: 1-row seed-count scalar broadcast under
+    //    each iteration's sparse rank frame (the graph_pagerank shape)
+    "graph_pagerank_seeded")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -171,6 +171,37 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_pagerank_seeded: integer PPR replayed in memory, bit-exact") {
+    val got = run("graph_pagerank_seeded").collect()
+      .map(r => r.getAs[String]("node") -> r.getAs[Long]("pr")).toSeq
+    val pairs = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (s"s:${r.getLong(0)}", s"p:${r.getLong(1)}"))
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val od = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val outAdj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val seeds = graft.sources.Tables.supplier(spark, TestSpark.sf)
+      .where(col("s_suppkey") % 10 === 0).select(col("s_suppkey"))
+      .collect().map(r => s"s:${r.getLong(0)}").toSet
+    val S = 1000000000L; val ns = seeds.size
+    val base = 15L * (S / ns) / 100L
+    var pr: Map[String, Long] = seeds.map(_ -> S / ns).toMap
+    for (_ <- 1 to 3) {
+      val csum = scala.collection.mutable.Map.empty[String, Long]
+      pr.foreach { case (n, p) =>
+        outAdj.getOrElse(n, Nil).foreach { d =>
+          csum(d) = csum.getOrElse(d, 0L) + p / od(n)
+        }
+      }
+      pr = (csum.keySet ++ seeds).map { n =>
+        n -> ((if (seeds(n)) base else 0L) + 85L * csum.getOrElse(n, 0L) / 100L)
+      }.toMap
+    }
+    val expect = pr.toSeq.filter(_._2 > 0)
+      .sortBy { case (n, p) => (-p, n) }.take(30)
+    assert(got == expect)
+  }
+
   test("graph_degree_hist: histogram masses recompute from the edge list") {
     val hist = run("graph_degree_hist").collect()
       .map(r => (r.getAs[String]("side"), r.getAs[Long]("deg")) ->
