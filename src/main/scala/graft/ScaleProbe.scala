@@ -125,6 +125,24 @@ object ScaleProbe {
       graft.ops.Graph.pagerank(
         graft.ops.Graph.undirectedEdges(li, "a", "b"), 3).count()
     }
+    // graph_pagerank_seeded's kernel at mult× edges with a FIXED-SIZE
+    // seed set: the sparse rank frame only ever holds seeds + reached
+    // nodes, so per-iteration exchange cost tracks the reached
+    // frontier, not |V| — the property that makes personalized PR
+    // usable when seeds ≪ graph. Kernel = the EXACT shared
+    // Graph.personalizedPagerank the registered query runs.
+    time("pagerank_seeded_3iter") {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(concat(lit("s:"), ((col("l_suppkey") * mult) + col("rep")).cast("string")).as("a"),
+          concat(lit("p:"), ((col("l_partkey") * mult) + col("rep")).cast("string")).as("b"))
+        .distinct()
+      val seeds = graft.sources.Tables.supplier(spark, dir)
+        .where(col("s_suppkey") % 10 === 0)
+        .select(concat(lit("s:"), (col("s_suppkey") * mult).cast("string")).as("node"))
+      graft.ops.Graph.personalizedPagerank(
+        graft.ops.Graph.undirectedEdges(li, "a", "b"), seeds, 3).count()
+    }
     // text_cooccur_lift's pair fan-out under replication: the vocabulary
     // cap (top-30 by df) bounds per-doc pairs at C(30,2) regardless of
     // corpus size, so total pair rows grow linearly with docs — the cap
