@@ -233,6 +233,48 @@ object SimMm {
         .orderBy(col("bucket"))
     }),
 
+    // Nearest-neighbor margin audit per label: for each vector, the gap
+    // between its top-1 and top-2 within-label cosine neighbors — the
+    // retrieval-confidence readout (tiny margins mean rank flips under
+    // quantization; sim_rank_corr measures the flip, this predicts it).
+    // Same label-blocked pair join as sim_cos_hist (never corpus²); the
+    // per-vector top-2 window partitions by vector (bounded by its
+    // label's size); all emitted stats are integer basis points.
+    "sim_margin_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"),
+          Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq",
+          graft.functions.LongVectorFunctions.vecDotLong(col("mq"), col("mq")))
+      val a = q.select(col("label"), col("vec_id").as("src"),
+        col("mq").as("qa"), col("nsq").as("na"))
+      val b = q.select(col("label"), col("vec_id").as("dst"),
+        col("mq").as("qb"), col("nsq").as("nb"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_bp").desc, col("dst"))
+      a.join(b, Seq("label")).where(col("src") =!= col("dst"))
+        .withColumn("dotm",
+          graft.functions.LongVectorFunctions.vecDotLong(col("qa"), col("qb")))
+        .withColumn("cos_bp",
+          when(col("na") * col("nb") === 0L, lit(0L))
+            .otherwise(floor((col("dotm") * lit(10000L)).cast("double") /
+              sqrt((col("na") * col("nb")).cast("double"))).cast("long")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .groupBy(col("label"), col("src"))
+        .agg(max(when(col("rn") === 1, col("cos_bp"))).as("c1"),
+          max(when(col("rn") === 2, col("cos_bp"))).as("c2"))
+        .where(col("c2").isNotNull)
+        .withColumn("margin_bp", col("c1") - col("c2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("margin_bp")).as("min_margin_bp"),
+          max(col("margin_bp")).as("max_margin_bp"),
+          idiv(sum(col("margin_bp")), count(lit(1))).as("mean_margin_bp"))
+        .orderBy(col("label"))
+    }),
+
     // Embedding-norm distribution per label: the calibration audit a
     // quantizer (SQ8/PQ) reads before choosing scales. Norms are integer
     // MILLI-UNITS — floor over an IEEE-exact sqrt of the exact integer
@@ -787,6 +829,27 @@ object SimMm {
          |SELECT CAST((cos_bp + 10000) // 1000 - 10 AS BIGINT) AS bucket,
          |  count(*) AS n_pairs, min(cos_bp) AS lo_bp, max(cos_bp) AS hi_bp
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "sim_margin_stats" ->
+      s"""WITH $milliNormCte,
+         |p AS (
+         |  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         |    ${dotmSql("a.mq", "b.mq")} AS dotm, a.nsq AS na, b.nsq AS nb
+         |  FROM miln a JOIN miln b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         |c AS (SELECT label, src, dst, ${cosBpSql("dotm", "na", "nb")} AS cos_bp
+         |      FROM p),
+         |r AS (SELECT label, src, cos_bp, row_number() OVER (
+         |    PARTITION BY src ORDER BY cos_bp DESC, dst) AS rn FROM c),
+         |m AS (SELECT label, src,
+         |    max(CASE WHEN rn = 1 THEN cos_bp END)
+         |      - max(CASE WHEN rn = 2 THEN cos_bp END) AS margin_bp
+         |  FROM r WHERE rn <= 2 GROUP BY label, src
+         |  HAVING max(CASE WHEN rn = 2 THEN cos_bp END) IS NOT NULL)
+         |SELECT label, count(*) AS n_vecs,
+         |  min(margin_bp) AS min_margin_bp, max(margin_bp) AS max_margin_bp,
+         |  CAST(CAST(sum(margin_bp) AS BIGINT) // count(*) AS BIGINT)
+         |    AS mean_margin_bp
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
 
     "sim_norm_stats" ->
       s"""WITH $milliNormCte,

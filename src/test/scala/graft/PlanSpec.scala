@@ -132,7 +132,12 @@ class PlanSpec extends AnyFunSuite {
     "sim_mips_topk",
     //  - graph_pagerank_seeded: 1-row seed-count scalar broadcast under
     //    each iteration's sparse rank frame (the graph_pagerank shape)
-    "graph_pagerank_seeded")
+    "graph_pagerank_seeded",
+    //  - graph_triangles: two 1-row census scalars (wedge / triangle
+    //    counts) broadcast under the 1-row edge count
+    //  - q_rel_division: 1-row distinct-type-count divisor broadcast
+    //    under the per-(user, month) rollup (the q_scalar_subquery shape)
+    "graph_triangles", "q_rel_division")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
