@@ -249,52 +249,89 @@ object Similarity {
     *
     * Returns per-cell stats of the post-training assignment:
     * (cell, n, min_id, c_norm_milli). */
-  def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
-                    cells: Int, iters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(iters >= 1, "ivfTrainStats: iters must be >= 1")
-    // materialized once: referenced by every round's centroid aggregate
-    // AND re-assignment — without the checkpoint the scan+quantization
-    // reruns per round (same pattern as the dedup indexes)
-    val quant = emb.select(col(idCol).as("vid"),
+  /** Milli-quantized (vid, xq) vectors, checkpointed: referenced by every
+    * Lloyd round's centroid aggregate AND re-assignment — without the
+    * checkpoint the scan+quantization reruns per round (same pattern as
+    * the dedup indexes). */
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vid"),
       transform(col(vecCol), x =>
         (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")).as("xq"))
       .localCheckpoint(true)
+
+  /** One Lloyd centroid step: per-(cell, dim) exact mean in milli-units —
+    * integer sum, TRUNCATING division (Java % keeps the dividend's sign,
+    * exactly like DuckDB's `%`, so `(sx - sx % n) / n` truncates toward
+    * zero on both engines — DuckDB's `//` truncates, it does NOT floor:
+    * -7 // 2 = -3). Returns (cell, d, cq, n). */
+  private def lloydCent(quant: DataFrame, assign: DataFrame): DataFrame =
+    quant.join(assign.select(col("vid"), col("cell")), "vid")
+      .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
+      .groupBy(col("cell"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
+
+  /** One Lloyd re-assignment step: integer-basis-point cosine argmax of
+    * every vector against the broadcast centroid arrays (cell tiebreak).
+    * Returns the checkpointed (vid, cell, dcc) frame. */
+  private def lloydAssign(quant: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def ldot(a: Column, b: Column): Column =
       graft.functions.LongVectorFunctions.vecDotLong(a, b)
+    val centArr = cent.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+        s => s.getField("cq")).as("cvec"))
+      .withColumn("dcc", ldot(col("cvec"), col("cvec")))
+    val w = Window.partitionBy(col("vid")).orderBy(col("cos_bp").desc, col("cell"))
+    quant.withColumn("dxx", ldot(col("xq"), col("xq")))
+      .crossJoin(broadcast(centArr))
+      .withColumn("dxc", ldot(col("xq"), col("cvec")))
+      .withColumn("cos_bp", cosBp(col("dxc"), col("dxx"), col("dcc")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vid"), col("cell"), col("dcc"))
+      .localCheckpoint(true)
+  }
+
+  def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
+                    cells: Int, iters: Int = 1): DataFrame = {
+    require(iters >= 1, "ivfTrainStats: iters must be >= 1")
+    val quant = quantized(emb, idCol, vecCol)
     // round 0: float-cosine assignment to the hash-sampled raw seeds
     var assign = ivfAssign(emb, idCol, vecCol, cells)
       .select(col(idCol).as("vid"), col("cell"))
-    for (_ <- 1 to iters) {
-      // per-(cell, dim) exact mean in milli-units: integer sum, TRUNCATING
-      // division (Java % keeps the dividend's sign, exactly like DuckDB's
-      // `%`, so `(sx - sx % n) / n` truncates toward zero on both engines —
-      // DuckDB's `//` truncates, it does NOT floor: -7 // 2 = -3)
-      val cent = quant.join(assign.select(col("vid"), col("cell")), "vid")
-        .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
-      val centArr = cent.groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
-          s => s.getField("cq")).as("cvec"))
-        .withColumn("dcc", ldot(col("cvec"), col("cvec")))
-      val w = Window.partitionBy(col("vid")).orderBy(col("cos_bp").desc, col("cell"))
-      assign = quant.withColumn("dxx", ldot(col("xq"), col("xq")))
-        .crossJoin(broadcast(centArr))
-        .withColumn("dxc", ldot(col("xq"), col("cvec")))
-        .withColumn("cos_bp", cosBp(col("dxc"), col("dxx"), col("dcc")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vid"), col("cell"), col("dcc"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      assign = lloydAssign(quant, lloydCent(quant, assign))
     // c_norm in integer MILLI-UNITS: floor over an IEEE-exact sqrt of the
     // exact integer dcc — round(double, 4) emission (the r6 hash-break
     // class) never appears
     assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
         floor(sqrt(max(col("dcc")).cast("double"))).cast("long").as("c_norm_milli"))
+      .orderBy(col("cell"))
+  }
+
+  /** K-means convergence audit: per cell, the L1 centroid movement
+    * (milli-units) between Lloyd round 1 and round 2, plus the worst
+    * single-dimension shift and the round-2 member count — the "has
+    * training settled" readout an IVF index build gates its stop
+    * condition on. Exactly the ivfTrainStats rounds (shared lloydCent /
+    * lloydAssign kernels), diffed instead of discarded. */
+  def ivfCentroidDrift(emb: DataFrame, idCol: String, vecCol: String,
+                       cells: Int): DataFrame = {
+    val quant = quantized(emb, idCol, vecCol)
+    val a0 = ivfAssign(emb, idCol, vecCol, cells)
+      .select(col(idCol).as("vid"), col("cell"))
+    val cent1 = lloydCent(quant, a0).localCheckpoint(true) // read by a1 AND the diff
+    val a1 = lloydAssign(quant, cent1)
+    val cent2 = lloydCent(quant, a1)
+    cent1.select(col("cell"), col("d"), col("cq").as("cq1"))
+      .join(cent2.select(col("cell"), col("d"), col("cq").as("cq2"), col("n")),
+        Seq("cell", "d"))
+      .groupBy(col("cell"))
+      .agg(max(col("n")).as("n_members"),
+        sum(abs(col("cq2") - col("cq1"))).as("drift_l1_milli"),
+        max(abs(col("cq2") - col("cq1"))).as("max_dim_shift_milli"))
       .orderBy(col("cell"))
   }
 

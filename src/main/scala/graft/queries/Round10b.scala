@@ -229,6 +229,155 @@ object Round10b {
           col("doc_id").as("sample_doc"), col("bytes").as("sample_bytes"))
         .orderBy(col("format"), col("bucket"))
     }),
+
+    // EXACT interpolated quartiles (percentile_cont without the double):
+    // per segment, p25/p50/p75 of balance in QUARTER-CENTS — the ×4
+    // fixed point makes the linear interpolation lo·(4−rem) + hi·rem an
+    // integer identity, so the result is bit-stable cross-engine where
+    // percentile_cont's float arithmetic is not. Ranks come from the
+    // TWO-PHASE global rank (per-(segment, value-block) row_number +
+    // broadcast block offsets — the q_percent_rank pattern), never a
+    // window over a whole segment; only the ≤6 boundary rows per segment
+    // survive to the final rollup.
+    "q_percentile_cont_exact" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .withColumn("blk", expr("cents div 100000"))
+      val grp = c.groupBy(col("seg"), col("blk")).agg(count(lit(1)).as("bn"))
+        .localCheckpoint(true) // feeds offsets AND per-segment totals
+      val wB = Window.partitionBy(col("seg")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = grp.withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+        .select(col("seg"), col("blk"), col("off"))
+      val tot = grp.groupBy(col("seg")).agg(sum(col("bn")).as("n"))
+      val wIn = Window.partitionBy(col("seg"), col("blk"))
+        .orderBy(col("cents"), col("c_custkey"))
+      val ranked = c.join(broadcast(offs), Seq("seg", "blk"))
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .join(broadcast(tot), Seq("seg"))
+      val needed = (1 to 3).map { q =>
+        val idx = idiv((col("n") - 1) * q, lit(4L))
+        col("rk") === idx + 1 || col("rk") === idx + 2
+      }.reduce(_ || _)
+      val quartiles = (1 to 3).map { q =>
+        val pos = (col("n") - 1) * q
+        val idx = idiv(pos, lit(4L))
+        val rem = pos - idx * 4
+        val lo = max(when(col("rk") === idx + 1, col("cents")))
+        val hi = coalesce(max(when(col("rk") === idx + 2, col("cents"))),
+          max(when(col("rk") === idx + 1, col("cents"))))
+        (lo * (lit(4L) - rem) + hi * rem).as(s"p${q * 25}_x4cents")
+      }
+      ranked.where(needed).groupBy(col("seg"), col("n"))
+        .agg(quartiles.head, quartiles.tail: _*)
+        .orderBy(col("seg"))
+    }),
+
+    // 2-hop frontier expansion (the BFS kernel): per seed supplier, the
+    // 1-hop part count and the 2-hop distinct supplier reach over the
+    // capped bipartite graph — the neighborhood-size audit that prices
+    // any traversal before running it. Both hops are keyed joins on the
+    // checkpointed edge list; the frontier is deduped per hop (the
+    // BFS-on-Spark shape: distinct per level, never multiplicities).
+    "graph_bfs_2hop" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
+      val pdeg = sp.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
+      val spc = sp.join(pdeg.where(col("pd") <= 64), Seq("pk"))
+        .select(col("sk"), col("pk"))
+      val seeds = Tables.supplier(s, dir)
+        .where(col("s_suppkey") % 20 === 0)
+        .select(col("s_suppkey").as("seed"))
+      val hop1 = seeds.join(spc.withColumnRenamed("sk", "seed"), Seq("seed"))
+      val h1 = hop1.groupBy(col("seed")).agg(count(lit(1)).as("n_parts"))
+      val h2 = hop1.join(spc, Seq("pk"))
+        .where(col("sk") =!= col("seed"))
+        .select(col("seed"), col("sk")).distinct()
+        .groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
+      h1.join(h2, Seq("seed"), "left")
+        .select(col("seed"), col("n_parts"),
+          coalesce(col("n_reach"), lit(0L)).as("n_reach"))
+        .orderBy(col("seed"))
+    }),
+
+    // Within-payload compressibility proxy: distinct 64-char chunks /
+    // total chunks per blob (bp), banded per sniffed format — the
+    // cheap "is this worth compressing / is this padding" triage that
+    // runs before any real codec. Pure per-row array kernel (no explode,
+    // no shuffle until the bounded band rollup).
+    "mm_compress_proxy" -> ((s, dir) => {
+      val magic = substring(col("text"), 1, 1)
+      val cc = graft.ops.Multimodal.charChunkCount(col("text"))
+      Tables.documents(s, dir)
+        .where(length(col("text")) > 0)
+        .withColumn("format",
+          when(magic.between("a", "f"), "image")
+            .when(magic.between("g", "p"), "audio")
+            .when(magic.between("q", "z"), "video")
+            .otherwise("binary"))
+        .withColumn("chunks", transform(sequence(lit(1L), cc),
+          i => col("text").substr(((i - 1) * 64 + 1).cast("int"), lit(64))))
+        .withColumn("uniq_bp",
+          idiv(size(array_distinct(col("chunks"))).cast("long") * 10000,
+            size(col("chunks")).cast("long")))
+        .withColumn("band", idiv(col("uniq_bp"), lit(1000L)))
+        .groupBy(col("format"), col("band"))
+        .agg(count(lit(1)).as("n_docs"), min(col("uniq_bp")).as("min_bp"),
+          max(col("uniq_bp")).as("max_bp"))
+        .orderBy(col("format"), col("band"))
+    }),
+
+    // Positional bias of the highest-volume tokens: mean first-occurrence
+    // position (bp of doc length) over the docs containing each top-10
+    // token — boilerplate detection (headers cluster near 0, footers near
+    // 10000). The 10-row top table broadcasts under the corpus scan (the
+    // sim_batch_topk shape); position is a per-row array_position, no
+    // explode of the corpus.
+    "text_positional_bias" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      val top = docs.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(10)
+        .localCheckpoint(true)
+      docs.crossJoin(broadcast(top))
+        .withColumn("pos", array_position(col("toks"), col("tok")))
+        .where(col("pos") > 0)
+        .withColumn("pos_bp",
+          idiv((col("pos") - 1) * 10000, size(col("toks")).cast("long")))
+        .groupBy(col("tok"), col("tf"))
+        .agg(count(lit(1)).as("n_docs"),
+          idiv(sum(col("pos_bp")), count(lit(1))).as("mean_first_pos_bp"),
+          min(col("pos_bp")).as("min_pos_bp"), max(col("pos_bp")).as("max_pos_bp"))
+        .orderBy(col("tf").desc, col("tok"))
+    }),
+
+    // Anomaly persistence: consecutive-hour RUNS of burst hours (the
+    // events_burst flag — ≥2× the trailing-24h observed mean with ≥12 h
+    // history), as a run-length histogram — one spiky hour is noise, a
+    // 3-hour run is an incident. Gaps-islands over the flagged subset of
+    // the hourly rollup; every window runs over that bounded rollup.
+    "events_anomaly_runs" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+      val bursts = hourly
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .where(col("win_n") >= 12 &&
+          col("n") * col("win_n") >= col("win_sum") * 2)
+        .select(idiv(unix_micros(col("hr")), lit(3600000000L)).as("idx"))
+      val wi = Window.orderBy(col("idx"))
+      bursts.withColumn("isl", col("idx") - row_number().over(wi))
+        .groupBy(col("isl"))
+        .agg(count(lit(1)).as("len"), min(col("idx")).as("sidx"))
+        .groupBy(col("len"))
+        .agg(count(lit(1)).as("n_runs"), min(col("sidx")).as("first_start_idx"))
+        .orderBy(col("len"))
+    }),
   )
 
   /** Shared capped-pair CTE — identical to the dedup_source_matrix oracle
@@ -345,6 +494,98 @@ object Round10b {
          |SELECT source, CAST(ttr_bp // 1000 AS BIGINT) AS band,
          |  count(*) AS n_docs, min(ttr_bp) AS min_ttr_bp, max(ttr_bp) AS max_ttr_bp
          |FROM v GROUP BY source, band ORDER BY source, band""".stripMargin,
+
+    // Single-window oracle form: the two-phase Spark rank and the flat
+    // rank are the same total order, so the boundary rows agree.
+    "q_percentile_cont_exact" -> {
+      val qs = (1 to 3).map { q =>
+        s"""max(CASE WHEN rk = ((n - 1) * $q) // 4 + 1 THEN cents END) AS lo$q,
+           |  max(CASE WHEN rk = ((n - 1) * $q) // 4 + 2 THEN cents END) AS hi$q""".stripMargin
+      }.mkString(",\n  ")
+      val outs = (1 to 3).map { q =>
+        s"""CAST(lo$q * (4 - ((n - 1) * $q) % 4)
+           |    + coalesce(hi$q, lo$q) * (((n - 1) * $q) % 4) AS BIGINT)
+           |    AS p${q * 25}_x4cents""".stripMargin
+      }.mkString(",\n  ")
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         |r AS (SELECT seg, cents,
+         |    row_number() OVER (PARTITION BY seg ORDER BY cents, c_custkey) AS rk,
+         |    count(*) OVER (PARTITION BY seg) AS n FROM c),
+         |a AS (SELECT seg, n,
+         |  $qs
+         |  FROM r GROUP BY seg, n)
+         |SELECT seg, n,
+         |  $outs
+         |FROM a ORDER BY seg""".stripMargin
+    },
+
+    "graph_bfs_2hop" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |pd AS (SELECT pk, count(*) AS pd FROM sp GROUP BY pk),
+        |spc AS (SELECT sk, sp.pk AS pk FROM sp JOIN pd USING (pk) WHERE pd.pd <= 64),
+        |seeds AS (SELECT s_suppkey AS seed FROM supplier WHERE s_suppkey % 20 = 0),
+        |h1 AS (SELECT seed, count(*) AS n_parts
+        |       FROM seeds JOIN spc ON spc.sk = seeds.seed GROUP BY seed),
+        |h2 AS (SELECT seed, count(DISTINCT b.sk) AS n_reach
+        |       FROM seeds
+        |       JOIN spc a ON a.sk = seeds.seed
+        |       JOIN spc b ON b.pk = a.pk AND b.sk <> seeds.seed
+        |       GROUP BY seed)
+        |SELECT h1.seed, h1.n_parts, CAST(coalesce(h2.n_reach, 0) AS BIGINT) AS n_reach
+        |FROM h1 LEFT JOIN h2 USING (seed) ORDER BY seed""".stripMargin,
+
+    "mm_compress_proxy" ->
+      """WITH f AS (
+        |  SELECT text,
+        |    CASE WHEN substring(text, 1, 1) BETWEEN 'a' AND 'f' THEN 'image'
+        |         WHEN substring(text, 1, 1) BETWEEN 'g' AND 'p' THEN 'audio'
+        |         WHEN substring(text, 1, 1) BETWEEN 'q' AND 'z' THEN 'video'
+        |         ELSE 'binary' END AS format
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT format,
+        |    list_transform(range(1, (length(text) + 63) // 64 + 1),
+        |      i -> substring(text, CAST((i - 1) * 64 + 1 AS INTEGER), 64)) AS chunks
+        |  FROM f),
+        |v AS (SELECT format,
+        |    CAST(len(list_distinct(chunks)) * 10000 // len(chunks) AS BIGINT)
+        |      AS uniq_bp
+        |  FROM ch)
+        |SELECT format, CAST(uniq_bp // 1000 AS BIGINT) AS band,
+        |  count(*) AS n_docs, min(uniq_bp) AS min_bp, max(uniq_bp) AS max_bp
+        |FROM v GROUP BY format, band ORDER BY format, band""".stripMargin,
+
+    "text_positional_bias" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM (
+         |  SELECT unnest(toks) AS tok FROM t) x GROUP BY tok),
+         |top AS (SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 10),
+         |p AS (SELECT top.tok, top.tf,
+         |    list_position(t.toks, top.tok) AS pos, len(t.toks) AS nt
+         |  FROM t CROSS JOIN top),
+         |p2 AS (SELECT tok, tf, (pos - 1) * 10000 // nt AS pos_bp
+         |       FROM p WHERE pos > 0)
+         |SELECT tok, tf, count(*) AS n_docs,
+         |  CAST(CAST(sum(pos_bp) AS BIGINT) // count(*) AS BIGINT)
+         |    AS mean_first_pos_bp,
+         |  CAST(min(pos_bp) AS BIGINT) AS min_pos_bp,
+         |  CAST(max(pos_bp) AS BIGINT) AS max_pos_bp
+         |FROM p2 GROUP BY tok, tf ORDER BY tf DESC, tok""".stripMargin,
+
+    "events_anomaly_runs" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |w AS (SELECT hr, n, count(*) OVER win AS wn,
+        |    coalesce(sum(n) OVER win, 0) AS ws
+        |  FROM h WINDOW win AS (ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |b AS (SELECT epoch_us(CAST(hr AS TIMESTAMP)) // 3600000000 AS idx
+        |      FROM w WHERE wn >= 12 AND n * wn >= ws * 2),
+        |i AS (SELECT idx, idx - row_number() OVER (ORDER BY idx) AS isl FROM b),
+        |r AS (SELECT isl, count(*) AS len, min(idx) AS sidx FROM i GROUP BY isl)
+        |SELECT len, count(*) AS n_runs,
+        |  CAST(min(sidx) AS BIGINT) AS first_start_idx
+        |FROM r GROUP BY len ORDER BY len""".stripMargin,
 
     "mm_qa_sample" ->
       """WITH f AS (

@@ -122,6 +122,14 @@ object SimMm {
       Similarity.ivfTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8,
         iters = 2)),
 
+    // K-means convergence audit: per-cell L1 centroid movement between
+    // Lloyd rounds 1 and 2 (+ worst single-dimension shift) — the
+    // stop-condition readout an index build gates on. Shares the exact
+    // lloydCent/lloydAssign kernels with sim_ivf_train2, diffed instead
+    // of discarded; the oracle replays the same two chained rounds.
+    "sim_centroid_drift" -> ((s, dir) =>
+      Similarity.ivfCentroidDrift(Tables.embeddings(s, dir), "vec_id", "embedding", 8)),
+
     // IVF search: exact cosine top-k within the query's cell.
     "sim_ivf_search" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir), "vec_id", "embedding", 0L, 10, 8)),
@@ -705,7 +713,10 @@ object SimMm {
     * milli-unit quantized components) and dxx are iteration-invariant and
     * hoisted; each round is textually identical modulo its index, exactly
     * like the Scala loop in Similarity.ivfTrainStats. */
-  private def ivfTrainSql(iters: Int): String = {
+  /** The Lloyd-training CTE chain through `iters` rounds (cent$i / dcc$i /
+    * a$i per round) — shared by the train-stats oracles and the
+    * centroid-drift oracle so the replayed rounds cannot diverge. */
+  private def ivfTrainCtes(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""cent$i AS (
          |  SELECT cell, d, sum(xq) // count(*) AS cq
@@ -722,7 +733,7 @@ object SimMm {
          |    FROM dxc$i x JOIN dxx v USING (vec_id) JOIN dcc$i k USING (cell)) t
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $milliNormCte,
+    s"""$milliNormCte,
        |$ivfCte,
        |a0 AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
        |comp2 AS (
@@ -731,12 +742,15 @@ object SimMm {
        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS xq
        |  FROM embeddings CROSS JOIN range(64) d),
        |dxx AS (SELECT vec_id, sum(xq * xq) AS dxx FROM comp2 GROUP BY vec_id),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def ivfTrainSql(iters: Int): String =
+    s"""WITH ${ivfTrainCtes(iters)}
        |SELECT f.cell, count(*) AS n, min(f.vec_id) AS min_id,
        |  CAST(floor(sqrt(CAST(k.dcc AS DOUBLE))) AS BIGINT) AS c_norm_milli
        |FROM a$iters f JOIN dcc$iters k USING (cell)
        |GROUP BY f.cell, k.dcc ORDER BY f.cell""".stripMargin
-  }
 
   /** Shared PQ CTE chain: milli-quantized components, 16 hash-sampled
     * codewords, per-(vector, codeword, subvector) integer sub-L2, argmin
@@ -850,6 +864,17 @@ object SimMm {
          |  CAST(CAST(sum(margin_bp) AS BIGINT) // count(*) AS BIGINT)
          |    AS mean_margin_bp
          |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "sim_centroid_drift" ->
+      s"""WITH ${ivfTrainCtes(2)},
+         |nm AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell)
+         |SELECT c1.cell, CAST(nm.n AS BIGINT) AS n_members,
+         |  CAST(sum(abs(c2.cq - c1.cq)) AS BIGINT) AS drift_l1_milli,
+         |  CAST(max(abs(c2.cq - c1.cq)) AS BIGINT) AS max_dim_shift_milli
+         |FROM cent1 c1
+         |JOIN cent2 c2 ON c2.cell = c1.cell AND c2.d = c1.d
+         |JOIN nm ON nm.cell = c1.cell
+         |GROUP BY c1.cell, nm.n ORDER BY c1.cell""".stripMargin,
 
     "sim_norm_stats" ->
       s"""WITH $milliNormCte,

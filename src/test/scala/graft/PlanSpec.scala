@@ -137,7 +137,12 @@ class PlanSpec extends AnyFunSuite {
     //    counts) broadcast under the 1-row edge count
     //  - q_rel_division: 1-row distinct-type-count divisor broadcast
     //    under the per-(user, month) rollup (the q_scalar_subquery shape)
-    "graph_triangles", "q_rel_division")
+    "graph_triangles", "q_rel_division",
+    //  - sim_centroid_drift: every vector vs the 8 broadcast centroids,
+    //    twice (the sim_ivf_train2 assignment shape it audits)
+    //  - text_positional_bias: 10-row broadcast top-token table under
+    //    the corpus scan (the sim_batch_topk shape)
+    "sim_centroid_drift", "text_positional_bias")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

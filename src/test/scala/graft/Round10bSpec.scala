@@ -189,6 +189,136 @@ class Round10bSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_percentile_cont_exact: x4 quartiles recompute from a flat sort") {
+    val cust = graft.sources.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_mktsegment"), round(col("c_acctbal") * 100).cast("long"),
+        col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = cust.groupBy(_._1).map { case (seg, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val n = sorted.length.toLong
+      val qs = (1 to 3).map { q =>
+        val pos = (n - 1) * q
+        val idx = pos / 4; val rem = pos - idx * 4
+        val lo = sorted(idx.toInt)
+        val hi = if (idx + 1 < n) sorted(idx.toInt + 1) else lo
+        lo * (4 - rem) + hi * rem
+      }
+      seg -> ((n, qs(0), qs(1), qs(2)))
+    }
+    val got = run("q_percentile_cont_exact").collect().map(r =>
+      r.getAs[String]("seg") -> ((r.getAs[Long]("n"), r.getAs[Long]("p25_x4cents"),
+        r.getAs[Long]("p50_x4cents"), r.getAs[Long]("p75_x4cents")))).toMap
+    assert(got == expect)
+    // interpolation actually interpolates somewhere (rem != 0 for some seg)
+    assert(expect.exists { case (_, (n, _, _, _)) => (n - 1) % 4 != 0 })
+  }
+
+  test("graph_bfs_2hop: reach recomputes from the capped edge list") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val capped = li.groupBy(_._2).filter(_._2.length <= 64).values.flatten.toSeq
+    val byPart = capped.groupBy(_._2)
+    val bySupp = capped.groupBy(_._1)
+    val seeds = bySupp.keys.filter(_ % 20 == 0).toSeq.sorted
+    val expect = seeds.flatMap { s =>
+      bySupp.get(s).map { es =>
+        val parts = es.map(_._2)
+        val reach = parts.flatMap(p => byPart(p).map(_._1)).toSet - s
+        (s, parts.length.toLong, reach.size.toLong)
+      }
+    }
+    val got = run("graph_bfs_2hop").collect().map(r =>
+      (r.getAs[Long]("seed"), r.getAs[Long]("n_parts"), r.getAs[Long]("n_reach")))
+    assert(got.toSeq == expect)
+  }
+
+  test("mm_compress_proxy: chunk-uniqueness bands recompute per blob") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().map(_.getString(0)).filter(_.nonEmpty)
+    val expect = docs.map { t =>
+      val fmt = t.charAt(0) match {
+        case c if c >= 'a' && c <= 'f' => "image"
+        case c if c >= 'g' && c <= 'p' => "audio"
+        case c if c >= 'q' && c <= 'z' => "video"
+        case _ => "binary"
+      }
+      val chunks = t.grouped(64).toSeq
+      (fmt, chunks.distinct.length.toLong * 10000 / chunks.length)
+    }.groupBy { case (f, bp) => (f, bp / 1000) }
+      .map { case ((f, band), v) =>
+        (f, band, v.length.toLong, v.map(_._2).min, v.map(_._2).max) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = run("mm_compress_proxy").collect().map(r =>
+      (r.getAs[String]("format"), r.getAs[Long]("band"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("min_bp"), r.getAs[Long]("max_bp"))).toSeq
+    assert(got == expect)
+  }
+
+  test("text_positional_bias: first-position stats recompute in memory") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).trim.split(" ", -1).toSeq)
+    val tf = docs.flatten.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+    val top = tf.toSeq.sortBy { case (t, f) => (-f, t) }.take(10)
+    val expect = top.map { case (tok, f) =>
+      val posBps = docs.flatMap { toks =>
+        val p = toks.indexOf(tok)
+        if (p >= 0) Some(p.toLong * 10000 / toks.length) else None
+      }
+      (tok, f, posBps.length.toLong, posBps.sum / posBps.length,
+        posBps.min, posBps.max)
+    }
+    val got = run("text_positional_bias").collect().map(r =>
+      (r.getAs[String]("tok"), r.getAs[Long]("tf"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("mean_first_pos_bp"), r.getAs[Long]("min_pos_bp"),
+        r.getAs[Long]("max_pos_bp"))).toSeq
+    assert(got == expect)
+  }
+
+  test("events_anomaly_runs: run-length histogram recomputes from hours") {
+    val hours = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(expr("unix_micros(date_trunc('hour', ts)) div 3600000000"))
+      .collect().map(_.getLong(0))
+    val hourly = hours.groupBy(identity).map { case (h, v) => (h, v.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val bursts = hourly.indices.flatMap { i =>
+      val win = hourly.slice(math.max(0, i - 24), i)
+      val (wn, ws) = (win.length.toLong, win.map(_._2).sum)
+      if (wn >= 12 && hourly(i)._2 * wn >= ws * 2) Some(hourly(i)._1) else None
+    }
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (start, len)
+    bursts.foreach { h =>
+      if (runs.nonEmpty && runs.last._1 + runs.last._2 == h)
+        runs(runs.length - 1) = (runs.last._1, runs.last._2 + 1)
+      else runs += ((h, 1L))
+    }
+    val expect = runs.groupBy(_._2).map { case (len, v) =>
+      (len, v.size.toLong, v.map(_._1).min) }.toSeq.sortBy(_._1)
+    val got = run("events_anomaly_runs").collect().map(r =>
+      (r.getAs[Long]("len"), r.getAs[Long]("n_runs"),
+        r.getAs[Long]("first_start_idx"))).toSeq
+    assert(got == expect)
+    assert(expect.exists(_._1 > 1), "fixture has a multi-hour run")
+  }
+
+  test("sim_centroid_drift: member counts match sim_ivf_train; drift sane") {
+    val drift = run("sim_centroid_drift").collect()
+    assert(drift.nonEmpty)
+    val train1 = run("sim_ivf_train").collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+    drift.foreach { r =>
+      assert(r.getAs[Long]("n_members") == train1(r.getAs[Long]("cell")),
+        "round-2 centroid means come from the round-1 assignment")
+      assert(r.getAs[Long]("drift_l1_milli") >= r.getAs[Long]("max_dim_shift_milli"))
+      assert(r.getAs[Long]("max_dim_shift_milli") >= 0)
+    }
+    assert(drift.exists(_.getAs[Long]("drift_l1_milli") > 0),
+      "training actually moves at least one centroid")
+  }
+
   test("sim_margin_stats: margins are non-negative and bounded by extremes") {
     val rows = run("sim_margin_stats").collect()
     assert(rows.nonEmpty)
