@@ -53,6 +53,18 @@ case class MaskChange(user_id: Long, prev_mask: Long, new_mask: Long)
 /** One observation for the late-arrival monitor (`us` = event-time epoch
   * micros; `event_id` orders arrivals WITHIN a micro-batch so replaying
   * a log in id order reproduces the batch audit exactly). */
+/** Per-shard sequence-gap state: observed [smin, smax] plus the ids
+  * inside that range not yet seen. Bounded BY CONSTRUCTION: a shard
+  * spans at most 2^shardBits ids, so `missing` can never exceed the
+  * shard width regardless of stream history. */
+case class SeqGapState(smin: Long, smax: Long, missing: Array[Long])
+
+/** One row per (shard, micro-batch): the shard's observed range, the
+  * batch's arrivals/late fills, and the outstanding missing count. */
+case class SeqGapsOut(shard: Long, smin: Long, smax: Long,
+                      n_seen_batch: Long, n_filled_batch: Long,
+                      n_outstanding: Long)
+
 case class LateObs(event_type: String, event_id: Long, us: Long)
 
 /** Per-micro-batch lateness rollup for one event type: how many events
@@ -470,6 +482,46 @@ object StreamOps {
           }
           state.update(mx)
           acc.iterator.map { case (band, (n, m)) => LateBands(typ, band, n, m) }
+      }
+  }
+
+  /** Continuous sequence-gap monitor — the streaming twin of the batch
+    * `etl_seq_gaps` audit: which ids of a keyed changelog never arrived?
+    * Ids are sharded by `id >> shardBits` (the batch kernel's 4096-id
+    * blocks), so per-shard state — observed [min, max] plus the missing
+    * ids inside it — is bounded by the shard width AT ANY VOLUME; a
+    * 100 TB changelog just has more shards, each still ≤ 4096 ids of
+    * state. Late arrivals FILL previously-opened gaps (emitted as
+    * `n_filled_batch`); duplicate deliveries are no-ops by value, so a
+    * replayed log converges to the same outstanding set. Cross-shard
+    * gaps are reconstructed by the reader from adjacent shards' final
+    * (smin, smax) rows — exactly the batch operator's boundary-frame
+    * phase (the spec proves total agreement). */
+  def seqGapsStream(ids: DataFrame, idCol: String,
+                    shardBits: Int = 12): Dataset[SeqGapsOut] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .groupByKey(_ >> shardBits)
+      .flatMapGroupsWithState[SeqGapState, SeqGapsOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (shard, it, state: GroupState[SeqGapState]) =>
+          val s0 = state.getOption
+            .getOrElse(SeqGapState(Long.MaxValue, Long.MinValue, Array.empty))
+          var mn = s0.smin; var mx = s0.smax
+          val missing = scala.collection.mutable.SortedSet.empty[Long] ++ s0.missing
+          var filled = 0L; var seen = 0L
+          it.toSeq.sorted.foreach { id =>
+            seen += 1
+            if (mx == Long.MinValue) { mn = id; mx = id }
+            else if (id > mx) { ((mx + 1) until id).foreach(missing += _); mx = id }
+            else if (id < mn) { ((id + 1) until mn).foreach(missing += _); mn = id }
+            else if (missing.remove(id)) filled += 1
+            // else: duplicate delivery of an already-seen id — no-op
+          }
+          state.update(SeqGapState(mn, mx, missing.toArray))
+          Iterator.single(
+            SeqGapsOut(shard, mn, mx, seen, filled, missing.size.toLong))
       }
   }
 

@@ -347,4 +347,44 @@ class StreamOpsSpec extends AnyFunSuite {
         ((r.getAs[Long]("n"), r.getAs[Long]("max_late_s")))).toMap
     assert(streamed == batch, "stream replay == batch etl_late_arrivals")
   }
+
+  test("seqGapsStream: outstanding + boundary gaps == the batch gap audit") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val keys = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey")).distinct().as[Long].collect()
+    // deterministic scramble: out-of-order + cross-batch delivery so
+    // gaps OPEN in early batches and are FILLED by later ones
+    val scrambled = keys.sortBy(k => k * 0x9E3779B97F4A7C15L)
+    val input = MemoryStream[Long]
+    val q = StreamOps.seqGapsStream(input.toDF(), "value")
+      .writeStream.outputMode("append").format("memory").queryName("seqgaps").start()
+    scrambled.grouped(scrambled.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("seqgaps").as[SeqGapsOut].collect()
+    // latest row per shard = the one with the most OBSERVED ids
+    // (range minus outstanding — monotone across batches)
+    val latest = rows.groupBy(_.shard).map { case (_, rs) =>
+      rs.maxBy(r => (r.smax - r.smin + 1) - r.n_outstanding)
+    }.toSeq.sortBy(_.shard)
+    val outstanding = latest.map(_.n_outstanding).sum
+    // the batch operator's boundary-frame phase, replayed by the reader
+    val boundary = latest.sliding(2).collect {
+      case Seq(a, b) => b.smin - a.smax - 1 }.sum
+    val sorted = keys.sorted
+    val batchMissing = (sorted.max - sorted.min + 1) - sorted.length
+    assert(outstanding + boundary == batchMissing,
+      "streamed outstanding + cross-shard gaps == batch missing total")
+    // and the histogram total from the registered batch query agrees
+    val histMissing = graft.SparkEntry.queries("etl_seq_gaps")(spark, TestSpark.sf)
+      .agg(sum(col("missing_ids"))).collect().head.getLong(0)
+    assert(outstanding + boundary == histMissing)
+    assert(rows.map(_.n_filled_batch).sum > 0,
+      "scrambled delivery exercises late fills")
+    latest.foreach(r => assert(r.n_outstanding <= (1L << 12),
+      "per-shard state bounded by the shard width"))
+  }
 }
