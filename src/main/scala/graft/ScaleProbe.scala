@@ -186,6 +186,26 @@ object ScaleProbe {
         salted.where(pmod(col("doc_id"), lit(5)) === 4),
         "doc_id", "text").count()
     }
+    // Sorted-neighborhood dedup: candidates are O(n·w) BY CONSTRUCTION —
+    // identical replicated text (all replicas share one fingerprint, so
+    // they pack adjacently in sort order) is the LSH worst case that
+    // needs bucket caps, but SNM's window bounds it for free. Kernel =
+    // graft.ops.Dedup.snmPairs, the EXACT code the registered query runs.
+    time("snm_pairs")(
+      graft.ops.Dedup.snmPairs(docs, "doc_id", "text").count())
+    // One-mode projection at mult× parts: via-side degrees stay constant
+    // (pair fan-out per part is unchanged), so capped pair work grows
+    // linearly with the edge list. Kernel = graft.ops.Graph.{cappedVia,
+    // projectionPairs}, the EXACT code graph_common_neighbors runs.
+    time("projection_pairs_capped") {
+      val sp = graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(col("sk"), (col("pk") * mult + col("rep")).as("pk"))
+        .localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      graft.ops.Graph.projectionPairs(spc, "sk", "pk").count()
+    }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))
       graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)

@@ -487,4 +487,44 @@ object Dedup {
       .where(col("cos_bp") >= lit(math.round(threshold * 10000)))
       .select(col("a"), col("b"), col("cos_bp"))
   }
+
+  /** Sorted-neighborhood (SNM) near-dup pairs — the classic ER
+    * alternative to LSH blocking: sort docs by their winnowing
+    * fingerprint (min shingle md5) and verify each doc only against its
+    * next `window` neighbors in sort order, so candidates are O(n·w)
+    * EVEN WHEN every doc is identical (the LSH worst case that needs
+    * bucket caps). The sort is blocked by the key's leading hex digit
+    * (each window sorts one block, never the corpus); verification is
+    * per-pair trigram Jaccard ≥ 0.5 as integer cross-multiplication
+    * over the carried shingle arrays — no second shuffle.
+    * Returns (a, b, inter, uni, jaccard_bp), a < b. */
+  def snmPairs(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, window: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("sh", array_distinct(TextAnalysis.shinglesOf(col("toks"), n)))
+      .where(size(col("sh")) > 0)
+      .withColumn("key", graft.functions.TextFunctions.md5Min(col("sh")))
+      .withColumn("blk", substring(col("key"), 1, 1))
+    val w = Window.partitionBy(col("blk")).orderBy(col("key"), col("did"))
+    var nbr = d.select(col("blk"), col("key"), col("did"), col("sh"))
+    (1 to window).foreach { i =>
+      nbr = nbr.withColumn(s"nid$i", lead(col("did"), i).over(w))
+        .withColumn(s"nsh$i", lead(col("sh"), i).over(w))
+    }
+    val cand = (1 to window).map { i =>
+      nbr.where(col(s"nid$i").isNotNull)
+        .select(col("did").as("da"), col("sh").as("sha"),
+          col(s"nid$i").as("db"), col(s"nsh$i").as("shb"))
+    }.reduce(_ unionAll _)
+    cand
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .where(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+      .select(least(col("da"), col("db")).as("a"),
+        greatest(col("da"), col("db")).as("b"), col("inter"), col("uni"),
+        graft.queries.idiv(col("inter") * 10000, col("uni")).as("jaccard_bp"))
+  }
 }

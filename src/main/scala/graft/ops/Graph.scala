@@ -99,4 +99,24 @@ object Graph {
     }
     pr
   }
+
+  /** Bipartite edge list with hub `via` nodes dropped: keeps only edges
+    * whose via-side degree is ≤ `cap` (the capped-postings rule — a few
+    * universal hubs would otherwise dominate any projection shuffle
+    * while adding no ranking signal). `sp` should be the DISTINCT,
+    * checkpointed edge frame — this adds one keyed rollup + one join. */
+  def cappedVia(sp: DataFrame, nodeCol: String, viaCol: String, cap: Int): DataFrame =
+    sp.join(sp.groupBy(col(viaCol)).agg(count(lit(1)).as("pd"))
+        .where(col("pd") <= cap), Seq(viaCol))
+      .select(col(nodeCol), col(viaCol))
+
+  /** One-mode projection pair counts: for node pairs sharing ≥1 via
+    * node, the number of shared via nodes. Fan-out per via node is
+    * C(deg, 2), bounded by [[cappedVia]]'s cap — total work is
+    * edges × cap, linear in the graph at any scale. */
+  def projectionPairs(spc: DataFrame, nodeCol: String, viaCol: String): DataFrame =
+    spc.select(col(viaCol), col(nodeCol).as("s1"))
+      .join(spc.select(col(viaCol), col(nodeCol).as("s2")), Seq(viaCol))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
 }

@@ -56,18 +56,15 @@ object Round10b {
     // and broadcast (≤ supplier count rows).
     "graph_common_neighbors" -> ((s, dir) => {
       // distinct edge list built ONCE (eager checkpoint — the
-      // graph_pagerank convention): five downstream uses, one scan
+      // graph_pagerank convention): five downstream uses, one scan.
+      // Kernel = graft.ops.Graph.{cappedVia, projectionPairs}, shared
+      // with ScaleProbe so the probed plan IS the registered one.
       val sp = Tables.lineitem(s, dir)
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
         .localCheckpoint(true)
-      val pdeg = sp.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
-      val spc = sp.join(pdeg.where(col("pd") <= 64), Seq("pk"))
-        .select(col("sk"), col("pk"))
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
       val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-      val pairs = spc.select(col("pk"), col("sk").as("s1"))
-        .join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))
-        .where(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+      val pairs = graft.ops.Graph.projectionPairs(spc, "sk", "pk")
       pairs
         .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
         .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))
@@ -157,35 +154,11 @@ object Round10b {
     // corpus), the house two-phase pattern; verification is per-pair
     // trigram Jaccard ≥ 0.5 as integer cross-multiplication over the
     // already-carried shingle arrays — no second shuffle.
-    "dedup_sorted_neighborhood" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
-        .withColumn("sh", array_distinct(TA.shinglesOf(col("toks"), 3)))
-        .where(size(col("sh")) > 0)
-        .withColumn("key", graft.functions.TextFunctions.md5Min(col("sh")))
-        .withColumn("blk", substring(col("key"), 1, 1))
-      val w = Window.partitionBy(col("blk")).orderBy(col("key"), col("doc_id"))
-      val nbr = d.select(col("blk"), col("key"), col("doc_id"), col("sh"))
-        .withColumn("nid1", lead(col("doc_id"), 1).over(w))
-        .withColumn("nsh1", lead(col("sh"), 1).over(w))
-        .withColumn("nid2", lead(col("doc_id"), 2).over(w))
-        .withColumn("nsh2", lead(col("sh"), 2).over(w))
-      val p1 = nbr.where(col("nid1").isNotNull)
-        .select(col("doc_id").as("da"), col("sh").as("sha"),
-          col("nid1").as("db"), col("nsh1").as("shb"))
-      val p2 = nbr.where(col("nid2").isNotNull)
-        .select(col("doc_id").as("da"), col("sh").as("sha"),
-          col("nid2").as("db"), col("nsh2").as("shb"))
-      p1.unionAll(p2)
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-        .withColumn("uni",
-          size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
-        .where(col("uni") > 0 && col("inter") * 2 >= col("uni"))
-        .select(least(col("da"), col("db")).as("a"),
-          greatest(col("da"), col("db")).as("b"), col("inter"), col("uni"),
-          idiv(col("inter") * 10000, col("uni")).as("jaccard_bp"))
-        .orderBy(col("a"), col("b"))
-    }),
+    // Kernel = graft.ops.Dedup.snmPairs, shared with ScaleProbe so the
+    // probed plan IS the registered one.
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      graft.ops.Dedup.snmPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("a"), col("b"))),
 
     // Type-token-ratio bands per source: per-doc lexical diversity
     // (distinct tokens / tokens, basis points), banded into deciles —
@@ -284,9 +257,7 @@ object Round10b {
       val sp = Tables.lineitem(s, dir)
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
         .localCheckpoint(true)
-      val pdeg = sp.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
-      val spc = sp.join(pdeg.where(col("pd") <= 64), Seq("pk"))
-        .select(col("sk"), col("pk"))
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
       val seeds = Tables.supplier(s, dir)
         .where(col("s_suppkey") % 20 === 0)
         .select(col("s_suppkey").as("seed"))
