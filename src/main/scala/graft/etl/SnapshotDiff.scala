@@ -45,6 +45,55 @@ object SnapshotDiff {
           (valCols.map(col) :+ col("change")): _*)
   }
 
+  /** Collapse two consecutive [[changes]] sets (prev→mid, mid→curr) into
+    * the single net change set prev→curr — CDC batch compaction, the
+    * algebra a downstream consumer applies when it misses a batch and
+    * replays two: net(c1, c2) MUST equal changes(prev, curr).
+    *
+    * The pair table (c1 state ends at mid, c2 starts there):
+    *   insert→update = insert (c2 values) · insert→delete = ∅ ·
+    *   update→update = update (c2) · update→delete = delete ·
+    *   delete→insert = update — and then ANY net update whose final
+    *   values null-safely equal prev's is dropped (delete + identical
+    *   re-insert, or update chains that land back where they started,
+    *   are no-ops against prev).
+    *
+    * Spark shape: one keyed full-outer between the two (small) change
+    * sets, plus ONE left join back to `prev` that only the
+    * delete→insert rows consult — at 100 TB the change sets are the
+    * daily 0.1%, so the prev join is the only big-side shuffle and it
+    * is the same cost class as deriving either change set. */
+  def collapse(c1: DataFrame, c2: DataFrame, prev: DataFrame,
+               keys: Seq[String], changeCol: String = "change"): DataFrame = {
+    val valCols = c1.columns.filterNot(c => keys.contains(c) || c == changeCol).toSeq
+    val a = c1.select(c1.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"_1_$c")).toSeq: _*)
+    val b = c2.select(c2.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"_2_$c")).toSeq: _*)
+    val p = prev.select(prev.columns.map(c =>
+      if (keys.contains(c)) col(c) else col(c).as(s"_p_$c")).toSeq: _*)
+    val ch1 = col(s"_1_$changeCol"); val ch2 = col(s"_2_$changeCol")
+    val sameAsPrev = valCols.map(c => col(s"_2_$c") <=> col(s"_p_$c")).reduce(_ && _)
+    val net0 = when(ch2.isNull, ch1)
+      .when(ch1.isNull, ch2)
+      .when(ch1 === "insert" && ch2 === "update", lit("insert"))
+      .when(ch1 === "insert" && ch2 === "delete", lit(null))
+      .when(ch1 === "update" && ch2 === "update", lit("update"))
+      .when(ch1 === "update" && ch2 === "delete", lit("delete"))
+      .when(ch1 === "delete" && ch2 === "insert", lit("update"))
+    val net = when(net0 === "update" && ch2.isNotNull && sameAsPrev, lit(null))
+      .otherwise(net0)
+    a.join(b, keys, "full_outer")
+      .join(p, keys, "left")
+      .withColumn(changeCol, net)
+      .where(col(changeCol).isNotNull)
+      .select(keys.map(col) ++ valCols.map(c =>
+        when(col(changeCol) === "delete", lit(null))
+          .when(ch2.isNotNull, col(s"_2_$c"))
+          .otherwise(col(s"_1_$c")).as(c)) :+
+        col(changeCol): _*)
+  }
+
   /** Apply a [[changes]]-shaped insert/update/delete set to `base` —
     * MERGE semantics including deletes, in ONE shuffle (the two-join
     * alternative, upsert + anti-join, shuffles the big base twice —

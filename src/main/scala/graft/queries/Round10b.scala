@@ -353,7 +353,7 @@ object Round10b {
 
   /** Shared capped-pair CTE — identical to the dedup_source_matrix oracle
     * (the oracle twin of TextDedup.sharedPairs05). */
-  private val pairsCte =
+  private[queries] val pairsCte =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh0 AS (
        |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

@@ -1,0 +1,666 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{TextAnalysis => TA, Similarity}
+
+/** Round-10 third batch: fraud/quality audits (Benford digit law),
+  * link-prediction scoring (resource-allocation index), iterative graph
+  * decomposition (k-core peeling), winnowing fingerprints (the
+  * positional local-fingerprint family MOSS uses), cross-source
+  * distribution drift (L1 over a broadcast vocab), the nearest as-of
+  * join completing the backward/forward/tolerance family, OPQ-lite
+  * variance-balanced subspace assignment for the PQ pipeline, and CDC
+  * batch compaction (net-change collapse, the missed-batch replay
+  * algebra). House conventions throughout: integer-exact emitted
+  * columns, capped/blocked pair machinery, bounded window frames,
+  * DuckDB oracle twins.
+  */
+object Round10c {
+
+  /** Benford first-digit expectation, basis points of log10(1+1/d) for
+    * d = 1..9 — the SAME literal table on both engines, so parity never
+    * rides a log implementation. */
+  private val benfordBp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+
+  val queries: Map[String, Q] = Map(
+
+    // Benford's-law audit of order totals: the first-significant-digit
+    // histogram of totalprice (in cents) against the log-law expectation
+    // — the classic synthetic-data / fraud smoke test a finance pipeline
+    // runs per load. One rollup to 9 rows; the grand total broadcasts
+    // under it (the q_scalar_subquery shape). Deviation is |obs − exp|
+    // in basis points.
+    "events_benford" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .withColumn("digit",
+          substring(col("cents").cast("string"), 1, 1).cast("long"))
+      val tot = o.agg(count(lit(1)).as("total"))
+      o.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .withColumn("obs_bp", idiv(col("n") * 10000, col("total")))
+        .withColumn("exp_bp",
+          element_at(array(benfordBp.map(lit): _*), col("digit").cast("int")))
+        .select(col("digit"), col("n"), col("obs_bp"), col("exp_bp"),
+          abs(col("obs_bp") - col("exp_bp")).as("dev_bp"))
+        .orderBy(col("digit"))
+    }),
+
+    // Resource-allocation link prediction over the capped supplier–part
+    // bipartite graph: RA(s1, s2) = Σ_{shared part p} 1/deg(p) — common
+    // neighbors DISCOUNTED by hub-ness, the index that beats raw counts
+    // on recommendation benchmarks. Integer at ppm scale (1e6 div deg).
+    // Same capped projection machinery as graph_common_neighbors: hub
+    // parts above 64 suppliers are dropped BEFORE the pair fan-out, so
+    // per-part work is C(deg ≤ 64, 2) and total work stays linear in
+    // the edge list at any corpus size.
+    "graph_resource_alloc" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val pd = spc.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
+      val wtd = spc.join(pd, Seq("pk"))
+        .select(col("pk"), col("sk").as("s1"), idiv(lit(1000000L), col("pd")).as("w"))
+      wtd.join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))
+        .where(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(col("w")).as("ra_ppm"), count(lit(1)).as("inter"))
+        .orderBy(col("ra_ppm").desc, col("s1"), col("s2")).limit(20)
+    }),
+
+    // k-core peeling (k = 2, 3 rounds) of the near-dup pair graph: each
+    // round drops nodes with degree < 2 and the edges they carried — the
+    // decomposition that separates tight duplicate cliques (survive) from
+    // chain/pendant structure (peel away). Reuses the build-once shared
+    // t=0.5 pair index; each round is one node-sized rollup + two
+    // semi-joins, the edge frame re-checkpointed so round r+1 never
+    // replays round r's lineage. Output: one summary row per round.
+    "graph_kcore_peel" -> ((s, dir) => {
+      var edges = TextDedup.sharedPairs05(s, dir)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val rounds = (1 to 3).map { r =>
+        val deg = edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val summary = deg.agg(
+          coalesce(count(when(col("deg") < 2, 1)), lit(0L)).as("n_removed"),
+          coalesce(count(when(col("deg") >= 2, 1)), lit(0L)).as("n_nodes_left"))
+        val keep = deg.where(col("deg") >= 2).select(col("node"))
+        edges = edges
+          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+        summary.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_left"))))
+          .withColumn("round", lit(r.toLong))
+      }
+      rounds.reduce(_ unionAll _)
+        .select(col("round"), col("n_removed"), col("n_nodes_left"),
+          col("n_edges_left"))
+        .orderBy(col("round"))
+    }),
+
+    // Winnowing fingerprint density (Schleimer et al., the MOSS local
+    // fingerprinting scheme): per document, slide a w=4 window over the
+    // positional trigram-hash sequence, keep each window's minimum, and
+    // count the distinct selected fingerprints — guaranteed-coverage
+    // fingerprints for plagiarism-style matching at ~2/(w+1) density.
+    // Pure per-row array kernel (hash array projected FIRST — the §6 HOF
+    // rule — then windows over the attribute); one bounded rollup per
+    // source.
+    "text_winnowing" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), TA.tokens(col("text")).as("toks"))
+        .select(col("source"), TA.shinglesOf(col("toks"), 3).as("sh"))
+        .where(size(col("sh")) >= 4)
+        .select(col("source"), transform(col("sh"), x => md5(x)).as("h"))
+        .withColumn("wins", transform(
+          sequence(lit(1), size(col("h")) - 3),
+          i => array_min(slice(col("h"), i, lit(4)))))
+        .select(col("source"), size(col("wins")).cast("long").as("nw"),
+          size(array_distinct(col("wins"))).cast("long").as("nf"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_windows"), sum(col("nf")).as("n_fps"),
+          min(idiv(col("nf") * 10000, col("nw"))).as("min_density_bp"),
+          max(idiv(col("nf") * 10000, col("nw"))).as("max_density_bp"))
+        .withColumn("density_bp", idiv(col("n_fps") * 10000, col("n_windows")))
+        .select(col("source"), col("n_docs"), col("n_windows"), col("n_fps"),
+          col("density_bp"), col("min_density_bp"), col("max_density_bp"))
+        .orderBy(col("source"))
+    }),
+
+    // Cross-source unigram drift: pairwise L1 distance (ppm) between
+    // source token distributions restricted to the broadcast top-50
+    // global vocabulary — the "did source X's content shift away from
+    // the mix?" monitor a corpus pipeline alerts on. The matrix is
+    // sources × 50 (bounded at any corpus size); the pair join fans out
+    // C(sources, 2) per term, never touching the corpus again.
+    "text_source_divergence" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      val top = cnt.groupBy(col("tok")).agg(sum(col("n")).as("tf"))
+        .orderBy(col("tf").desc, col("tok")).limit(50)
+        .select(col("tok")).localCheckpoint(true)
+      // ≤ sources×50 rows, but referenced FOUR times downstream (totals +
+      // matrix fill, then both pair-join sides): checkpoint so the final
+      // plan scans the corpus once, at build time
+      val v = cnt.join(broadcast(top), Seq("tok")).localCheckpoint(true)
+      val tot = v.groupBy(col("source")).agg(sum(col("n")).as("tot"))
+      val m = tot.crossJoin(broadcast(top))
+        .join(v, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          idiv(coalesce(col("n"), lit(0L)) * 1000000L, col("tot")).as("ppm"))
+      m.select(col("tok"), col("source").as("src_a"), col("ppm").as("pa"))
+        .join(m.select(col("tok"), col("source").as("src_b"), col("ppm").as("pb")),
+          Seq("tok"))
+        .where(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(abs(col("pa") - col("pb"))).as("l1_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Nearest as-of join — completes the backward (q_asof_join), forward
+    // (q_asof_forward), and tolerance (q_asof_tolerance) family: each
+    // error matches its CLOSEST purchase in either direction (tie →
+    // backward, the market-data convention). Two frame-complementary
+    // passes over ONE partitioned sort — Spark executes both windows in
+    // a single per-user ordering, no second shuffle.
+    "q_asof_nearest" -> ((s, dir) => {
+      val wp = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wn = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val isP = col("event_type") === "purchase"
+      val e = Tables.events(s, dir)
+        .where(col("ts").isNotNull && (col("event_type") === "error" ||
+          (col("event_type") === "purchase" && col("value").isNotNull)))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_id", last(when(isP, col("event_id")), ignoreNulls = true).over(wp))
+        .withColumn("prev_us", last(when(isP, col("us")), ignoreNulls = true).over(wp))
+        .withColumn("next_id", first(when(isP, col("event_id")), ignoreNulls = true).over(wn))
+        .withColumn("next_us", first(when(isP, col("us")), ignoreNulls = true).over(wn))
+        .where(col("event_type") === "error")
+      val gp = col("us") - col("prev_us")
+      val gn = col("next_us") - col("us")
+      val choosePrev = col("prev_us").isNotNull &&
+        (col("next_us").isNull || gp <= gn)
+      e.select(col("event_id"), col("user_id"),
+        when(choosePrev, col("prev_id")).otherwise(col("next_id")).as("near_id"),
+        idiv(when(choosePrev, gp).otherwise(gn), lit(1000000L)).as("gap_s"),
+        when(choosePrev, lit("prev"))
+          .when(col("next_us").isNotNull, lit("next")).as("dir"))
+        .orderBy(col("event_id"))
+    }),
+
+    // OPQ-lite subspace assignment: order the 64 embedding dimensions by
+    // exact integer variance (n·Σx² − (Σx)² over milli-quantized
+    // components) and deal them to the 8 PQ subspaces in serpentine
+    // order — the standard cheap approximation of OPQ's rotation that
+    // balances per-subspace energy so no codebook starves. The stats
+    // rollup is 64 rows; the ranking window runs over that bounded
+    // frame.
+    "sim_opq_permute" -> ((s, dir) => {
+      val stats = Tables.embeddings(s, dir)
+        .select(posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("d").cast("long").as("d"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_n"))
+      val r = row_number().over(Window.orderBy(col("var_n").desc, col("d"))) - 1
+      stats.withColumn("r", r.cast("long"))
+        .withColumn("sub",
+          when(idiv(col("r"), lit(8L)) % 2 === 0, col("r") % 8)
+            .otherwise(lit(7L) - col("r") % 8))
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as("n_dims"), sum(col("var_n")).as("sum_var"),
+          concat_ws(",", transform(sort_array(collect_list(col("d"))),
+            x => x.cast("string"))).as("dims"))
+        .orderBy(col("sub"))
+    }),
+
+    // CDC batch compaction: collapse two consecutive derived change sets
+    // (prev→mid, mid→curr) into the net prev→curr set — what a consumer
+    // that missed a batch applies in one pass. The oracle is the DIRECT
+    // diff prev→curr, so the collapse algebra (insert→delete = ∅,
+    // delete→insert-identical = ∅, chains land on final values) is
+    // hash-checked cross-engine. Kernel: etl.SnapshotDiff.collapse —
+    // one keyed full-outer between the two (small) change sets plus one
+    // left join back to prev.
+    "etl_cdc_collapse" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val prev = base.where(col("o_orderkey") % 5 =!= 0)
+      val mid = base.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "P",
+            (col("o_totalprice") * lit(1.1)).cast("decimal(18,3)").cast("double"))
+            .otherwise(col("o_totalprice")))
+      val curr = base.where(col("o_orderkey") % 3 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderstatus") === "P",
+            (col("o_totalprice") * lit(1.2)).cast("decimal(18,3)").cast("double"))
+            .otherwise(col("o_totalprice")))
+      val c1 = graft.etl.SnapshotDiff.changes(prev, mid, Seq("o_orderkey"))
+      val c2 = graft.etl.SnapshotDiff.changes(mid, curr, Seq("o_orderkey"))
+      graft.etl.SnapshotDiff.collapse(c1, c2, prev, Seq("o_orderkey"))
+        .orderBy(col("change"), col("o_orderkey"))
+    }),
+
+    // Synchronous label propagation (3 rounds, neighbor-mode labels,
+    // ties → min label) over the near-dup pair graph — community
+    // detection, the mode-aggregation sibling of the min-label
+    // connected-components kernel (dense overlapping clusters can split
+    // into communities where CC would glue them). Each round is one
+    // keyed join + one (node, label) rollup + a per-node window over
+    // ≤degree rows; the label frame is re-checkpointed between rounds.
+    // Output: the bounded community-size histogram.
+    "graph_lpa" -> ((s, dir) => {
+      val e = graft.ops.Graph.undirectedEdges(
+        TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")), "a", "b")
+        .localCheckpoint(true)
+      var labels = e.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val nb = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("c").desc, col("lbl"))
+        labels = nb.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("src").as("node"), col("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"),
+          min(col("lbl")).as("min_label"))
+        .orderBy(col("sz"))
+    }),
+
+    // OPQ permutation gain audit: per-subspace energy (Σ var_n over the
+    // 8 dims dealt to each codebook) under the NATURAL layout (d div 8)
+    // vs the serpentine variance-balanced layout of sim_opq_permute —
+    // the imbalance ratio (max/min energy, bp) is the number that says
+    // whether the permutation was worth it. Same 64-row bounded stats
+    // frame; two layout rollups, 2-row output.
+    "sim_opq_gain" -> ((s, dir) => {
+      val stats = Tables.embeddings(s, dir)
+        .select(posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("d").cast("long").as("d"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_n"))
+        .localCheckpoint(true)
+      val natural = stats.withColumn("sub", idiv(col("d"), lit(8L)))
+        .withColumn("layout", lit("natural"))
+      val r = row_number().over(Window.orderBy(col("var_n").desc, col("d"))) - 1
+      val serp = stats.withColumn("r", r.cast("long"))
+        .withColumn("sub",
+          when(idiv(col("r"), lit(8L)) % 2 === 0, col("r") % 8)
+            .otherwise(lit(7L) - col("r") % 8))
+        .withColumn("layout", lit("serpentine"))
+        .drop("r")
+      natural.unionByName(serp)
+        .groupBy(col("layout"), col("sub")).agg(sum(col("var_n")).as("e"))
+        .groupBy(col("layout"))
+        .agg(min(col("e")).as("min_energy"), max(col("e")).as("max_energy"),
+          sum(col("e")).as("total_var"))
+        .withColumn("imbalance_bp", idiv(col("max_energy") * 10000, col("min_energy")))
+        .orderBy(col("layout"))
+    }),
+
+    // Near-dup QA queue: the shared t=0.5 pair index banded by Jaccard
+    // decile, with pair volume and one deterministic representative per
+    // band (highest Jaccard, (a, b) tiebreak) — the "eyeball one pair
+    // per band" review a dedup-threshold decision is made from (the
+    // mm_qa_sample shape on the pair graph). Both windows share the
+    // band partition; output ≤ 6 bands.
+    "dedup_qa_sample" -> ((s, dir) => {
+      val p = TextDedup.sharedPairs05(s, dir)
+        .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+      val wb = Window.partitionBy(col("band"))
+      val wr = wb.orderBy(col("jaccard").desc, col("a"), col("b"))
+      p.withColumn("rn", row_number().over(wr))
+        .withColumn("n_pairs", count(lit(1)).over(wb))
+        .where(col("rn") === 1)
+        .select(col("band"), col("n_pairs"), col("a").as("top_a"),
+          col("b").as("top_b"), col("jaccard").as("top_jaccard"))
+        .orderBy(col("band"))
+    }),
+
+    // SLO burn-down: daily error rate (bp) against a 100 bp (1%) error
+    // budget, with the cumulative burn and the breach flag — the
+    // reliability readout an on-call dashboard plots. One per-day
+    // rollup; the running sums ride the day-bounded spine (the
+    // two-phase-exempt bounded-frame pattern); breach is an integer
+    // cross-multiplication, never a rate division tie.
+    "events_slo_burn" -> ((s, dir) => {
+      val daily = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("total"),
+          count(when(col("event_type") === "error", 1)).as("errors"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("day_bp", idiv(col("errors") * 10000, col("total")))
+        .withColumn("cum_errors", sum(col("errors")).over(w))
+        .withColumn("cum_total", sum(col("total")).over(w))
+        .withColumn("cum_bp", idiv(col("cum_errors") * 10000, col("cum_total")))
+        .withColumn("breach",
+          (col("cum_errors") * 10000 > col("cum_total") * 100).cast("int"))
+        .select(iso(col("day")).as("day"), col("total"), col("errors"),
+          col("day_bp"), col("cum_errors"), col("cum_total"), col("cum_bp"),
+          col("breach"))
+        .orderBy(col("day"))
+    }),
+
+    // Degree-assortativity ingredients of the near-dup pair graph: over
+    // the directed edge list (both directions of each pair), the exact
+    // integer sums Newman's coefficient is assembled from — Σ dᵤdᵥ,
+    // Σ dᵤ, Σ dᵤ², and the directed edge count. High assortativity
+    // (hubs linking hubs) means dup clusters are nested copy-farms;
+    // negative means hub-and-spoke template reuse. The sim_cov_moments
+    // convention: emit exact ingredients, let the consumer divide.
+    "graph_assortativity_moments" -> ((s, dir) => {
+      val e = graft.ops.Graph.undirectedEdges(
+        TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")), "a", "b")
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      e.join(deg, Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("dv")), Seq("dst"))
+        .agg(count(lit(1)).as("m2"), sum(col("deg") * col("dv")).as("s_uv"),
+          sum(col("deg")).as("s_u"), sum(col("deg") * col("deg")).as("s_u2"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "events_benford" -> {
+      val lst = benfordBp.mkString("[", ", ", "]")
+      s"""WITH o AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE round(o_totalprice * 100) > 0),
+         |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |        AS digit FROM o),
+         |t AS (SELECT count(*) AS total FROM d),
+         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+         |SELECT digit, n,
+         |  CAST(n * 10000 // total AS BIGINT) AS obs_bp,
+         |  CAST(list_extract($lst, digit) AS BIGINT) AS exp_bp,
+         |  CAST(abs(n * 10000 // total - list_extract($lst, digit)) AS BIGINT)
+         |    AS dev_bp
+         |FROM g, t ORDER BY digit""".stripMargin
+    },
+
+    "graph_resource_alloc" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |pd0 AS (SELECT pk, count(*) AS pd FROM sp GROUP BY pk),
+        |spc AS (SELECT sk, sp.pk AS pk FROM sp JOIN pd0 USING (pk) WHERE pd0.pd <= 64),
+        |pd AS (SELECT pk, count(*) AS pd FROM spc GROUP BY pk),
+        |pairs AS (
+        |  SELECT a.sk AS s1, b.sk AS s2,
+        |    sum(1000000 // pd.pd) AS ra_ppm, count(*) AS inter
+        |  FROM spc a JOIN spc b ON a.pk = b.pk AND a.sk < b.sk
+        |  JOIN pd ON pd.pk = a.pk
+        |  GROUP BY a.sk, b.sk)
+        |SELECT s1, s2, CAST(ra_ppm AS BIGINT) AS ra_ppm, inter
+        |FROM pairs ORDER BY ra_ppm DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "graph_kcore_peel" ->
+      s"""WITH ${Round10b.pairsCte},
+         |e0 AS (SELECT a, b FROM pairs),
+         |d1 AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) u GROUP BY node),
+         |k1 AS (SELECT node FROM d1 WHERE deg >= 2),
+         |e1 AS (SELECT a, b FROM e0
+         |  WHERE a IN (SELECT node FROM k1) AND b IN (SELECT node FROM k1)),
+         |d2 AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) u GROUP BY node),
+         |k2 AS (SELECT node FROM d2 WHERE deg >= 2),
+         |e2 AS (SELECT a, b FROM e1
+         |  WHERE a IN (SELECT node FROM k2) AND b IN (SELECT node FROM k2)),
+         |d3 AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) u GROUP BY node),
+         |k3 AS (SELECT node FROM d3 WHERE deg >= 2),
+         |e3 AS (SELECT a, b FROM e2
+         |  WHERE a IN (SELECT node FROM k3) AND b IN (SELECT node FROM k3))
+         |SELECT 1 AS round,
+         |  (SELECT count(*) FROM d1 WHERE deg < 2) AS n_removed,
+         |  (SELECT count(*) FROM k1) AS n_nodes_left,
+         |  (SELECT count(*) FROM e1) AS n_edges_left
+         |UNION ALL SELECT 2,
+         |  (SELECT count(*) FROM d2 WHERE deg < 2),
+         |  (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+         |UNION ALL SELECT 3,
+         |  (SELECT count(*) FROM d3 WHERE deg < 2),
+         |  (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+         |ORDER BY round""".stripMargin,
+
+    "text_winnowing" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |s AS (SELECT source, list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+         |h AS (SELECT source, list_transform(sh, x -> md5(x)) AS h
+         |      FROM s WHERE len(sh) >= 4),
+         |w AS (SELECT source, list_transform(range(1, len(h) - 2),
+         |    i -> list_aggregate(h[i:i+3], 'min')) AS wins FROM h),
+         |v AS (SELECT source, len(wins) AS nw,
+         |        len(list_distinct(wins)) AS nf FROM w)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS n_windows,
+         |  CAST(sum(nf) AS BIGINT) AS n_fps,
+         |  CAST(CAST(sum(nf) AS BIGINT) * 10000 // CAST(sum(nw) AS BIGINT)
+         |    AS BIGINT) AS density_bp,
+         |  CAST(min(nf * 10000 // nw) AS BIGINT) AS min_density_bp,
+         |  CAST(max(nf * 10000 // nw) AS BIGINT) AS max_density_bp
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_source_divergence" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |cnt AS (SELECT source, tok, count(*) AS n FROM (
+         |  SELECT source, unnest(toks) AS tok FROM t) x GROUP BY source, tok),
+         |top AS (SELECT tok FROM (
+         |  SELECT tok, sum(n) AS tf FROM cnt GROUP BY tok
+         |  ORDER BY tf DESC, tok LIMIT 50) z),
+         |v AS (SELECT source, cnt.tok AS tok, n FROM cnt JOIN top USING (tok)),
+         |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+         |        FROM v GROUP BY source),
+         |m AS (SELECT tot.source AS source, top.tok AS tok,
+         |    CAST(coalesce(v.n, 0) * 1000000 // tot.tot AS BIGINT) AS ppm
+         |  FROM tot CROSS JOIN top
+         |  LEFT JOIN v ON v.source = tot.source AND v.tok = top.tok)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS l1_ppm
+         |FROM m a JOIN m b ON a.tok = b.tok AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND (event_type = 'error'
+        |    OR (event_type = 'purchase' AND value IS NOT NULL))),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER wp AS prev_id,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN us END
+        |      IGNORE NULLS) OVER wp AS prev_us,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+        |      IGNORE NULLS) OVER wn AS next_id,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN us END
+        |      IGNORE NULLS) OVER wn AS next_us
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wn AS (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN prev_us IS NOT NULL
+        |         AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |       THEN prev_id ELSE next_id END AS near_id,
+        |  CAST((CASE WHEN prev_us IS NOT NULL
+        |         AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |       THEN us - prev_us ELSE next_us - us END) // 1000000 AS BIGINT)
+        |    AS gap_s,
+        |  CASE WHEN prev_us IS NOT NULL
+        |         AND (next_us IS NULL OR us - prev_us <= next_us - us)
+        |       THEN 'prev'
+        |       WHEN next_us IS NOT NULL THEN 'next' END AS dir
+        |FROM w WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
+    "sim_opq_permute" ->
+      """WITH comp AS (
+        |  SELECT CAST(d.range AS BIGINT) AS d,
+        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS x
+        |  FROM embeddings CROSS JOIN range(64) d),
+        |st AS (SELECT d, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM comp GROUP BY d),
+        |v AS (SELECT d, n * sxx - sx * sx AS var_n FROM st),
+        |r AS (SELECT d, var_n,
+        |    row_number() OVER (ORDER BY var_n DESC, d) - 1 AS r FROM v),
+        |a AS (SELECT d, var_n,
+        |    CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - r % 8 END AS sub
+        |  FROM r)
+        |SELECT sub, count(*) AS n_dims,
+        |  CAST(sum(var_n) AS BIGINT) AS sum_var,
+        |  string_agg(CAST(d AS VARCHAR), ',' ORDER BY d) AS dims
+        |FROM a GROUP BY sub ORDER BY sub""".stripMargin,
+
+    "etl_cdc_collapse" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |prev AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+        |curr AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P'
+        |         THEN CAST(CAST(o_totalprice * 1.2 AS DECIMAL(18,3)) AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 3 <> 0),
+        |j AS (
+        |  SELECT coalesce(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+        |    c.o_custkey, c.o_orderstatus, c.o_totalprice,
+        |    CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+        |         WHEN c.o_orderkey IS NULL THEN 'delete'
+        |         WHEN c.o_custkey IS DISTINCT FROM p.o_custkey
+        |           OR c.o_orderstatus IS DISTINCT FROM p.o_orderstatus
+        |           OR c.o_totalprice IS DISTINCT FROM p.o_totalprice THEN 'update'
+        |    END AS change
+        |  FROM curr c FULL OUTER JOIN prev p ON c.o_orderkey = p.o_orderkey)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, change
+        |FROM j WHERE change IS NOT NULL ORDER BY change, o_orderkey""".stripMargin,
+
+    "graph_lpa" ->
+      s"""WITH ${Round10b.pairsCte},
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b, a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |n1 AS (SELECT e.src, l0.lbl, count(*) AS c FROM e
+         |       JOIN l0 ON l0.node = e.dst GROUP BY e.src, l0.lbl),
+         |l1 AS (SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM n1) x
+         |  WHERE rn = 1),
+         |n2 AS (SELECT e.src, l1.lbl, count(*) AS c FROM e
+         |       JOIN l1 ON l1.node = e.dst GROUP BY e.src, l1.lbl),
+         |l2 AS (SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM n2) x
+         |  WHERE rn = 1),
+         |n3 AS (SELECT e.src, l2.lbl, count(*) AS c FROM e
+         |       JOIN l2 ON l2.node = e.dst GROUP BY e.src, l2.lbl),
+         |l3 AS (SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM n3) x
+         |  WHERE rn = 1),
+         |comm AS (SELECT lbl, count(*) AS sz FROM l3 GROUP BY lbl)
+         |SELECT sz, count(*) AS n_communities, min(lbl) AS min_label
+         |FROM comm GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "sim_opq_gain" ->
+      """WITH comp AS (
+        |  SELECT CAST(d.range AS BIGINT) AS d,
+        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)
+        |      AS DECIMAL(7,3)) * 1000 AS BIGINT) AS x
+        |  FROM embeddings CROSS JOIN range(64) d),
+        |st AS (SELECT d, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM comp GROUP BY d),
+        |v AS (SELECT d, n * sxx - sx * sx AS var_n FROM st),
+        |nat AS (SELECT 'natural' AS layout, d // 8 AS sub, var_n FROM v),
+        |r AS (SELECT d, var_n,
+        |    row_number() OVER (ORDER BY var_n DESC, d) - 1 AS r FROM v),
+        |ser AS (SELECT 'serpentine' AS layout,
+        |    CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - r % 8 END AS sub,
+        |    var_n FROM r),
+        |u AS (SELECT * FROM nat UNION ALL SELECT * FROM ser),
+        |en AS (SELECT layout, sub, CAST(sum(var_n) AS BIGINT) AS e
+        |       FROM u GROUP BY layout, sub)
+        |SELECT layout, min(e) AS min_energy, max(e) AS max_energy,
+        |  CAST(sum(e) AS BIGINT) AS total_var,
+        |  CAST(max(e) * 10000 // min(e) AS BIGINT) AS imbalance_bp
+        |FROM en GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "dedup_qa_sample" ->
+      s"""WITH ${Round10b.pairsCte},
+         |pj AS (
+         |  SELECT i.a, i.b,
+         |    CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc = i.a JOIN sizes sb ON sb.doc = i.b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= 0.5),
+         |bb AS (SELECT a, b, jaccard,
+         |    CAST(floor(jaccard * 10) AS BIGINT) AS band FROM pj),
+         |rk AS (SELECT band, a, b, jaccard,
+         |    row_number() OVER (PARTITION BY band
+         |      ORDER BY jaccard DESC, a, b) AS rn,
+         |    count(*) OVER (PARTITION BY band) AS n_pairs
+         |  FROM bb)
+         |SELECT band, CAST(n_pairs AS BIGINT) AS n_pairs, a AS top_a,
+         |  b AS top_b, jaccard AS top_jaccard
+         |FROM rk WHERE rn = 1 ORDER BY band""".stripMargin,
+
+    "events_slo_burn" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS total,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS errors
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |c AS (SELECT day, total, errors,
+        |    CAST(errors * 10000 // total AS BIGINT) AS day_bp,
+        |    CAST(sum(errors) OVER w AS BIGINT) AS cum_errors,
+        |    CAST(sum(total) OVER w AS BIGINT) AS cum_total
+        |  FROM d WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, total, errors, day_bp,
+        |  cum_errors, cum_total,
+        |  CAST(cum_errors * 10000 // cum_total AS BIGINT) AS cum_bp,
+        |  CAST(CASE WHEN cum_errors * 10000 > cum_total * 100
+        |       THEN 1 ELSE 0 END AS INTEGER) AS breach
+        |FROM c ORDER BY day""".stripMargin,
+
+    "graph_assortativity_moments" ->
+      s"""WITH ${Round10b.pairsCte},
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)
+         |SELECT count(*) AS m2,
+         |  CAST(sum(du.deg * dv.deg) AS BIGINT) AS s_uv,
+         |  CAST(sum(du.deg) AS BIGINT) AS s_u,
+         |  CAST(sum(du.deg * du.deg) AS BIGINT) AS s_u2
+         |FROM e JOIN deg du ON du.src = e.src
+         |JOIN deg dv ON dv.src = e.dst""".stripMargin,
+  )
+}

@@ -142,7 +142,15 @@ class PlanSpec extends AnyFunSuite {
     //    twice (the sim_ivf_train2 assignment shape it audits)
     //  - text_positional_bias: 10-row broadcast top-token table under
     //    the corpus scan (the sim_batch_topk shape)
-    "sim_centroid_drift", "text_positional_bias")
+    "sim_centroid_drift", "text_positional_bias",
+    //  - events_benford: 1-row order-count scalar broadcast under the
+    //    9-row digit rollup (the q_scalar_subquery shape)
+    //  - graph_kcore_peel: per-round 1-row surviving-edge count broadcast
+    //    under the 1-row peel summary (3 rounds of the census shape)
+    //  - text_source_divergence: 50-row broadcast vocab table under the
+    //    ≤sources-row totals frame (bounded dimension fill — the
+    //    text_positional_bias shape)
+    "events_benford", "graph_kcore_peel", "text_source_divergence")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -180,9 +188,15 @@ class PlanSpec extends AnyFunSuite {
                                  // checkpoint just to dedup them
       "q9_profit" -> 5,          // 5-table star join (fact + 4 dims)
       "q10_returns" -> 4,        // 4-table star join (fact + 3 dims)
-      "q20_excess_stock" -> 6    // lineitem twice (derived partsupp +
+      "q20_excess_stock" -> 6,   // lineitem twice (derived partsupp +
                                  // the shipped-qty rollup) + part +
                                  // supplier + nation + region
+      "etl_cdc_collapse" -> 5    // orders under 3 snapshot roles: c1 reads
+                                 // prev+mid, c2 reads mid+curr, the
+                                 // resurrect compare reads prev again — at
+                                 // production scale each role is a
+                                 // DIFFERENT physical snapshot, so the 5
+                                 // logical scans are inherent to the op
     ).withDefaultValue(3)
     val checkpointed = Set("dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_clusters", "dedup_containment", "dedup_threshold_sweep")

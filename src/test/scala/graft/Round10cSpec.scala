@@ -1,0 +1,240 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-10 third batch — independent in-memory
+  * recomputes so a hash break at the oracle gate can be localized to the
+  * operator, not the plumbing. */
+class Round10cSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sf)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("events_benford: digit histogram and deviation recompute from orders") {
+    val exp = Seq(3010L, 1761L, 1249L, 969L, 792L, 669L, 580L, 512L, 458L)
+    val cents = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_totalprice")).collect()
+      .map(r => Math.round(r.getAs[Double]("o_totalprice") * 100))
+      .filter(_ > 0)
+    val total = cents.length.toLong
+    val byDigit = cents.groupBy(_.toString.head.asDigit.toLong)
+    val want = byDigit.toSeq.map { case (d, v) =>
+      val n = v.length.toLong
+      val obs = n * 10000 / total
+      (d, n, obs, exp(d.toInt - 1), math.abs(obs - exp(d.toInt - 1)))
+    }.sortBy(_._1)
+    val got = run("events_benford").collect().map(r =>
+      (r.getAs[Long]("digit"), r.getAs[Long]("n"), r.getAs[Long]("obs_bp"),
+        r.getAs[Long]("exp_bp"), r.getAs[Long]("dev_bp"))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == total)
+  }
+
+  test("graph_resource_alloc: RA scores recompute from the capped graph") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._2).filter(_._2.length <= 64)
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    byPart.foreach { case (_, es) =>
+      val pd = es.length.toLong
+      val w = 1000000L / pd
+      val sks = es.map(_._1).sorted
+      for (i <- sks.indices; j <- (i + 1) until sks.length) {
+        val k = (sks(i), sks(j))
+        val (ra, in) = acc.getOrElse(k, (0L, 0L))
+        acc(k) = (ra + w, in + 1)
+      }
+    }
+    val want = acc.toSeq.map { case ((s1, s2), (ra, in)) => (s1, s2, ra, in) }
+      .sortBy { case (s1, s2, ra, _) => (-ra, s1, s2) }.take(20)
+    val got = run("graph_resource_alloc").collect().map(r =>
+      (r.getAs[Long]("s1"), r.getAs[Long]("s2"), r.getAs[Long]("ra_ppm"),
+        r.getAs[Long]("inter"))).toSeq
+    assert(got == want)
+  }
+
+  test("graph_kcore_peel: 3-round peel recomputes from the pair index") {
+    var edges = graft.ops.Dedup.pairIndex(
+      graft.sources.Tables.documents(spark, TestSpark.sf),
+      "doc_id", "text", 3, 0.5)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = (1 to 3).map { r =>
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+      val removed = deg.count(_._2 < 2).toLong
+      val keep = deg.filter(_._2 >= 2).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      (r.toLong, removed, keep.size.toLong, edges.length.toLong)
+    }
+    val got = run("graph_kcore_peel").collect().map(r =>
+      (r.getAs[Long]("round"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("n_nodes_left"), r.getAs[Long]("n_edges_left"))).toSeq
+    assert(got == want)
+    // the fixture actually peels something in round 1
+    assert(want.head._2 > 0, "fixture has at least one sub-2-core node")
+  }
+
+  test("text_winnowing: fingerprint densities recompute per document") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val perDoc = docs.flatMap { case (src, text) =>
+      val toks = text.trim.split(" ", -1)
+      if (toks.length < 3) None
+      else {
+        val h = toks.sliding(3).map(s => md5hex(s.mkString(" "))).toVector
+        if (h.length < 4) None
+        else {
+          val wins = h.sliding(4).map(_.min).toVector
+          Some((src, wins.length.toLong, wins.distinct.length.toLong))
+        }
+      }
+    }
+    val want = perDoc.groupBy(_._1).toSeq.map { case (src, v) =>
+      val nw = v.map(_._2).sum; val nf = v.map(_._3).sum
+      val dens = v.map(d => d._3 * 10000 / d._2)
+      (src, v.length.toLong, nw, nf, nf * 10000 / nw, dens.min, dens.max)
+    }.sortBy(_._1)
+    val got = run("text_winnowing").collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("n_fps"),
+        r.getAs[Long]("density_bp"), r.getAs[Long]("min_density_bp"),
+        r.getAs[Long]("max_density_bp"))).toSeq
+    assert(got == want)
+    // winnowing theory: expected density ~ 2/(w+1) = 4000 bp; distinct-
+    // selection only lowers it. Sanity-bound the corpus-level densities.
+    got.foreach { g => assert(g._5 > 0 && g._5 <= 10000) }
+  }
+
+  test("text_source_divergence: pairwise L1 recomputes over the top-50 vocab") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("text")))
+    val cnt = docs.flatMap { case (src, text) =>
+      text.trim.split(" ", -1).map(t => (src, t))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val top = cnt.groupBy(_._1._2).map { case (t, v) => t -> v.values.sum }
+      .toSeq.sortBy { case (t, tf) => (-tf, t) }.take(50).map(_._1)
+    val topSet = top.toSet
+    val v = cnt.filter { case ((_, t), _) => topSet(t) }
+    val tot = v.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val ppm = (for (s <- tot.keys; t <- top) yield
+      (s, t) -> v.getOrElse((s, t), 0L) * 1000000L / tot(s)).toMap
+    val srcs = tot.keys.toSeq.sorted
+    val want = (for (i <- srcs.indices; j <- (i + 1) until srcs.length) yield {
+      val (a, b) = (srcs(i), srcs(j))
+      (a, b, top.map(t => math.abs(ppm((a, t)) - ppm((b, t)))).sum)
+    }).sortBy(p => (p._1, p._2))
+    val got = run("text_source_divergence").collect().map(r =>
+      (r.getAs[String]("src_a"), r.getAs[String]("src_b"),
+        r.getAs[Long]("l1_ppm"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._3 > 0), "some pair diverges")
+  }
+
+  test("q_asof_nearest: per-error nearest purchase recomputes in memory") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), Option(r.get(3)), r.getAs[Long]("us")))
+      .filter(e => e._3 == "error" || (e._3 == "purchase" && e._4.nonEmpty))
+    val want = evs.groupBy(_._2).toSeq.flatMap { case (_, v) =>
+      val sorted = v.sortBy(e => (e._5, e._1))
+      sorted.zipWithIndex.collect { case ((id, uid, "error", _, us), i) =>
+        val prev = sorted.take(i).reverse.find(_._3 == "purchase")
+        val next = sorted.drop(i + 1).find(_._3 == "purchase")
+        val choosePrev = prev.nonEmpty &&
+          (next.isEmpty || us - prev.get._5 <= next.get._5 - us)
+        val near = if (choosePrev) prev else next
+        val gap = near.map(n => math.abs(us - n._5) / 1000000L)
+        val dir = if (choosePrev) Some("prev")
+          else if (next.nonEmpty) Some("next") else None
+        (id, uid, near.map(_._1), gap, dir)
+      }
+    }.sortBy(_._1)
+    val got = run("q_asof_nearest").collect().map(r =>
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getAs[String]("dir")))).toSeq
+    assert(got == want)
+    assert(got.exists(_._5.contains("prev")) && got.exists(_._5.contains("next")),
+      "fixture exercises both directions")
+  }
+
+  test("sim_opq_permute: serpentine assignment recomputes from exact variances") {
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => BigDecimal(x.toDouble).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).*(1000).toLongExact).toVector)
+    val dims = vecs.head.length
+    val varN = (0 until dims).map { d =>
+      val xs = vecs.map(_(d))
+      val n = xs.length.toLong
+      d.toLong -> (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    }
+    val ranked = varN.sortBy { case (d, v) => (-v, d) }.zipWithIndex
+    val assign = ranked.map { case ((d, v), r) =>
+      val sub = if ((r / 8) % 2 == 0) r % 8 else 7 - r % 8
+      (sub.toLong, d, v)
+    }
+    val want = assign.groupBy(_._1).toSeq.map { case (sub, v) =>
+      (sub, v.length.toLong, v.map(_._3).sum,
+        v.map(_._2).sorted.mkString(","))
+    }.sortBy(_._1)
+    val got = run("sim_opq_permute").collect().map(r =>
+      (r.getAs[Long]("sub"), r.getAs[Long]("n_dims"), r.getAs[Long]("sum_var"),
+        r.getAs[String]("dims"))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).sum == dims.toLong)
+  }
+
+  test("etl_cdc_collapse: net change set equals the direct prev→curr diff") {
+    def bump(p: Double, f: Double): Double =
+      BigDecimal(p * f).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val base = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val prev = base.filter(_._1 % 5 != 0)
+      .map(o => o._1 -> (o._2, o._3, o._4)).toMap
+    val curr = base.filter(_._1 % 3 != 0)
+      .map(o => o._1 -> (o._2, o._3,
+        if (o._3 == "P") bump(o._4, 1.2) else o._4)).toMap
+    val want = (prev.keySet ++ curr.keySet).toSeq.flatMap { k =>
+      (prev.get(k), curr.get(k)) match {
+        case (None, Some(c)) => Some((k, Some(c._1), Some(c._2), Some(c._3), "insert"))
+        case (Some(_), None) => Some((k, None, None, None, "delete"))
+        case (Some(p), Some(c)) if p != c =>
+          Some((k, Some(c._1), Some(c._2), Some(c._3), "update"))
+        case _ => None
+      }
+    }.sortBy(r => (r._5, r._1))
+    val got = run("etl_cdc_collapse").collect().map(r =>
+      (r.getAs[Long]("o_orderkey"),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.getAs[String]("o_orderstatus")),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        r.getAs[String]("change"))).toSeq
+    assert(got == want)
+    // the fixture exercises every collapse branch: chained updates
+    // (%5≠0 %7≠0 %3≠0 P), insert→delete (%5=0 %7≠0 %3=0),
+    // delete→insert-identical (%5≠0 %7=0 %3≠0 non-P, net ∅) and
+    // delete→insert-changed (same but P, net update)
+    assert(want.exists(_._5 == "insert") && want.exists(_._5 == "update") &&
+      want.exists(_._5 == "delete"))
+    val resurrectIdentical = base.exists(o =>
+      o._1 % 5 != 0 && o._1 % 7 == 0 && o._1 % 3 != 0 && o._3 != "P")
+    assert(resurrectIdentical, "fixture has a delete→identical-reinsert no-op")
+  }
+}
