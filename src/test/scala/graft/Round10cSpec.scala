@@ -237,4 +237,105 @@ class Round10cSpec extends AnyFunSuite {
       o._1 % 5 != 0 && o._1 % 7 == 0 && o._1 % 3 != 0 && o._3 != "P")
     assert(resurrectIdentical, "fixture has a delete→identical-reinsert no-op")
   }
+
+  private lazy val pairSet: Seq[(Long, Long)] =
+    graft.ops.Dedup.pairIndex(
+      graft.sources.Tables.documents(spark, TestSpark.sf),
+      "doc_id", "text", 3, 0.5)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("graph_lpa: 3-round mode-label communities recompute from the pair graph") {
+    val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    var labels = e.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = e.groupBy(_._1).map { case (n, nbrs) =>
+        val cnt = nbrs.map(x => labels(x._2))
+          .groupBy(identity).map { case (l, v) => l -> v.size }
+        n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = labels.values.groupBy(identity).map(_._2.size.toLong)
+      .groupBy(identity).toSeq
+      .map { case (sz, v) => (sz, v.size.toLong) }.sortBy(_._1)
+    val got = run("graph_lpa").collect().map(r =>
+      (r.getAs[Long]("sz"), r.getAs[Long]("n_communities"))).toSeq
+    assert(got == want)
+    // min_label is a member of some community of that size
+    val bySize = labels.toSeq.groupBy(_._2).map { case (l, v) => l -> v.size }
+    run("graph_lpa").collect().foreach { r =>
+      assert(bySize(r.getAs[Long]("min_label")) == r.getAs[Long]("sz"))
+    }
+  }
+
+  test("sim_opq_gain: serpentine layout never worsens the audited imbalance") {
+    val rows = run("sim_opq_gain").collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("min_energy"), r.getAs[Long]("max_energy"),
+          r.getAs[Long]("total_var"), r.getAs[Long]("imbalance_bp"))).toMap
+    assert(rows.keySet == Set("natural", "serpentine"))
+    // both layouts partition the same 64 dims: identical total energy
+    assert(rows("natural")._3 == rows("serpentine")._3)
+    rows.values.foreach { v =>
+      assert(v._1 > 0 && v._1 <= v._2)
+      assert(v._4 >= 10000) // max/min ratio is ≥ 1 by construction
+    }
+    // serpentine dealing over variance-sorted dims balances energy
+    assert(rows("serpentine")._4 <= rows("natural")._4,
+      s"serpentine ${rows("serpentine")._4} vs natural ${rows("natural")._4}")
+  }
+
+  test("dedup_qa_sample: band representatives recompute from the pair index") {
+    val pj = graft.ops.Dedup.pairIndex(
+      graft.sources.Tables.documents(spark, TestSpark.sf),
+      "doc_id", "text", 3, 0.5)
+      .select(col("a"), col("b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = pj.groupBy(p => math.floor(p._3 * 10).toLong).toSeq
+      .map { case (band, v) =>
+        val top = v.minBy(p => (-p._3, p._1, p._2))
+        (band, v.length.toLong, top._1, top._2, top._3)
+      }.sortBy(_._1)
+    val got = run("dedup_qa_sample").collect().map(r =>
+      (r.getAs[Long]("band"), r.getAs[Long]("n_pairs"), r.getAs[Long]("top_a"),
+        r.getAs[Long]("top_b"), r.getAs[Double]("top_jaccard"))).toSeq
+    assert(got == want)
+  }
+
+  test("events_slo_burn: cumulative burn recomputes from the daily rollup") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val daily = evs.groupBy(_._1).toSeq.map { case (d, v) =>
+      (d, v.length.toLong, v.count(_._2 == "error").toLong)
+    }.sortBy(_._1)
+    var (ce, ct) = (0L, 0L)
+    val want = daily.map { case (d, tot, err) =>
+      ce += err; ct += tot
+      (d, tot, err, err * 10000 / tot, ce, ct, ce * 10000 / ct,
+        if (ce * 10000 > ct * 100) 1 else 0)
+    }
+    val got = run("events_slo_burn").collect().map(r =>
+      (r.getAs[String]("day"), r.getAs[Long]("total"), r.getAs[Long]("errors"),
+        r.getAs[Long]("day_bp"), r.getAs[Long]("cum_errors"),
+        r.getAs[Long]("cum_total"), r.getAs[Long]("cum_bp"),
+        r.getAs[Int]("breach"))).toSeq
+    assert(got == want)
+  }
+
+  test("graph_assortativity_moments: exact sums recompute from the edge list") {
+    val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
+    val want = (e.length.toLong,
+      e.map { case (u, v) => deg(u) * deg(v) }.sum,
+      e.map { case (u, _) => deg(u) }.sum,
+      e.map { case (u, _) => deg(u) * deg(u) }.sum)
+    val r = run("graph_assortativity_moments").collect().head
+    assert((r.getAs[Long]("m2"), r.getAs[Long]("s_uv"), r.getAs[Long]("s_u"),
+      r.getAs[Long]("s_u2")) == want)
+    // both directions present: Σdu over directed edges is even
+    assert(want._1 % 2 == 0)
+  }
 }
