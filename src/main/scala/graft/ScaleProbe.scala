@@ -206,6 +206,46 @@ object ScaleProbe {
       val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
       graft.ops.Graph.projectionPairs(spc, "sk", "pk").count()
     }
+    // k-core peeling at mult× edges: each of the 3 rounds is one
+    // node-sized rollup + two semi-joins against the kept-node set, so
+    // cost must grow ~linearly with |E|; the re-checkpoint between
+    // rounds keeps round r+1 from replaying round r's lineage. Kernel =
+    // graft.ops.Graph.kcorePeel, the EXACT code graph_kcore_peel runs.
+    time("kcore_peel_3round") {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(concat(lit("s:"), ((col("l_suppkey") * mult) + col("rep")).cast("string")).as("a"),
+          concat(lit("p:"), ((col("l_partkey") * mult) + col("rep")).cast("string")).as("b"))
+        .distinct()
+      graft.ops.Graph.kcorePeel(li, 2, 3).count()
+    }
+    // Label propagation at mult× edges: per round one keyed join + one
+    // (node, label) rollup + a per-node window over ≤ degree rows — no
+    // step is ever node²; cost must grow ~linearly with |E|. Kernel =
+    // graft.ops.Graph.lpaLabels, the EXACT code graph_lpa runs.
+    time("lpa_3round") {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(concat(lit("s:"), ((col("l_suppkey") * mult) + col("rep")).cast("string")).as("a"),
+          concat(lit("p:"), ((col("l_partkey") * mult) + col("rep")).cast("string")).as("b"))
+        .distinct()
+      graft.ops.Graph.lpaLabels(li, 3).count()
+    }
+    // Winnowing fingerprint selection at mult× docs: a pure per-row
+    // array kernel (hash array projected first, w=4 window minima over
+    // the attribute), so cost is O(total shingles) — must grow linearly
+    // with the corpus, no shuffle before the rollup. Kernel =
+    // graft.ops.TextAnalysis.winnowMinima, the EXACT code
+    // text_winnowing runs.
+    time("winnowing_fingerprints") {
+      val TA = graft.ops.TextAnalysis
+      docs.select(TA.tokens(col("text")).as("toks"))
+        .select(TA.shinglesOf(col("toks"), 3).as("sh"))
+        .where(size(col("sh")) >= 4)
+        .select(transform(col("sh"), x => md5(x)).as("h"))
+        .select(size(array_distinct(TA.winnowMinima(col("h"), 4))).as("nf"))
+        .agg(sum(col("nf"))).count()
+    }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))
       graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)

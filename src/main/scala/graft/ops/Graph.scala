@@ -119,4 +119,61 @@ object Graph {
       .join(spc.select(col(viaCol), col(nodeCol).as("s2")), Seq(viaCol))
       .where(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+
+  /** k-core peeling over an undirected pair frame (`a`/`b` columns):
+    * `rounds` rounds of drop-nodes-with-degree-< k, each one node-sized
+    * rollup + two semi-joins, the edge frame re-checkpointed so round
+    * r+1 never replays round r's lineage. Returns one summary row per
+    * round (round, n_removed, n_nodes_left, n_edges_left). ONE
+    * definition serves the registered query (graph_kcore_peel) and the
+    * scale probe. */
+  def kcorePeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val out = (1 to rounds).map { r =>
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val summary = deg.agg(
+        count(when(col("deg") < k, 1)).as("n_removed"),
+        count(when(col("deg") >= k, 1)).as("n_nodes_left"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      summary.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_left"))))
+        .withColumn("round", lit(r.toLong))
+    }
+    out.reduce(_ unionAll _)
+      .select(col("round"), col("n_removed"), col("n_nodes_left"),
+        col("n_edges_left"))
+  }
+
+  /** Synchronous label propagation over an undirected pair frame
+    * (`a`/`b` columns): labels start as node ids; each round every node
+    * takes the MODE of its neighbors' labels (ties → min label) —
+    * deterministic, so an oracle's chained-CTE replay lands on identical
+    * labels. Each round is one keyed join + one (node, label) rollup +
+    * a per-node window over ≤ degree rows; the label frame is
+    * re-checkpointed between rounds. Returns final (node, lbl). ONE
+    * definition serves graph_lpa and the scale probe. */
+  def lpaLabels(pairs: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = undirectedEdges(pairs.select(col("a"), col("b")), "a", "b")
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nb = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("lbl"))
+      labels = nb.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -50,6 +50,16 @@ object TextAnalysis {
     when(size(toks) >= n, make).otherwise(array().cast("array<string>"))
   }
 
+  /** Winnowing window minima (Schleimer et al.): per position i of the
+    * hash-array column `h`, the minimum over the w-length window
+    * starting there — the selected-fingerprint sequence before
+    * deduplication. `h` must be a PROJECTED attribute (the §6 HOF rule);
+    * callers guard size(h) ≥ w. ONE definition serves text_winnowing
+    * and the scale probe. */
+  def winnowMinima(h: Column, w: Int): Column =
+    transform(sequence(lit(1), size(h) - lit(w - 1)),
+      i => array_min(slice(h, i, lit(w))))
+
   /** Mean token length. The corpus contract is single-space separation
     * (same assumption as [[tokens]]), so total token chars = text length
     * minus the separators — a codegen'd arithmetic identity instead of a

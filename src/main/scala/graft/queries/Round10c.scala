@@ -76,33 +76,12 @@ object Round10c {
     // round drops nodes with degree < 2 and the edges they carried — the
     // decomposition that separates tight duplicate cliques (survive) from
     // chain/pendant structure (peel away). Reuses the build-once shared
-    // t=0.5 pair index; each round is one node-sized rollup + two
-    // semi-joins, the edge frame re-checkpointed so round r+1 never
-    // replays round r's lineage. Output: one summary row per round.
-    "graph_kcore_peel" -> ((s, dir) => {
-      var edges = TextDedup.sharedPairs05(s, dir)
-        .select(col("a"), col("b")).localCheckpoint(true)
-      val rounds = (1 to 3).map { r =>
-        val deg = edges.select(col("a").as("node"))
-          .unionAll(edges.select(col("b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
-        val summary = deg.agg(
-          coalesce(count(when(col("deg") < 2, 1)), lit(0L)).as("n_removed"),
-          coalesce(count(when(col("deg") >= 2, 1)), lit(0L)).as("n_nodes_left"))
-        val keep = deg.where(col("deg") >= 2).select(col("node"))
-        edges = edges
-          .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-          .localCheckpoint(true)
-        summary.crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges_left"))))
-          .withColumn("round", lit(r.toLong))
-      }
-      rounds.reduce(_ unionAll _)
-        .select(col("round"), col("n_removed"), col("n_nodes_left"),
-          col("n_edges_left"))
-        .orderBy(col("round"))
-    }),
+    // t=0.5 pair index. Kernel = graft.ops.Graph.kcorePeel, shared with
+    // ScaleProbe so the probed plan IS the registered one.
+    "graph_kcore_peel" -> ((s, dir) =>
+      graft.ops.Graph.kcorePeel(
+        TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")), 2, 3)
+        .orderBy(col("round"))),
 
     // Winnowing fingerprint density (Schleimer et al., the MOSS local
     // fingerprinting scheme): per document, slide a w=4 window over the
@@ -118,9 +97,7 @@ object Round10c {
         .select(col("source"), TA.shinglesOf(col("toks"), 3).as("sh"))
         .where(size(col("sh")) >= 4)
         .select(col("source"), transform(col("sh"), x => md5(x)).as("h"))
-        .withColumn("wins", transform(
-          sequence(lit(1), size(col("h")) - 3),
-          i => array_min(slice(col("h"), i, lit(4)))))
+        .withColumn("wins", TA.winnowMinima(col("h"), 4))
         .select(col("source"), size(col("wins")).cast("long").as("nw"),
           size(array_distinct(col("wins"))).cast("long").as("nf"))
       d.groupBy(col("source"))
@@ -264,27 +241,15 @@ object Round10c {
     // keyed join + one (node, label) rollup + a per-node window over
     // ≤degree rows; the label frame is re-checkpointed between rounds.
     // Output: the bounded community-size histogram.
-    "graph_lpa" -> ((s, dir) => {
-      val e = graft.ops.Graph.undirectedEdges(
-        TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")), "a", "b")
-        .localCheckpoint(true)
-      var labels = e.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")).localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        val nb = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("src"))
-          .orderBy(col("c").desc, col("lbl"))
-        labels = nb.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("src").as("node"), col("lbl"))
-          .localCheckpoint(true)
-      }
-      labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+    // Kernel = graft.ops.Graph.lpaLabels, shared with ScaleProbe so the
+    // probed plan IS the registered one.
+    "graph_lpa" -> ((s, dir) =>
+      graft.ops.Graph.lpaLabels(
+        TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")), 3)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"),
           min(col("lbl")).as("min_label"))
-        .orderBy(col("sz"))
-    }),
+        .orderBy(col("sz"))),
 
     // OPQ permutation gain audit: per-subspace energy (Σ var_n over the
     // 8 dims dealt to each codebook) under the NATURAL layout (d div 8)
