@@ -346,6 +346,95 @@ object Round10c {
         .agg(count(lit(1)).as("m2"), sum(col("deg") * col("dv")).as("s_uv"),
           sum(col("deg")).as("s_u"), sum(col("deg") * col("deg")).as("s_u2"))
     }),
+
+    // Winnowing-fingerprint candidate pairs — the MOSS matching scheme
+    // end-to-end: docs sharing ≥ 2 SELECTED fingerprints (distinct w=4
+    // window minima over the trigram-hash sequence) are candidate
+    // matches. The fingerprint postings are df-capped at 50 (the house
+    // capped-postings rule: a boilerplate fingerprint shared by
+    // thousands of docs would otherwise emit df²/2 rows while carrying
+    // no match signal), so pair work is ∝ true overlap at any corpus
+    // size — the winnowing guarantee (any sufficiently long shared
+    // substring shares a fingerprint) does the recall.
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.shinglesOf(col("toks"), 3).as("sh"))
+        .where(size(col("sh")) >= 4)
+        .select(col("doc_id"), transform(col("sh"), x => md5(x)).as("h"))
+        .select(col("doc_id"),
+          explode(array_distinct(TA.winnowMinima(col("h"), 4))).as("f"))
+      // df-capped postings materialized ONCE (the pairIndex build
+      // convention): dfreq + both self-join sides would otherwise
+      // re-derive the corpus-wide fingerprint pass four times
+      val capped = fp.join(
+        fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= 50), Seq("f"))
+        .localCheckpoint(true)
+      capped.select(col("f"), col("doc_id").as("a"))
+        .join(capped.select(col("f"), col("doc_id").as("b")), Seq("f"))
+        .where(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // SimHash bit-balance audit: per bit position of the 16-bit corpus
+    // fingerprints, the ones-share (bp) and its deviation from the
+    // unbiased 5000 — a skewed bit means a hash-family defect or a
+    // corpus-wide boilerplate feature, and costs recall in every banded
+    // Hamming lookup. One fingerprint pass (native codegen simhash16),
+    // a 16-way generate, bounded rollup; the 1-row total broadcasts.
+    "dedup_simhash_bits" -> ((s, dir) => {
+      val sh = graft.ops.Dedup.simhash16(
+        Tables.documents(s, dir), "doc_id", "text")
+      val tot = sh.agg(count(lit(1)).as("total"))
+      sh.select(col("simhash"), explode(sequence(lit(0), lit(15))).as("bit"))
+        .withColumn("one", expr("(simhash >> bit) & 1"))
+        .groupBy(col("bit")).agg(sum(col("one")).as("n_ones"))
+        .crossJoin(broadcast(tot))
+        .select(col("bit").cast("long").as("bit"), col("n_ones"),
+          idiv(col("n_ones") * 10000, col("total")).as("ones_bp"),
+          abs(idiv(col("n_ones") * 10000, col("total")) - 5000).as("dev_bp"))
+        .orderBy(col("bit"))
+    }),
+
+    // Join-fanout audit: the per-key multiplicity histogram of the
+    // orders ⋈ lineitem key BEFORE running the join — multiplicity 0
+    // (childless orders, the outer-join null band) through the max
+    // fan-out, with the exact output-row estimate each band contributes.
+    // The pre-flight a planner (or an on-call debugging a blown-up join)
+    // reads; two keyed rollups, output bounded by the max multiplicity.
+    "q_join_fanout_audit" -> ((s, dir) => {
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("mult"))
+      Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        .join(m, Seq("k"), "left")
+        .withColumn("mult", coalesce(col("mult"), lit(0L)))
+        .groupBy(col("mult")).agg(count(lit(1)).as("n_keys"))
+        .withColumn("est_rows", col("mult") * col("n_keys"))
+        .orderBy(col("mult"))
+    }),
+
+    // Bot-rate banding: per user, events per active minute (×100,
+    // integer) — sustained superhuman rates are automation; banded so
+    // the output is the bounded triage histogram (band = floor
+    // events/min), with population, peak rate, and event volume per
+    // band. One per-user rollup over (user, minute) distincts.
+    "events_bot_score" -> ((s, dir) => {
+      val u = Tables.events(s, dir).where(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 60000000").as("minute"))
+      val per = u.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("minute")).as("mins"))
+        .withColumn("rate_x100", idiv(col("n") * 100, col("mins")))
+      per.withColumn("band", idiv(col("rate_x100"), lit(100L)))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_users"), max(col("rate_x100")).as("max_rate_x100"),
+          sum(col("n")).as("n_events"))
+        .orderBy(col("band"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -627,5 +716,66 @@ object Round10c {
          |  CAST(sum(du.deg * du.deg) AS BIGINT) AS s_u2
          |FROM e JOIN deg du ON du.src = e.src
          |JOIN deg dv ON dv.src = e.dst""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS h
+         |      FROM s WHERE len(sh) >= 4),
+         |w AS (SELECT doc_id, list_transform(range(1, len(h) - 2),
+         |    i -> list_aggregate(h[i:i+3], 'min')) AS wins FROM h),
+         |fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f FROM w),
+         |dfreq AS (SELECT f, count(*) AS df FROM fp GROUP BY f),
+         |cap AS (SELECT doc_id, fp.f AS f FROM fp JOIN dfreq USING (f)
+         |        WHERE df <= 50),
+         |p AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared
+         |      FROM cap l JOIN cap r ON l.f = r.f AND l.doc_id < r.doc_id
+         |      GROUP BY l.doc_id, r.doc_id)
+         |SELECT a, b, shared FROM p WHERE shared >= 2 ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash_bits" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, md5(unnest($toksSql)) AS h FROM documents),
+         |bits AS (
+         |  SELECT doc, h, j.range AS j,
+         |    strpos('0123456789abcdef', substring(h, 1 + CAST(j.range // 4 AS INTEGER), 1)) - 1 AS nib
+         |  FROM tok CROSS JOIN range(16) j),
+         |votes AS (
+         |  SELECT doc, j, sum(CASE WHEN (nib >> CAST(j % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc, j),
+         |sh AS (
+         |  SELECT doc, CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc),
+         |tot AS (SELECT count(*) AS total FROM sh),
+         |ob AS (SELECT b.range AS bit,
+         |    CAST(sum((simhash >> CAST(b.range AS INTEGER)) & 1) AS BIGINT) AS n_ones
+         |  FROM sh CROSS JOIN range(16) b GROUP BY b.range)
+         |SELECT CAST(bit AS BIGINT) AS bit, n_ones,
+         |  CAST(n_ones * 10000 // total AS BIGINT) AS ones_bp,
+         |  CAST(abs(n_ones * 10000 // total - 5000) AS BIGINT) AS dev_bp
+         |FROM ob, tot ORDER BY bit""".stripMargin,
+
+    "q_join_fanout_audit" ->
+      """WITH m AS (SELECT l_orderkey AS k, count(*) AS mult
+        |           FROM lineitem GROUP BY 1),
+        |j AS (SELECT coalesce(m.mult, 0) AS mult
+        |      FROM orders LEFT JOIN m ON m.k = o_orderkey)
+        |SELECT mult, count(*) AS n_keys,
+        |  CAST(mult * count(*) AS BIGINT) AS est_rows
+        |FROM j GROUP BY mult ORDER BY mult""".stripMargin,
+
+    "events_bot_score" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS minute
+        |  FROM events WHERE ts IS NOT NULL),
+        |per AS (SELECT user_id, count(*) AS n,
+        |          count(DISTINCT minute) AS mins FROM u GROUP BY user_id),
+        |r AS (SELECT n, n * 100 // mins AS rate_x100 FROM per)
+        |SELECT CAST(rate_x100 // 100 AS BIGINT) AS band,
+        |  count(*) AS n_users,
+        |  CAST(max(rate_x100) AS BIGINT) AS max_rate_x100,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM r GROUP BY band ORDER BY band""".stripMargin,
   )
 }

@@ -150,7 +150,10 @@ class PlanSpec extends AnyFunSuite {
     //  - text_source_divergence: 50-row broadcast vocab table under the
     //    ≤sources-row totals frame (bounded dimension fill — the
     //    text_positional_bias shape)
-    "events_benford", "graph_kcore_peel", "text_source_divergence")
+    "events_benford", "graph_kcore_peel", "text_source_divergence",
+    //  - dedup_simhash_bits: 1-row fingerprint-count scalar broadcast
+    //    under the 16-row bit rollup (the q_scalar_subquery shape)
+    "dedup_simhash_bits")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -325,6 +325,88 @@ class Round10cSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dedup_winnow_pairs: shared-fingerprint pairs recompute per document") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val fps = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split(" ", -1)
+      if (toks.length < 3) None
+      else {
+        val h = toks.sliding(3).map(s => md5hex(s.mkString(" "))).toVector
+        if (h.length < 4) None
+        else Some(id -> h.sliding(4).map(_.min).toVector.distinct)
+      }
+    }
+    val df = fps.flatMap(_._2).groupBy(identity)
+      .map { case (f, v) => f -> v.size }
+    val capped = fps.map { case (id, v) => id -> v.filter(df(_) <= 50) }
+    val post = capped.flatMap { case (id, v) => v.map(f => f -> id) }
+      .groupBy(_._1).map { case (f, v) => f -> v.map(_._2).sorted }
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    post.values.foreach { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        acc((ids(i), ids(j))) = acc.getOrElse((ids(i), ids(j)), 0L) + 1
+    }
+    val want = acc.toSeq.filter(_._2 >= 2)
+      .map { case ((a, b), s) => (a, b, s) }.sortBy(p => (p._1, p._2))
+    val got = run("dedup_winnow_pairs").collect().map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("shared"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture yields at least one winnow candidate pair")
+  }
+
+  test("dedup_simhash_bits: bit balance recomputes from per-doc fingerprints") {
+    val hashes = graft.ops.Dedup.simhash16(
+      graft.sources.Tables.documents(spark, TestSpark.sf), "doc_id", "text")
+      .select(col("simhash")).collect().map(_.getLong(0))
+    val total = hashes.length.toLong
+    val want = (0 to 15).map { bit =>
+      val ones = hashes.count(h => ((h >> bit) & 1) == 1).toLong
+      val bp = ones * 10000 / total
+      (bit.toLong, ones, bp, math.abs(bp - 5000))
+    }
+    val got = run("dedup_simhash_bits").collect().map(r =>
+      (r.getAs[Long]("bit"), r.getAs[Long]("n_ones"), r.getAs[Long]("ones_bp"),
+        r.getAs[Long]("dev_bp"))).toSeq
+    assert(got == want)
+  }
+
+  test("q_join_fanout_audit: multiplicity histogram recomputes from both keys") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val mult = li.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val want = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+      .map(k => mult.getOrElse(k, 0L))
+      .groupBy(identity).toSeq
+      .map { case (m, v) => (m, v.size.toLong, m * v.size) }.sortBy(_._1)
+    val got = run("q_join_fanout_audit").collect().map(r =>
+      (r.getAs[Long]("mult"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("est_rows"))).toSeq
+    assert(got == want)
+    // est_rows over all bands is exactly the join cardinality
+    assert(got.map(_._3).sum == li.length.toLong)
+  }
+
+  test("events_bot_score: rate bands recompute from (user, minute) distincts") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 60000000").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = evs.groupBy(_._1).toSeq.map { case (_, v) =>
+      val n = v.length.toLong
+      val mins = v.map(_._2).distinct.length.toLong
+      (n, n * 100 / mins)
+    }.groupBy(_._2 / 100).toSeq.map { case (band, v) =>
+      (band, v.length.toLong, v.map(_._2).max, v.map(_._1).sum)
+    }.sortBy(_._1)
+    val got = run("events_bot_score").collect().map(r =>
+      (r.getAs[Long]("band"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("max_rate_x100"), r.getAs[Long]("n_events"))).toSeq
+    assert(got == want)
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
