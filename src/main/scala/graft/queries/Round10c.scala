@@ -416,6 +416,84 @@ object Round10c {
         .orderBy(col("mult"))
     }),
 
+    // Two steps of the power iteration on the exact integer Gram matrix
+    // (the sim_cov_moments cells, mirrored to full symmetric): v₀ = 1,
+    // vₖ₊₁ = A·vₖ, each step re-scaled to ±1000 by the max |component|
+    // with truncating integer division — the top-eigenvector direction
+    // estimate (PCA's first axis) with every step bit-stable
+    // cross-engine. The matrix build is one corpus scan behind a
+    // checkpoint; each iteration is a 4096-cell join against a 64-row
+    // vector — driver-free, bounded, and exactly what a distributed
+    // power method does at any corpus size (the O(n·d²) moment pass
+    // dominates; iterations are O(d²)).
+    "sim_power_iteration" -> ((s, dir) => {
+      val tri = Tables.embeddings(s, dir)
+        .select(graft.ops.Similarity.milliQuant(col("embedding")).as("mq"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, 63), i ->
+            |  transform(sequence(i, 63), j ->
+            |    struct(CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
+            |           mq[i] * mq[j] AS xy))))""".stripMargin)).as("p"))
+        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+        .agg(sum(col("p.xy")).as("a"))
+        .localCheckpoint(true)
+      val A = tri.select(col("d1").as("i"), col("d2").as("j"), col("a"))
+        .unionAll(tri.where(col("d1") =!= col("d2"))
+          .select(col("d2").as("i"), col("d1").as("j"), col("a")))
+      def step(v: org.apache.spark.sql.DataFrame, vCol: String, out: String) = {
+        val raw = A.join(v.withColumnRenamed("d", "j"), Seq("j"))
+          .groupBy(col("i").as("d"))
+          .agg(sum(col("a") * col(vCol)).as("raw"))
+        val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("d"), idiv(col("raw") * 1000, col("mx")).as(out))
+      }
+      val v0 = tri.select(col("d1").as("d")).distinct().withColumn("v0", lit(1L))
+      val v1 = step(v0, "v0", "v1_milli").localCheckpoint(true)
+      val v2 = step(v1, "v1_milli", "v2_milli")
+      v1.join(v2, Seq("d")).orderBy(col("d"))
+    }),
+
+    // Time-hierarchy rollup: daily, monthly, and all-time event volume +
+    // distinct actives in ONE pass (ROLLUP(month, day) — partial
+    // aggregates reuse the same shuffle, the way a calendar dashboard
+    // should be fed instead of three scans). Distinct users re-aggregate
+    // correctly per level because rollup recomputes from rows, not from
+    // partials of partials.
+    "events_time_rollup" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("ts").isNotNull)
+        .select(date_format(col("ts"), "yyyy-MM").as("mon"),
+          iso(to_date(col("ts"))).as("day"), col("user_id"))
+        .rollup(col("mon"), col("day"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("n_users"))
+        .select(
+          when(col("day").isNotNull, lit("day"))
+            .when(col("mon").isNotNull, lit("month"))
+            .otherwise(lit("all")).as("level"),
+          coalesce(col("day"), col("mon"), lit("*")).as("period"),
+          col("n"), col("n_users"))
+        .orderBy(col("level"), col("period"))),
+
+    // GDPR-erasure audit: the per-day impact report of deleting every
+    // event of the erase-listed users (here: user_id ≡ 0 mod 97 — the
+    // deterministic stand-in for a real request list) — rows before /
+    // erased / after and affected users per day, the evidence artifact a
+    // compliance pipeline files next to the Merge-delete it executed
+    // (etl.Merge deleteCond is the deletion itself, proven in its spec).
+    // One conditional rollup, no join: the erase predicate rides the
+    // scan.
+    "etl_erasure_audit" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("ts").isNotNull)
+        .withColumn("hit", (col("user_id") % 97 === 0).cast("int"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("hit")).cast("long").as("n_erased"),
+          count_distinct(when(col("hit") === 1, col("user_id"))).as("n_users_erased"))
+        .withColumn("n_after", col("n_before") - col("n_erased"))
+        .select(iso(col("day")).as("day"), col("n_before"), col("n_erased"),
+          col("n_after"), col("n_users_erased"))
+        .orderBy(col("day"))),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -764,6 +842,54 @@ object Round10c {
         |SELECT mult, count(*) AS n_keys,
         |  CAST(mult * count(*) AS BIGINT) AS est_rows
         |FROM j GROUP BY mult ORDER BY mult""".stripMargin,
+
+    "sim_power_iteration" ->
+      """WITH mil AS (SELECT list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT CAST(i.range AS BIGINT) AS d1, CAST(j.range AS BIGINT) AS d2,
+        |    mq[CAST(i.range AS INTEGER) + 1] * mq[CAST(j.range AS INTEGER) + 1] AS xy
+        |  FROM mil CROSS JOIN range(64) i CROSS JOIN range(64) j
+        |  WHERE j.range >= i.range),
+        |tri AS (SELECT d1, d2, CAST(sum(xy) AS BIGINT) AS a
+        |        FROM p GROUP BY d1, d2),
+        |A AS (SELECT d1 AS i, d2 AS j, a FROM tri
+        |      UNION ALL SELECT d2, d1, a FROM tri WHERE d1 <> d2),
+        |v1r AS (SELECT i AS d, CAST(sum(a) AS BIGINT) AS raw FROM A GROUP BY i),
+        |m1 AS (SELECT max(abs(raw)) AS mx FROM v1r),
+        |v1 AS (SELECT d, CAST(raw * 1000 // mx AS BIGINT) AS v1_milli
+        |       FROM v1r, m1),
+        |v2r AS (SELECT A.i AS d, CAST(sum(A.a * v1.v1_milli) AS BIGINT) AS raw
+        |        FROM A JOIN v1 ON v1.d = A.j GROUP BY A.i),
+        |m2 AS (SELECT max(abs(raw)) AS mx FROM v2r),
+        |v2 AS (SELECT d, CAST(raw * 1000 // mx AS BIGINT) AS v2_milli
+        |       FROM v2r, m2)
+        |SELECT d, v1_milli, v2_milli FROM v1 JOIN v2 USING (d)
+        |ORDER BY d""".stripMargin,
+
+    "events_time_rollup" ->
+      """WITH e AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS mon,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, user_id
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT
+        |  CASE WHEN day IS NOT NULL THEN 'day'
+        |       WHEN mon IS NOT NULL THEN 'month' ELSE 'all' END AS level,
+        |  coalesce(day, mon, '*') AS period,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY ROLLUP(mon, day) ORDER BY level, period""".stripMargin,
+
+    "etl_erasure_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END AS hit
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_before,
+        |  CAST(sum(hit) AS BIGINT) AS n_erased,
+        |  CAST(count(*) - sum(hit) AS BIGINT) AS n_after,
+        |  count(DISTINCT CASE WHEN hit = 1 THEN user_id END) AS n_users_erased
+        |FROM d GROUP BY day ORDER BY day""".stripMargin,
 
     "events_bot_score" ->
       """WITH u AS (

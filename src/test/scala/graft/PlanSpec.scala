@@ -153,7 +153,10 @@ class PlanSpec extends AnyFunSuite {
     "events_benford", "graph_kcore_peel", "text_source_divergence",
     //  - dedup_simhash_bits: 1-row fingerprint-count scalar broadcast
     //    under the 16-row bit rollup (the q_scalar_subquery shape)
-    "dedup_simhash_bits")
+    "dedup_simhash_bits",
+    //  - sim_power_iteration: 1-row max-|component| scalar broadcast
+    //    under each 64-row re-scaled vector (twice — one per step)
+    "sim_power_iteration")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

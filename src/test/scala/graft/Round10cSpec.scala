@@ -407,6 +407,72 @@ class Round10cSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("sim_power_iteration: two exact Gram-matrix steps recompute in memory") {
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => BigDecimal(x.toDouble).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP).*(1000).toLongExact).toVector)
+    val dims = vecs.head.length
+    val a = Array.ofDim[Long](dims, dims)
+    vecs.foreach { v =>
+      for (i <- 0 until dims; j <- 0 until dims) a(i)(j) += v(i) * v(j)
+    }
+    def step(v: Vector[Long]): Vector[Long] = {
+      val raw = (0 until dims).map(i =>
+        (0 until dims).map(j => a(i)(j) * v(j)).sum).toVector
+      val mx = raw.map(math.abs).max
+      raw.map(x => x * 1000 / mx)
+    }
+    val v1 = step(Vector.fill(dims)(1L))
+    val v2 = step(v1)
+    val got = run("sim_power_iteration").collect().map(r =>
+      (r.getAs[Long]("d"), r.getAs[Long]("v1_milli"), r.getAs[Long]("v2_milli")))
+      .sortBy(_._1)
+    assert(got.toSeq == (0 until dims).map(d => (d.toLong, v1(d), v2(d))))
+    // re-scaling keeps the dominant component at ±1000
+    assert(got.map(_._3).map(math.abs).max == 1000L)
+  }
+
+  test("events_time_rollup: levels re-aggregate and distincts are not partial-of-partial") {
+    val rows = run("events_time_rollup").collect().map(r =>
+      (r.getAs[String]("level"), r.getAs[String]("period"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_users")))
+    val byLevel = rows.groupBy(_._1)
+    // day-level volumes sum to each month's and to the all-time total
+    val all = byLevel("all").head
+    assert(byLevel("day").map(_._3).sum == all._3)
+    byLevel("month").foreach { case (_, mon, n, nu) =>
+      val days = byLevel("day").filter(_._2.startsWith(mon))
+      assert(days.map(_._3).sum == n)
+      // distinct users at month level is NOT the sum of day distincts
+      assert(nu <= days.map(_._4).sum)
+    }
+    // independent all-time recompute
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull).select(col("user_id")).collect()
+    assert(all._3 == evs.length.toLong)
+    assert(all._4 == evs.map(_.getLong(0)).distinct.length.toLong)
+  }
+
+  test("etl_erasure_audit: per-day erase impact recomputes from the raw table") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = evs.groupBy(_._1).toSeq.map { case (d, v) =>
+      val hit = v.filter(_._2 % 97 == 0)
+      (d, v.length.toLong, hit.length.toLong, (v.length - hit.length).toLong,
+        hit.map(_._2).distinct.length.toLong)
+    }.sortBy(_._1)
+    val got = run("etl_erasure_audit").collect().map(r =>
+      (r.getAs[String]("day"), r.getAs[Long]("n_before"), r.getAs[Long]("n_erased"),
+        r.getAs[Long]("n_after"), r.getAs[Long]("n_users_erased"))).toSeq
+    assert(got == want)
+    assert(got.exists(_._3 > 0), "fixture erases at least one row")
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
