@@ -35,6 +35,13 @@ object Sketch {
     pmod(h3(concat(r.cast("string"), lit(":"), key.cast("string"))),
       lit(width))
 
+  /** Linear-counting bitmap cell for `key`: h3 mod `width` — the
+    * mergeable distinct-count sketch (bitmaps of sub-streams OR
+    * together; occupied-cell count is the estimator input). ONE
+    * definition serves q_bitmap_distinct and any probe. */
+  def bitmapCell(key: Column, width: Long): Column =
+    pmod(h3(key.cast("string")), lit(width))
+
   /** The 4×`width` sketch build: explode each key over the `depth` rows,
     * bucket, and count — ONE keyed rollup whose map-side combine bounds
     * shuffle rows at depth·width·partitions no matter the input volume

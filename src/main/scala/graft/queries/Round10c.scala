@@ -494,6 +494,38 @@ object Round10c {
           col("n_after"), col("n_users_erased"))
         .orderBy(col("day"))),
 
+    // Linear-counting bitmap sketch of daily distinct users, with the
+    // merged all-days bitmap built from the SAME per-day cell frame —
+    // the mergeability property that lets 1000 executors (or 30 daily
+    // partitions) sketch independently and OR the results, where exact
+    // distinct would re-shuffle the raw keys. Cells = md5-h3(user) mod
+    // 4096 (the shared Sketch kernel); per-scope state is ≤ 4096 cells
+    // no matter the volume. Exact distincts ride the same one-pass
+    // (day, user) dedup as the in-query audit (the q_approx_distinct
+    // convention).
+    "q_bitmap_distinct" -> ((s, dir) => {
+      val du = Tables.events(s, dir).where(col("ts").isNotNull)
+        .select(iso(to_date(col("ts"))).as("scope"), col("user_id"))
+        .distinct().localCheckpoint(true)
+      val cells = du.select(col("scope"),
+        graft.ops.Sketch.bitmapCell(col("user_id"), 4096L).as("cell"))
+        .distinct().localCheckpoint(true)
+      val perDay = cells.groupBy(col("scope")).agg(count(lit(1)).as("bits_set"))
+        .join(du.groupBy(col("scope")).agg(count(lit(1)).as("exact_distinct")),
+          Seq("scope"))
+      val global = cells.select(col("cell")).distinct()
+        .agg(count(lit(1)).as("bits_set"))
+        .withColumn("scope", lit("all"))
+        .crossJoin(broadcast(du.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))))
+      perDay.unionByName(global.select(col("scope"), col("bits_set"),
+          col("exact_distinct")))
+        .withColumn("sat_bp", idiv(col("bits_set") * 10000, lit(4096L)))
+        .select(col("scope"), col("bits_set"), col("sat_bp"),
+          col("exact_distinct"))
+        .orderBy(col("scope"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -890,6 +922,27 @@ object Round10c {
         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_after,
         |  count(DISTINCT CASE WHEN hit = 1 THEN user_id END) AS n_users_erased
         |FROM d GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_bitmap_distinct" -> {
+      val cell = graft.ops.Sketch.h3Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH du AS (
+         |  SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS scope, user_id
+         |  FROM events WHERE ts IS NOT NULL),
+         |cells AS (SELECT DISTINCT scope, $cell % 4096 AS cell FROM du),
+         |perday AS (
+         |  SELECT c.scope, c.bits_set, e.exact_distinct FROM
+         |    (SELECT scope, count(*) AS bits_set FROM cells GROUP BY scope) c
+         |  JOIN (SELECT scope, count(*) AS exact_distinct FROM du GROUP BY scope) e
+         |  USING (scope)),
+         |gl AS (
+         |  SELECT 'all' AS scope,
+         |    (SELECT count(DISTINCT cell) FROM cells) AS bits_set,
+         |    (SELECT count(DISTINCT user_id) FROM du) AS exact_distinct),
+         |u AS (SELECT * FROM perday UNION ALL SELECT * FROM gl)
+         |SELECT scope, bits_set,
+         |  CAST(bits_set * 10000 // 4096 AS BIGINT) AS sat_bp, exact_distinct
+         |FROM u ORDER BY scope""".stripMargin
+    },
 
     "events_bot_score" ->
       """WITH u AS (

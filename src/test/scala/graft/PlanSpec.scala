@@ -156,7 +156,10 @@ class PlanSpec extends AnyFunSuite {
     "dedup_simhash_bits",
     //  - sim_power_iteration: 1-row max-|component| scalar broadcast
     //    under each 64-row re-scaled vector (twice — one per step)
-    "sim_power_iteration")
+    "sim_power_iteration",
+    //  - q_bitmap_distinct: 1-row global-exact-distinct scalar broadcast
+    //    under the 1-row merged-bitmap count (the census shape)
+    "q_bitmap_distinct")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

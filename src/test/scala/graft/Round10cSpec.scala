@@ -473,6 +473,34 @@ class Round10cSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 0), "fixture erases at least one row")
   }
 
+  test("q_bitmap_distinct: per-day and merged bitmaps recompute from raw keys") {
+    def md5hex3(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).substring(0, 3), 16)
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"),
+        col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).distinct
+    val byDay = evs.groupBy(_._1).toSeq.map { case (d, v) =>
+      val users = v.map(_._2).distinct
+      val bits = users.map(u => md5hex3(u.toString) % 4096).distinct.length.toLong
+      (d, bits, bits * 10000 / 4096, users.length.toLong)
+    }
+    val allUsers = evs.map(_._2).distinct
+    val allBits = evs.map { case (d, u) => (d, md5hex3(u.toString) % 4096) }
+      .distinct.map(_._2).distinct.length.toLong
+    val want = (byDay :+ (("all", allBits, allBits * 10000 / 4096,
+      allUsers.length.toLong))).sortBy(_._1)
+    val got = run("q_bitmap_distinct").collect().map(r =>
+      (r.getAs[String]("scope"), r.getAs[Long]("bits_set"),
+        r.getAs[Long]("sat_bp"), r.getAs[Long]("exact_distinct"))).toSeq
+    assert(got == want)
+    // sketch property: occupancy never exceeds the exact distinct count,
+    // and the merged bitmap is ≤ the sum of the parts (OR-merge)
+    got.foreach(g => assert(g._2 <= g._4))
+    assert(allBits <= byDay.map(_._2).sum)
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
