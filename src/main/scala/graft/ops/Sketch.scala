@@ -35,6 +35,16 @@ object Sketch {
     pmod(h3(concat(r.cast("string"), lit(":"), key.cast("string"))),
       lit(width))
 
+  /** JVM twin of [[h3]] (first-3-nibble md5 hash) — pinned equal to the
+    * Column form in KernelPropertySpec; the streaming bitmap state fold
+    * uses it so the streamed cells are BY CONSTRUCTION the ones the
+    * batch q_bitmap_distinct probes. */
+  def h3Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 3), 16)
+  }
+
   /** Linear-counting bitmap cell for `key`: h3 mod `width` — the
     * mergeable distinct-count sketch (bitmaps of sub-streams OR
     * together; occupied-cell count is the estimator input). ONE

@@ -525,6 +525,40 @@ object StreamOps {
       }
   }
 
+  /** Continuous bounded-state distinct counting — the streaming twin of
+    * the batch q_bitmap_distinct sketch: per day, a `width`-bit
+    * linear-counting bitmap held in typed state (512 B at 4096 bits),
+    * folded via the SAME md5-h3 cell hash the batch kernel uses
+    * (graft.ops.Sketch.h3Jvm ≡ Sketch.h3, property-pinned), emitting the
+    * day's current occupied-cell count after every micro-batch. The
+    * point at 100 TB: `dropDuplicates` on raw keys holds state ∝
+    * distinct keys (unbounded on a high-cardinality stream), while this
+    * holds EXACTLY width bits per day no matter the volume — and the
+    * final counts equal the batch query's bits_set by shared hash.
+    * Duplicate/replayed deliveries are idempotent (bit OR), so an
+    * at-least-once source converges to the same bitmap. */
+  def bitmapDistinctStream(events: DataFrame, tsCol: String, keyCol: String,
+                           width: Int = 4096): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.where(col(tsCol).isNotNull)
+      .select(date_format(to_date(col(tsCol)), "yyyy-MM-dd").as("day"),
+        col(keyCol).cast("string").as("k")).as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (day: String, it: Iterator[(String, String)],
+         state: GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long]((width + 63) / 64))
+          it.foreach { case (_, k) =>
+            val c = (graft.ops.Sketch.h3Jvm(k) % width).toInt
+            bits(c >> 6) |= 1L << (c & 63)
+          }
+          state.update(bits)
+          (day, bits.map(w => java.lang.Long.bitCount(w).toLong).sum)
+      }.toDF("day", "bits_set")
+  }
+
   /** Continuous count-min sketch — the streaming twin of the batch
     * q_cms_heavy sketch build. The sketch is a watermark-free global
     * aggregate over (row, bucket): state is bounded at 4×1024 counter

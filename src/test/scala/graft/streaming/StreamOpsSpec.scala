@@ -323,6 +323,38 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.size <= 4 * 1024, "state bounded by depth x width")
   }
 
+  test("bitmapDistinctStream converges to the batch bitmap under replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect()
+    val input = MemoryStream[Ev]
+    val q = StreamOps.bitmapDistinctStream(input.toDF(), "ts", "user_id")
+      .writeStream.outputMode("update").format("memory").queryName("bmd").start()
+    val chunks = evs.grouped(evs.length / 3 + 1).toSeq
+    // at-least-once delivery: chunk 1 is REPLAYED after chunk 2
+    (chunks.take(2) ++ Seq(chunks.head) ++ chunks.drop(2)).foreach { c =>
+      input.addData(c.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val rows = spark.table("bmd").as[(String, Long)].collect()
+    // latest emission per day = the max (occupancy is monotone under OR)
+    val streamed = rows.groupBy(_._1).map { case (d, v) => d -> v.map(_._2).max }
+    // the oracle-checked batch query on the same table, per-day rows only
+    val batch = graft.SparkEntry.queries("q_bitmap_distinct")(spark, TestSpark.sf)
+      .where(col("scope") =!= "all")
+      .select(col("scope"), col("bits_set")).as[(String, Long)]
+      .collect().toMap
+    assert(streamed == batch, "streamed per-day occupancy == batch bits_set")
+    // bounded state: occupancy can never exceed the bitmap width
+    streamed.values.foreach(v => assert(v <= 4096L))
+    // the replayed chunk exercises idempotence: more emissions than days
+    assert(rows.length > streamed.size, "multiple emissions per day observed")
+  }
+
   test("lateArrivalsStream replayed in id order reproduces the batch audit") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
