@@ -18,7 +18,7 @@ object Round10 {
     * winning (p, cnt, round) frames. Every round is checkpointed so the
     * two consumers (text_bpe_train / text_bpe_apply) never replay
     * earlier rounds. */
-  private def bpeRounds(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[queries] def bpeRounds(s: org.apache.spark.sql.SparkSession, dir: String)
       : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
     import graft.ops.{TextAnalysis => TA}
     var cur = Tables.documents(s, dir)

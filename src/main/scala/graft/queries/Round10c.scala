@@ -526,6 +526,54 @@ object Round10c {
         .orderBy(col("scope"))
     }),
 
+    // Alert-storm suppression: an error is EMITTED if it is the user's
+    // first, or ≥ 6 h after their previous error; otherwise it is
+    // SUPPRESSED (page at most once per burst window — the on-call
+    // dedup every alerting system applies). One lag per user (single
+    // partitioned sort), then the bounded per-day rollup with the
+    // suppression rate in bp.
+    "events_alert_suppress" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("emit",
+          (lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 21600000000L).cast("int"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_alerts"),
+          sum(col("emit")).cast("long").as("n_emitted"))
+        .withColumn("n_suppressed", col("n_alerts") - col("n_emitted"))
+        .withColumn("suppress_bp",
+          idiv(col("n_suppressed") * 10000, col("n_alerts")))
+        .select(iso(col("day")).as("day"), col("n_alerts"), col("n_emitted"),
+          col("n_suppressed"), col("suppress_bp"))
+        .orderBy(col("day"))
+    }),
+
+    // Tokenizer fertility by language: symbols-per-word (×100) of the
+    // corpus-trained 3-merge BPE, weighted by each language's own word
+    // frequencies — the multilingual-fairness metric (a language with
+    // 2× the fertility pays 2× the context budget per word). Reuses the
+    // shared BPE training loop (text_bpe_train/apply); the per-language
+    // join is vocab-sized, never corpus-sized.
+    "text_bpe_fertility" -> ((s, dir) => {
+      val (cur, _) = Round10.bpeRounds(s, dir)
+      val sy = cur.select(col("w"),
+        size(split(trim(col("seq")), " ")).cast("long").as("na"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("lfreq"))
+        .join(sy, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("lfreq")).as("n_tokens"),
+          sum(col("lfreq") * col("na")).as("n_syms"))
+        .withColumn("fertility_x100", idiv(col("n_syms") * 100, col("n_tokens")))
+        .orderBy(col("lang"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -922,6 +970,67 @@ object Round10c {
         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_after,
         |  count(DISTINCT CASE WHEN hit = 1 THEN user_id END) AS n_users_erased
         |FROM d GROUP BY day ORDER BY day""".stripMargin,
+
+    "events_alert_suppress" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS day,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'error'),
+        |f AS (SELECT day,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS emit
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+        |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_alerts,
+        |  CAST(sum(emit) AS BIGINT) AS n_emitted,
+        |  CAST(count(*) - sum(emit) AS BIGINT) AS n_suppressed,
+        |  CAST((count(*) - sum(emit)) * 10000 // count(*) AS BIGINT)
+        |    AS suppress_bp
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+
+    "text_bpe_fertility" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS w FROM documents) t GROUP BY w),
+         |s0 AS (SELECT w, freq,
+         |  ' ' || array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> substring(w, CAST(i AS INTEGER), 1)), ' ') || ' ' AS seq
+         |  FROM words),
+         |p1 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s0) x) y
+         |  GROUP BY p),
+         |t1 AS (SELECT p FROM p1 ORDER BY cnt DESC, p LIMIT 1),
+         |s1 AS (SELECT s0.w, s0.freq,
+         |  replace(s0.seq, ' ' || t1.p || ' ',
+         |    ' ' || replace(t1.p, ' ', '') || ' ') AS seq FROM s0, t1),
+         |p2 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s1) x) y
+         |  GROUP BY p),
+         |t2 AS (SELECT p FROM p2 ORDER BY cnt DESC, p LIMIT 1),
+         |s2 AS (SELECT s1.w, s1.freq,
+         |  replace(s1.seq, ' ' || t2.p || ' ',
+         |    ' ' || replace(t2.p, ' ', '') || ' ') AS seq FROM s1, t2),
+         |p3 AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(a)),
+         |    i -> a[i] || ' ' || a[i + 1])) AS p
+         |  FROM (SELECT freq, string_split(trim(seq), ' ') AS a FROM s2) x) y
+         |  GROUP BY p),
+         |t3 AS (SELECT p FROM p3 ORDER BY cnt DESC, p LIMIT 1),
+         |s3 AS (SELECT s2.w, s2.freq,
+         |  replace(s2.seq, ' ' || t3.p || ' ',
+         |    ' ' || replace(t3.p, ' ', '') || ' ') AS seq FROM s2, t3),
+         |sy AS (SELECT w, len(string_split(trim(seq), ' ')) AS na FROM s3),
+         |lw AS (SELECT lang, w, count(*) AS lfreq FROM (
+         |  SELECT lang, unnest($toksSql) AS w FROM documents) t
+         |  GROUP BY lang, w)
+         |SELECT lang, CAST(sum(lfreq) AS BIGINT) AS n_tokens,
+         |  CAST(sum(lfreq * na) AS BIGINT) AS n_syms,
+         |  CAST(CAST(sum(lfreq * na) AS BIGINT) * 100
+         |    // CAST(sum(lfreq) AS BIGINT) AS BIGINT) AS fertility_x100
+         |FROM lw JOIN sy USING (w) GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_bitmap_distinct" -> {
       val cell = graft.ops.Sketch.h3Sql("CAST(user_id AS VARCHAR)")

@@ -501,6 +501,51 @@ class Round10cSpec extends AnyFunSuite {
     assert(allBits <= byDay.map(_._2).sum)
   }
 
+  test("events_alert_suppress: storm suppression recomputes from per-user lags") {
+    val errs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull && col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val emits = errs.groupBy(_._2).values.flatMap { v =>
+      val sorted = v.sortBy(e => (e._4, e._1))
+      sorted.zipWithIndex.map { case (e, i) =>
+        val emit = i == 0 || e._4 - sorted(i - 1)._4 > 21600000000L
+        (e._3, emit)
+      }
+    }
+    val want = emits.groupBy(_._1).toSeq.map { case (d, v) =>
+      val n = v.size.toLong; val em = v.count(_._2).toLong
+      (d, n, em, n - em, (n - em) * 10000 / n)
+    }.sortBy(_._1)
+    val got = run("events_alert_suppress").collect().map(r =>
+      (r.getAs[String]("day"), r.getAs[Long]("n_alerts"),
+        r.getAs[Long]("n_emitted"), r.getAs[Long]("n_suppressed"),
+        r.getAs[Long]("suppress_bp"))).toSeq
+    assert(got == want)
+    assert(got.map(_._4).sum > 0, "fixture suppresses at least one alert")
+  }
+
+  test("text_bpe_fertility: per-language weighting of the shared BPE table") {
+    val rows = run("text_bpe_fertility").collect().map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_syms"), r.getAs[Long]("fertility_x100")))
+    // n_tokens per lang matches the raw corpus word counts
+    val wc = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (l, v) => l -> v.map(_._2).sum }
+    rows.foreach { case (l, nt, ns, f) =>
+      assert(nt == wc(l), s"token count for $l")
+      // BPE merges only ever shrink: chars-per-word ≥ syms-per-word ≥ 1
+      assert(ns >= nt)
+      assert(f == ns * 100 / nt && f >= 100)
+    }
+    // fertility varies by language mix (the metric is non-degenerate)
+    assert(rows.map(_._4).distinct.length > 1 || rows.length == 1)
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
