@@ -574,6 +574,67 @@ object Round10c {
         .orderBy(col("lang"))
     }),
 
+    // INTERSECT ALL — the multiset twin of q_intersect: customer
+    // segments present in BOTH order-year cohorts keep their
+    // multiplicity min(m₁, m₂), which set-intersect collapses to 1 —
+    // the dedup-safe way to compare repeated-observation populations.
+    // Spark plans it as a single aggregate-join (no distinct pre-pass).
+    "q_intersect_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority"))
+      val a = o.where(col("yr") === 1995)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val b = o.where(col("yr") === 1996)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      a.intersectAll(b)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // EXCEPT ALL — the multiset twin of q_except: 1995 (custkey,
+    // priority) observations surviving with multiplicity m₁ − m₂ after
+    // removing the 1996 ones occurrence-for-occurrence (set-except
+    // would drop a pair entirely if it appears even once in 1996).
+    "q_except_all" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          col("o_orderpriority"))
+      val a = o.where(col("yr") === 1995)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val b = o.where(col("yr") === 1996)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      a.exceptAll(b)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Linear-trend ingredients per event type: over the (day-index,
+    // daily-count) series, the exact integer sums the least-squares
+    // slope is assembled from — n, Σx, Σy, Σxy, Σx² (slope = (nΣxy −
+    // ΣxΣy) / (nΣx² − (Σx)²)) — the growth-trend detector, emitted as
+    // ingredients so the consumer divides at whatever precision it
+    // wants (the sim_cov_moments convention). Day index is relative to
+    // the type's own first day, so the sums are small and stable.
+    "events_trend_ingredients" -> ((s, dir) => {
+      val daily = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("d"))
+        .agg(count(lit(1)).as("y"))
+      val base = daily.groupBy(col("event_type")).agg(min(col("d")).as("d0"))
+      daily.join(base, Seq("event_type"))
+        .withColumn("x", col("d") - col("d0"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("slope_den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -970,6 +1031,44 @@ object Round10c {
         |  CAST(count(*) - sum(hit) AS BIGINT) AS n_after,
         |  count(DISTINCT CASE WHEN hit = 1 THEN user_id END) AS n_users_erased
         |FROM d GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_intersect_all" ->
+      """WITH a AS (SELECT o_custkey, o_orderpriority FROM orders
+        |           WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT o_custkey, o_orderpriority FROM orders
+        |      WHERE year(o_orderdate) = 1996),
+        |i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM i GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_except_all" ->
+      """WITH a AS (SELECT o_custkey, o_orderpriority FROM orders
+        |           WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT o_custkey, o_orderpriority FROM orders
+        |      WHERE year(o_orderdate) = 1996),
+        |i AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM i GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "events_trend_ingredients" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+        |    count(*) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, d),
+        |b AS (SELECT event_type, min(d) AS d0 FROM daily GROUP BY event_type),
+        |x AS (SELECT daily.event_type, d - d0 AS x, y
+        |      FROM daily JOIN b USING (event_type)),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY event_type)
+        |SELECT event_type, n, sx, sy, sxy, sxx,
+        |  n * sxy - sx * sy AS slope_num,
+        |  n * sxx - sx * sx AS slope_den
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "events_alert_suppress" ->
       """WITH e AS (

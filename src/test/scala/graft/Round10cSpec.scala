@@ -546,6 +546,70 @@ class Round10cSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length > 1 || rows.length == 1)
   }
 
+  private lazy val yearPairs: (Seq[(Long, String)], Seq[(Long, String)]) = {
+    val o = graft.sources.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"),
+        col("o_orderpriority")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    (o.filter(_._2 == 1995).map(x => (x._1, x._3)).toSeq,
+      o.filter(_._2 == 1996).map(x => (x._1, x._3)).toSeq)
+  }
+
+  test("q_intersect_all: multiplicities are min(m1, m2), not collapsed") {
+    val (a, b) = yearPairs
+    val ca = a.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cb = b.groupBy(identity).map { case (k, v) => k -> v.size }
+    val inter = ca.toSeq.flatMap { case (k, m) =>
+      Seq.fill(math.min(m, cb.getOrElse(k, 0)))(k) }
+    val want = inter.groupBy(_._2).toSeq.map { case (p, v) =>
+      (p, v.size.toLong, v.map(_._1).toSeq.distinct.size.toLong) }.sortBy(_._1)
+    val got = run("q_intersect_all").collect().map(r =>
+      (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_cust"))).toSeq
+    assert(got == want)
+    // multiset semantics differ from set semantics on this fixture
+    val setInter = ca.keySet.intersect(cb.keySet)
+    assert(inter.size != setInter.size, "fixture has multiplicities > 1")
+  }
+
+  test("q_except_all: multiplicities are m1 - m2, occurrence-for-occurrence") {
+    val (a, b) = yearPairs
+    val ca = a.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cb = b.groupBy(identity).map { case (k, v) => k -> v.size }
+    val diff = ca.toSeq.flatMap { case (k, m) =>
+      Seq.fill(math.max(0, m - cb.getOrElse(k, 0)))(k) }
+    val want = diff.groupBy(_._2).toSeq.map { case (p, v) =>
+      (p, v.size.toLong, v.map(_._1).toSeq.distinct.size.toLong) }.sortBy(_._1)
+    val got = run("q_except_all").collect().map(r =>
+      (r.getAs[String]("o_orderpriority"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_cust"))).toSeq
+    assert(got == want)
+  }
+
+  test("events_trend_ingredients: least-squares sums recompute per type") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = evs.groupBy(_._1).toSeq.map { case (t, v) =>
+      val daily = v.groupBy(_._2).map { case (d, w) => d -> w.size.toLong }
+      val d0 = daily.keys.min
+      val xs = daily.toSeq.map { case (d, y) => (d - d0, y) }
+      val n = xs.length.toLong
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      (t, n, sx, sy, sxy, sxx, n * sxy - sx * sy, n * sxx - sx * sx)
+    }.sortBy(_._1)
+    val got = run("events_trend_ingredients").collect().map(r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Long]("sx"),
+        r.getAs[Long]("sy"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"),
+        r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den"))).toSeq
+    assert(got == want)
+    // slope sign is meaningful on the fixture (some type trends)
+    assert(got.exists(g => g._7 != 0))
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
