@@ -635,6 +635,63 @@ object Round10c {
         .orderBy(col("event_type"))
     }),
 
+    // Filtered ANN — the vector-database "metadata predicate + top-k"
+    // composition: cosine top-10 vs the query vector among candidates
+    // with label = 3 ONLY, with the filter applied BEFORE ranking
+    // (pre-filter: always k results when the segment has them, unlike
+    // post-filtering a global top-k which can starve). The predicate
+    // rides the candidate scan; the shape is otherwise sim_topk_brute's
+    // (1-row broadcast query, never-shuffled scan, distributed
+    // TakeOrdered).
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(Similarity.milliQuant(col("embedding")).as("qmq"))
+        .withColumn("qnsq", Similarity.normSqMilli(col("qmq")))
+      emb.where(col("vec_id") =!= 0L && col("label") === 3L)
+        .select(col("vec_id"), col("label"),
+          Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .crossJoin(broadcast(q))
+        .withColumn("cos_bp", Similarity.cosBp(
+          Similarity.dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+        .select(col("vec_id"), col("label"), col("cos_bp"))
+        .orderBy(col("cos_bp").desc, col("vec_id")).limit(10)
+    }),
+
+    // Day-over-day event-mix drift: per day, the L1 distance (ppm)
+    // between the event-type share vector and the previous day's — the
+    // composition-shift monitor (a release that doubles error share
+    // moves this even when total volume is flat) — plus the top-moving
+    // type. The matrix is the bounded day×type spine (missing cells are
+    // true zeros); all windows ride it, never the raw stream.
+    "events_mix_shift" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+      val dt = e.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n")).localCheckpoint(true)
+      val days = dt.select(col("day")).distinct()
+      val types = dt.select(col("event_type")).distinct()
+      val tot = dt.groupBy(col("day")).agg(sum(col("n")).as("tot"))
+      val m = days.crossJoin(broadcast(types))
+        .join(dt, Seq("day", "event_type"), "left")
+        .join(tot, Seq("day"))
+        .select(col("day"), col("event_type"),
+          idiv(coalesce(col("n"), lit(0L)) * 1000000L, col("tot")).as("ppm"))
+      val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val diffs = m.withColumn("prev", lag(col("ppm"), 1).over(wt))
+        .where(col("prev").isNotNull)
+        .withColumn("d", abs(col("ppm") - col("prev")))
+      val wd = Window.partitionBy(col("day"))
+      val wr = wd.orderBy(col("d").desc, col("event_type"))
+      diffs.withColumn("rn", row_number().over(wr))
+        .withColumn("l1_ppm", sum(col("d")).over(wd))
+        .where(col("rn") === 1)
+        .select(iso(col("day")).as("day"), col("l1_ppm"),
+          col("event_type").as("top_type"), col("d").as("top_delta_ppm"))
+        .orderBy(col("day"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -1069,6 +1126,41 @@ object Round10c {
         |  n * sxy - sx * sy AS slope_num,
         |  n * sxx - sx * sx AS slope_den
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "sim_filtered_topk" ->
+      s"""WITH ${SimMm.milliNormCte},
+         |q AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |c AS (SELECT vec_id, label,
+         |    ${SimMm.cosBpSql(SimMm.dotmSql("mq", "qmq"), "nsq", "qnsq")} AS cos_bp
+         |  FROM miln, q WHERE vec_id <> 0 AND label = 3)
+         |SELECT vec_id, label, cos_bp FROM c
+         |ORDER BY cos_bp DESC, vec_id LIMIT 10""".stripMargin,
+
+    "events_mix_shift" ->
+      """WITH dt AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY day, event_type),
+        |days AS (SELECT DISTINCT day FROM dt),
+        |types AS (SELECT DISTINCT event_type FROM dt),
+        |tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM dt GROUP BY day),
+        |m AS (SELECT days.day, types.event_type,
+        |    CAST(coalesce(dt.n, 0) * 1000000 // tot.tot AS BIGINT) AS ppm
+        |  FROM days CROSS JOIN types
+        |  LEFT JOIN dt ON dt.day = days.day AND dt.event_type = types.event_type
+        |  JOIN tot ON tot.day = days.day),
+        |df AS (SELECT day, event_type, ppm,
+        |    lag(ppm) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM m),
+        |dd AS (SELECT day, event_type, abs(ppm - prev) AS d FROM df
+        |       WHERE prev IS NOT NULL),
+        |r AS (SELECT day, event_type, d,
+        |    row_number() OVER (PARTITION BY day ORDER BY d DESC, event_type) AS rn,
+        |    CAST(sum(d) OVER (PARTITION BY day) AS BIGINT) AS l1_ppm
+        |  FROM dd)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, l1_ppm,
+        |  event_type AS top_type, d AS top_delta_ppm
+        |FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
 
     "events_alert_suppress" ->
       """WITH e AS (

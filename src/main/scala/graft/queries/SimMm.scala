@@ -644,7 +644,7 @@ object SimMm {
   /** Milli-quantized embeddings + exact integer squared norms — the
     * oracle twin of Similarity.milliQuant / normSqMilli (CTEs `mil` and
     * `miln`). Shared by every integer-basis-point cosine oracle. */
-  private val milliNormCte =
+  private[queries] val milliNormCte =
     """mil AS (SELECT vec_id, label, list_transform(embedding,
       |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 3) AS DECIMAL(7,3)) * 1000 AS BIGINT)) AS mq
       |  FROM embeddings),
@@ -652,13 +652,13 @@ object SimMm {
       |    CAST(list_sum(list_transform(mq, x -> x * x)) AS BIGINT) AS nsq FROM mil)""".stripMargin
 
   /** Exact integer dot of two milli-quantized 64-dim vectors. */
-  private def dotmSql(a: String, b: String): String =
+  private[queries] def dotmSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, 65), i -> $a[CAST(i AS INTEGER)] * $b[CAST(i AS INTEGER)])) AS BIGINT)"
 
   /** Integer basis-point cosine — the oracle twin of Similarity.cosBp:
     * floor over an IEEE-correctly-rounded chain on exact integer
     * operands, bit-identical to the Spark side. */
-  private def cosBpSql(dotm: String, na: String, nb: String): String =
+  private[queries] def cosBpSql(dotm: String, na: String, nb: String): String =
     s"""(CASE WHEN $na * $nb = 0 THEN CAST(0 AS BIGINT)
        |  ELSE CAST(floor(CAST(($dotm) * 10000 AS DOUBLE) / sqrt(CAST($na * $nb AS DOUBLE))) AS BIGINT) END)""".stripMargin
 

@@ -159,7 +159,12 @@ class PlanSpec extends AnyFunSuite {
     "sim_power_iteration",
     //  - q_bitmap_distinct: 1-row global-exact-distinct scalar broadcast
     //    under the 1-row merged-bitmap count (the census shape)
-    "q_bitmap_distinct")
+    "q_bitmap_distinct",
+    //  - sim_filtered_topk: 1-row broadcast query vector vs the
+    //    label-filtered candidate scan (the sim_topk_brute shape)
+    //  - events_mix_shift: bounded type list broadcast under the day
+    //    spine (dimension fill — the text_source_divergence shape)
+    "sim_filtered_topk", "events_mix_shift")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -610,6 +610,63 @@ class Round10cSpec extends AnyFunSuite {
     assert(got.exists(g => g._7 != 0))
   }
 
+  test("sim_filtered_topk: pre-filter semantics — ranked within the segment only") {
+    val got = run("sim_filtered_topk").collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Number]("label").longValue, r.getAs[Long]("cos_bp")))
+    assert(got.forall(_._2 == 3L), "every result is inside the filter segment")
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+    // independent recompute over milli-quantized vectors
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => BigDecimal(x.toDouble).setScale(3,
+            BigDecimal.RoundingMode.HALF_UP).*(1000).toLongExact).toVector))
+    val q = vecs.find(_._1 == 0L).get._3
+    val qn = q.map(x => x * x).sum
+    val want = vecs.filter(v => v._1 != 0L && v._2 == 3L).map { case (id, l, v) =>
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val nsq = v.map(x => x * x).sum
+      val bp = if (nsq * qn == 0) 0L
+        else math.floor(dot * 10000.0 / math.sqrt((nsq * qn).toDouble)).toLong
+      (id, l, bp)
+    }.sortBy(p => (-p._3, p._1)).take(10)
+    assert(got.toSeq == want.toSeq)
+    // pre-filter ≠ post-filter on this fixture: the global top-10
+    // contains vectors outside the segment
+    val globalTop = vecs.filter(_._1 != 0L).map { case (id, l, v) =>
+      val dot = v.zip(q).map { case (a, b) => a * b }.sum
+      val nsq = v.map(x => x * x).sum
+      (id, l, if (nsq * qn == 0) 0L
+        else math.floor(dot * 10000.0 / math.sqrt((nsq * qn).toDouble)).toLong)
+    }.sortBy(p => (-p._3, p._1)).take(10)
+    assert(globalTop.exists(_._2 != 3L))
+  }
+
+  test("events_mix_shift: day-over-day L1 recomputes from the share matrix") {
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val days = evs.map(_._1).distinct.sorted
+    val types = evs.map(_._2).distinct.sorted
+    val cnt = evs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot = evs.groupBy(_._1).map { case (d, v) => d -> v.size.toLong }
+    val ppm = (for (d <- days; t <- types) yield
+      (d, t) -> cnt.getOrElse((d, t), 0L) * 1000000L / tot(d)).toMap
+    val want = days.toSeq.sliding(2).collect { case Seq(p, d) =>
+      val diffs = types.map(t => t -> math.abs(ppm((d, t)) - ppm((p, t))))
+      val top = diffs.minBy { case (t, x) => (-x, t) }
+      (d, diffs.map(_._2).sum, top._1, top._2)
+    }.toSeq
+    val got = run("events_mix_shift").collect().map(r =>
+      (r.getAs[String]("day"), r.getAs[Long]("l1_ppm"),
+        r.getAs[String]("top_type"), r.getAs[Long]("top_delta_ppm"))).toSeq
+    assert(got == want)
+    assert(got.exists(_._2 > 0), "the mix actually shifts on the fixture")
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
