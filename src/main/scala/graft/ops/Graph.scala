@@ -150,6 +150,38 @@ object Graph {
         col("n_edges_left"))
   }
 
+  /** HITS (hubs & authorities) on a bipartite edge frame (`sk` hub side,
+    * `pk` authority side): alternating integer projections — a(p) = Σ
+    * h(s), h(s) = Σ a(p) — each re-scaled to ±1000 by its max with
+    * truncating division (the sim_power_iteration convention), so every
+    * step is bit-stable cross-engine. h₀ = 1. Each half-iteration is one
+    * keyed join + rollup against the checkpointed edge list; the 1-row
+    * max scalar broadcasts. Returns (hubs(sk, h), auths(pk, a)) after
+    * `iters` full iterations. ONE definition serves graph_hits and any
+    * probe. */
+  def hits(edges0: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges0.select(col("sk"), col("pk")).distinct().localCheckpoint(true)
+    def rescale(df: DataFrame, idCol: String, vCol: String): DataFrame = {
+      val mx = df.agg(max(abs(col(vCol))).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(idCol),
+          graft.queries.idiv(col(vCol) * 1000, col("mx")).as(vCol))
+        .localCheckpoint(true)
+    }
+    var h = e.select(col("sk")).distinct().withColumn("h", lit(1L))
+      .localCheckpoint(true)
+    var a = h // placeholder; assigned in the loop
+    for (_ <- 1 to iters) {
+      a = rescale(e.join(h, Seq("sk"))
+        .groupBy(col("pk")).agg(sum(col("h")).as("a")), "pk", "a")
+      h = rescale(e.join(a, Seq("pk"))
+        .groupBy(col("sk")).agg(sum(col("a")).as("h")), "sk", "h")
+    }
+    h.select(col("sk").as("id"), lit("hub").as("role"), col("h").as("score"))
+      .unionAll(a.select(col("pk").as("id"), lit("authority").as("role"),
+        col("a").as("score")))
+  }
+
   /** Synchronous label propagation over an undirected pair frame
     * (`a`/`b` columns): labels start as node ids; each round every node
     * takes the MODE of its neighbors' labels (ties → min label) —

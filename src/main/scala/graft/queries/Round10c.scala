@@ -692,6 +692,58 @@ object Round10c {
         .orderBy(col("day"))
     }),
 
+    // HITS hubs & authorities on the capped supplier–part bipartite
+    // graph: 2 alternating integer projections (a = Eᵀh, h = Ea), each
+    // re-scaled to ±1000 by its max with truncating division — the
+    // link-analysis twin of graph_pagerank for bipartite structure
+    // (diversified suppliers ↔ widely-sourced parts). Top-10 per role;
+    // kernel = graft.ops.Graph.hits, shared with any probe.
+    "graph_hits" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val scored = graft.ops.Graph.hits(spc, 2)
+      val w = Window.partitionBy(col("role"))
+        .orderBy(col("score").desc, col("id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("role"), col("id"), col("score"))
+        .orderBy(col("role"), col("score").desc, col("id"))
+    }),
+
+    // Difference-in-differences ingredients: purchases split by a
+    // deterministic treatment flag (user_id mod 2) × period (before /
+    // after the observed time midpoint) into four cells — per-cell
+    // counts, exact cent sums, truncating means, and the assembled DiD
+    // estimate (m₁₁−m₁₀)−(m₀₁−m₀₀) in cents — the causal-lift readout
+    // an experimentation pipeline files next to events_ab_lift's plain
+    // lift. One conditional rollup to ONE row; the midpoint is a 1-row
+    // scalar broadcast.
+    "events_did_ingredients" -> ((s, dir) => {
+      val p = Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val mid = p.agg(idiv(min(col("us")) + max(col("us")), lit(2L)).as("mid"))
+      val cells = p.crossJoin(broadcast(mid))
+        .withColumn("treat", (col("user_id") % 2 === 1).cast("int"))
+        .withColumn("post", (col("us") > col("mid")).cast("int"))
+      def m(t: Int, po: Int) = idiv(
+        sum(when(col("treat") === t && col("post") === po, col("cents"))),
+        count(when(col("treat") === t && col("post") === po, 1)))
+      cells.agg(
+          count(when(col("treat") === 0 && col("post") === 0, 1)).as("n00"),
+          count(when(col("treat") === 0 && col("post") === 1, 1)).as("n01"),
+          count(when(col("treat") === 1 && col("post") === 0, 1)).as("n10"),
+          count(when(col("treat") === 1 && col("post") === 1, 1)).as("n11"),
+          m(0, 0).as("m00"), m(0, 1).as("m01"),
+          m(1, 0).as("m10"), m(1, 1).as("m11"))
+        .withColumn("did_cents",
+          (col("m11") - col("m10")) - (col("m01") - col("m00")))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -1161,6 +1213,66 @@ object Round10c {
         |SELECT strftime(day, '%Y-%m-%d') AS day, l1_ppm,
         |  event_type AS top_type, d AS top_delta_ppm
         |FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
+
+    "graph_hits" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        |pd0 AS (SELECT pk, count(*) AS pd FROM sp GROUP BY pk),
+        |e AS (SELECT sk, sp.pk AS pk FROM sp JOIN pd0 USING (pk) WHERE pd0.pd <= 64),
+        |h0 AS (SELECT DISTINCT sk, CAST(1 AS BIGINT) AS h FROM e),
+        |a1r AS (SELECT pk, CAST(sum(h) AS BIGINT) AS a FROM e
+        |        JOIN h0 USING (sk) GROUP BY pk),
+        |a1m AS (SELECT max(abs(a)) AS mx FROM a1r),
+        |a1 AS (SELECT pk, CAST(a * 1000 // mx AS BIGINT) AS a FROM a1r, a1m),
+        |h1r AS (SELECT sk, CAST(sum(a) AS BIGINT) AS h FROM e
+        |        JOIN a1 USING (pk) GROUP BY sk),
+        |h1m AS (SELECT max(abs(h)) AS mx FROM h1r),
+        |h1 AS (SELECT sk, CAST(h * 1000 // mx AS BIGINT) AS h FROM h1r, h1m),
+        |a2r AS (SELECT pk, CAST(sum(h) AS BIGINT) AS a FROM e
+        |        JOIN h1 USING (sk) GROUP BY pk),
+        |a2m AS (SELECT max(abs(a)) AS mx FROM a2r),
+        |a2 AS (SELECT pk, CAST(a * 1000 // mx AS BIGINT) AS a FROM a2r, a2m),
+        |h2r AS (SELECT sk, CAST(sum(a) AS BIGINT) AS h FROM e
+        |        JOIN a2 USING (pk) GROUP BY sk),
+        |h2m AS (SELECT max(abs(h)) AS mx FROM h2r),
+        |h2 AS (SELECT sk, CAST(h * 1000 // mx AS BIGINT) AS h FROM h2r, h2m),
+        |u AS (
+        |  SELECT 'hub' AS role, sk AS id, h AS score,
+        |    row_number() OVER (ORDER BY h DESC, sk) AS rn FROM h2
+        |  UNION ALL
+        |  SELECT 'authority', pk, a,
+        |    row_number() OVER (ORDER BY a DESC, pk) FROM a2)
+        |SELECT role, id, score FROM u WHERE rn <= 10
+        |ORDER BY role, score DESC, id""".stripMargin,
+
+    "events_did_ingredients" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND event_type = 'purchase' AND value IS NOT NULL),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM p),
+        |c AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+        |        CASE WHEN us > mid THEN 1 ELSE 0 END AS post, cents
+        |      FROM p, mid),
+        |agg AS (SELECT
+        |  count(CASE WHEN treat = 0 AND post = 0 THEN 1 END) AS n00,
+        |  count(CASE WHEN treat = 0 AND post = 1 THEN 1 END) AS n01,
+        |  count(CASE WHEN treat = 1 AND post = 0 THEN 1 END) AS n10,
+        |  count(CASE WHEN treat = 1 AND post = 1 THEN 1 END) AS n11,
+        |  CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents END) AS BIGINT)
+        |    // count(CASE WHEN treat = 0 AND post = 0 THEN 1 END) AS m00,
+        |  CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents END) AS BIGINT)
+        |    // count(CASE WHEN treat = 0 AND post = 1 THEN 1 END) AS m01,
+        |  CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents END) AS BIGINT)
+        |    // count(CASE WHEN treat = 1 AND post = 0 THEN 1 END) AS m10,
+        |  CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents END) AS BIGINT)
+        |    // count(CASE WHEN treat = 1 AND post = 1 THEN 1 END) AS m11
+        |  FROM c)
+        |SELECT n00, n01, n10, n11,
+        |  CAST(m00 AS BIGINT) AS m00, CAST(m01 AS BIGINT) AS m01,
+        |  CAST(m10 AS BIGINT) AS m10, CAST(m11 AS BIGINT) AS m11,
+        |  CAST((m11 - m10) - (m01 - m00) AS BIGINT) AS did_cents
+        |FROM agg""".stripMargin,
 
     "events_alert_suppress" ->
       """WITH e AS (

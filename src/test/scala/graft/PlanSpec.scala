@@ -164,7 +164,12 @@ class PlanSpec extends AnyFunSuite {
     //    label-filtered candidate scan (the sim_topk_brute shape)
     //  - events_mix_shift: bounded type list broadcast under the day
     //    spine (dimension fill — the text_source_divergence shape)
-    "sim_filtered_topk", "events_mix_shift")
+    "sim_filtered_topk", "events_mix_shift",
+    //  - graph_hits: 1-row max-score scalar broadcast under each
+    //    half-iteration's re-scaled frame (the sim_power_iteration shape)
+    //  - events_did_ingredients: 1-row time-midpoint scalar broadcast
+    //    under the purchase scan (the events_rfm shape)
+    "graph_hits", "events_did_ingredients")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -667,6 +667,57 @@ class Round10cSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 0), "the mix actually shifts on the fixture")
   }
 
+  test("graph_hits: alternating integer projections recompute in memory") {
+    val li = graft.sources.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_suppkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPart = li.groupBy(_._2).filter(_._2.length <= 64)
+    val edges = byPart.values.flatten.toSeq
+    var h = edges.map(_._1).distinct.map(_ -> 1L).toMap
+    var a = Map.empty[Long, Long]
+    def rescale(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.map(math.abs).max
+      m.map { case (k, v) => k -> v * 1000 / mx }
+    }
+    for (_ <- 1 to 2) {
+      a = rescale(edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => h(e._1)).sum })
+      h = rescale(edges.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => a(e._2)).sum })
+    }
+    val wantHubs = h.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val wantAuths = a.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val got = run("graph_hits").collect().map(r =>
+      (r.getAs[String]("role"), r.getAs[Long]("id"), r.getAs[Long]("score")))
+    assert(got.filter(_._1 == "hub").map(t => (t._2, t._3)).toSeq == wantHubs)
+    assert(got.filter(_._1 == "authority").map(t => (t._2, t._3)).toSeq == wantAuths)
+    // rescaling pins the leader at 1000 per role
+    assert(got.filter(_._1 == "hub").head._3 == 1000L)
+    assert(got.filter(_._1 == "authority").head._3 == 1000L)
+  }
+
+  test("events_did_ingredients: four cells and the DiD estimate recompute") {
+    val p = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull && col("event_type") === "purchase" &&
+        col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Math.round(r.getDouble(2) * 100)))
+    val mid = (p.map(_._2).min + p.map(_._2).max) / 2
+    def cell(t: Int, po: Int) = p.filter(x =>
+      (if (x._1 % 2 == 1) 1 else 0) == t && (if (x._2 > mid) 1 else 0) == po)
+    val (c00, c01, c10, c11) = (cell(0, 0), cell(0, 1), cell(1, 0), cell(1, 1))
+    def m(c: Array[(Long, Long, Long)]) = c.map(_._3).sum / c.length
+    val r = run("events_did_ingredients").collect().head
+    assert((r.getAs[Long]("n00"), r.getAs[Long]("n01"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n11")) ==
+      (c00.length.toLong, c01.length.toLong, c10.length.toLong, c11.length.toLong))
+    assert((r.getAs[Long]("m00"), r.getAs[Long]("m01"), r.getAs[Long]("m10"),
+      r.getAs[Long]("m11")) == (m(c00), m(c01), m(c10), m(c11)))
+    assert(r.getAs[Long]("did_cents") == (m(c11) - m(c10)) - (m(c01) - m(c00)))
+    assert(Seq(c00, c01, c10, c11).forall(_.nonEmpty), "all four cells populated")
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
