@@ -744,6 +744,40 @@ object Round10c {
           (col("m11") - col("m10")) - (col("m01") - col("m00")))
     }),
 
+    // Farthest-first traversal (k-center greedy — the deterministic
+    // k-means++-style seeding): seed 1 = vec 0; each round adds the
+    // vector maximizing its min squared-L2 (exact milli integers) to the
+    // chosen set, tie → min vec_id. 4 rounds; every round is one scan of
+    // the quantized table against the ≤4-row broadcast chosen set + one
+    // TakeOrdered(1) — no step is ever pairwise over the corpus. The
+    // classic 2-approximation coreset/init kernel, bit-stable
+    // cross-engine because the metric is integer and ties are keyed.
+    "sim_farthest_first" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .localCheckpoint(true)
+      var chosen = base.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("cid"), col("mq").as("cmq"), col("nsq").as("cnsq"),
+          lit(1L).as("ord"), lit(0L).as("mind2"))
+        .localCheckpoint(true)
+      for (r <- 2 to 4) {
+        val cand = base
+          .join(chosen.select(col("cid")), col("vec_id") === col("cid"), "left_anti")
+          .crossJoin(broadcast(chosen.select(col("cmq"), col("cnsq"))))
+          .withColumn("d2", col("nsq") + col("cnsq") -
+            lit(2L) * Similarity.dotMilli(col("mq"), col("cmq")))
+          .groupBy(col("vec_id"), col("mq"), col("nsq"))
+          .agg(min(col("d2")).as("mind2"))
+        val next = cand.orderBy(col("mind2").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("cid"), col("mq").as("cmq"),
+            col("nsq").as("cnsq"), lit(r.toLong).as("ord"), col("mind2"))
+        chosen = chosen.unionAll(next).localCheckpoint(true)
+      }
+      chosen.select(col("ord"), col("cid").as("vec_id"), col("mind2"))
+        .orderBy(col("ord"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -1273,6 +1307,42 @@ object Round10c {
         |  CAST(m10 AS BIGINT) AS m10, CAST(m11 AS BIGINT) AS m11,
         |  CAST((m11 - m10) - (m01 - m00) AS BIGINT) AS did_cents
         |FROM agg""".stripMargin,
+
+    "sim_farthest_first" -> {
+      def d2(v: String, c: String) =
+        s"$v.nsq + $c.cnsq - 2 * ${SimMm.dotmSql(s"$v.mq", s"$c.cmq")}"
+      s"""WITH ${SimMm.milliNormCte},
+         |ch1 AS (SELECT vec_id AS cid, mq AS cmq, nsq AS cnsq
+         |        FROM miln WHERE vec_id = 0),
+         |m2 AS (SELECT v.vec_id, CAST(min(${d2("v", "c")}) AS BIGINT) AS mind2
+         |  FROM miln v CROSS JOIN ch1 c
+         |  WHERE v.vec_id NOT IN (SELECT cid FROM ch1)
+         |  GROUP BY v.vec_id),
+         |s2 AS (SELECT vec_id, mind2 FROM m2
+         |       ORDER BY mind2 DESC, vec_id LIMIT 1),
+         |ch2 AS (SELECT * FROM ch1 UNION ALL
+         |  SELECT miln.vec_id, mq, nsq FROM miln JOIN s2 USING (vec_id)),
+         |m3 AS (SELECT v.vec_id, CAST(min(${d2("v", "c")}) AS BIGINT) AS mind2
+         |  FROM miln v CROSS JOIN ch2 c
+         |  WHERE v.vec_id NOT IN (SELECT cid FROM ch2)
+         |  GROUP BY v.vec_id),
+         |s3 AS (SELECT vec_id, mind2 FROM m3
+         |       ORDER BY mind2 DESC, vec_id LIMIT 1),
+         |ch3 AS (SELECT * FROM ch2 UNION ALL
+         |  SELECT miln.vec_id, mq, nsq FROM miln JOIN s3 USING (vec_id)),
+         |m4 AS (SELECT v.vec_id, CAST(min(${d2("v", "c")}) AS BIGINT) AS mind2
+         |  FROM miln v CROSS JOIN ch3 c
+         |  WHERE v.vec_id NOT IN (SELECT cid FROM ch3)
+         |  GROUP BY v.vec_id),
+         |s4 AS (SELECT vec_id, mind2 FROM m4
+         |       ORDER BY mind2 DESC, vec_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS ord, CAST(0 AS BIGINT) AS vec_id,
+         |  CAST(0 AS BIGINT) AS mind2
+         |UNION ALL SELECT 2, vec_id, mind2 FROM s2
+         |UNION ALL SELECT 3, vec_id, mind2 FROM s3
+         |UNION ALL SELECT 4, vec_id, mind2 FROM s4
+         |ORDER BY ord""".stripMargin
+    },
 
     "events_alert_suppress" ->
       """WITH e AS (

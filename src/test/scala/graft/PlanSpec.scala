@@ -169,7 +169,10 @@ class PlanSpec extends AnyFunSuite {
     //    half-iteration's re-scaled frame (the sim_power_iteration shape)
     //  - events_did_ingredients: 1-row time-midpoint scalar broadcast
     //    under the purchase scan (the events_rfm shape)
-    "graph_hits", "events_did_ingredients")
+    "graph_hits", "events_did_ingredients",
+    //  - sim_farthest_first: ≤4-row broadcast chosen set vs the quantized
+    //    scan each round (the sim_ivf_cells assignment shape)
+    "sim_farthest_first")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -718,6 +718,35 @@ class Round10cSpec extends AnyFunSuite {
     assert(Seq(c00, c01, c10, c11).forall(_.nonEmpty), "all four cells populated")
   }
 
+  test("sim_farthest_first: greedy k-center selection recomputes in memory") {
+    val vecs = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => BigDecimal(x.toDouble).setScale(3,
+            BigDecimal.RoundingMode.HALF_UP).*(1000).toLongExact).toVector)
+      .toMap
+    def d2(a: Vector[Long], b: Vector[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      a.map(x => x * x).sum + b.map(x => x * x).sum - 2 * dot
+    }
+    var chosen = Vector(0L)
+    var want = Vector((1L, 0L, 0L))
+    for (r <- 2 to 4) {
+      val next = vecs.keys.filterNot(chosen.contains).map { id =>
+        id -> chosen.map(c => d2(vecs(id), vecs(c))).min
+      }.minBy { case (id, d) => (-d, id) }
+      chosen :+= next._1
+      want :+= ((r.toLong, next._1, next._2))
+    }
+    val got = run("sim_farthest_first").collect().map(r =>
+      (r.getAs[Long]("ord"), r.getAs[Long]("vec_id"), r.getAs[Long]("mind2")))
+    assert(got.toSeq == want)
+    // coverage radius is non-increasing as seeds are added
+    val radii = want.drop(1).map(_._3)
+    assert(radii == radii.sortBy(-_), "min-distances shrink monotonically")
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
