@@ -466,7 +466,12 @@ object StreamOps {
           var mx = state.getOption.getOrElse(Long.MinValue)
           val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
           // (event_id, us) order — the batch audit's tiebreak, so a
-          // replayed log with duplicate ids still reproduces it exactly
+          // replayed log with duplicate ids still reproduces it exactly.
+          // NOTE: this materializes one (type, micro-batch) group per
+          // task — bounded by trigger sizing (maxFilesPerTrigger /
+          // maxOffsetsPerTrigger), which is the knob a deployment MUST
+          // set for a hot type; the sort itself is required for the
+          // replay-determinism contract above.
           it.toSeq.sortBy(o => (o.event_id, o.us)).foreach { o =>
             val late =
               if (mx == Long.MinValue || mx <= o.us) 0L
