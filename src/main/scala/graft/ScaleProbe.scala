@@ -246,6 +246,28 @@ object ScaleProbe {
         .select(size(array_distinct(TA.winnowMinima(col("h"), 4))).as("nf"))
         .agg(sum(col("nf"))).count()
     }
+    // HITS at mult× edges: each half-iteration is one keyed join +
+    // rollup + a 1-row max broadcast, so cost must grow ~linearly with
+    // |E|. Kernel = graft.ops.Graph.hits, the EXACT code graph_hits runs.
+    time("hits_2iter") {
+      val li = graft.sources.Tables.lineitem(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(((col("l_suppkey") * mult) + col("rep")).as("sk"),
+          ((col("l_partkey") * mult) + col("rep")).as("pk"))
+        .distinct()
+      graft.ops.Graph.hits(li, 2).count()
+    }
+    // Farthest-first at mult× vectors: each of the 3 selection rounds is
+    // one scan of the quantized table vs the ≤4-row broadcast chosen set
+    // plus a TakeOrdered(1) — cost must grow ~linearly with the table,
+    // never pairwise. Kernel = graft.ops.Similarity.farthestFirst, the
+    // EXACT code sim_farthest_first runs.
+    time("farthest_first_4") {
+      val e = graft.sources.Tables.embeddings(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("vec_id") * mult + col("rep")).as("vec_id"), col("embedding"))
+      graft.ops.Similarity.farthestFirst(e, "vec_id", "embedding", 0L, 4).count()
+    }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))
       graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)

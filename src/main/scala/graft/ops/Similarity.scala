@@ -55,6 +55,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Farthest-first traversal (greedy k-center): seed 1 = `seedId`,
+    * each round adds the vector maximizing its min exact squared-L2 to
+    * the chosen set (tie → min id). Every round is one scan of the
+    * quantized table against the ≤k-row broadcast chosen set + one
+    * TakeOrdered(1) — never pairwise over the corpus. ONE definition
+    * serves sim_farthest_first and the scale probe. */
+  def farthestFirst(emb: DataFrame, idCol: String, vecCol: String,
+                    seedId: Long, k: Int): DataFrame = {
+    val base = emb
+      .select(col(idCol).as("vec_id"), milliQuant(col(vecCol)).as("mq"))
+      .withColumn("nsq", normSqMilli(col("mq")))
+      .localCheckpoint(true)
+    var chosen = base.where(col("vec_id") === lit(seedId))
+      .select(col("vec_id").as("cid"), col("mq").as("cmq"), col("nsq").as("cnsq"),
+        lit(1L).as("ord"), lit(0L).as("mind2"))
+      .localCheckpoint(true)
+    for (r <- 2 to k) {
+      val cand = base
+        .join(chosen.select(col("cid")), col("vec_id") === col("cid"), "left_anti")
+        .crossJoin(broadcast(chosen.select(col("cmq"), col("cnsq"))))
+        .withColumn("d2", col("nsq") + col("cnsq") -
+          lit(2L) * dotMilli(col("mq"), col("cmq")))
+        .groupBy(col("vec_id"), col("mq"), col("nsq"))
+        .agg(min(col("d2")).as("mind2"))
+      val next = cand.orderBy(col("mind2").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("cid"), col("mq").as("cmq"),
+          col("nsq").as("cnsq"), lit(r.toLong).as("ord"), col("mind2"))
+      chosen = chosen.unionAll(next).localCheckpoint(true)
+    }
+    chosen.select(col("ord"), col("cid").as("vec_id"), col("mind2"))
+  }
+
   /** Euclidean (L2) top-k vs one query vector — the metric twin of
     * [[topKBrute]] for pipelines that index un-normalized embeddings.
     * Distance is the EXACT integer squared L2 in milli units

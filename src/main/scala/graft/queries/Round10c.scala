@@ -752,30 +752,68 @@ object Round10c {
     // TakeOrdered(1) — no step is ever pairwise over the corpus. The
     // classic 2-approximation coreset/init kernel, bit-stable
     // cross-engine because the metric is integer and ties are keyed.
-    "sim_farthest_first" -> ((s, dir) => {
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+    // Kernel = graft.ops.Similarity.farthestFirst, shared with
+    // ScaleProbe so the probed plan IS the registered one.
+    "sim_farthest_first" -> ((s, dir) =>
+      Similarity.farthestFirst(Tables.embeddings(s, dir), "vec_id",
+          "embedding", 0L, 4)
+        .orderBy(col("ord"))),
+
+    // Perceptual-hash near-dup pairs over binary payloads at Hamming
+    // distance EXACTLY 1 — the strictly-near complement of
+    // mm_phash_dedup's identical-phash groups: split the 16-bit chunk
+    // simhash into two 8-bit bands; one flipped bit touches one band,
+    // so every qualifying pair matches exactly on the OTHER band
+    // (pigeonhole — candidate generation is two equality self-joins,
+    // never a distance scan). Band buckets are capped at 200 occupants
+    // (the simhash_hamming house rule), and the exact popcount verify
+    // bounds emissions.
+    "mm_phash_hamming" -> ((s, dir) => {
+      val ph = graft.ops.Multimodal
+        .sampleChunks(Tables.documents(s, dir), "doc_id", "text", 1)
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("chunk_md5")).as("chunks"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash16(col("chunks")).as("phash"))
         .localCheckpoint(true)
-      var chosen = base.where(col("vec_id") === 0L)
-        .select(col("vec_id").as("cid"), col("mq").as("cmq"), col("nsq").as("cnsq"),
-          lit(1L).as("ord"), lit(0L).as("mind2"))
-        .localCheckpoint(true)
-      for (r <- 2 to 4) {
-        val cand = base
-          .join(chosen.select(col("cid")), col("vec_id") === col("cid"), "left_anti")
-          .crossJoin(broadcast(chosen.select(col("cmq"), col("cnsq"))))
-          .withColumn("d2", col("nsq") + col("cnsq") -
-            lit(2L) * Similarity.dotMilli(col("mq"), col("cmq")))
-          .groupBy(col("vec_id"), col("mq"), col("nsq"))
-          .agg(min(col("d2")).as("mind2"))
-        val next = cand.orderBy(col("mind2").desc, col("vec_id")).limit(1)
-          .select(col("vec_id").as("cid"), col("mq").as("cmq"),
-            col("nsq").as("cnsq"), lit(r.toLong).as("ord"), col("mind2"))
-        chosen = chosen.unionAll(next).localCheckpoint(true)
-      }
-      chosen.select(col("ord"), col("cid").as("vec_id"), col("mind2"))
-        .orderBy(col("ord"))
+      val bands = ph.select(col("doc_id"), col("phash"),
+        explode(array(lit(0), lit(1))).as("bi"))
+        .withColumn("bv",
+          when(col("bi") === 0, col("phash") % 256)
+            .otherwise(idiv(col("phash"), lit(256L))))
+      val capped = bands.join(
+        bands.groupBy(col("bi"), col("bv")).agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= 200), Seq("bi", "bv"))
+      capped.select(col("bi"), col("bv"), col("doc_id").as("a"), col("phash").as("pa"))
+        .join(capped.select(col("bi"), col("bv"), col("doc_id").as("b"),
+          col("phash").as("pb")), Seq("bi", "bv"))
+        .where(col("a") < col("b") &&
+          bit_count(col("pa").bitwiseXOR(col("pb"))) === 1)
+        .select(col("a"), col("b"), col("pa"), col("pb")).distinct()
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Length↔quality correlation ingredients: over the corpus, the
+    // exact integer sums Pearson's r between doc length (chars) and
+    // stopword share (bp) is assembled from — n, Σx, Σy, Σxy, Σx², Σy²
+    // plus the assembled numerator and the two squared-denominator
+    // factors (consumer takes the sqrt) — the "are long docs cleaner?"
+    // curation question in the emit-ingredients convention. One scan,
+    // one 1-row rollup.
+    "text_quality_corr" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(length(col("text")).cast("long").as("x"),
+          TA.tokenCount(col("text")).as("nt"),
+          TA.stopwordCount(col("text")).as("ns"))
+        .where(col("nt") > 0)
+        .withColumn("y", idiv(col("ns") * 10000, col("nt")))
+      d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("corr_num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("den_x", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("den_y", col("n") * col("syy") - col("sy") * col("sy"))
     }),
 
     // Bot-rate banding: per user, events per active minute (×100,
@@ -1343,6 +1381,55 @@ object Round10c {
          |UNION ALL SELECT 4, vec_id, mind2 FROM s4
          |ORDER BY ord""".stripMargin
     },
+
+    "mm_phash_hamming" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST((length(text) + 63) // 64 AS BIGINT) AS nch FROM documents),
+        |ch AS (
+        |  SELECT doc_id, md5(md5(substring(text, CAST(ci * 64 + 1 AS INTEGER), 64))) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, nch)) AS ci FROM d)),
+        |bits AS (
+        |  SELECT doc_id, h, j.range AS j,
+        |    strpos('0123456789abcdef', substring(h, 1 + CAST(j.range // 4 AS INTEGER), 1)) - 1 AS nib
+        |  FROM ch CROSS JOIN range(16) j),
+        |votes AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (nib >> CAST(j % 4 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM bits GROUP BY doc_id, j),
+        |sh AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(j AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM votes GROUP BY doc_id),
+        |bnds AS (
+        |  SELECT doc_id, phash, bi,
+        |    CASE WHEN bi = 0 THEN phash % 256 ELSE phash // 256 END AS bv
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1]) AS bi) u),
+        |bc AS (SELECT bi, bv, count(*) AS bn FROM bnds GROUP BY bi, bv),
+        |cap AS (SELECT bnds.* FROM bnds JOIN bc USING (bi, bv) WHERE bn <= 200),
+        |p AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        |    l.phash AS pa, r.phash AS pb
+        |  FROM cap l JOIN cap r ON l.bi = r.bi AND l.bv = r.bv
+        |    AND l.doc_id < r.doc_id
+        |  WHERE bit_count(xor(l.phash, r.phash)) = 1)
+        |SELECT a, b, pa, pb FROM p ORDER BY a, b""".stripMargin,
+
+    "text_quality_corr" ->
+      s"""WITH t AS (SELECT length(text) AS x, $toksSql AS toks FROM documents),
+         |v AS (SELECT CAST(x AS BIGINT) AS x,
+         |    CAST(len(list_filter(toks, tk -> tk IN $stopInSql)) * 10000
+         |      // len(toks) AS BIGINT) AS y
+         |  FROM t WHERE len(toks) > 0),
+         |s AS (SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM v)
+         |SELECT n, sx, sy, sxy, sxx, syy,
+         |  n * sxy - sx * sy AS corr_num,
+         |  n * sxx - sx * sx AS den_x,
+         |  n * syy - sy * sy AS den_y
+         |FROM s""".stripMargin,
 
     "events_alert_suppress" ->
       """WITH e AS (

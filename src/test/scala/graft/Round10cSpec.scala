@@ -747,6 +747,65 @@ class Round10cSpec extends AnyFunSuite {
     assert(radii == radii.sortBy(-_), "min-distances shrink monotonically")
   }
 
+  test("mm_phash_hamming: pigeonhole candidates recompute from per-doc phashes") {
+    val ph = graft.ops.Multimodal.sampleChunks(
+      graft.sources.Tables.documents(spark, TestSpark.sf), "doc_id", "text", 1)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("chunk_md5")).as("chunks"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash16(col("chunks")).as("phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute force over all pairs (fixture-sized), then replicate the cap
+    val byBand = (0 to 1).flatMap { bi =>
+      ph.map { case (id, p) =>
+        (bi, if (bi == 0) p % 256 else p / 256) -> id }
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val okBucket = byBand.filter(_._2.size <= 200).values.flatten.toSet
+    val phm = ph.toMap
+    val want = (for {
+      i <- ph.indices; j <- (i + 1) until ph.length
+      a = ph(i)._1 min ph(j)._1; b = ph(i)._1 max ph(j)._1
+      if java.lang.Long.bitCount(phm(a) ^ phm(b)) == 1
+      // the unchanged band's bucket must be under cap for BOTH docs
+      unchanged = if (((phm(a) ^ phm(b)) & 255) == 0) 0 else 1
+      bv = if (unchanged == 0) phm(a) % 256 else phm(a) / 256
+      if byBand((unchanged, bv)).size <= 200
+    } yield (a, b, phm(a), phm(b))).distinct.sortBy(p => (p._1, p._2))
+    val got = run("mm_phash_hamming").collect().map(r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("pa"),
+        r.getAs[Long]("pb"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "fixture has Hamming-1 phash pairs")
+    got.foreach { case (_, _, pa, pb) =>
+      assert(java.lang.Long.bitCount(pa ^ pb) == 1)
+    }
+  }
+
+  test("text_quality_corr: correlation ingredients recompute per document") {
+    val stops = graft.ops.TextAnalysis.stopwords.toSet
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val xy = docs.flatMap { t =>
+      val toks = t.trim.split(" ", -1)
+      if (toks.isEmpty) None
+      else Some((t.length.toLong, toks.count(stops).toLong * 10000 / toks.length))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val r = run("text_quality_corr").collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("sx"), r.getAs[Long]("sy"),
+      r.getAs[Long]("sxy"), r.getAs[Long]("sxx"), r.getAs[Long]("syy")) ==
+      (n, sx, sy, sxy, sxx, syy))
+    assert(r.getAs[Long]("corr_num") == n * sxy - sx * sy)
+    assert(r.getAs[Long]("den_x") == n * sxx - sx * sx)
+    assert(r.getAs[Long]("den_y") == n * syy - sy * sy)
+    // denominator factors are nonneg by Cauchy-Schwarz
+    assert(r.getAs[Long]("den_x") >= 0 && r.getAs[Long]("den_y") >= 0)
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
