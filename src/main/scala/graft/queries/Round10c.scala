@@ -816,6 +816,58 @@ object Round10c {
         .withColumn("den_y", col("n") * col("syy") - col("sy") * col("sy"))
     }),
 
+    // Modularity of the LPA communities, exact: 4m²·Q = 4m·Σ_c e_c −
+    // Σ_c d_c² (e_c = intra-community edges, d_c = community degree
+    // sum, m = edges) — every term an exact integer, so the
+    // partition-quality readout that judges graph_lpa's output is
+    // bit-stable. One labels join per edge endpoint + two bounded
+    // rollups; emits the single summary row (the emit-ingredients
+    // convention: consumer divides by 4m² at its own precision).
+    "graph_modularity" -> ((s, dir) => {
+      val pairs = TextDedup.sharedPairs05(s, dir).select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val labels = graft.ops.Graph.lpaLabels(pairs, 3)
+      val la = labels.select(col("node").as("a"), col("lbl").as("la"))
+      val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
+      val e = pairs.join(la, Seq("a")).join(lb, Seq("b"))
+      val ec = e.where(col("la") === col("lb"))
+        .groupBy(col("la").as("c")).agg(count(lit(1)).as("e_c"))
+      val deg = graft.ops.Graph.undirectedEdges(pairs, "a", "b")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("lbl").as("c")).agg(sum(col("deg")).as("d_c"))
+      val m = pairs.agg(count(lit(1)).as("m"))
+      deg.join(ec, Seq("c"), "left")
+        .agg(count(lit(1)).as("n_communities"),
+          coalesce(sum(col("e_c")), lit(0L)).as("intra_edges"),
+          sum(col("d_c") * col("d_c")).as("sum_dc2"))
+        .crossJoin(broadcast(m))
+        .withColumn("q_x4m2",
+          lit(4L) * col("m") * col("intra_edges") - col("sum_dc2"))
+        .select(col("n_communities"), col("m"), col("intra_edges"),
+          col("sum_dc2"), col("q_x4m2"))
+    }),
+
+    // Longest daily-activity streak per user, rolled into the bounded
+    // streak-length histogram — the engagement readout (how many users
+    // sustain 2-day, 3-day… runs). Gaps-islands over the deduped
+    // (user, day) set: islands via day − row_number per user, longest
+    // island per user, histogram by length.
+    "events_streak_hist" -> ((s, dir) => {
+      val ud = Tables.events(s, dir).where(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val longest = ud
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("isl")).agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id")).agg(max(col("len")).as("longest"))
+      longest.groupBy(col("longest"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("longest"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -1430,6 +1482,56 @@ object Round10c {
          |  n * sxx - sx * sx AS den_x,
          |  n * syy - sy * sy AS den_y
          |FROM s""".stripMargin,
+
+    "graph_modularity" ->
+      s"""WITH ${Round10b.pairsCte},
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION ALL SELECT b, a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         |n1 AS (SELECT e.src, l0.lbl, count(*) AS c FROM e
+         |       JOIN l0 ON l0.node = e.dst GROUP BY e.src, l0.lbl),
+         |l1 AS (SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM n1) x
+         |  WHERE rn = 1),
+         |n2 AS (SELECT e.src, l1.lbl, count(*) AS c FROM e
+         |       JOIN l1 ON l1.node = e.dst GROUP BY e.src, l1.lbl),
+         |l2 AS (SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM n2) x
+         |  WHERE rn = 1),
+         |n3 AS (SELECT e.src, l2.lbl, count(*) AS c FROM e
+         |       JOIN l2 ON l2.node = e.dst GROUP BY e.src, l2.lbl),
+         |l3 AS (SELECT src AS node, lbl FROM (
+         |  SELECT src, lbl, row_number() OVER (
+         |    PARTITION BY src ORDER BY c DESC, lbl) AS rn FROM n3) x
+         |  WHERE rn = 1),
+         |pe AS (SELECT la.lbl AS la, lb.lbl AS lb FROM pairs p
+         |       JOIN l3 la ON la.node = p.a JOIN l3 lb ON lb.node = p.b),
+         |ec AS (SELECT la AS c, count(*) AS e_c FROM pe WHERE la = lb GROUP BY la),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |dc AS (SELECT l3.lbl AS c, CAST(sum(deg) AS BIGINT) AS d_c
+         |       FROM deg JOIN l3 ON l3.node = deg.src GROUP BY l3.lbl),
+         |mm AS (SELECT count(*) AS m FROM pairs)
+         |SELECT (SELECT count(*) FROM dc) AS n_communities, m,
+         |  (SELECT CAST(coalesce(sum(e_c), 0) AS BIGINT) FROM ec) AS intra_edges,
+         |  (SELECT CAST(sum(d_c * d_c) AS BIGINT) FROM dc) AS sum_dc2,
+         |  CAST(4 * m * (SELECT coalesce(sum(e_c), 0) FROM ec)
+         |    - (SELECT sum(d_c * d_c) FROM dc) AS BIGINT) AS q_x4m2
+         |FROM mm""".stripMargin,
+
+    "events_streak_hist" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL),
+        |i AS (SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+        |  FROM ud),
+        |l AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY user_id, isl),
+        |lg AS (SELECT user_id, max(len) AS longest FROM l GROUP BY user_id)
+        |SELECT longest, count(*) AS n_users FROM lg
+        |GROUP BY longest ORDER BY longest""".stripMargin,
 
     "events_alert_suppress" ->
       """WITH e AS (

@@ -172,7 +172,10 @@ class PlanSpec extends AnyFunSuite {
     "graph_hits", "events_did_ingredients",
     //  - sim_farthest_first: ≤4-row broadcast chosen set vs the quantized
     //    scan each round (the sim_ivf_cells assignment shape)
-    "sim_farthest_first")
+    "sim_farthest_first",
+    //  - graph_modularity: 1-row edge-count scalar broadcast under the
+    //    1-row ingredients rollup (the census shape)
+    "graph_modularity")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -806,6 +806,54 @@ class Round10cSpec extends AnyFunSuite {
     assert(r.getAs[Long]("den_x") >= 0 && r.getAs[Long]("den_y") >= 0)
   }
 
+  test("graph_modularity: exact ingredients recompute from LPA labels") {
+    val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    var labels = e.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = e.groupBy(_._1).map { case (n, nbrs) =>
+        val cnt = nbrs.map(x => labels(x._2))
+          .groupBy(identity).map { case (l, v) => l -> v.size }
+        n -> cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = pairSet.length.toLong
+    val intra = pairSet.count(p => labels(p._1) == labels(p._2)).toLong
+    val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
+    val dc = deg.toSeq.groupBy { case (n, _) => labels(n) }
+      .map { case (_, v) => v.map(_._2).sum }
+    val sumDc2 = dc.map(d => d * d).sum
+    val r = run("graph_modularity").collect().head
+    assert(r.getAs[Long]("n_communities") == dc.size.toLong)
+    assert(r.getAs[Long]("m") == m)
+    assert(r.getAs[Long]("intra_edges") == intra)
+    assert(r.getAs[Long]("sum_dc2") == sumDc2)
+    assert(r.getAs[Long]("q_x4m2") == 4 * m * intra - sumDc2)
+    // LPA communities beat the trivial one-community partition
+    // (Q=0 there); positive modularity means real structure
+    assert(r.getAs[Long]("q_x4m2") > 0, "LPA finds positive modularity")
+  }
+
+  test("events_streak_hist: longest-streak histogram recomputes per user") {
+    val ud = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val want = ud.groupBy(_._1).values.map { v =>
+      val days = v.map(_._2).distinct.sorted
+      var best = 1L; var cur = 1L
+      for (i <- 1 until days.length) {
+        if (days(i) == days(i - 1) + 1) cur += 1 else cur = 1
+        best = math.max(best, cur)
+      }
+      best
+    }.toSeq.groupBy(identity).map { case (l, v) => (l, v.size.toLong) }
+      .toSeq.sortBy(_._1)
+    val got = run("events_streak_hist").collect().map(r =>
+      (r.getAs[Long]("longest"), r.getAs[Long]("n_users"))).toSeq
+    assert(got == want)
+    assert(got.exists(_._1 > 1), "fixture has multi-day streaks")
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
