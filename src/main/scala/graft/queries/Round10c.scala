@@ -868,6 +868,31 @@ object Round10c {
         .orderBy(col("longest"))
     }),
 
+    // Template/boilerplate detector: the top-20 winnowing fingerprints
+    // by DOCUMENT frequency — exactly the high-df mass
+    // dedup_winnow_pairs' 50-cap drops from pair generation, surfaced
+    // instead of silently truncated (the no-silent-caps rule as an
+    // operator): a fingerprint in 30% of docs is a shared template, not
+    // a match signal, and belongs in a cleaning rule. Emits df, doc
+    // share (bp), and the capped/uncapped flag.
+    "text_template_fps" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TA.shinglesOf(col("toks"), 3).as("sh"))
+        .where(size(col("sh")) >= 4)
+        .select(col("doc_id"), transform(col("sh"), x => md5(x)).as("h"))
+        .select(col("doc_id"),
+          explode(array_distinct(TA.winnowMinima(col("h"), 4))).as("f"))
+      val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("f")).limit(20)
+        .crossJoin(broadcast(nd))
+        .select(col("f"), col("df"),
+          idiv(col("df") * 10000, col("n_docs")).as("share_bp"),
+          (col("df") > 50).cast("int").as("over_pair_cap"))
+        .orderBy(col("df").desc, col("f"))
+    }),
+
     // Bot-rate banding: per user, events per active minute (×100,
     // integer) — sustained superhuman rates are automation; banded so
     // the output is the bounded triage histogram (band = floor
@@ -1532,6 +1557,22 @@ object Round10c {
         |lg AS (SELECT user_id, max(len) AS longest FROM l GROUP BY user_id)
         |SELECT longest, count(*) AS n_users FROM lg
         |GROUP BY longest ORDER BY longest""".stripMargin,
+
+    "text_template_fps" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS h
+         |      FROM s WHERE len(sh) >= 4),
+         |w AS (SELECT doc_id, list_transform(range(1, len(h) - 2),
+         |    i -> list_aggregate(h[i:i+3], 'min')) AS wins FROM h),
+         |fp AS (SELECT doc_id, unnest(list_distinct(wins)) AS f FROM w),
+         |dfr AS (SELECT f, count(*) AS df FROM fp GROUP BY f
+         |        ORDER BY df DESC, f LIMIT 20),
+         |nd AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT f, df, CAST(df * 10000 // n_docs AS BIGINT) AS share_bp,
+         |  CAST(CASE WHEN df > 50 THEN 1 ELSE 0 END AS INTEGER) AS over_pair_cap
+         |FROM dfr, nd ORDER BY df DESC, f""".stripMargin,
 
     "events_alert_suppress" ->
       """WITH e AS (

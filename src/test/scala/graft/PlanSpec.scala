@@ -175,7 +175,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_farthest_first",
     //  - graph_modularity: 1-row edge-count scalar broadcast under the
     //    1-row ingredients rollup (the census shape)
-    "graph_modularity")
+    "graph_modularity",
+    //  - text_template_fps: 1-row doc-count scalar broadcast under the
+    //    20-row top-fingerprint table (the q_scalar_subquery shape)
+    "text_template_fps")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

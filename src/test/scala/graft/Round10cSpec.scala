@@ -854,6 +854,30 @@ class Round10cSpec extends AnyFunSuite {
     assert(got.exists(_._1 > 1), "fixture has multi-day streaks")
   }
 
+  test("text_template_fps: top document-frequency fingerprints recompute") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.flatMap { case (_, text) =>
+      val toks = text.trim.split(" ", -1)
+      if (toks.length < 3) Nil
+      else {
+        val h = toks.sliding(3).map(s => md5hex(s.mkString(" "))).toVector
+        if (h.length < 4) Nil else h.sliding(4).map(_.min).toVector.distinct
+      }
+    }
+    val nd = docs.length.toLong
+    val want = fps.groupBy(identity).toSeq
+      .map { case (f, v) => (f, v.length.toLong) }
+      .sortBy { case (f, df) => (-df, f) }.take(20)
+      .map { case (f, df) =>
+        (f, df, df * 10000 / nd, if (df > 50) 1 else 0) }
+    val got = run("text_template_fps").collect().map(r =>
+      (r.getAs[String]("f"), r.getAs[Long]("df"), r.getAs[Long]("share_bp"),
+        r.getAs[Int]("over_pair_cap"))).toSeq
+    assert(got == want)
+  }
+
   test("graph_assortativity_moments: exact sums recompute from the edge list") {
     val e = pairSet.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
     val deg = e.groupBy(_._1).map { case (n, v) => n -> v.size.toLong }
