@@ -219,6 +219,24 @@ object ScaleProbe {
         .distinct()
       graft.ops.Graph.kcorePeel(li, 2, 3).count()
     }
+    // k-truss peeling at mult× edges on the capped one-mode projection
+    // (the raw bipartite frame is triangle-free, so the probe peels the
+    // triangle-rich supplier co-part graph instead): the support join
+    // is edge-keyed via the symmetrized adjacency — per-edge work ∝
+    // deg(a)+deg(b), bounded by the projection cap — so cost must grow
+    // ~linearly with |E|. Kernel = graft.ops.Graph.ktrussPeel, the
+    // EXACT code graph_ktruss runs.
+    time("ktruss_peel_2round") {
+      val sp = graft.sources.Tables.lineitem(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(((col("l_suppkey") * mult) + col("rep")).as("sk"),
+          ((col("l_partkey") * mult) + col("rep")).as("pk"))
+        .distinct().localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val proj = graft.ops.Graph.projectionPairs(spc, "sk", "pk")
+        .select(col("s1").as("a"), col("s2").as("b"))
+      graft.ops.Graph.ktrussPeel(proj, 3, 2).count()
+    }
     // Label propagation at mult× edges: per round one keyed join + one
     // (node, label) rollup + a per-node window over ≤ degree rows — no
     // step is ever node²; cost must grow ~linearly with |E|. Kernel =

@@ -150,6 +150,38 @@ object Graph {
         col("n_edges_left"))
   }
 
+  /** k-truss peeling over an undirected pair frame (`a`/`b` columns):
+    * `rounds` rounds of keep-edges-with-≥(k−2)-triangle-support — the
+    * EDGE-grain analogue of [[kcorePeel]]. Support is the edge-keyed
+    * common-neighbor count via the symmetrized adjacency (sym ⋈ sym on
+    * the shared neighbor, keyed back to the edge — never node×node), so
+    * per-edge work is deg(a)+deg(b). Supports are computed from the
+    * round-START edge set (peels apply between rounds, not within), and
+    * the surviving frame is re-checkpointed per round so round r+1
+    * never replays round r's join lineage. Returns one summary row per
+    * round. ONE definition serves the registered query (graph_ktruss)
+    * and the scale probe. */
+  def ktrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val out = (1 to rounds).map { r =>
+      val nIn = e.agg(count(lit(1)).as("n_edges_in"))
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("w")))
+      val supp = e
+        .join(sym.select(col("u").as("a"), col("w")), Seq("a"))
+        .join(sym.select(col("u").as("b"), col("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+      e = supp.where(col("sup") >= k - 2).select(col("a"), col("b"))
+        .localCheckpoint(true)
+      nIn.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges_kept"))))
+        .withColumn("round", lit(r.toLong))
+    }
+    out.reduce(_ unionAll _)
+      .select(col("round"), col("n_edges_in"), col("n_edges_kept"),
+        (col("n_edges_in") - col("n_edges_kept")).as("n_dropped"))
+      .orderBy(col("round"))
+  }
+
   /** HITS (hubs & authorities) on a bipartite edge frame (`sk` hub side,
     * `pk` authority side): alternating integer projections — a(p) = Σ
     * h(s), h(s) = Σ a(p) — each re-scaled to ±1000 by its max with

@@ -242,32 +242,11 @@ object Round10d {
     // each round keeps only edges with ≥ k−2 triangle support — the
     // EDGE-grain analogue of k-core that strips bridge edges between
     // duplicate cliques while k-core (node grain) would keep them.
-    // Support is the edge-keyed common-neighbor count via the
-    // symmetrized adjacency (sym ⋈ sym on the shared neighbor, then
-    // keyed back to the edge — never node×node); the surviving edge
-    // frame is re-checkpointed per round so round r+1 never replays
-    // round r's join lineage.
-    "graph_ktruss" -> ((s, dir) => {
-      var e = TextDedup.sharedPairs05(s, dir).select(col("a"), col("b"))
-        .localCheckpoint(true)
-      val out = (1 to 2).map { r =>
-        val nIn = e.agg(count(lit(1)).as("n_edges_in"))
-        val sym = e.select(col("a").as("u"), col("b").as("w"))
-          .unionAll(e.select(col("b").as("u"), col("a").as("w")))
-        val supp = e
-          .join(sym.select(col("u").as("a"), col("w")), Seq("a"))
-          .join(sym.select(col("u").as("b"), col("w")), Seq("b", "w"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-        e = supp.where(col("sup") >= 1).select(col("a"), col("b"))
-          .localCheckpoint(true)
-        nIn.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges_kept"))))
-          .withColumn("round", lit(r.toLong))
-      }
-      out.reduce(_ unionAll _)
-        .select(col("round"), col("n_edges_in"), col("n_edges_kept"),
-          (col("n_edges_in") - col("n_edges_kept")).as("n_dropped"))
-        .orderBy(col("round"))
-    }))
+    // Kernel = graft.ops.Graph.ktrussPeel, shared with ScaleProbe so
+    // the probed plan IS the registered one.
+    "graph_ktruss" -> ((s, dir) =>
+      graft.ops.Graph.ktrussPeel(
+        TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")), 3, 2)))
 
   val oracle: Map[String, String] = Map(
 
