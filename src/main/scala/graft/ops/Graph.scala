@@ -171,7 +171,13 @@ object Graph {
         .join(sym.select(col("u").as("a"), col("w")), Seq("a"))
         .join(sym.select(col("u").as("b"), col("w")), Seq("b", "w"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
-      e = supp.where(col("sup") >= k - 2).select(col("a"), col("b"))
+      // support joined back LEFT onto the round-start edge set: an edge
+      // with zero common neighbors never appears in `supp`, and an inner
+      // join would silently peel it even when k−2 ≤ 0 (k = 2 must keep
+      // triangle-free edges)
+      e = e.join(supp, Seq("a", "b"), "left")
+        .where(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select(col("a"), col("b"))
         .localCheckpoint(true)
       nIn.crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges_kept"))))
         .withColumn("round", lit(r.toLong))
@@ -192,6 +198,7 @@ object Graph {
     * `iters` full iterations. ONE definition serves graph_hits and any
     * probe. */
   def hits(edges0: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits needs >= 1 iteration (a is derived in the loop)")
     val e = edges0.select(col("sk"), col("pk")).distinct().localCheckpoint(true)
     def rescale(df: DataFrame, idCol: String, vCol: String): DataFrame = {
       val mx = df.agg(max(abs(col(vCol))).as("mx"))

@@ -121,6 +121,7 @@ object Round10d {
     // partition it implies is bounded by the calendar, not the corpus.
     "events_sprt" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
+        .where(col("ts").isNotNull)
         .select(to_date(col("ts")).as("day"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("c"))
         .groupBy(col("day"))
@@ -184,7 +185,11 @@ object Round10d {
       val blk = d.groupBy(col("lang"), col("tok1"))
         .agg(count(lit(1)).as("bn")).where(col("bn") <= 32)
         .select(col("lang"), col("tok1"))
-      val db = d.join(blk, Seq("lang", "tok1"))
+      // blocked frame materialized ONCE (the dedup_winnow_pairs capped-
+      // postings convention): the self-join's a-side and b-side would
+      // otherwise each re-derive the corpus scan + block rollup — 4
+      // parquet scans where the checkpoint leaves 0 in the final plan
+      val db = d.join(blk, Seq("lang", "tok1")).localCheckpoint(true)
       val scored = db.select(col("lang"), col("tok1"), col("doc_id").as("a"),
           col("source").as("src_a"), col("n_chars").as("ca"),
           col("tokn").as("ta"))
@@ -314,7 +319,7 @@ object Round10d {
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
         |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
         |      ELSE 0 END), 0) AS BIGINT) AS n_conv
-        |  FROM events GROUP BY 1),
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
         |led AS (
         |  SELECT day, n, n_conv,
         |    n_conv * 201 - (n - n_conv) * 50 AS llr_milli_day
@@ -362,8 +367,8 @@ object Round10d {
          |db AS (SELECT d.* FROM d JOIN blk USING (lang, tok1)),
          |scored AS (
          |  SELECT (CASE WHEN l.source = r.source THEN 220 ELSE -50 END +
-         |    CASE WHEN abs(l.n_chars - r.n_chars) * 10 >
-         |      greatest(l.n_chars, r.n_chars) THEN -30 ELSE 180 END +
+         |    CASE WHEN abs(l.n_chars - r.n_chars) * 10 <=
+         |      greatest(l.n_chars, r.n_chars) THEN 180 ELSE -30 END +
          |    CASE WHEN l.tokn = r.tokn THEN 240 ELSE -40 END) AS score
          |  FROM db l JOIN db r
          |    ON l.lang = r.lang AND l.tok1 = r.tok1 AND l.doc_id < r.doc_id)

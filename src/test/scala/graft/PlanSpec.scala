@@ -178,7 +178,11 @@ class PlanSpec extends AnyFunSuite {
     "graph_modularity",
     //  - text_template_fps: 1-row doc-count scalar broadcast under the
     //    20-row top-fingerprint table (the q_scalar_subquery shape)
-    "text_template_fps")
+    "text_template_fps",
+    //  - graph_ktruss: per-round 1-row surviving-edge count broadcast
+    //    under the 1-row round summary (the graph_kcore_peel census
+    //    shape — 2 rounds of 1-row × 1-row scalar crosses)
+    "graph_ktruss")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
@@ -219,6 +223,10 @@ class PlanSpec extends AnyFunSuite {
       "q20_excess_stock" -> 6,   // lineitem twice (derived partsupp +
                                  // the shipped-qty rollup) + part +
                                  // supplier + nation + region
+      "etl_fd_discovery" -> 4,   // 4 FD candidates over 3 tables: lineitem
+                                 // read once per candidate (different
+                                 // determinant keys ⇒ different shuffles;
+                                 // a shared scan would buy nothing)
       "etl_cdc_collapse" -> 5    // orders under 3 snapshot roles: c1 reads
                                  // prev+mid, c2 reads mid+curr, the
                                  // resurrect compare reads prev again — at
