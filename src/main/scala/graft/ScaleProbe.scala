@@ -226,6 +226,12 @@ object ScaleProbe {
     // deg(a)+deg(b), bounded by the projection cap — so cost must grow
     // ~linearly with |E|. Kernel = graft.ops.Graph.ktrussPeel, the
     // EXACT code graph_ktruss runs.
+    // The raw supplier co-part projection is a near-complete clique
+    // (every supplier shares a part with every other), whose support
+    // join is Θ(n·deg²) for ANY engine — a degenerate input that
+    // measures the clique, not the scaling. Thin it 17× with a
+    // deterministic edge filter to near-dup-graph degrees (~59) so the
+    // probe measures |E|-linearity at realistic degree.
     time("ktruss_peel_2round") {
       val sp = graft.sources.Tables.lineitem(spark, dir)
         .crossJoin(spark.range(mult).toDF("rep"))
@@ -234,8 +240,43 @@ object ScaleProbe {
         .distinct().localCheckpoint(true)
       val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
       val proj = graft.ops.Graph.projectionPairs(spc, "sk", "pk")
+        .where(pmod(col("s1") * 31 + col("s2"), lit(17)) === 0)
         .select(col("s1").as("a"), col("s2").as("b"))
       graft.ops.Graph.ktrussPeel(proj, 3, 2).count()
+    }
+    // Local clustering coefficient at mult× edges on the capped
+    // projection (same triangle-rich graph as the ktruss probe): the
+    // triangle join is edge-keyed via the capped adjacency, so per-edge
+    // work is deg-bounded and cost must grow ~linearly with |E|.
+    // Kernel = graft.ops.Graph.localClustering, the EXACT code
+    // graph_local_clustering runs.
+    time("local_clustering") {
+      val sp = graft.sources.Tables.lineitem(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select(((col("l_suppkey") * mult) + col("rep")).as("sk"),
+          ((col("l_partkey") * mult) + col("rep")).as("pk"))
+        .distinct().localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      // same 17× deterministic thinning as the ktruss probe (the raw
+      // projection is a degenerate near-clique)
+      val proj = graft.ops.Graph.projectionPairs(spc, "sk", "pk")
+        .where(pmod(col("s1") * 31 + col("s2"), lit(17)) === 0)
+        .select(col("s1").as("a"), col("s2").as("b"))
+      graft.ops.Graph.localClustering(proj).count()
+    }
+    // FS-linkage blocking at mult× docs under the worst case: every
+    // replica keeps the original (lang, first-token) key, so every
+    // block is maximally hot and the 32-cap is what stands between this
+    // and C(m,2) per block — over-cap blocks DROP, so pair output must
+    // stay bounded while scan cost grows linearly. Kernel =
+    // graft.ops.Dedup.blockedPairs, the EXACT code dedup_linkage_fs runs.
+    time("linkage_blocked_pairs") {
+      val d = docs
+        .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+        .select(col("doc_id"),
+          element_at(col("toks"), 1).as("tok1"),
+          substring(element_at(col("toks"), 1), 1, 1).as("lang"))
+      graft.ops.Dedup.blockedPairs(d, Seq("lang", "tok1"), "doc_id", 32).count()
     }
     // Label propagation at mult× edges: per round one keyed join + one
     // (node, label) rollup + a per-node window over ≤ degree rows — no

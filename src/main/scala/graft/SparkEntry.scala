@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Relational, Etl, TextDedup, SimMm, Advanced, Analytics, Vocab, Audits, Round8, Round9, Round9b, Round10, Round10b, Round10c, Round10d, Tpch}
+import graft.queries.{Relational, Etl, TextDedup, SimMm, Advanced, Analytics, Vocab, Audits, Round8, Round9, Round9b, Round10, Round10b, Round10c, Round10d, Round11, Tpch}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -21,12 +21,14 @@ object SparkEntry {
     Relational.queries ++ Etl.queries ++ TextDedup.queries ++ SimMm.queries ++
       Advanced.queries ++ Analytics.queries ++ Vocab.queries ++ Audits.queries ++
       Round8.queries ++ Round9.queries ++ Round9b.queries ++ Round10.queries ++
-      Round10b.queries ++ Round10c.queries ++ Round10d.queries ++ Tpch.queries
+      Round10b.queries ++ Round10c.queries ++ Round10d.queries ++
+      Round11.queries ++ Tpch.queries
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Etl.oracle ++ TextDedup.oracle ++ SimMm.oracle ++
       Advanced.oracle ++ Analytics.oracle ++ Vocab.oracle ++ Audits.oracle ++
       Round8.oracle ++ Round9.oracle ++ Round9b.oracle ++ Round10.oracle ++
-      Round10b.oracle ++ Round10c.oracle ++ Round10d.oracle ++ Tpch.oracle
+      Round10b.oracle ++ Round10c.oracle ++ Round10d.oracle ++
+      Round11.oracle ++ Tpch.oracle
 }

@@ -491,12 +491,21 @@ object Dedup {
   /** Sorted-neighborhood (SNM) near-dup pairs — the classic ER
     * alternative to LSH blocking: sort docs by their winnowing
     * fingerprint (min shingle md5) and verify each doc only against its
-    * next `window` neighbors in sort order, so candidates are O(n·w)
-    * EVEN WHEN every doc is identical (the LSH worst case that needs
-    * bucket caps). The sort is blocked by the key's leading hex digit
-    * (each window sorts one block, never the corpus); verification is
-    * per-pair trigram Jaccard ≥ 0.5 as integer cross-multiplication
-    * over the carried shingle arrays — no second shuffle.
+    * next `window` neighbors in GLOBAL sort order, so candidates are
+    * O(n·w) EVEN WHEN every doc is identical (the LSH worst case that
+    * needs bucket caps). The sort is blocked by the key's two leading
+    * hex digits (256-way parallel — each window task sorts one block,
+    * never the corpus, and the stage widens with the cluster), and the
+    * pairs that straddle block edges are recovered by a BOUNDARY CARRY:
+    * each block's first/last `window` rows (≤ 2w·256 rows total at any
+    * corpus size) re-sort in one bounded frame whose cross-block lead
+    * pairs are exactly the global-order pairs the blocked phase misses
+    * (frame distance = global distance because every intermediate block
+    * small enough to be spanned is fully present in the frame). Local +
+    * carry together equal the UNBLOCKED w-neighbor semantics — nothing
+    * straddling an edge is lost. Verification is per-pair trigram
+    * Jaccard ≥ 0.5 as integer cross-multiplication over the carried
+    * shingle arrays — no second shuffle.
     * Returns (a, b, inter, uni, jaccard_bp), a < b. */
   def snmPairs(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 3, window: Int = 2): DataFrame = {
@@ -506,19 +515,40 @@ object Dedup {
       .withColumn("sh", array_distinct(TextAnalysis.shinglesOf(col("toks"), n)))
       .where(size(col("sh")) > 0)
       .withColumn("key", graft.functions.TextFunctions.md5Min(col("sh")))
-      .withColumn("blk", substring(col("key"), 1, 1))
+      .withColumn("blk", substring(col("key"), 1, 2))
     val w = Window.partitionBy(col("blk")).orderBy(col("key"), col("did"))
     var nbr = d.select(col("blk"), col("key"), col("did"), col("sh"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
     (1 to window).foreach { i =>
       nbr = nbr.withColumn(s"nid$i", lead(col("did"), i).over(w))
         .withColumn(s"nsh$i", lead(col("sh"), i).over(w))
     }
-    val cand = (1 to window).map { i =>
+    // materialized ONCE (the pair-generator house convention): the
+    // local branches and the boundary carry would otherwise each
+    // re-derive the scan + shingle build + 256-way window sort
+    nbr = nbr.localCheckpoint(true)
+    val local = (1 to window).map { i =>
       nbr.where(col(s"nid$i").isNotNull)
         .select(col("did").as("da"), col("sh").as("sha"),
           col(s"nid$i").as("db"), col(s"nsh$i").as("shb"))
     }.reduce(_ unionAll _)
-    cand
+    // boundary carry: first/last `window` rows per block (≤ 2w·256 rows
+    // forever), one bounded global re-sort, keep only cross-block leads
+    val wg = Window.orderBy(col("key"), col("did"))
+    var bnd = nbr.where(col("rn") <= window || col("rn") > col("bn") - window)
+      .select(col("blk"), col("key"), col("did"), col("sh"))
+    (1 to window).foreach { i =>
+      bnd = bnd.withColumn(s"nid$i", lead(col("did"), i).over(wg))
+        .withColumn(s"nsh$i", lead(col("sh"), i).over(wg))
+        .withColumn(s"nblk$i", lead(col("blk"), i).over(wg))
+    }
+    val carry = (1 to window).map { i =>
+      bnd.where(col(s"nid$i").isNotNull && col(s"nblk$i") =!= col("blk"))
+        .select(col("did").as("da"), col("sh").as("sha"),
+          col(s"nid$i").as("db"), col(s"nsh$i").as("shb"))
+    }.reduce(_ unionAll _)
+    local.unionAll(carry)
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("uni",
         size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
@@ -526,5 +556,29 @@ object Dedup {
       .select(least(col("da"), col("db")).as("a"),
         greatest(col("da"), col("db")).as("b"), col("inter"), col("uni"),
         graft.queries.idiv(col("inter") * 10000, col("uni")).as("jaccard_bp"))
+  }
+
+  /** Block-capped candidate self-join — the blocking stage every
+    * record-linkage scorer (Fellegi–Sunter et al.) runs first: rows
+    * join only within equal `blockCols` values, and blocks over `cap`
+    * members are DROPPED (the capped-postings house rule: an over-cap
+    * block is boilerplate, and its C(m,2) fan-out would dominate the
+    * shuffle while adding no match evidence — per-block work is ≤
+    * C(cap,2) at any corpus size). The blocked frame is materialized
+    * ONCE (localCheckpoint) so the self-join's two sides never
+    * re-derive the input scan. Non-block payload columns come back
+    * suffixed `_a`/`_b`; pairs are ordered `idCol_a` < `idCol_b`.
+    * ONE definition serves the registered query (dedup_linkage_fs) and
+    * the scale probe. */
+  def blockedPairs(d: DataFrame, blockCols: Seq[String], idCol: String,
+                   cap: Int): DataFrame = {
+    val blk = d.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("bn")).where(col("bn") <= cap)
+      .select(blockCols.map(col): _*)
+    val db = d.join(blk, blockCols).localCheckpoint(true)
+    def side(s: String) =
+      db.toDF(db.columns.map(c => if (blockCols.contains(c)) c else c + s): _*)
+    side("_a").join(side("_b"), blockCols)
+      .where(col(idCol + "_a") < col(idCol + "_b"))
   }
 }

@@ -188,6 +188,34 @@ object Graph {
       .orderBy(col("round"))
   }
 
+  /** Per-node triangle participation over an undirected pair frame
+    * (`a`/`b` columns, a < b): returns (node, deg, tri) for every node
+    * with deg ≥ 2 — the local-clustering-coefficient ingredients
+    * (lcc = 2·tri / (deg·(deg−1))). Triangle enumeration is the
+    * edge-keyed x<y<y2 join (sym adjacency keyed back to the edge,
+    * never node×node), so per-edge work is deg-bounded; each triangle
+    * credits its 3 vertices. ONE definition serves the registered query
+    * (graph_local_clustering) and the scale probe. */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tris = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("x2"), col("b").as("y2")),
+        col("x") === col("x2") && col("y") < col("y2"))
+      .join(e.select(col("a").as("x3"), col("b").as("y3")),
+        col("x3") === col("y") && col("y3") === col("y2"))
+      .select(col("x"), col("y"), col("y2"))
+    val triNode = tris.select(col("x").as("node"))
+      .unionAll(tris.select(col("y").as("node")))
+      .unionAll(tris.select(col("y2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.where(col("deg") >= 2)
+      .join(triNode, Seq("node"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+  }
+
   /** HITS (hubs & authorities) on a bipartite edge frame (`sk` hub side,
     * `pk` authority side): alternating integer projections — a(p) = Σ
     * h(s), h(s) = Σ a(p) — each re-scaled to ±1000 by its max with

@@ -148,10 +148,12 @@ object Round10b {
     // Sorted-neighborhood dedup — the classic entity-resolution
     // alternative to LSH blocking: sort docs by their winnowing
     // fingerprint (min shingle md5) and verify only each doc against its
-    // next 2 neighbors in sort order, so candidates are O(n·w) instead
-    // of O(n²). The sort is BLOCKED by the key's leading hex digit
-    // (range-partition analog: each window sorts one block, never the
-    // corpus), the house two-phase pattern; verification is per-pair
+    // next 2 neighbors in GLOBAL sort order, so candidates are O(n·w)
+    // instead of O(n²). The sort is BLOCKED by the key's two leading hex
+    // digits (256-way parallel; no task ever sorts the corpus) with a
+    // bounded boundary-row carry recovering the cross-block pairs, so
+    // the result is EXACTLY the unblocked w-neighbor semantics — the
+    // oracle replays it with one flat window; verification is per-pair
     // trigram Jaccard ≥ 0.5 as integer cross-multiplication over the
     // already-carried shingle arrays — no second shuffle.
     // Kernel = graft.ops.Dedup.snmPairs, shared with ScaleProbe so the
@@ -444,8 +446,7 @@ object Round10b {
          |r AS (SELECT doc_id, sh,
          |    lead(doc_id, 1) OVER w AS nid1, lead(sh, 1) OVER w AS nsh1,
          |    lead(doc_id, 2) OVER w AS nid2, lead(sh, 2) OVER w AS nsh2
-         |  FROM k WINDOW w AS (PARTITION BY substring(key, 1, 1)
-         |                      ORDER BY key, doc_id)),
+         |  FROM k WINDOW w AS (ORDER BY key, doc_id)),
          |p AS (SELECT doc_id AS da, sh AS sha, nid1 AS db, nsh1 AS shb
          |      FROM r WHERE nid1 IS NOT NULL
          |      UNION ALL

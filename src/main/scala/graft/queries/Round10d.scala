@@ -182,26 +182,17 @@ object Round10d {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           element_at(col("toks"), 1).as("tok1"),
           element_at(col("toks"), -1).as("tokn"))
-      val blk = d.groupBy(col("lang"), col("tok1"))
-        .agg(count(lit(1)).as("bn")).where(col("bn") <= 32)
-        .select(col("lang"), col("tok1"))
-      // blocked frame materialized ONCE (the dedup_winnow_pairs capped-
-      // postings convention): the self-join's a-side and b-side would
-      // otherwise each re-derive the corpus scan + block rollup — 4
-      // parquet scans where the checkpoint leaves 0 in the final plan
-      val db = d.join(blk, Seq("lang", "tok1")).localCheckpoint(true)
-      val scored = db.select(col("lang"), col("tok1"), col("doc_id").as("a"),
-          col("source").as("src_a"), col("n_chars").as("ca"),
-          col("tokn").as("ta"))
-        .join(db.select(col("lang"), col("tok1"), col("doc_id").as("b"),
-          col("source").as("src_b"), col("n_chars").as("cb"),
-          col("tokn").as("tb")), Seq("lang", "tok1"))
-        .where(col("a") < col("b"))
+      // shared blocking kernel (graft.ops.Dedup.blockedPairs — the
+      // checkpointed block-capped self-join, also under the scale
+      // probe): the final plan reads the blocked frame, never the
+      // corpus scan twice
+      val scored = graft.ops.Dedup
+        .blockedPairs(d, Seq("lang", "tok1"), "doc_id", 32)
         .withColumn("score",
-          when(col("src_a") === col("src_b"), 220L).otherwise(-50L) +
-          when(abs(col("ca") - col("cb")) * 10 <=
-            greatest(col("ca"), col("cb")), 180L).otherwise(-30L) +
-          when(col("ta") === col("tb"), 240L).otherwise(-40L))
+          when(col("source_a") === col("source_b"), 220L).otherwise(-50L) +
+          when(abs(col("n_chars_a") - col("n_chars_b")) * 10 <=
+            greatest(col("n_chars_a"), col("n_chars_b")), 180L).otherwise(-30L) +
+          when(col("tokn_a") === col("tokn_b"), 240L).otherwise(-40L))
       scored.groupBy(idiv(col("score") + 1000, lit(100L)).as("band"))
         .agg(count(lit(1)).as("n_pairs"),
           min(col("score")).as("min_score"),
@@ -218,23 +209,10 @@ object Round10d {
     // edge-keyed x<y<y2 join (never node×node) on the build-once
     // shared t=0.5 pair index; each triangle credits its 3 vertices.
     "graph_local_clustering" -> ((s, dir) => {
-      val e = TextDedup.sharedPairs05(s, dir).select(col("a"), col("b"))
-      val deg = e.select(col("a").as("node"))
-        .unionAll(e.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val tris = e.select(col("a").as("x"), col("b").as("y"))
-        .join(e.select(col("a").as("x2"), col("b").as("y2")),
-          col("x") === col("x2") && col("y") < col("y2"))
-        .join(e.select(col("a").as("x3"), col("b").as("y3")),
-          col("x3") === col("y") && col("y3") === col("y2"))
-        .select(col("x"), col("y"), col("y2"))
-      val triNode = tris.select(col("x").as("node"))
-        .unionAll(tris.select(col("y").as("node")))
-        .unionAll(tris.select(col("y2").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-      deg.where(col("deg") >= 2)
-        .join(triNode, Seq("node"), "left")
-        .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      // shared kernel (graft.ops.Graph.localClustering — the edge-keyed
+      // triangle enumeration, also under the scale probe)
+      graft.ops.Graph.localClustering(
+          TextDedup.sharedPairs05(s, dir).select(col("a"), col("b")))
         .withColumn("band", idiv(
           idiv(col("tri") * 2 * 10000, col("deg") * (col("deg") - 1)),
           lit(1000L)))

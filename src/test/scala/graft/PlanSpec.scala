@@ -243,58 +243,53 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q_filter_pushdown pushes both predicates into the parquet scan") {
-    val plan = SparkEntry.queries("q_filter_pushdown")(spark, TestSpark.sf)
-      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
-    assert(plan.contains("PushedFilters:"))
-    assert(plan.contains("GreaterThanOrEqual(l_shipdate") && plan.contains("LessThan(l_quantity"))
-  }
-
-  // TPC-H-family pushdown guards: the selective predicates must land in
-  // the parquet scan (PushedFilters), not run post-scan — at 100 TB the
-  // difference is reading row groups vs reading the table.
   private def formatted(name: String): String =
     SparkEntry.queries(name)(spark, TestSpark.sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
 
-  test("q6_selective_sum pushes discount and quantity bounds into the scan") {
-    val plan = formatted("q6_selective_sum")
-    assert(plan.contains("PushedFilters:"))
-    assert(plan.contains("GreaterThanOrEqual(l_discount,0.04"), plan)
-    assert(plan.contains("LessThanOrEqual(l_discount,0.06"), plan)
-    assert(plan.contains("LessThan(l_quantity,24"), plan)
-  }
-
-  test("q10_returns pushes the returnflag filter into the scan") {
-    val plan = formatted("q10_returns")
-    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
-  }
-
-  test("q4_priority_exists pushes the order-status scan prune") {
-    // year(o_orderdate) = 1996 is not a source filter by itself, but the
-    // IsNotNull prune must reach the scan and no full-row read survive
-    val plan = formatted("q4_priority_exists")
-    assert(plan.contains("IsNotNull(o_orderdate)") &&
-      plan.contains("IsNotNull(l_orderkey)"), plan)
-  }
-
-  test("q19_dnf_pred pushes the brand/size DNF into the part scan") {
-    // Catalyst extracts the common p_size >= 1 bound AND pushes the whole
-    // brand/size disjunction as one Or tree into the part scan
-    val plan = formatted("q19_dnf_pred")
-    assert(plan.contains("GreaterThanOrEqual(p_size,1)") &&
-      plan.contains("And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,20))"),
-      plan)
-  }
-
+  // Pushdown manifest: every query whose leading operator is a selective
+  // source filter declares the PushedFilters fragments that must appear
+  // in its FormattedMode plan — at 100 TB the difference is reading row
+  // groups vs reading the table. One loop, one declared manifest; adding
+  // a selective query = adding a line here.
   // (q2_min_cost_supp's part scan sits behind the eager candidate
   // checkpoint, so its final plan is a LogicalRDD join — the part-scan
-  // pushdown property is covered by q16 below, which shares the shape.)
-  test("q16_supp_part_count pushes brand/type/size exclusions into the part scan") {
-    val plan = formatted("q16_supp_part_count")
-    assert(plan.contains("Not(EqualTo(p_brand,Brand#12))") &&
-      plan.contains("Not(EqualTo(p_type,PROMO))") &&
-      plan.contains("In(p_size,"), plan)
+  // pushdown property is covered by q16, which shares the shape.)
+  private val pushdownManifest: Map[String, Seq[String]] = Map(
+    // selective filter + narrow projection (the canonical shape)
+    "q_filter_pushdown" -> Seq("PushedFilters:",
+      "GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"),
+    // TPC-H Q6: the pure predicate-pushdown revenue query
+    "q6_selective_sum" -> Seq("PushedFilters:",
+      "GreaterThanOrEqual(l_discount,0.04", "LessThanOrEqual(l_discount,0.06",
+      "LessThan(l_quantity,24"),
+    // TPC-H Q10: returned lines only
+    "q10_returns" -> Seq("EqualTo(l_returnflag,R)"),
+    // TPC-H Q4: year(o_orderdate) is not a source filter by itself, but
+    // the IsNotNull prunes must reach both scans
+    "q4_priority_exists" -> Seq("IsNotNull(o_orderdate)", "IsNotNull(l_orderkey)"),
+    // TPC-H Q19: Catalyst extracts the common p_size >= 1 bound AND
+    // pushes the whole brand/size disjunction as one Or tree
+    "q19_dnf_pred" -> Seq("GreaterThanOrEqual(p_size,1)",
+      "And(EqualTo(p_brand,Brand#12),LessThanOrEqual(p_size,20))"),
+    // TPC-H Q16: brand/type/size exclusions ride the part scan
+    "q16_supp_part_count" -> Seq("Not(EqualTo(p_brand,Brand#12))",
+      "Not(EqualTo(p_type,PROMO))", "In(p_size,"),
+    // dimension-filter star joins: the segment / region predicates must
+    // land in their dim scans
+    "q3_join_agg" -> Seq("EqualTo(c_mktsegment,BUILDING)"),
+    "q5_multi_join" -> Seq("EqualTo(r_name,ASIA)"),
+    // GDPR-erasure audit: the ts prune rides the events scan
+    "etl_erasure_audit" -> Seq("IsNotNull(ts)"),
+    // filtered ANN: the label predicate must PRE-filter at the scan
+    // (reading every vector then post-filtering is the 100 TB mistake)
+    "sim_filtered_topk" -> Seq("EqualTo(label,3)", "Not(EqualTo(vec_id,0))"))
+
+  pushdownManifest.toSeq.sortBy(_._1).foreach { case (name, frags) =>
+    test(s"$name pushes its selective predicates into the scan") {
+      val plan = formatted(name)
+      frags.foreach(f => assert(plan.contains(f), s"missing '$f' in:\n$plan"))
+    }
   }
 
   test("q16_supp_part_count runs NOT IN as a broadcast left-anti join") {

@@ -122,18 +122,18 @@ class Round10bSpec extends AnyFunSuite {
     val keyed = docShingles.toSeq.collect {
       case (id, sh) if sh.nonEmpty => (id, sh, sh.map(md5hex).min)
     }
-    val expect = keyed.groupBy(_._3.substring(0, 1)).values.flatMap { blk =>
-      val sorted = blk.sortBy(d => (d._3, d._1))
-      (1 to 2).flatMap { w =>
-        sorted.dropRight(w).zip(sorted.drop(w)).flatMap { case ((ia, sa, _), (ib, sb, _)) =>
-          val inter = (sa & sb).size.toLong
-          val uni = sa.size + sb.size - inter
-          if (uni > 0 && inter * 2 >= uni)
-            Some((math.min(ia, ib), math.max(ia, ib), inter, uni, inter * 10000 / uni))
-          else None
-        }
+    // GLOBAL w-neighbor semantics: the 256-block sort + boundary carry
+    // must equal one flat sort's lead pairs — nothing lost at block edges
+    val sorted = keyed.sortBy(d => (d._3, d._1))
+    val expect = (1 to 2).flatMap { w =>
+      sorted.dropRight(w).zip(sorted.drop(w)).flatMap { case ((ia, sa, _), (ib, sb, _)) =>
+        val inter = (sa & sb).size.toLong
+        val uni = sa.size + sb.size - inter
+        if (uni > 0 && inter * 2 >= uni)
+          Some((math.min(ia, ib), math.max(ia, ib), inter, uni, inter * 10000 / uni))
+        else None
       }
-    }.toSeq.sortBy(p => (p._1, p._2))
+    }.sortBy(p => (p._1, p._2))
     val got = run("dedup_sorted_neighborhood").collect().map(r =>
       (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("inter"),
         r.getAs[Long]("uni"), r.getAs[Long]("jaccard_bp"))).toSeq

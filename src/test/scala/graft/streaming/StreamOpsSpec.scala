@@ -14,6 +14,17 @@ class StreamOpsSpec extends AnyFunSuite {
   private def ts(min: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
 
+  /** Measured state-store footprint over the query's lifetime: max
+    * (numRowsTotal, memoryUsedBytes) across progress events — the
+    * machine check behind the bounded-state claims (SURVEY §5). Call
+    * after the last processAllAvailable (recentProgress survives stop). */
+  private def stateFootprint(
+      q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val sos = q.recentProgress.flatMap(_.stateOperators)
+    assert(sos.nonEmpty, "query reported state operators")
+    (sos.map(_.numRowsTotal).max, sos.map(_.memoryUsedBytes).max)
+  }
+
   test("windowedAgg aggregates tumbling event-time windows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -270,6 +281,14 @@ class StreamOpsSpec extends AnyFunSuite {
       .map(h => (h.user_id, h.est_count, h.rank)).toSeq.sortBy(_._3)
     // space-saving overestimate: key 3 reports min+1 = 2
     assert(got == Seq((1L, 3L, 1), (3L, 2L, 2)))
+    // MEASURED state: never more rows than open (type, window) groups
+    // (2 here: the flushed window + the watermark-advancing one), and
+    // the footprint stays within a per-group envelope around the
+    // capacity-bounded counter map
+    val (srows, sbytes) = stateFootprint(q)
+    assert(srows <= 2L, s"state rows ≤ open windows: $srows")
+    assert(sbytes <= 64 * 1024,
+      s"measured $sbytes B for capacity-2 counter maps")
   }
 
   test("lateArrivalsStream bands lateness against the running max") {
@@ -353,6 +372,16 @@ class StreamOpsSpec extends AnyFunSuite {
     streamed.values.foreach(v => assert(v <= 4096L))
     // the replayed chunk exercises idempotence: more emissions than days
     assert(rows.length > streamed.size, "multiple emissions per day observed")
+    // MEASURED state (not just bounded by argument): exactly one state
+    // row per day, and the store's in-memory footprint stays within a
+    // generous per-day envelope around the 512 B bitmap payload — the
+    // number that makes "state ∝ days, not distinct keys" a machine check
+    val (srows, sbytes) = stateFootprint(q)
+    assert(srows == streamed.size.toLong,
+      s"one state row per day: $srows rows for ${streamed.size} days")
+    assert(sbytes <= srows * 64 * 1024,
+      s"measured $sbytes B across $srows day bitmaps " +
+        "(512 B payload each; store overhead must stay within 64 KiB/day)")
   }
 
   test("lateArrivalsStream replayed in id order reproduces the batch audit") {
@@ -418,5 +447,13 @@ class StreamOpsSpec extends AnyFunSuite {
       "scrambled delivery exercises late fills")
     latest.foreach(r => assert(r.n_outstanding <= (1L << 12),
       "per-shard state bounded by the shard width"))
+    // MEASURED state: one row per 4096-id shard, footprint within a
+    // per-shard envelope around the ≤32 KiB worst-case missing array
+    val (srows, sbytes) = stateFootprint(q)
+    assert(srows == latest.size.toLong,
+      s"one state row per shard: $srows rows for ${latest.size} shards")
+    assert(sbytes <= srows * 256 * 1024,
+      s"measured $sbytes B across $srows shards " +
+        "(≤32 KiB payload each; store overhead must stay within 256 KiB/shard)")
   }
 }
