@@ -14,16 +14,18 @@ import graft.sinks.KeyedParquetSink
   *   - `merges/` (round, pair)         keyed by round — the ordered
   *     BPE merge list.
   *
-  * `segment` applies the STORED merges to a new batch: per word, chars
-  * → sentinel-spaced symbols → one non-regex fuse pass PER STORED MERGE
-  * in round order (the same left-to-right replace the trainer used, so
-  * deployment reproduces training segmentation exactly). The merge list
-  * is collected to the driver and folded into the expression tree —
-  * bounded by the merge-table size, a tokenizer CONFIG (a real 32k-merge
-  * model would compile this fold into one native Expression rather than
-  * 32k chained replaces; the artifact layout and semantics are the
-  * same). Like IncrementalDedup, the spec proves artifact-only
-  * application by deleting the training corpus before the batch runs.
+  * `segment` applies the STORED merges to a new batch through ONE
+  * native expression ([[graft.functions.BpeSegment]]): the ordered
+  * merge list (bounded by the merge-table size — a tokenizer CONFIG,
+  * not data) is collected once and embedded as a codegen reference
+  * object; each word is segmented in a single per-row pass with the
+  * EXACT left-to-right replace semantics the trainer used (including
+  * the shared-boundary-space skip rule), so deployment reproduces
+  * training segmentation bit-for-bit — spec-pinned against the
+  * replace() fold. A 32k-merge model stays one expression node where
+  * the fold would be 32k chained replaces past Janino's method limit.
+  * Like IncrementalDedup, the spec proves artifact-only application by
+  * deleting the training corpus before the batch runs.
   */
 object TokenizerModel {
 
@@ -54,6 +56,16 @@ object TokenizerModel {
     mergeList.foldLeft(seq)((c, m) =>
       replace(c, lit(s" $m "), lit(" " + m.replace(" ", "") + " ")))
 
+  /** The production form of [[fuse]]: ONE native expression
+    * (functions.BpeSegment) applying the whole ordered merge list per
+    * word — no chained replace nodes (a 32k-merge model would blow
+    * Janino's method limit and fall back to interpreted), no
+    * per-merge string re-materialization. Returns the word's pieces;
+    * replay-exact with the fold (spec-pinned on the fixture corpus,
+    * including the shared-boundary-space skip rule). */
+  def pieces(word: Column, mergeList: Seq[String]): Column =
+    graft.functions.BpeFunctions.bpeSegment(word, mergeList)
+
   /** Segment a batch with the stored model: per document, whitespace
     * token count and BPE piece count after the stored merges — the
     * "how many pieces will this cost" readout every packing/budget
@@ -64,9 +76,8 @@ object TokenizerModel {
     docs
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .withColumn("seq", fuse(charSeq(col("w")), ms))
       .select(col("doc_id"),
-        size(split(trim(col("seq")), " ")).cast("long").as("np"))
+        size(pieces(col("w"), ms)).cast("long").as("np"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("np")).as("n_pieces"))
   }

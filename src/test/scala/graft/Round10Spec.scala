@@ -77,13 +77,19 @@ class Round10Spec extends AnyFunSuite {
       }
       val ((x, y), cnt) = counts.toSeq
         .minBy { case ((a, b), c) => (-c, s"$a $b") }
-      // fuse left-to-right non-overlapping, like replace()
+      // fuse exactly like replace(): sequential search resumes AFTER the
+      // replaced region, so of two occurrences sharing a boundary space
+      // only the first merges — after merging (i, i+1), symbol i+2 is
+      // emitted unmerged and the scan resumes at i+3 (probed against
+      // Spark and DuckDB replace on " a b a b " → " ab a b ")
       seqs = seqs.toSeq.map { case (syms, f) =>
         val out = Vector.newBuilder[String]
         var i = 0
         while (i < syms.length) {
           if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
-            out += (x + y); i += 2
+            out += (x + y)
+            if (i + 2 < syms.length) out += syms(i + 2)
+            i += 3
           } else { out += syms(i); i += 1 }
         }
         out.result() -> f

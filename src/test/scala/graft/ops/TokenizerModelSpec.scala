@@ -18,12 +18,19 @@ class TokenizerModelSpec extends AnyFunSuite {
     10L -> "the engine merges batches", // all-seen words
     11L -> "unseen words here")          // chars only partially fused
 
-  /** JVM fuse twin (left-to-right non-overlapping, like replace()). */
+  /** JVM fuse twin of replace(): sequential search resumes AFTER the
+    * replaced region, so when two pair occurrences share a boundary
+    * space, the second does NOT merge that round — at symbol level,
+    * after merging (i, i+1) symbol i+2 is emitted unmerged and the scan
+    * resumes at i+3 (probed against Spark and DuckDB replace on
+    * " a b a b " → " ab a b "). */
   private def fuseJvm(syms: Vector[String], m: (String, String)): Vector[String] = {
     val out = Vector.newBuilder[String]; var i = 0
     while (i < syms.length) {
       if (i + 1 < syms.length && syms(i) == m._1 && syms(i + 1) == m._2) {
-        out += (m._1 + m._2); i += 2
+        out += (m._1 + m._2)
+        if (i + 2 < syms.length) out += syms(i + 2)
+        i += 3
       } else { out += syms(i); i += 1 }
     }
     out.result()
@@ -83,5 +90,28 @@ class TokenizerModelSpec extends AnyFunSuite {
     assert(got == expect)
     // sanity: fused words compress, unseen words stay near char count
     assert(got(10L)._2 < "the engine merges batches".replace(" ", "").length)
+  }
+
+  test("native BpeSegment ≡ the replace() fold on the fixture corpus + edge words") {
+    import spark.implicits._
+    // merges chosen to exercise multi-char fuse rounds AND the
+    // shared-boundary-space skip rule (adjacent pair occurrences)
+    val ms = Seq("a b", "ab a", "e r", "er s", "t h", "th e")
+    val words = graft.sources.Tables.documents(spark, TestSpark.sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .unionAll(Seq("abab", "ababab", "aaaa", "abababa", "x",
+        "theers", "merger").toDF("w"))
+    val cmp = words
+      .withColumn("fold",
+        split(trim(TokenizerModel.fuse(TokenizerModel.charSeq(col("w")), ms)), " "))
+      .withColumn("native", TokenizerModel.pieces(col("w"), ms))
+    val bad = cmp.where(not(col("fold") === col("native"))).limit(5).collect()
+    assert(bad.isEmpty, s"fold != native on: ${bad.mkString("; ")}")
+    // the skip rule, pinned explicitly: of two occurrences sharing a
+    // boundary space only the first merges per round
+    val abab = cmp.where(col("w") === "ababab").select(col("native"))
+      .head.getSeq[String](0)
+    assert(abab == Seq("aba", "b", "ab"),
+      s"'ababab' under [a b, ab a]: got $abab")
   }
 }
