@@ -65,4 +65,23 @@ object Sketch {
       .withColumn("bucket", cmsBucket(col("k"), col("r"), width))
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** HyperLogLog registers over a keyed frame: 256 buckets from the
+    * low byte of the 32-bit md5-prefix hash, register = max
+    * leading-zero rank (rho = 25 − length(bin(rem)) on the 24-bit
+    * remainder — all integer via bin()). Registers MAX-merge across
+    * sub-streams/executors; ≤256 rows of state no matter the volume.
+    * ONE definition serves q_hll_sketch and hllRegistersStream (a
+    * streaming groupBy-max over the same cells). Returns (bucket, m). */
+  def hllRegisters(keyed: org.apache.spark.sql.DataFrame,
+                   keyCol: String): org.apache.spark.sql.DataFrame =
+    keyed
+      .where(col(keyCol).isNotNull)
+      .select(conv(substring(md5(col(keyCol).cast("string")), 1, 8),
+        16, 10).cast("long").as("h"))
+      .select((col("h") % 256).as("bucket"),
+        graft.queries.idiv(col("h"), lit(256L)).as("rem"))
+      .withColumn("rho", when(col("rem") === 0, lit(25L))
+        .otherwise(lit(25L) - length(bin(col("rem"))).cast("long")))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
 }

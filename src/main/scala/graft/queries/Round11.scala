@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Similarity, TextAnalysis => TA}
 import graft.sources.Tables
 
 /** Round-11 batch: the exact OPQ rotation capstone (Procrustes-lite
@@ -112,6 +112,349 @@ object Round11 {
         .withColumn("imbalance_bp",
           idiv(col("max_energy") * 10000, col("min_energy")))
         .orderBy(col("layout"))
+    }),
+
+    // Boilerplate-block detection (the RefinedWeb/CCNet line-dedup
+    // precursor): 10-token blocks (the text_para_dedup unit) appearing
+    // in ≥ 5 DISTINCT docs of a source are boilerplate — nav chrome,
+    // license headers, template text. Per source: total block
+    // occurrences, distinct blocks, boilerplate blocks, and the
+    // occurrence mass boilerplate accounts for (bp) — the number that
+    // says how much of a crawl is chrome. ONE corpus pass: block
+    // explode → (source, block) rollup → per-source rollup; the block
+    // rollup is the only shuffle and it is map-side combinable.
+    "text_boilerplate_lines" -> ((s, dir) => {
+      val B = 10
+      val blocks = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), TA.tokens(col("text")).as("toks"))
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(B))).as("start"),
+          col("toks"))
+        .select(col("source"), col("doc_id"),
+          array_join(slice(col("toks"), col("start") + 1, lit(B)), " ").as("block"))
+      blocks.groupBy(col("source"), col("block"))
+        .agg(count(lit(1)).as("occ"), count_distinct(col("doc_id")).as("nd"))
+        .groupBy(col("source"))
+        .agg(sum(col("occ")).as("n_block_occ"),
+          count(lit(1)).as("n_distinct_blocks"),
+          count(when(col("nd") >= 5, 1)).as("n_boiler_blocks"),
+          coalesce(sum(when(col("nd") >= 5, col("occ"))), lit(0L))
+            .as("boiler_occ"))
+        .withColumn("boiler_bp",
+          idiv(col("boiler_occ") * 10000, col("n_block_occ")))
+        .orderBy(col("source"))
+    }),
+
+    // Per-doc character pseudo-entropy (integer surrogate: ⌊log2⌋ via
+    // length(bin(x))−1, both engines bit-exact): H' = Σ n_c·(ilog2 n −
+    // ilog2 n_c) / n in centibits — near 0 for degenerate/repetitive
+    // char distributions, ~5-6 for normal prose; the repetition/quality
+    // signal that needs no float log. Banded per-source histogram; the
+    // per-doc window runs over ≤ |alphabet| rows.
+    "text_char_entropy" -> ((s, dir) => {
+      val ch = Tables.documents(s, dir)
+        .where(length(col("text")) > 0)
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), "")).as("c"))
+        .groupBy(col("source"), col("doc_id"), col("c"))
+        .agg(count(lit(1)).as("nc"))
+      def ilog2(c: org.apache.spark.sql.Column) =
+        (length(bin(c)) - 1).cast("long")
+      val perDoc = ch
+        .withColumn("n", sum(col("nc")).over(
+          Window.partitionBy(col("doc_id"))))
+        .withColumn("bits", col("nc") * (ilog2(col("n")) - ilog2(col("nc"))))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(max(col("n")).as("n"), sum(col("bits")).as("bits_sum"))
+        .withColumn("ent_cb", idiv(col("bits_sum") * 100, col("n")))
+      perDoc.groupBy(col("source"), idiv(col("ent_cb"), lit(100L)).as("band"))
+        .agg(count(lit(1)).as("n_docs"), min(col("ent_cb")).as("min_ent_cb"),
+          max(col("ent_cb")).as("max_ent_cb"))
+        .orderBy(col("source"), col("band"))
+    }),
+
+    // HyperLogLog register sketch of distinct users — the log-state
+    // sibling of q_bitmap_distinct: 256 buckets, register = max
+    // leading-zero rank of the 24-bit hash remainder (rho = 25 −
+    // length(bin(rem)), integer via bin()), harmonic estimate from the
+    // EXACT power-of-two sum Σ 2^(30−Mj) (every term integer, α₂₅₆
+    // milli literal). 2 KB of state at ANY volume, registers merge by
+    // MAX across executors/streams without reshuffling raw keys; the
+    // exact distinct rides the same query as the in-query audit. The
+    // emitted estimate is the RAW harmonic one: the standard
+    // small-range branch (linear counting m·ln(m/V) when est ≤ 2.5m
+    // and V = n_zero_buckets > 0) needs a float ln — a cross-engine
+    // hash hazard — so the query emits the exact integer ingredients
+    // (V rides along) and the estimator branch is the client's; the
+    // spec checks it with a real ln.
+    "q_hll_sketch" -> ((s, dir) => {
+      // shared kernel (graft.ops.Sketch.hllRegisters — also the
+      // streaming twin's cells, so stream and batch agree by shared code)
+      val regs = graft.ops.Sketch.hllRegisters(
+        Tables.events(s, dir), "user_id")
+      val agg = regs.agg(count(lit(1)).as("nb"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(30 - m as int))"))
+          .as("s_obs"),
+        max(col("m")).as("max_register"))
+      val exact = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      agg.crossJoin(broadcast(exact))
+        .select(lit(256L).as("n_buckets"),
+          (lit(256L) - col("nb")).as("n_zero_buckets"), col("max_register"),
+          (col("s_obs") + (lit(256L) - col("nb")) * lit(1073741824L))
+            .as("sum_inv_scaled"),
+          col("exact_distinct"))
+        .withColumn("hll_est", idiv(lit(718L * 65536L) * lit(1073741824L),
+          lit(1000L) * col("sum_inv_scaled")))
+        .withColumn("err_bp", idiv(abs(col("hll_est") - col("exact_distinct"))
+          * 10000, col("exact_distinct")))
+        .select(col("n_buckets"), col("n_zero_buckets"), col("max_register"),
+          col("sum_inv_scaled"), col("hll_est"), col("exact_distinct"),
+          col("err_bp"))
+    }),
+
+    // KMV (k-minimum-values / Theta) distinct sketch — the third
+    // mergeable-distinct path beside the bitmap and HLL: keep the k =
+    // 256 smallest 32-bit hash values; est = (k−1)·2³² div h_(k). State
+    // merges by keeping the k smallest of a union — the sorted-run
+    // merge every Theta-sketch engine ships. TakeOrdered(256) is
+    // distributed (per-partition top-k, no global sort); exact distinct
+    // rides as the audit.
+    "q_kmv_distinct" -> ((s, dir) => {
+      val h = Tables.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(conv(substring(md5(col("user_id").cast("string")), 1, 8),
+          16, 10).cast("long").as("h"))
+        .distinct()
+      val kth = h.orderBy(col("h")).limit(256)
+        .agg(count(lit(1)).as("k"), max(col("h")).as("kth_min_hash"))
+      val exact = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      kth.crossJoin(broadcast(exact))
+        .withColumn("kmv_est",
+          when(col("k") < 256, col("exact_distinct"))
+            .otherwise(idiv(lit(255L) * lit(4294967296L), col("kth_min_hash"))))
+        .withColumn("err_bp", idiv(abs(col("kmv_est") - col("exact_distinct"))
+          * 10000, col("exact_distinct")))
+        .select(col("k"), col("kth_min_hash"), col("kmv_est"),
+          col("exact_distinct"), col("err_bp"))
+    }),
+
+    // MMR diversified rerank (Carbonell & Goldstein): brute-force top-8
+    // cosine shortlist for query vec 0, then 4 greedy picks maximizing
+    // λ·relevance − (1−λ)·max-sim-to-chosen at λ = 0.5 (integer ×10
+    // scores: 5·rel_bp − 5·max_sim_bp) — the search-serving step that
+    // stops near-duplicate results crowding a result page. The corpus
+    // pays ONE scan (the shortlist build); the 8-row shortlist and its
+    // 8×8 pairwise sims are checkpointed and every greedy round runs on
+    // those bounded frames. Deterministic (vec_id tiebreaks).
+    "sim_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(Similarity.milliQuant(col("embedding")).as("qmq"))
+        .withColumn("qnsq", Similarity.normSqMilli(col("qmq")))
+      val sl = emb.where(col("vec_id") =!= 0L)
+        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .crossJoin(broadcast(q))
+        .withColumn("rel_bp", Similarity.cosBp(
+          Similarity.dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+        .orderBy(col("rel_bp").desc, col("vec_id")).limit(8)
+        .select(col("vec_id"), col("mq"), col("nsq"), col("rel_bp"))
+        .localCheckpoint(true)
+      val sims = sl.select(col("vec_id").as("a"), col("mq").as("ma"),
+          col("nsq").as("na"))
+        .join(sl.select(col("vec_id").as("b"), col("mq").as("mb"),
+          col("nsq").as("nb")), col("a") =!= col("b"))
+        .select(col("a"), col("b"), Similarity.cosBp(
+          Similarity.dotMilli(col("ma"), col("mb")), col("na"), col("nb"))
+          .as("sim_bp"))
+        .localCheckpoint(true)
+      var chosen = sl.orderBy(col("rel_bp").desc, col("vec_id")).limit(1)
+        .select(lit(1L).as("rank"), col("vec_id"), col("rel_bp"),
+          lit(0L).as("max_sim_bp"), (lit(5L) * col("rel_bp")).as("mmr_score10"))
+      for (r <- 2 to 4) {
+        val ms = sims
+          .join(chosen.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+          .groupBy(col("a")).agg(max(col("sim_bp")).as("max_sim_bp"))
+        val pick = sl
+          .join(chosen.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .join(ms.withColumnRenamed("a", "vec_id"), Seq("vec_id"))
+          .withColumn("mmr_score10",
+            lit(5L) * col("rel_bp") - lit(5L) * col("max_sim_bp"))
+          .orderBy(col("mmr_score10").desc, col("vec_id")).limit(1)
+          .select(lit(r.toLong).as("rank"), col("vec_id"), col("rel_bp"),
+            col("max_sim_bp"), col("mmr_score10"))
+        chosen = chosen.unionByName(pick)
+      }
+      chosen.orderBy(col("rank"))
+    }),
+
+    // Adamic–Adar link prediction over the capped supplier co-part
+    // projection — the log-damped sibling of graph_resource_alloc: each
+    // shared part contributes 10⁶ div ilog2(part degree) (integer ⌊log2⌋
+    // via bin(); degree-1 vias carry no co-occurrence signal and ilog2
+    // would be 0, so pd ≥ 2). Same capped-postings bound: per-part
+    // fan-out ≤ C(64,2) at any scale. Top-20 pairs by score.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val pd = spc.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
+        .where(col("pd") >= 2)
+      val wtd = spc.join(pd, Seq("pk"))
+        .select(col("pk"), col("sk").as("s1"),
+          idiv(lit(1000000L), (length(bin(col("pd"))) - 1).cast("long")).as("w"))
+      wtd.join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))
+        .where(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(col("w")).as("aa_ppm"), count(lit(1)).as("inter"))
+        .orderBy(col("aa_ppm").desc, col("s1"), col("s2")).limit(20)
+    }),
+
+    // Shewhart control chart (SPC): daily event volume per type flagged
+    // when outside the 3σ band of that type's own history — the classic
+    // statistical-process-control monitor beside the IQR/MAD/dow
+    // fences. Entirely integer by cross-multiplication: |x − μ| > 3σ ⟺
+    // (n·x − Σx)² > 9·(n·Σx² − (Σx)²), so no float mean/stddev ever
+    // materializes. Per-type stats ride a window over the bounded daily
+    // rollup; output = flagged days only.
+    "events_control_chart" -> ((s, dir) => {
+      val daily = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type"))
+      daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("dev_n", col("x") * col("n") - col("sx"))
+        .withColumn("var9_n2",
+          lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+        .where(col("dev_n") * col("dev_n") > col("var9_n2"))
+        .select(col("event_type"), iso(col("day")).as("day"), col("x"),
+          col("dev_n"), col("var9_n2"),
+          when(col("dev_n") > 0, lit("high")).otherwise(lit("low")).as("side"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Jaccard link prediction — completing the classic quartet beside
+    // common-neighbors, resource-allocation, and Adamic–Adar: for
+    // supplier pairs on the capped co-part projection, inter·10⁴ div
+    // (deg₁ + deg₂ − inter) — normalizes shared-part counts by the
+    // union, so prolific suppliers stop dominating. Same capped-
+    // postings bound; top-20 pairs.
+    "graph_jaccard_coeff" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        .localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+      graft.ops.Graph.projectionPairs(spc, "sk", "pk")
+        .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))
+        .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), Seq("s2"))
+        .withColumn("jaccard_bp", idiv(col("inter") * 10000,
+          col("deg1") + col("deg2") - col("inter")))
+        .select(col("s1"), col("s2"), col("inter"), col("deg1"), col("deg2"),
+          col("jaccard_bp"))
+        .orderBy(col("jaccard_bp").desc, col("s1"), col("s2")).limit(20)
+    }),
+
+    // Moments sketch (Gan et al.): per group the exact integer moment
+    // vector (n, Σq, Σq², Σq³, Σq⁴, min, max) over quantities — the
+    // mergeable quantile-approximation state (moments of sub-streams
+    // ADD; a client fits max-entropy quantiles from the merged vector).
+    // One map-side-combinable rollup; quantities are small integers so
+    // the 4th power stays far from the long boundary at any realistic
+    // group size.
+    "q_moment_sketch" -> ((s, dir) => {
+      val q = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("q"))
+      q.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+          sum(col("q") * col("q")).as("s2"),
+          sum(col("q") * col("q") * col("q")).as("s3"),
+          sum(col("q") * col("q") * col("q") * col("q")).as("s4"),
+          min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+        .withColumn("mean_milli", idiv(col("s1") * 1000, col("n")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // IVF cell rebalance plan — the index-maintenance op a living ANN
+    // index needs: cells over 2× the even share (n·8 > 2·total,
+    // integer cross-mult over the 8-row size frame) are flagged for a
+    // split, with the two proposed seeds every splitter starts from —
+    // the cell's lowest id and the member FARTHEST from it (exact
+    // integer milli-L2, id tiebreak). The corpus pays the assignment
+    // pass once (checkpointed); the farthest scan is one keyed join
+    // against the 8-row seed frame.
+    "sim_ivf_rebalance" -> ((s, dir) => {
+      val a = Similarity.ivfAssignAll(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("cell"), col("vec_id"),
+          Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .localCheckpoint(true)
+      val sizes = a.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("seed1"))
+        .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("flag", (col("n") * 8 > col("total") * 2).cast("long"))
+      val s1v = a.join(
+          sizes.select(col("cell"), col("seed1").as("vec_id")),
+          Seq("cell", "vec_id"))
+        .select(col("cell"), col("mq").as("mq1"), col("nsq").as("nsq1"))
+      val far = a.join(s1v, Seq("cell"))
+        .withColumn("l2", col("nsq") + col("nsq1")
+          - lit(2L) * Similarity.dotMilli(col("mq"), col("mq1")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("cell"))
+          .orderBy(col("l2").desc, col("vec_id"))))
+        .where(col("rn") === 1)
+        .select(col("cell"), col("vec_id").as("far_id"))
+      sizes.join(far, Seq("cell"))
+        .select(col("cell"), col("n"), col("flag"), col("seed1"),
+          when(col("flag") === 1, col("far_id")).as("seed2"))
+        .orderBy(col("cell"))
+    }),
+
+    // Pseudonymization audit — the GDPR-grade companion to
+    // etl_erasure_audit: customers keyed by a deterministic salted-md5
+    // pseudonym (the mapping a compliant export ships instead of raw
+    // keys). Emits the evidence a DPO asks for: the mapping is
+    // injective (collisions = distinct keys − distinct pseudonyms) and
+    // referential integrity survives it (orders that orphan under the
+    // raw key orphan identically under the pseudonym). The mapping
+    // table is built ONCE (checkpoint); orders pay one scan carrying
+    // both join verdicts as left-join null flags.
+    "etl_pseudonymize" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          substring(md5(concat(lit("graft-salt:"),
+            col("c_custkey").cast("string"))), 1, 16).as("pseudo"))
+        .localCheckpoint(true)
+      val cagg = c.agg(count(lit(1)).as("n_customers"),
+        count_distinct(col("c_custkey")).as("n_distinct_keys"),
+        count_distinct(col("pseudo")).as("n_distinct_pseudos"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          substring(md5(concat(lit("graft-salt:"),
+            col("o_custkey").cast("string"))), 1, 16).as("opseudo"))
+      val oagg = o
+        .join(c.select(col("c_custkey").as("o_custkey"))
+          .withColumn("mk", lit(1)), Seq("o_custkey"), "left")
+        .join(c.select(col("pseudo").as("opseudo")).distinct()
+          .withColumn("mp", lit(1)), Seq("opseudo"), "left")
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("mk").isNull, 1)).as("n_orphans_by_key"),
+          count(when(col("mp").isNull, 1)).as("n_orphans_by_pseudo"))
+      cagg.crossJoin(broadcast(oagg))
+        .select(col("n_customers"), col("n_distinct_keys"),
+          col("n_distinct_pseudos"),
+          (col("n_distinct_keys") - col("n_distinct_pseudos"))
+            .as("n_collisions"),
+          col("n_orders"), col("n_orphans_by_key"),
+          col("n_orphans_by_pseudo"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -173,5 +516,255 @@ object Round11 {
         |  CAST(max(e) AS BIGINT) AS max_energy,
         |  CAST(sum(e) AS BIGINT) AS total_var,
         |  CAST(max(e) * 10000 // min(e) AS BIGINT) AS imbalance_bp
-        |FROM u GROUP BY layout ORDER BY layout""".stripMargin)
+        |FROM u GROUP BY layout ORDER BY layout""".stripMargin,
+
+    "text_boilerplate_lines" ->
+      s"""WITH t AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+         |blk AS (
+         |  SELECT source, doc_id,
+         |    array_to_string(toks[start + 1 : start + 10], ' ') AS block
+         |  FROM (SELECT source, doc_id, toks,
+         |          unnest(generate_series(0, len(toks) - 1, 10)) AS start
+         |        FROM t) s),
+         |bs AS (SELECT source, block, count(*) AS occ,
+         |         count(DISTINCT doc_id) AS nd
+         |       FROM blk GROUP BY source, block)
+         |SELECT source, CAST(sum(occ) AS BIGINT) AS n_block_occ,
+         |  count(*) AS n_distinct_blocks,
+         |  CAST(count(*) FILTER (WHERE nd >= 5) AS BIGINT) AS n_boiler_blocks,
+         |  CAST(coalesce(sum(occ) FILTER (WHERE nd >= 5), 0) AS BIGINT)
+         |    AS boiler_occ,
+         |  CAST(coalesce(sum(occ) FILTER (WHERE nd >= 5), 0) * 10000
+         |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS boiler_bp
+         |FROM bs GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT source, doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT source, doc_id, c, count(*) AS nc
+        |       FROM ch GROUP BY 1, 2, 3),
+        |cw AS (SELECT source, doc_id, nc,
+        |    sum(nc) OVER (PARTITION BY doc_id) AS n FROM cc),
+        |cb AS (SELECT source, doc_id, n,
+        |    nc * ((length(bin(n)) - 1) - (length(bin(nc)) - 1)) AS bits
+        |  FROM cw),
+        |pd AS (SELECT source, doc_id,
+        |    CAST(max(n) AS BIGINT) AS n, CAST(sum(bits) AS BIGINT) AS bits_sum
+        |  FROM cb GROUP BY 1, 2),
+        |e AS (SELECT source, bits_sum * 100 // n AS ent_cb FROM pd)
+        |SELECT source, CAST(ent_cb // 100 AS BIGINT) AS band,
+        |  count(*) AS n_docs, CAST(min(ent_cb) AS BIGINT) AS min_ent_cb,
+        |  CAST(max(ent_cb) AS BIGINT) AS max_ent_cb
+        |FROM e GROUP BY source, band ORDER BY source, band""".stripMargin,
+
+    "q_hll_sketch" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT h % 256 AS bucket, h // 256 AS rem FROM h),
+        |r AS (SELECT bucket, max(CASE WHEN rem = 0 THEN 25
+        |    ELSE 25 - length(bin(rem)) END) AS m
+        |  FROM b GROUP BY bucket),
+        |a AS (SELECT count(*) AS nb,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(30 - m AS INTEGER)) AS BIGINT)
+        |      AS s_obs,
+        |    CAST(max(m) AS BIGINT) AS max_register FROM r),
+        |x AS (SELECT count(DISTINCT user_id) AS exact_distinct
+        |      FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT CAST(256 AS BIGINT) AS n_buckets,
+        |    CAST(256 - nb AS BIGINT) AS n_zero_buckets, max_register,
+        |    CAST(s_obs + (256 - nb) * 1073741824 AS BIGINT) AS sum_inv_scaled,
+        |    exact_distinct
+        |  FROM a, x)
+        |SELECT n_buckets, n_zero_buckets, max_register, sum_inv_scaled,
+        |  CAST(47054848 * CAST(1073741824 AS BIGINT)
+        |    // (1000 * sum_inv_scaled) AS BIGINT) AS hll_est,
+        |  exact_distinct,
+        |  CAST(abs(47054848 * CAST(1073741824 AS BIGINT)
+        |      // (1000 * sum_inv_scaled) - exact_distinct) * 10000
+        |    // exact_distinct AS BIGINT) AS err_bp
+        |FROM f""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+        |    1, 8)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |kk AS (SELECT count(*) AS k, CAST(max(h) AS BIGINT) AS kth_min_hash
+        |       FROM (SELECT h FROM h ORDER BY h LIMIT 256) z),
+        |x AS (SELECT count(DISTINCT user_id) AS exact_distinct
+        |      FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT k, kth_min_hash, exact_distinct,
+        |    CASE WHEN k < 256 THEN exact_distinct
+        |      ELSE CAST(255 * CAST(4294967296 AS BIGINT) // kth_min_hash
+        |        AS BIGINT) END AS kmv_est
+        |  FROM kk, x)
+        |SELECT k, kth_min_hash, kmv_est, exact_distinct,
+        |  CAST(abs(kmv_est - exact_distinct) * 10000 // exact_distinct
+        |    AS BIGINT) AS err_bp
+        |FROM f""".stripMargin,
+
+    "sim_mmr_rerank" -> {
+      val cos = (a: String, b: String, na: String, nb: String) =>
+        SimMm.cosBpSql(SimMm.dotmSql(a, b), na, nb)
+      s"""WITH ${SimMm.milliNormCte},
+         |q AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |sl AS (SELECT vec_id, mq, nsq,
+         |    ${cos("mq", "qmq", "nsq", "qnsq")} AS rel_bp
+         |  FROM miln, q WHERE vec_id <> 0
+         |  ORDER BY rel_bp DESC, vec_id LIMIT 8),
+         |sims AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |    ${cos("l.mq", "r.mq", "l.nsq", "r.nsq")} AS sim_bp
+         |  FROM sl l JOIN sl r ON l.vec_id <> r.vec_id),
+         |c1 AS (SELECT vec_id, rel_bp FROM sl
+         |       ORDER BY rel_bp DESC, vec_id LIMIT 1),
+         |m2 AS (SELECT a, max(sim_bp) AS ms FROM sims
+         |       WHERE b IN (SELECT vec_id FROM c1) GROUP BY a),
+         |c2 AS (SELECT sl.vec_id, rel_bp, ms FROM sl JOIN m2 ON m2.a = sl.vec_id
+         |       WHERE sl.vec_id NOT IN (SELECT vec_id FROM c1)
+         |       ORDER BY 5 * rel_bp - 5 * ms DESC, sl.vec_id LIMIT 1),
+         |m3 AS (SELECT a, max(sim_bp) AS ms FROM sims
+         |       WHERE b IN (SELECT vec_id FROM c1
+         |                   UNION ALL SELECT vec_id FROM c2) GROUP BY a),
+         |c3 AS (SELECT sl.vec_id, rel_bp, ms FROM sl JOIN m3 ON m3.a = sl.vec_id
+         |       WHERE sl.vec_id NOT IN (SELECT vec_id FROM c1
+         |                               UNION ALL SELECT vec_id FROM c2)
+         |       ORDER BY 5 * rel_bp - 5 * ms DESC, sl.vec_id LIMIT 1),
+         |m4 AS (SELECT a, max(sim_bp) AS ms FROM sims
+         |       WHERE b IN (SELECT vec_id FROM c1
+         |                   UNION ALL SELECT vec_id FROM c2
+         |                   UNION ALL SELECT vec_id FROM c3) GROUP BY a),
+         |c4 AS (SELECT sl.vec_id, rel_bp, ms FROM sl JOIN m4 ON m4.a = sl.vec_id
+         |       WHERE sl.vec_id NOT IN (SELECT vec_id FROM c1
+         |                               UNION ALL SELECT vec_id FROM c2
+         |                               UNION ALL SELECT vec_id FROM c3)
+         |       ORDER BY 5 * rel_bp - 5 * ms DESC, sl.vec_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel_bp,
+         |  CAST(0 AS BIGINT) AS max_sim_bp,
+         |  CAST(5 * rel_bp AS BIGINT) AS mmr_score10 FROM c1
+         |UNION ALL SELECT 2, vec_id, rel_bp, ms, 5 * rel_bp - 5 * ms FROM c2
+         |UNION ALL SELECT 3, vec_id, rel_bp, ms, 5 * rel_bp - 5 * ms FROM c3
+         |UNION ALL SELECT 4, vec_id, rel_bp, ms, 5 * rel_bp - 5 * ms FROM c4
+         |ORDER BY rank""".stripMargin
+    },
+
+    "graph_adamic_adar" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |            FROM lineitem),
+        |pdall AS (SELECT pk, count(*) AS pd FROM sp GROUP BY pk),
+        |spc AS (SELECT sp.sk, sp.pk FROM sp JOIN pdall USING (pk)
+        |        WHERE pd <= 64),
+        |pd AS (SELECT pk, count(*) AS pd FROM spc GROUP BY pk
+        |       HAVING count(*) >= 2),
+        |wtd AS (SELECT spc.pk, spc.sk AS s1,
+        |    1000000 // CAST(length(bin(pd.pd)) - 1 AS BIGINT) AS w
+        |  FROM spc JOIN pd USING (pk))
+        |SELECT w.s1, r.sk AS s2, CAST(sum(w.w) AS BIGINT) AS aa_ppm,
+        |  count(*) AS inter
+        |FROM wtd w JOIN spc r ON r.pk = w.pk AND w.s1 < r.sk
+        |GROUP BY w.s1, r.sk
+        |ORDER BY aa_ppm DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "events_control_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |st AS (SELECT event_type, day, x,
+        |    count(*) OVER w AS n, sum(x) OVER w AS sx,
+        |    sum(x * x) OVER w AS sxx
+        |  FROM daily WINDOW w AS (PARTITION BY event_type)),
+        |f AS (SELECT event_type, day, x,
+        |    CAST(x * n - sx AS BIGINT) AS dev_n,
+        |    CAST(9 * (n * sxx - sx * sx) AS BIGINT) AS var9_n2
+        |  FROM st)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x, dev_n,
+        |  var9_n2,
+        |  CASE WHEN dev_n > 0 THEN 'high' ELSE 'low' END AS side
+        |FROM f WHERE dev_n * dev_n > var9_n2
+        |ORDER BY event_type, day""".stripMargin,
+
+    "graph_jaccard_coeff" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |            FROM lineitem),
+        |pdall AS (SELECT pk, count(*) AS pd FROM sp GROUP BY pk),
+        |spc AS (SELECT sp.sk, sp.pk FROM sp JOIN pdall USING (pk)
+        |        WHERE pd <= 64),
+        |deg AS (SELECT sk, count(*) AS deg FROM spc GROUP BY sk),
+        |pairs AS (SELECT l.sk AS s1, r.sk AS s2, count(*) AS inter
+        |  FROM spc l JOIN spc r ON l.pk = r.pk AND l.sk < r.sk
+        |  GROUP BY l.sk, r.sk)
+        |SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+        |  CAST(d1.deg AS BIGINT) AS deg1, CAST(d2.deg AS BIGINT) AS deg2,
+        |  CAST(inter * 10000 // (d1.deg + d2.deg - inter) AS BIGINT)
+        |    AS jaccard_bp
+        |FROM pairs JOIN deg d1 ON d1.sk = s1 JOIN deg d2 ON d2.sk = s2
+        |ORDER BY jaccard_bp DESC, s1, s2 LIMIT 20""".stripMargin,
+
+    "q_moment_sketch" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+        |m AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |    CAST(sum(q*q*q) AS BIGINT) AS s3,
+        |    CAST(sum(q*q*q*q) AS BIGINT) AS s4,
+        |    min(q) AS q_min, max(q) AS q_max
+        |  FROM q GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, s1, s2, s3, s4, q_min, q_max,
+        |  CAST(s1 * 1000 // n AS BIGINT) AS mean_milli
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "sim_ivf_rebalance" ->
+      s"""WITH ${SimMm.milliNormCte},
+         |${SimMm.ivfCte},
+         |a0 AS (SELECT vec_id, cell FROM ass WHERE rn = 1),
+         |av AS (SELECT a0.vec_id, a0.cell, m.mq, m.nsq
+         |       FROM a0 JOIN miln m USING (vec_id)),
+         |sizes AS (SELECT cell, count(*) AS n, min(vec_id) AS seed1
+         |          FROM av GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM sizes),
+         |s1v AS (SELECT s.cell, m.mq AS mq1, m.nsq AS nsq1
+         |        FROM sizes s JOIN miln m ON m.vec_id = s.seed1),
+         |far AS (SELECT * FROM (SELECT av.cell, av.vec_id,
+         |    row_number() OVER (PARTITION BY av.cell
+         |      ORDER BY av.nsq + s.nsq1
+         |        - 2 * ${SimMm.dotmSql("av.mq", "s.mq1")} DESC,
+         |        av.vec_id) AS rn
+         |  FROM av JOIN s1v s USING (cell)) z WHERE rn = 1)
+         |SELECT sizes.cell, CAST(n AS BIGINT) AS n,
+         |  CAST(CASE WHEN n * 8 > total * 2 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS flag,
+         |  seed1,
+         |  CASE WHEN n * 8 > total * 2 THEN far.vec_id END AS seed2
+         |FROM sizes CROSS JOIN tot JOIN far ON far.cell = sizes.cell
+         |ORDER BY sizes.cell""".stripMargin,
+
+    "etl_pseudonymize" ->
+      """WITH c AS (SELECT c_custkey,
+        |    substr(md5('graft-salt:' || CAST(c_custkey AS VARCHAR)), 1, 16)
+        |      AS pseudo
+        |  FROM customer),
+        |ca AS (SELECT count(*) AS n_customers,
+        |    count(DISTINCT c_custkey) AS n_distinct_keys,
+        |    count(DISTINCT pseudo) AS n_distinct_pseudos FROM c),
+        |o AS (SELECT o_custkey,
+        |    substr(md5('graft-salt:' || CAST(o_custkey AS VARCHAR)), 1, 16)
+        |      AS opseudo
+        |  FROM orders),
+        |oa AS (SELECT count(*) AS n_orders,
+        |    CAST(count(*) FILTER (WHERE ck.c_custkey IS NULL) AS BIGINT)
+        |      AS n_orphans_by_key,
+        |    CAST(count(*) FILTER (WHERE cp.pseudo IS NULL) AS BIGINT)
+        |      AS n_orphans_by_pseudo
+        |  FROM o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM c) ck
+        |    ON ck.c_custkey = o.o_custkey
+        |  LEFT JOIN (SELECT DISTINCT pseudo FROM c) cp
+        |    ON cp.pseudo = o.opseudo)
+        |SELECT n_customers, n_distinct_keys, n_distinct_pseudos,
+        |  CAST(n_distinct_keys - n_distinct_pseudos AS BIGINT)
+        |    AS n_collisions,
+        |  n_orders, n_orphans_by_key, n_orphans_by_pseudo
+        |FROM ca, oa""".stripMargin)
 }

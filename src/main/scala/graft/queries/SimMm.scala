@@ -666,7 +666,7 @@ object SimMm {
     * argmax per vector (mirrors Similarity.ivfAssign: cosBp over
     * milli-quantized components, seed-id tiebreak). REFERENCES `miln` —
     * every WITH clause using it must place [[milliNormCte]] first. */
-  private lazy val ivfCte =
+  private[queries] lazy val ivfCte =
     s"""seeds AS (
        |  SELECT vec_id AS seed_id
        |  FROM embeddings

@@ -580,6 +580,17 @@ object StreamOps {
     // cells, and the hash is BY CONSTRUCTION the one q_cms_heavy probes
     graft.ops.Sketch.cmsSketch(events, keyCol, depth, width.toLong)
 
+  /** Continuous HyperLogLog registers — the streaming twin of the batch
+    * q_hll_sketch: the SAME Sketch.hllRegisters cells as a stateful
+    * max-aggregate, so state is ≤256 (bucket, register) rows NO MATTER
+    * the stream volume and the streamed registers equal the batch ones
+    * by shared code. MAX is idempotent and commutative, so
+    * at-least-once/replayed delivery converges to the same registers —
+    * and two streams' register tables merge by element-wise MAX without
+    * ever reshuffling raw keys (the HLL property). */
+  def hllRegistersStream(events: DataFrame, keyCol: String): DataFrame =
+    graft.ops.Sketch.hllRegisters(events, keyCol)
+
   /** Continuous table-freshness monitor — the streaming twin of the
     * batch `etl_freshness` audit: per event type, the latest event time
     * seen so far (epoch seconds, integer-exact). State is ONE max per

@@ -182,7 +182,21 @@ class PlanSpec extends AnyFunSuite {
     //  - graph_ktruss: per-round 1-row surviving-edge count broadcast
     //    under the 1-row round summary (the graph_kcore_peel census
     //    shape — 2 rounds of 1-row × 1-row scalar crosses)
-    "graph_ktruss")
+    "graph_ktruss",
+    //  - sim_mmr_rerank: 1-row broadcast query vector vs every candidate
+    //    (the sim_topk_brute shape) + the 8×8 pairwise-sim join over the
+    //    checkpointed shortlist (bounded by the shortlist size)
+    "sim_mmr_rerank",
+    //  - q_hll_sketch / q_kmv_distinct / etl_pseudonymize: 1-row
+    //    audit-scalar broadcasts under 1-row summaries (the census shape)
+    "q_hll_sketch", "q_kmv_distinct", "etl_pseudonymize",
+    //  - sim_ivf_rebalance: every vector vs the 8 broadcast IVF seeds
+    //    (the sim_ivf_cells assignment shape it maintains)
+    "sim_ivf_rebalance",
+    //  - q_bloom_fpr_audit: three 1-row audit scalars (bit fill, probe
+    //    count, miss count) broadcast under the 1-row key count (the
+    //    census shape); the filter/probe joins themselves are hash joins
+    "q_bloom_fpr_audit")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -342,6 +342,34 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(streamed.size <= 4 * 1024, "state bounded by depth x width")
   }
 
+  test("hllRegistersStream converges to the batch registers under replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect()
+    val input = MemoryStream[Ev]
+    val q = StreamOps.hllRegistersStream(input.toDF(), "user_id")
+      .writeStream.outputMode("complete").format("memory").queryName("hllr").start()
+    val chunks = evs.grouped(evs.length / 3 + 1).toSeq
+    // at-least-once: chunk 1 replayed — MAX-merge must converge anyway
+    (chunks.take(2) ++ Seq(chunks.head) ++ chunks.drop(2)).foreach { c =>
+      input.addData(c.toIndexedSeq); q.processAllAvailable()
+    }
+    val streamed = spark.table("hllr").as[(Long, Long)].collect().toMap
+    val batch = graft.ops.Sketch.hllRegisters(
+        graft.sources.Tables.events(spark, TestSpark.sf), "user_id")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch, "streamed registers == batch registers")
+    // MEASURED state: ≤256 register rows no matter the stream volume
+    val (srows, sbytes) = stateFootprint(q)
+    q.stop()
+    assert(srows <= 256L, s"register state rows $srows > 256")
+    assert(sbytes <= 256L * 4096,
+      s"measured $sbytes B for ≤256 (bucket, max) registers")
+  }
+
   test("bitmapDistinctStream converges to the batch bitmap under replay") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
