@@ -150,6 +150,44 @@ object Graph {
         col("n_edges_left"))
   }
 
+  /** Surviving-node set of the bounded-round k-core peel — the
+    * membership twin of [[kcorePeel]]'s summary: same degree/semi-join
+    * rounds, same per-round checkpoints, returning the distinct nodes
+    * still carrying an edge after `rounds` peels. */
+  def coreMembers(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val keep = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node"))).distinct()
+  }
+
+  /** Bounded-round core decomposition: per node the highest k ∈ [1, maxK]
+    * whose `rounds`-round k-core peel it survives (1 = has an edge at
+    * all). Each k is an independent bounded peel over the checkpointed
+    * pair frame — maxK−1 peels of node-sized rollups and edge semi-joins,
+    * never a node×node product — and the core label is a MAX-merge over
+    * the ≤maxK membership frames, so the decomposition scales exactly
+    * like [[kcorePeel]] times a small constant. Returns (node, core). */
+  def coreNumbers(pairs: DataFrame, maxK: Int, rounds: Int): DataFrame = {
+    val base = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val all = base.select(col("a").as("node"))
+      .unionAll(base.select(col("b").as("node"))).distinct()
+      .withColumn("k", lit(1L))
+    val higher = (2 to maxK).map(k =>
+      coreMembers(base, k, rounds).withColumn("k", lit(k.toLong)))
+    higher.foldLeft(all)(_ unionAll _)
+      .groupBy(col("node")).agg(max(col("k")).as("core"))
+  }
+
   /** k-truss peeling over an undirected pair frame (`a`/`b` columns):
     * `rounds` rounds of keep-edges-with-≥(k−2)-triangle-support — the
     * EDGE-grain analogue of [[kcorePeel]]. Support is the edge-keyed

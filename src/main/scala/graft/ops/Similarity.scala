@@ -549,6 +549,56 @@ object Similarity {
       .limit(k)
   }
 
+  /** ADC vs SDC — the two PQ scoring modes side by side. ADC keeps the
+    * query full-precision and scores candidates through a
+    * codebook×subs query-to-codeword table; SDC quantizes the query TOO
+    * and scores through the PRECOMPUTED codeword-to-codeword table
+    * (codebook²×subs rows, broadcast) — the mode a disk-resident index
+    * uses when the query arrives already encoded, trading a second
+    * quantization error for a query-independent LUT. One seeds+codes
+    * build feeds both paths (codes checkpointed once); each path is a
+    * broadcast-LUT equi-join + keyed sum, top-k via TakeOrdered, rank
+    * assigned over the k-row result only. Output: (method, rank, id,
+    * dist) — the rank-agreement readout IS the emitted comparison. */
+  def pqAdcSdcCompare(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, dim: Int, subs: Int,
+                      codebook: Int): DataFrame = {
+    val subLen = dim / subs
+    val seeds = pqSeeds(emb, idCol, vecCol, codebook)
+    val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
+      .localCheckpoint(true)
+    val q = emb.where(col(idCol) === lit(queryId))
+      .select(milliQuant(col(vecCol)).as("qx"))
+    val lutAdc = seeds.crossJoin(broadcast(q))
+      .select(col("code"),
+        posexplode(array((0 until subs).map(s =>
+          subDist(col("qx"), col("cq"), s, subLen)): _*)).as(Seq("sub", "qd")))
+    val adc = codes.where(col(idCol) =!= lit(queryId))
+      .join(broadcast(lutAdc), Seq("code", "sub"))
+      .groupBy(col(idCol)).agg(sum(col("qd")).as("dist"))
+    val lutSs = seeds.select(col("code").as("ca"), col("cq").as("cqa"))
+      .crossJoin(broadcast(
+        seeds.select(col("code").as("cb"), col("cq").as("cqb"))))
+      .select(col("ca"), col("cb"),
+        posexplode(array((0 until subs).map(s =>
+          subDist(col("cqa"), col("cqb"), s, subLen)): _*)).as(Seq("sub", "dd")))
+    val qc = codes.where(col(idCol) === lit(queryId))
+      .select(col("sub"), col("code").as("ca"))
+    val sdc = codes.where(col(idCol) =!= lit(queryId))
+      .select(col(idCol), col("sub"), col("code").as("cb"))
+      .join(broadcast(qc), Seq("sub"))
+      .join(broadcast(lutSs), Seq("ca", "cb", "sub"))
+      .groupBy(col(idCol)).agg(sum(col("dd")).as("dist"))
+    def top(df: DataFrame, m: String) = df
+      .orderBy(col("dist").asc, col(idCol)).limit(k)
+      // rank window runs over the k-row TakeOrdered result only
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("dist"), col(idCol))).cast("long"))
+      .select(lit(m).as("method"), col("rank"), col(idCol), col("dist"))
+    top(adc, "adc").unionByName(top(sdc, "sdc"))
+      .orderBy(col("method"), col("rank"))
+  }
+
   /** One training round for the PQ codebook — upgrading the hash-sampled
     * codewords to genuinely trained per-subspace centroids, exactly the
     * way [[ivfTrainStats]] upgrades the IVF seeds, and under the same

@@ -66,6 +66,23 @@ object Sketch {
       .groupBy(col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Moments-sketch vector (Gan et al.) over a grouped long column: the
+    * exact integer (n, Σq..Σq⁴, min, max) per group — the ADDITIVELY
+    * mergeable quantile-approximation state: two sub-streams' vectors
+    * merge by adding the sums and min/max-ing the extremes, so 1000
+    * executors combine per-group O(1) state without reshuffling rows.
+    * ONE definition serves q_moment_sketch and momentSketchStream (the
+    * same groupBy becomes a stateful streaming aggregate). */
+  def momentVector(grouped: org.apache.spark.sql.DataFrame, grpCol: String,
+                   valCol: String): org.apache.spark.sql.DataFrame = {
+    val q = col(valCol)
+    grouped.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+        sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+        sum(q * q * q * q).as("s4"),
+        min(q).as("q_min"), max(q).as("q_max"))
+  }
+
   /** HyperLogLog registers over a keyed frame: 256 buckets from the
     * low byte of the 32-bit md5-prefix hash, register = max
     * leading-zero rank (rho = 25 − length(bin(rem)) on the 24-bit

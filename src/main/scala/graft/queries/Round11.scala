@@ -369,15 +369,12 @@ object Round11 {
     // the 4th power stays far from the long boundary at any realistic
     // group size.
     "q_moment_sketch" -> ((s, dir) => {
-      val q = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"),
-          round(col("l_quantity")).cast("long").as("q"))
-      q.groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
-          sum(col("q") * col("q")).as("s2"),
-          sum(col("q") * col("q") * col("q")).as("s3"),
-          sum(col("q") * col("q") * col("q") * col("q")).as("s4"),
-          min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+      // shared kernel (graft.ops.Sketch.momentVector — also the
+      // streaming twin's aggregate, so stream and batch agree by code)
+      graft.ops.Sketch.momentVector(
+          Tables.lineitem(s, dir).select(col("l_returnflag"),
+            round(col("l_quantity")).cast("long").as("q")),
+          "l_returnflag", "q")
         .withColumn("mean_milli", idiv(col("s1") * 1000, col("n")))
         .orderBy(col("l_returnflag"))
     }),

@@ -755,7 +755,7 @@ object SimMm {
   /** Shared PQ CTE chain: milli-quantized components, 16 hash-sampled
     * codewords, per-(vector, codeword, subvector) integer sub-L2, argmin
     * encode — mirrors Similarity.pqSeeds/pqCodes exactly. */
-  private val pqCte =
+  private[queries] val pqCte =
     s"""comp AS (
        |  SELECT vec_id, CAST(d.range AS INTEGER) AS d,
        |    CAST(CAST(round(CAST(embedding[CAST(d.range AS INTEGER) + 1] AS DOUBLE), 3)

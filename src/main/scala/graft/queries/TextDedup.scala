@@ -20,7 +20,7 @@ object TextDedup {
   private val pairIndexCache =
     scala.collection.concurrent.TrieMap.empty[
       (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private[queries] def sharedPairs05(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def sharedPairs05(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // Evict entries whose owning session is stopped — their checkpointed
     // blocks are gone and the map would otherwise hold dead plan
     // references forever in a long-lived JVM (test suites, restarts).

@@ -591,6 +591,17 @@ object StreamOps {
   def hllRegistersStream(events: DataFrame, keyCol: String): DataFrame =
     graft.ops.Sketch.hllRegisters(events, keyCol)
 
+  /** Continuous moments sketch — the streaming twin of the batch
+    * q_moment_sketch: the SAME Sketch.momentVector aggregate as a
+    * stateful keyed agg, so state is ONE (n, Σq..Σq⁴, min, max) row per
+    * group NO MATTER the stream volume and the streamed vector equals
+    * the batch one by shared code. Every term is a sum or extreme, so
+    * sub-stream sketches merge additively (sums add, extremes
+    * min/max) — the mergeability the batch spec proves half+half. */
+  def momentSketchStream(rows: DataFrame, grpCol: String,
+                         valCol: String): DataFrame =
+    graft.ops.Sketch.momentVector(rows, grpCol, valCol)
+
   /** Continuous table-freshness monitor — the streaming twin of the
     * batch `etl_freshness` audit: per event type, the latest event time
     * seen so far (epoch seconds, integer-exact). State is ONE max per

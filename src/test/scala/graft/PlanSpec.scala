@@ -196,7 +196,11 @@ class PlanSpec extends AnyFunSuite {
     //  - q_bloom_fpr_audit: three 1-row audit scalars (bit fill, probe
     //    count, miss count) broadcast under the 1-row key count (the
     //    census shape); the filter/probe joins themselves are hash joins
-    "q_bloom_fpr_audit")
+    "q_bloom_fpr_audit",
+    //  - sim_pq_adc_sdc: every vector vs the 16 broadcast codewords
+    //    (the sim_pq_encode assignment shape) + the 1-row query vector /
+    //    16-row codebook LUT builds (the sim_pq_search shape, twice)
+    "sim_pq_adc_sdc")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -484,4 +484,44 @@ class StreamOpsSpec extends AnyFunSuite {
       s"measured $sbytes B across $srows shards " +
         "(≤32 KiB payload each; store overhead must stay within 256 KiB/shard)")
   }
+
+  test("momentSketchStream equals the batch moment vector; 1 state row per group") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .where(col("value").isNotNull && col("user_id").isNotNull)
+      .as[Ev].collect()
+    def derive(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("q"))
+    val input = MemoryStream[Ev]
+    val q = StreamOps.momentSketchStream(derive(input.toDF()), "event_type", "q")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("moments").start()
+    evs.grouped(evs.length / 3 + 1)
+      .foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    val streamed = spark.table("moments").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+          r.getAs[Long]("s3"), r.getAs[Long]("s4"),
+          r.getAs[Long]("q_min"), r.getAs[Long]("q_max")))).toMap
+    val batch = graft.ops.Sketch.momentVector(
+        derive(graft.sources.Tables.events(spark, TestSpark.sf)
+          .where(col("value").isNotNull && col("user_id").isNotNull)),
+        "event_type", "q")
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+          r.getAs[Long]("s3"), r.getAs[Long]("s4"),
+          r.getAs[Long]("q_min"), r.getAs[Long]("q_max")))).toMap
+    assert(streamed == batch,
+      "streamed moment vectors == batch moment vectors (shared kernel)")
+    // MEASURED state: one (n, Σq..Σq⁴, min, max) row per group forever
+    val (srows, sbytes) = stateFootprint(q)
+    q.stop()
+    assert(srows <= batch.size.toLong,
+      s"moment state rows $srows > ${batch.size} groups")
+    assert(sbytes <= batch.size.toLong * 4096,
+      s"measured $sbytes B for ${batch.size} fixed-width moment rows")
+  }
 }
