@@ -339,6 +339,84 @@ object ScaleProbe {
         .select(levenshtein(col("ta"), col("tb")).as("d"))
         .agg(sum(col("d"))).count()
     }
+    // q_band_join's bucket-expansion kernel at mult× events: replicas
+    // are time-shifted a week apart so true co-occurrence (the output)
+    // grows ~linearly with mult — the probe pins that the 3-replica
+    // explode + bucket equi-join COMPUTE is |A|+|B|-linear, i.e. the
+    // rewrite really did remove the |A|·|B| nested-loop term.
+    time("band_join_bucketed") {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .where(col("ts").isNotNull)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("event_id") * mult + col("rep")).as("event_id"),
+          col("event_type"), col("user_id"),
+          (col("ts").cast("long") + col("rep") * 604800L).as("es"))
+        .localCheckpoint(true)
+      val a = ev.where(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("a_id"), col("es").as("ea"))
+        .withColumn("bk0", expr("ea div 600"))
+      val b = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("es").as("eb"))
+        .withColumn("bk", expr("eb div 600"))
+      a.select(col("a_id"), col("ea"),
+          explode(array(col("bk0") - 1, col("bk0"), col("bk0") + 1)).as("bk"))
+        .join(b, Seq("bk"))
+        .where(abs(col("eb") - col("ea")) <= 600).count()
+    }
+    // q_bloom_fpr_audit's build+probe at mult× keys: the m=4096 filter
+    // SATURATES at high mult (fill → m, every probe a false positive) —
+    // the probe pins that build and probe stay key-linear even then,
+    // because both sides are distinct-then-hash-join against the ≤m-row
+    // bit table, never key×key.
+    time("bloom_build_probe") {
+      def bits3(df: org.apache.spark.sql.DataFrame) = df.select(col("k"),
+        explode(array((0 until 3).map(i =>
+          graft.ops.Sketch.cmsBucket(col("k"), lit(i.toLong), 4096L)): _*))
+          .as("bit"))
+      val keys = graft.sources.Tables.orders(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("o_custkey") * mult + col("rep")).as("k")).distinct()
+        .localCheckpoint(true)
+      val bits = bits3(keys).select(col("bit")).distinct().localCheckpoint(true)
+      val probes = graft.sources.Tables.customer(spark, dir)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("c_custkey") * mult + col("rep")).as("k"))
+        .join(keys, Seq("k"), "left_anti")
+      bits3(probes).distinct().join(bits, Seq("bit"), "left_anti")
+        .select(col("k")).distinct().count()
+    }
+    // text_linear_score's hashed-feature apply at mult× docs: one token
+    // explode + literal-array lookup + two map-side-combinable rollups —
+    // token-linear by construction; the probe pins it.
+    time("linear_score") {
+      val wArr = "array(-180L, -120L, -60L, -20L, 0L, 10L, 25L, 40L, " +
+        "60L, 85L, 110L, 140L, 170L, 200L, 240L, 280L)"
+      docs.where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("tok"))
+        .select(col("doc_id"), element_at(expr(wArr),
+          (pmod(graft.ops.Sketch.h3(col("tok")), lit(16L)) + 1).cast("int"))
+          .as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .select(expr("(sw + 200 * n) div n - 200").as("spt"))
+        .groupBy(expr("(spt + 1000) div 100")).agg(count(lit(1))).count()
+    }
+    // Graph.coreNumbers at mult×: two extra bounded peels on top of the
+    // kcore probe — each a node rollup + two semi-joins per round over
+    // the checkpointed pair frame. Cost must track the pair count.
+    time("core_numbers_3") {
+      // scale the GRAPH (mult disjoint copies of the base pair index),
+      // not the corpus: replicating identical texts only drives every
+      // LSH bucket over its cap and empties the index — the graph
+      // kernel's cost is |E|-bound, so |E|×mult is the honest probe
+      val base = graft.ops.Dedup.pairIndex(
+          graft.sources.Tables.documents(spark, dir), "doc_id", "text", 3, 0.5)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val pairs = base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("a") * mult + col("rep")).as("a"),
+          (col("b") * mult + col("rep")).as("b"))
+      graft.ops.Graph.coreNumbers(pairs, 3, 3).count()
+    }
     spark.stop()
   }
 }
