@@ -200,7 +200,10 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_pq_adc_sdc: every vector vs the 16 broadcast codewords
     //    (the sim_pq_encode assignment shape) + the 1-row query vector /
     //    16-row codebook LUT builds (the sim_pq_search shape, twice)
-    "sim_pq_adc_sdc")
+    "sim_pq_adc_sdc",
+    //  - sim_mrl_recall: 1-row broadcast query vector vs every candidate
+    //    (the sim_topk_brute shape; all four prefix sims in one pass)
+    "sim_mrl_recall")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
