@@ -203,7 +203,14 @@ class PlanSpec extends AnyFunSuite {
     "sim_pq_adc_sdc",
     //  - sim_mrl_recall: 1-row broadcast query vector vs every candidate
     //    (the sim_topk_brute shape; all four prefix sims in one pass)
-    "sim_mrl_recall")
+    "sim_mrl_recall",
+    //  - q_kmv_set_ops / dedup_pr_audit: 1-row sketch-stat / count
+    //    scalars broadcast under a 1-row summary (the census shape)
+    "q_kmv_set_ops", "dedup_pr_audit",
+    //  - sim_ivfpq_recall: the sim_ivf_pq_search composition (broadcast
+    //    seeds/LUT/query-cell) + 1-row hit-count scalars under the
+    //    1-row summary (the census shape)
+    "sim_ivfpq_recall")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
