@@ -602,6 +602,42 @@ object StreamOps {
                          valCol: String): DataFrame =
     graft.ops.Sketch.momentVector(rows, grpCol, valCol)
 
+  /** Stream-stream band join on TIME ALONE — the streaming twin of
+    * q_band_join's bucket-expansion rewrite: each left event replicates
+    * to its `widthSec` bucket and both neighbors (3 rows, bounded), the
+    * join runs on the bucket EQUI-key plus the exact band predicate, so
+    * the state store keys rows by bucket instead of holding an
+    * unjoinable cross — and the watermarks bound retained state to the
+    * band width plus lateness, exactly like the keyed interval join
+    * (correlateEvents). Each qualifying pair emits once: the probe's
+    * three replica buckets are distinct and the right row's bucket is
+    * fixed. */
+  def bandJoinStream(left: DataFrame, right: DataFrame,
+                     widthSec: Long = 600L,
+                     watermark: String = "1 hour"): DataFrame = {
+    def wm(df: DataFrame) = if (df.isStreaming)
+      df.withWatermark("ts", watermark) else df
+    val a = wm(left)
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+      .select(col("a_id"), col("a_ts"), explode(array(
+        expr(s"CAST(a_ts AS LONG) div $widthSec") - 1,
+        expr(s"CAST(a_ts AS LONG) div $widthSec"),
+        expr(s"CAST(a_ts AS LONG) div $widthSec") + 1)).as("abk"))
+    val b = wm(right)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"))
+      .withColumn("bbk", expr(s"CAST(b_ts AS LONG) div $widthSec"))
+    // the band predicate rides INSIDE the join condition so the engine
+    // derives state-eviction watermarks from it (a post-filter would
+    // leave the state store unbounded)
+    a.join(b, expr(
+        s"""abk = bbk AND
+           |b_ts >= a_ts - INTERVAL $widthSec SECONDS AND
+           |b_ts <= a_ts + INTERVAL $widthSec SECONDS""".stripMargin))
+      .select(col("a_id"), col("b_id"), col("b_user"), col("a_ts"),
+        col("b_ts"))
+  }
+
   /** Continuous table-freshness monitor — the streaming twin of the
     * batch `etl_freshness` audit: per event type, the latest event time
     * seen so far (epoch seconds, integer-exact). State is ONE max per

@@ -210,7 +210,10 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_ivfpq_recall: the sim_ivf_pq_search composition (broadcast
     //    seeds/LUT/query-cell) + 1-row hit-count scalars under the
     //    1-row summary (the census shape)
-    "sim_ivfpq_recall")
+    "sim_ivfpq_recall",
+    //  - events_cuped: 1-row time-midpoint scalar broadcast under the
+    //    events scan (the events_did_ingredients shape)
+    "events_cuped")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -137,6 +137,32 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, 2L)))
   }
 
+  test("bandJoinStream pairs on time alone via bucket expansion") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val la = MemoryStream[Ev]; val lb = MemoryStream[Ev]
+    // band width 600 s: one pair must cross a bucket edge
+    val evsA = Seq(
+      Ev(1, ts(9), 1, "error", 0.0),    // 00:09
+      Ev(2, ts(40), 1, "error", 0.0))   // 00:40
+    val evsB = Seq(
+      Ev(10, ts(12), 7, "purchase", 1.0), // 3 min after a=1 → pair
+      Ev(11, ts(18), 8, "purchase", 1.0), // 9 min after a=1 → pair (edge-cross)
+      Ev(12, ts(25), 9, "purchase", 1.0)) // 16/15 min from both → no pair
+    la.addData(evsA); lb.addData(evsB)
+    val q = StreamOps.bandJoinStream(la.toDF(), lb.toDF(), 600L)
+      .writeStream.outputMode("append").format("memory").queryName("band").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("band").select($"a_id", $"b_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L)),
+      s"expected the two within-600s pairs, got $got")
+    // batch agreement: the same kernel on STATIC frames gives the same set
+    val batch = StreamOps.bandJoinStream(evsA.toDF(), evsB.toDF(), 600L)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(batch == got, "streamed band pairs == batch band pairs")
+  }
+
   test("freshnessStream tracks the per-type max event time across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
