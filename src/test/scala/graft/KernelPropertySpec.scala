@@ -197,4 +197,52 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(got == want, s"clause combo upd=$upd ins=$ins del=$del")
     }
   }
+
+  test("hllRegisters matches a JVM fold and MAX-merges across splits") {
+    // JVM twin of Sketch.hllRegisters: md5-prefix 32-bit hash, low byte
+    // buckets, rho = leading-zero rank of the 24-bit remainder
+    def jvmRegs(keys: Seq[String]): Map[Long, Long] =
+      keys.map { k =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        val (bucket, rem) = (h % 256, h / 256)
+        bucket -> (if (rem == 0) 25L else 25L - (64 - java.lang.Long.numberOfLeadingZeros(rem)))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val keys = sample(word, 400)
+    val sparkRegs = graft.ops.Sketch
+      .hllRegisters(keys.toDF("k"), "k")
+      .as[(Long, Long)].collect().toMap
+    assert(sparkRegs == jvmRegs(keys), "Spark registers == JVM fold")
+    // the HLL merge property the streaming twin relies on: registers of
+    // a union are the element-wise MAX of the split registers
+    val (a, b) = keys.splitAt(keys.length / 2)
+    val (ra, rb) = (jvmRegs(a), jvmRegs(b))
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
+    assert(merged == jvmRegs(keys), "union registers == MAX-merge of splits")
+  }
+
+  test("momentVector is additively mergeable across arbitrary splits") {
+    val rows = sample(Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.chooseNum(-50L, 50L)), 300)
+    type M = (Long, Long, Long, Long, Long, Long, Long)
+    def collect(rs: Seq[(String, Long)]): Map[String, M] =
+      graft.ops.Sketch.momentVector(rs.toDF("g", "q"), "g", "q")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    val (x, y) = rows.splitAt(137)
+    val (mx, my, whole) = (collect(x), collect(y), collect(rows))
+    def merge(a: Option[M], b: Option[M]): M = (a, b) match {
+      case (Some(p), Some(q)) => (p._1 + q._1, p._2 + q._2, p._3 + q._3,
+        p._4 + q._4, p._5 + q._5, math.min(p._6, q._6), math.max(p._7, q._7))
+      case (Some(p), None) => p
+      case (None, Some(q)) => q
+      case _ => throw new IllegalStateException("empty merge")
+    }
+    val merged = (mx.keySet ++ my.keySet).map(k =>
+      k -> merge(mx.get(k), my.get(k))).toMap
+    assert(merged == whole,
+      "half + half moment vectors merge to the whole-set vector")
+  }
 }
