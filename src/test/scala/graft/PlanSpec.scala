@@ -213,7 +213,10 @@ class PlanSpec extends AnyFunSuite {
     "sim_ivfpq_recall",
     //  - events_cuped: 1-row time-midpoint scalar broadcast under the
     //    events scan (the events_did_ingredients shape)
-    "events_cuped")
+    "events_cuped",
+    //  - text_nb_train: two 1-row class-total scalars broadcast under
+    //    the 16-row bucket rollup (the q_scalar_subquery shape)
+    "text_nb_train")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
