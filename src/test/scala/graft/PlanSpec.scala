@@ -216,7 +216,11 @@ class PlanSpec extends AnyFunSuite {
     "events_cuped",
     //  - text_nb_train: two 1-row class-total scalars broadcast under
     //    the 16-row bucket rollup (the q_scalar_subquery shape)
-    "text_nb_train")
+    "text_nb_train",
+    //  - sim_seed_quality: every vector vs the 4 broadcast seeds, twice
+    //    (the sim_ivf_cells assignment shape) + 1-row balance scalars
+    //    under the 1-row audit rollup (the census shape)
+    "sim_seed_quality")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
