@@ -19,7 +19,7 @@ object SimMm {
     * hyperplanes target `TargetBucket`-vector buckets (planes =
     * ceil(log2(n/64))); nn-join candidate sides are capped at `CandCap`
     * members per bucket. */
-  private val TargetBucket = 64
+  private[queries] val TargetBucket = 64
   private val CandCap = 256
 
   /** Mutual top-3 cosine kNN edges, label-blocked (pair cost Σ block²,
@@ -686,7 +686,7 @@ object SimMm {
     * one plane differently at exact powers of two), and the plane range
     * is filtered to np.planes (static range(63) upper bound = the most
     * planes a BIGINT bucket id can hold). */
-  private val bucketsCte =
+  private[queries] val bucketsCte =
     s"""np AS (
       |  SELECT min(CAST(p.range AS INTEGER)) AS planes
       |  FROM range(1, 57) p, (SELECT count(*) AS c FROM embeddings) n

@@ -84,6 +84,10 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_batch_topk: every corpus vector vs the 8 broadcast query
     //    vectors (the sim_ivf_cells assignment shape; that IS the batch)
     "sim_batch_topk",
+    //  - sim_mrr_batch: the exact-truth pass is the same corpus × 8
+    //    broadcast query vectors as sim_batch_topk; the ANN pass is a
+    //    keyed bucket join
+    "sim_mrr_batch",
     //  - text_bigram_coverage / text_hapax_rate: 1-row corpus-volume
     //    scalar broadcast under a 4-row rollup (the q_scalar_subquery
     //    shape)
