@@ -100,6 +100,55 @@ object Graph {
     pr
   }
 
+  /** Per-iteration convergence residuals of [[pagerank]] — the
+    * stop-condition readout (run until L1 residual under a threshold,
+    * don't guess an iteration count). Same kernel and integer
+    * fixed-point as [[pagerank]]; every iteration's rank frame is
+    * checkpointed once because it feeds BOTH the next contribution
+    * pass and the residual join against its predecessor. On the
+    * undirected edge list every ranked node has in- and out-edges, so
+    * consecutive rank frames share one node set and the residual join
+    * is a plain inner join. Returns (iter, n_nodes, l1_residual,
+    * linf_residual) — |V|-sized joins per iteration, never |E|². */
+  def pagerankResiduals(edges0: DataFrame, iters: Int = 3,
+                        scale: Long = 1000000000L): DataFrame = {
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .localCheckpoint(true)
+    val edgesOd = edges0.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nn = deg.agg(count(lit(1)).as("n"))
+    val base = graft.queries.idiv(
+      lit(15L) * graft.queries.idiv(lit(scale), col("n")), lit(100L))
+    var pr = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("node"),
+        graft.queries.idiv(lit(scale), col("n")).as("pr"))
+      .localCheckpoint(true)
+    val resids = (1 to iters).map { i =>
+      val contrib = pr
+        .withColumnRenamed("node", "src")
+        .join(edgesOd, Seq("src"))
+        .select(col("dst"),
+          graft.queries.idiv(col("pr"), col("od")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      val next = contrib.crossJoin(broadcast(nn))
+        .select(col("dst").as("node"),
+          (base + graft.queries.idiv(lit(85L) * col("csum"), lit(100L)))
+            .as("pr"))
+        .localCheckpoint(true)
+      val r = next.withColumnRenamed("pr", "pr_new")
+        .join(pr.withColumnRenamed("pr", "pr_old"), Seq("node"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(abs(col("pr_new") - col("pr_old"))).as("l1_residual"),
+          max(abs(col("pr_new") - col("pr_old"))).as("linf_residual"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"),
+          col("l1_residual"), col("linf_residual"))
+      pr = next
+      r
+    }
+    resids.reduce(_ unionByName _)
+  }
+
   /** Bipartite edge list with hub `via` nodes dropped: keeps only edges
     * whose via-side degree is ≤ `cap` (the capped-postings rule — a few
     * universal hubs would otherwise dominate any projection shuffle

@@ -137,6 +137,9 @@ class PlanSpec extends AnyFunSuite {
     //  - graph_pagerank_seeded: 1-row seed-count scalar broadcast under
     //    each iteration's sparse rank frame (the graph_pagerank shape)
     "graph_pagerank_seeded",
+    //  - graph_pagerank_residual: the same 1-row node-count scalar
+    //    broadcasts as graph_pagerank, once per traced iteration
+    "graph_pagerank_residual",
     //  - graph_triangles: two 1-row census scalars (wedge / triangle
     //    counts) broadcast under the 1-row edge count
     //  - q_rel_division: 1-row distinct-type-count divisor broadcast
