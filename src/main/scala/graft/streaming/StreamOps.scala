@@ -73,6 +73,22 @@ case class LateObs(event_type: String, event_id: Long, us: Long)
 case class LateBands(event_type: String, band: String, n: Long,
                      max_late_s: Long)
 
+/** One observation for the streaming point-in-time enrichment: a row to
+  * enrich (`kind` = "label") or a feature observation (`kind` = "feat")
+  * whose value the at-or-before pick reads. `ts` drives the watermark. */
+case class PitEvent(user_id: Long, ts: java.sql.Timestamp, kind: String,
+                    id: Long, v: Long)
+
+/** Per-user PIT state: buffered feature observations (compacted below
+  * the watermark — see [[StreamOps.asofStream]]) and labels awaiting
+  * watermark finalization. Seconds-granularity epochs. */
+case class PitState(feats: List[(Long, Long)], labels: List[(Long, Long)])
+
+/** A finalized PIT enrichment: the label and the latest feature
+  * observation at-or-before it (None when the user had none yet). */
+case class PitOut(user_id: Long, label_id: Long, label_sec: Long,
+                  feat_sec: Option[Long], feat_v: Option[Long])
+
 /** Structured-Streaming twins of the batch operators (SURVEY §2.7).
   *
   * The reference runs its ETL on a cron schedule (index.js:75-86) — the
@@ -664,6 +680,76 @@ object StreamOps {
       Normalize.bool01(col("event_type") === "error").as("iserr"),
       Normalize.upperTrim(col("event_type")).as("et"),
       col("ts"))
+  }
+
+  /** Streaming point-in-time enrichment — the event-time TEMPORAL join
+    * (Flink's event-time temporal join / the online feature-store read):
+    * each label row is enriched with the latest feature observation
+    * at-or-before its event time, exactly the batch PIT pick behind
+    * `etl_pit_leakage` (max (ft, fv) struct with ft ≤ lt).
+    *
+    * Correctness under disorder comes from the watermark: a label is
+    * finalized only once the watermark passes its event time — after
+    * that no feature with an earlier timestamp can arrive (later ones
+    * are irrelevant to the at-or-before pick), so the emitted pick is
+    * final. Until then the label waits in state.
+    *
+    * State is BOUNDED per user: labels only within the watermark delay,
+    * and the feature buffer compacts to the single dominant observation
+    * at-or-below the watermark (any older feature is dominated by it
+    * for every label that can still arrive) plus the in-horizon tail —
+    * the 100 TB shape is O(users × watermark-window activity), not the
+    * feature history.
+    *
+    * Input: a unified `PitEvent` frame (`kind` ∈ {label, feat}). Rows
+    * older than the watermark are dropped by the engine (standard
+    * late-data semantics). Emits [[PitOut]] in label (sec, id) order
+    * per finalization. */
+  def asofStream(events: DataFrame,
+                 watermark: String = "1 hour"): Dataset[PitOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "kind", "id", "v").as[PitEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitState, PitOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PitEvent], state: GroupState[PitState]) =>
+          val wmSec = Math.floorDiv(state.getCurrentWatermarkMs(), 1000L)
+          var st = state.getOption.getOrElse(PitState(Nil, Nil))
+          if (it.nonEmpty) {
+            val evs = it.toList
+            st = PitState(
+              st.feats ++ evs.collect { case e if e.kind == "feat" =>
+                (Math.floorDiv(e.ts.getTime, 1000L), e.v) },
+              st.labels ++ evs.collect { case e if e.kind == "label" =>
+                (Math.floorDiv(e.ts.getTime, 1000L), e.id) })
+          }
+          // finalize labels the watermark has passed: their at-or-before
+          // feature set can no longer change
+          val (ready, pending) = st.labels.partition(_._1 <= wmSec)
+          val out = ready.sorted.map { case (lt, lid) =>
+            val pick = st.feats.filter(_._1 <= lt) match {
+              case Nil => None
+              case fs => Some(fs.max) // (ft, fv) order == batch max(struct)
+            }
+            PitOut(user, lid, lt, pick.map(_._1), pick.map(_._2))
+          }
+          // compact: every pending/future label has lt > wmSec, so among
+          // features with ft ≤ wmSec only the dominant (ft, fv) can ever
+          // be picked again — keep it plus the in-horizon tail
+          val (older, newer) = st.feats.partition(_._1 <= wmSec)
+          val kept = if (older.isEmpty) newer else older.max :: newer
+          if (pending.isEmpty && kept.isEmpty) {
+            state.remove()
+          } else {
+            state.update(PitState(kept, pending))
+            if (pending.nonEmpty)
+              // strictly above the watermark by construction (lt > wmSec)
+              state.setTimeoutTimestamp(pending.map(_._1).min * 1000L + 999L)
+          }
+          out.iterator
+      }
   }
 
   /** Stream-static enrichment: join each streaming event to a STATIC

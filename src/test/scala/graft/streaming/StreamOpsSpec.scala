@@ -511,6 +511,60 @@ class StreamOpsSpec extends AnyFunSuite {
         "(≤32 KiB payload each; store overhead must stay within 256 KiB/shard)")
   }
 
+  test("asofStream: watermark-finalized PIT picks equal the batch at-or-before join") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        when(col("event_type") === "purchase", "label").otherwise("feat")
+          .as("kind"),
+        col("event_id").as("id"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("v"))
+      .as[graft.streaming.PitEvent]
+    val rows = ev.collect().sortBy(_.ts.getTime) // ts order: no wm drops
+    val input = MemoryStream[graft.streaming.PitEvent]
+    val q = StreamOps.asofStream(input.toDF(), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("pit").start()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      // intra-batch disorder is free (the watermark moves after the batch)
+      input.addData(scala.util.Random.shuffle(chunk.toIndexedSeq))
+      q.processAllAvailable()
+    }
+    // far-future sentinel pushes the watermark past every label
+    val far = new java.sql.Timestamp(rows.map(_.ts.getTime).max + 86400000L)
+    input.addData(graft.streaming.PitEvent(999999L, far, "feat", -1L, 0L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("pit").as[graft.streaming.PitOut].collect()
+      .map(o => o.label_id -> ((o.label_sec, o.feat_sec, o.feat_v))).toMap
+    // batch twin: the etl_pit_leakage PIT pick, max (ft, fv) with ft <= lt
+    val base = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+    val labels = base.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"),
+        col("ts").cast("long").as("lt"))
+    val feats = base.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").cast("long").as("ft"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("fv"))
+    val batch = labels.join(feats, Seq("user_id"), "left")
+      .groupBy(col("label_id"), col("lt"))
+      .agg(max(when(col("ft") <= col("lt"),
+        struct(col("ft"), col("fv")))).as("pit"))
+      .collect().map { r =>
+        val pit = r.getAs[org.apache.spark.sql.Row]("pit")
+        r.getAs[Long]("label_id") -> ((r.getAs[Long]("lt"),
+          Option(pit).map(_.getAs[Long]("ft")),
+          Option(pit).map(_.getAs[Long]("fv"))))
+      }.toMap
+    assert(streamed == batch, "every label finalized once with the batch pick")
+    // one state row per active user group — bounded by user cardinality
+    val users = rows.map(_.user_id).distinct.length
+    val (srows, _) = stateFootprint(q)
+    assert(srows <= users + 1L,
+      s"state rows $srows exceed user cardinality ${users + 1}")
+  }
+
   test("momentSketchStream equals the batch moment vector; 1 state row per group") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
