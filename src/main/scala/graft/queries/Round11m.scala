@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis => TA}
+import graft.sources.Tables
+
+/** Round-11 batch 14: estimator-tuning sweeps — the b-bit MinHash
+  * accuracy/size tradeoff (Li & König: keep only the low b bits of each
+  * signature slot, debias, measure the calibration cost) and a one-step
+  * forecast backtest (naive vs seasonal-naive, the "which baseline do we
+  * beat" number every capacity forecast starts from).
+  */
+object Round11m {
+
+  val queries: Map[String, Q] = Map(
+
+    // b-bit MinHash sweep: for b ∈ {1, 2, 4, 8} keep only the low b bits
+    // of each of the 8 signature slots (32× smaller than the hex digest
+    // at b = 4), estimate Jaccard from the agreement rate with the
+    // standard debias (Ĵ = (r − 2⁻ᵇ)/(1 − 2⁻ᵇ), truncating integer bp,
+    // clamped at 0), and roll up the absolute calibration error vs the
+    // EXACT token Jaccard over all LSH candidate pairs — plus the full
+    // 128-bit row as the baseline. The audit that picks b before
+    // shipping a compressed index: storage shrinks 16×–128×, this table
+    // says what accuracy it costs. All post-candidate work is
+    // pair-driven; the byte values are projected ONCE per doc (§6 HOF
+    // rule) before any pair join.
+    "dedup_bbit_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sigs = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
+        .withColumn("bv", expr("transform(sig, x -> " +
+          "cast(conv(substring(x, 31, 2), 16, 10) as bigint))"))
+        .localCheckpoint(true)
+      val toksets = docs.select(col("doc_id").as("doc"),
+        array_distinct(TA.tokens(col("text"))).as("ts"))
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+        .join(sigs.select(col("doc").as("a"), col("sig").as("siga"),
+          col("bv").as("bva")), Seq("a"))
+        .join(sigs.select(col("doc").as("b"), col("sig").as("sigb"),
+          col("bv").as("bvb")), Seq("b"))
+        .join(toksets.select(col("doc").as("a"), col("ts").as("ta")), Seq("a"))
+        .join(toksets.select(col("doc").as("b"), col("ts").as("tb")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("exact_bp",
+          expr("CASE WHEN size(ta) + size(tb) - inter = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE (inter * 10000) div (size(ta) + size(tb) - inter) END"))
+        .withColumn("n_full",
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+            .cast("long"))
+        .localCheckpoint(true)
+      val perB = pairs
+        .select(col("exact_bp"), col("bva"), col("bvb"),
+          explode(typedLit(Seq(1, 2, 4, 8))).as("b"))
+        .withColumn("p", expr("shiftleft(cast(1 as bigint), b)"))
+        .withColumn("nm", expr("cast(size(filter(zip_with(bva, bvb, " +
+          "(x, y) -> pmod(x, p) = pmod(y, p)), v -> v)) as long)"))
+        .withColumn("est_bp",
+          idiv(greatest(col("nm") * 1250 * col("p") - 10000, lit(0L)),
+            col("p") - 1))
+        .select(col("b").cast("long").as("b"),
+          abs(col("est_bp") - col("exact_bp")).as("err"))
+      val full = pairs.select(lit(128L).as("b"),
+        abs(col("n_full") * 1250 - col("exact_bp")).as("err"))
+      perB.unionByName(full)
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("sum_err_bp"),
+          max(col("err")).as("max_err_bp"))
+        .withColumn("mean_err_bp", idiv(col("sum_err_bp"), col("n_pairs")))
+        .orderBy(col("b"))
+    }),
+
+    // One-step forecast backtest: per event type, the same evaluation
+    // days score the naive (yesterday's observed count) and the
+    // seasonal-naive (7 observed days back) forecasters by exact
+    // absolute error — the baseline table every capacity forecast must
+    // beat. Rows where either lag is missing are excluded from BOTH so
+    // the comparison is paired. Per-type windows over the bounded day
+    // spine; winner decided by integer SAE comparison.
+    "events_forecast_backtest" -> ((s, dir) => {
+      val daily = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("l1", lag(col("y"), 1).over(w))
+        .withColumn("l7", lag(col("y"), 7).over(w))
+        .where(col("l1").isNotNull && col("l7").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("y") - col("l1"))).as("sae_naive"),
+          sum(abs(col("y") - col("l7"))).as("sae_seasonal"))
+        .withColumn("winner",
+          when(col("sae_naive") < col("sae_seasonal"), "naive")
+            .when(col("sae_seasonal") < col("sae_naive"), "seasonal")
+            .otherwise("tie"))
+        .withColumn("mean_ae_naive_milli",
+          idiv(col("sae_naive") * 1000, col("n_eval")))
+        .withColumn("mean_ae_seasonal_milli",
+          idiv(col("sae_seasonal") * 1000, col("n_eval")))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "dedup_bbit_sweep" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct($toksSql)) AS tok
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc, s.range AS seed,
+         |    min(md5(CAST(s.range AS VARCHAR) || ':' || tok)) AS mh
+         |  FROM tok CROSS JOIN range(8) s GROUP BY doc, s.range),
+         |sv AS (SELECT doc, seed, mh,
+         |    CAST(concat('0x', substring(mh, 31, 2)) AS BIGINT) AS bv
+         |  FROM sigs),
+         |bands AS (
+         |  SELECT doc, CAST(seed // 4 AS INTEGER) AS band,
+         |    string_agg(mh, ',' ORDER BY seed) AS bandkey
+         |  FROM sigs GROUP BY doc, CAST(seed // 4 AS INTEGER)),
+         |occ AS (SELECT band, bandkey, count(*) AS m
+         |        FROM bands GROUP BY band, bandkey),
+         |keep AS (
+         |  SELECT b.doc, b.band, b.bandkey FROM bands b
+         |  JOIN occ USING (band, bandkey) WHERE occ.m <= 50),
+         |cand AS (
+         |  SELECT DISTINCT l.doc AS a, r.doc AS b
+         |  FROM keep l JOIN keep r ON l.band = r.band AND l.bandkey = r.bandkey
+         |  WHERE l.doc < r.doc),
+         |sizes AS (SELECT doc_id AS doc,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n FROM documents),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS itr
+         |  FROM cand c
+         |  JOIN tok ta ON ta.doc = c.a
+         |  JOIN tok tb ON tb.doc = c.b AND tb.tok = ta.tok
+         |  GROUP BY c.a, c.b),
+         |ex AS (
+         |  SELECT c.a, c.b,
+         |    CASE WHEN sa.n + sb.n - coalesce(inter.itr, 0) = 0
+         |         THEN CAST(10000 AS BIGINT)
+         |         ELSE CAST(coalesce(inter.itr, 0) * 10000
+         |           // (sa.n + sb.n - coalesce(inter.itr, 0)) AS BIGINT)
+         |    END AS exact_bp
+         |  FROM cand c
+         |  LEFT JOIN inter ON inter.a = c.a AND inter.b = c.b
+         |  JOIN sizes sa ON sa.doc = c.a
+         |  JOIN sizes sb ON sb.doc = c.b),
+         |bm AS (
+         |  SELECT e.a, e.b AS docb, e.exact_bp, bb.bits,
+         |    CAST(1 AS BIGINT) << bb.bits AS p,
+         |    CAST(sum(CASE WHEN va.bv % (CAST(1 AS BIGINT) << bb.bits)
+         |                     = vb.bv % (CAST(1 AS BIGINT) << bb.bits)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS nm
+         |  FROM ex e
+         |  JOIN sv va ON va.doc = e.a
+         |  JOIN sv vb ON vb.doc = e.b AND vb.seed = va.seed
+         |  CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS bits) bb
+         |  GROUP BY e.a, e.b, e.exact_bp, bb.bits),
+         |berr AS (
+         |  SELECT bits AS b, abs(greatest(nm * 1250 * p - 10000, 0) // (p - 1)
+         |    - exact_bp) AS err
+         |  FROM bm),
+         |fm AS (
+         |  SELECT e.a, e.b, e.exact_bp,
+         |    CAST(sum(CASE WHEN va.mh = vb.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nm
+         |  FROM ex e
+         |  JOIN sv va ON va.doc = e.a
+         |  JOIN sv vb ON vb.doc = e.b AND vb.seed = va.seed
+         |  GROUP BY e.a, e.b, e.exact_bp),
+         |ferr AS (SELECT 128 AS b, abs(nm * 1250 - exact_bp) AS err FROM fm),
+         |u AS (SELECT * FROM berr UNION ALL SELECT * FROM ferr)
+         |SELECT CAST(b AS BIGINT) AS b, count(*) AS n_pairs,
+         |  CAST(sum(err) AS BIGINT) AS sum_err_bp,
+         |  CAST(max(err) AS BIGINT) AS max_err_bp,
+         |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err_bp
+         |FROM u GROUP BY b ORDER BY b""".stripMargin,
+
+    "events_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY event_type, day),
+        |l AS (SELECT event_type, y,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        |  FROM daily),
+        |g AS (
+        |  SELECT event_type, count(*) AS n_eval,
+        |    CAST(sum(abs(y - l1)) AS BIGINT) AS sae_naive,
+        |    CAST(sum(abs(y - l7)) AS BIGINT) AS sae_seasonal
+        |  FROM l WHERE l1 IS NOT NULL AND l7 IS NOT NULL
+        |  GROUP BY event_type)
+        |SELECT event_type, n_eval, sae_naive, sae_seasonal,
+        |  CASE WHEN sae_naive < sae_seasonal THEN 'naive'
+        |       WHEN sae_seasonal < sae_naive THEN 'seasonal'
+        |       ELSE 'tie' END AS winner,
+        |  CAST(sae_naive * 1000 // n_eval AS BIGINT) AS mean_ae_naive_milli,
+        |  CAST(sae_seasonal * 1000 // n_eval AS BIGINT)
+        |    AS mean_ae_seasonal_milli
+        |FROM g ORDER BY event_type""".stripMargin
+  )
+}
