@@ -39,6 +39,9 @@ class PlanSpec extends AnyFunSuite {
     //    midpoint scalar broadcast under every event row (the
     //    q_scalar_subquery shape)
     "events_rfm", "etl_data_drift",
+    //  - events_psi_ingredients: the same 1-row corpus time-midpoint
+    //    scalar broadcast as etl_data_drift
+    "events_psi_ingredients",
     //  - sim_sq8_search: 1-row broadcast query codes vs every candidate's
     //    codes (the compact-code twin of sim_topk_brute's query vector)
     "sim_sq8_search",
