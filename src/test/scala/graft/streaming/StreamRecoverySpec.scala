@@ -88,6 +88,52 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(got == Set((1L, "a1", 11.0), (3L, "c", 3.0)))
   }
 
+  test("asofStream: PIT state survives a crash; replayed batch stays exactly-once") {
+    import spark.implicits._
+    val root = tempDir("recover-asof")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val outDir = s"$root/out"
+
+    def deliver(rows: Seq[PitEvent]): Unit =
+      rows.toDF().repartition(1).write.mode("append").parquet(inDir)
+    def start() = {
+      val in = spark.readStream
+        .schema(Seq.empty[PitEvent].toDF().schema).parquet(inDir)
+      StreamOps.asofStream(in, watermark = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", outDir).start()
+    }
+
+    // batch 0: two features + one label for user 1 — the 10 min
+    // watermark hasn't passed the label, so EVERYTHING is state
+    deliver(Seq(PitEvent(1L, ts(1), "feat", 101L, 10L),
+      PitEvent(1L, ts(3), "feat", 103L, 30L),
+      PitEvent(1L, ts(5), "label", 500L, 0L)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // crash injection: sink write landed, commit record didn't
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete() // local-FS checksum shadow
+    // batch 1 after restart: a later feature, a second label, and a
+    // far-future sentinel that pushes the watermark past both labels
+    deliver(Seq(PitEvent(1L, ts(7), "feat", 107L, 70L),
+      PitEvent(1L, ts(8), "label", 800L, 0L),
+      PitEvent(99L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"),
+        "feat", -1L, 0L)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(outDir)
+      .as[PitOut].collect().toSeq
+    // exactly-once: the replayed batch-0 output appears once
+    assert(out.size == out.distinct.size)
+    val byLabel = out.map(o => o.label_id -> o).toMap
+    assert(byLabel.keySet == Set(500L, 800L))
+    def sec(min: Int) = Math.floorDiv(ts(min).getTime, 1000L)
+    // label 500 (pre-crash) picks the PRE-CRASH feature recovered from
+    // the checkpointed state; label 800 picks the post-restart feature
+    assert(byLabel(500L) == PitOut(1L, 500L, sec(5), Some(sec(3)), Some(30L)))
+    assert(byLabel(800L) == PitOut(1L, 800L, sec(8), Some(sec(7)), Some(70L)))
+  }
+
   test("nearDedupStream file sink: replayed batch emits no duplicates, state survives restart") {
     import spark.implicits._
     val root = tempDir("recover-neardup")
