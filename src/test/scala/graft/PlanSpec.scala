@@ -167,6 +167,9 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_power_iteration: 1-row max-|component| scalar broadcast
     //    under each 64-row re-scaled vector (twice — one per step)
     "sim_power_iteration",
+    //  - sim_power_convergence: wraps the sim_power_iteration trace, so
+    //    it carries the same 1-row max-|component| scalar broadcasts
+    "sim_power_convergence",
     //  - q_bitmap_distinct: 1-row global-exact-distinct scalar broadcast
     //    under the 1-row merged-bitmap count (the census shape)
     "q_bitmap_distinct",
