@@ -102,6 +102,23 @@ object ScaleProbe {
         .agg(count_distinct(col("user_id")).as("n_users"))
         .count()
     }
+    // text_phrase_search's positional-postings adjacency join at mult×
+    // docs: both term posting lists grow ∝ mult, but adjacency requires
+    // doc_id equality, so the join fans out per document, never across
+    // documents — row count and runtime must stay ~linear in mult even
+    // with IDENTICAL replicated text (the hot-term worst case).
+    time("phrase_search") {
+      import graft.ops.{TextAnalysis => TA}
+      val tp = docs.select(col("doc_id"),
+        posexplode(TA.tokens(col("text"))).as(Seq("pos", "tok")))
+      val a = tp.where(col("tok") === "fast")
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = tp.where(col("tok") === "merge")
+        .select(col("doc_id").as("doc_b"), col("pos").as("pb"))
+      a.join(b, col("doc_b") === col("doc_id") && col("pb") === col("pa") + 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+        .count()
+    }
     // SimHash Hamming pairs under the identical-text worst case: every
     // replica shares ALL FOUR 16-bit band keys, so every band bucket is
     // maximally hot and the bucket cap (200) is what stands between this
