@@ -27,7 +27,7 @@ object SimMm {
     * edges come from ONE keyed aggregate over the directed edge set
     * (cosine is symmetric; both directions carry the same basis-point
     * value). Columns: src < dst, cos_bp. */
-  private def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
+  private[queries] def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
@@ -793,7 +793,7 @@ object SimMm {
   /** Mutual top-3 kNN pair CTE (oracle twin of [[mutualKnnEdges]]).
     * REFERENCES `miln` — place [[milliNormCte]] first. Yields `pairs`
     * (src < dst, cos_bp, n); mutual edges are the n = 2 rows. */
-  private lazy val knnPairsCte: String =
+  private[queries] lazy val knnPairsCte: String =
     s"""knn AS (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    ${cosBpSql(dotmSql("a.mq", "b.mq"), "a.nsq", "b.nsq")} AS cos_bp,

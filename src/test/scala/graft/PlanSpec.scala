@@ -49,6 +49,13 @@ class PlanSpec extends AnyFunSuite {
     //    scalar broadcast under a constant-size result (the
     //    q_scalar_subquery shape)
     "sim_recall_audit", "etl_key_skew",
+    //  - sim_ivf_probe_curve: the sim_recall_audit shape per sweep point
+    //    (1-row candidate-count scalar under the 1-row recall rollup)
+    "sim_ivf_probe_curve",
+    //  - sim_graph_search: the query-vector scoring pass is the
+    //    sim_topk_brute 1-row broadcast; each hop is a 1-row frontier
+    //    broadcast against the edge list
+    "sim_graph_search",
     //  - corpus_epoch_plan: 1-row corpus-total scalar broadcast under the
     //    8-row batch rollup
     "corpus_epoch_plan",
