@@ -42,6 +42,12 @@ class PlanSpec extends AnyFunSuite {
     //  - events_psi_ingredients: the same 1-row corpus time-midpoint
     //    scalar broadcast as etl_data_drift
     "events_psi_ingredients",
+    //  - events_markov_stationary: 1-row type-count scalar under the
+    //    ≤types-row uniform start (the q_scalar_subquery shape)
+    "events_markov_stationary",
+    //  - text_auto_stopwords: 1-row corpus-doc-count scalar under the
+    //    vocabulary-bounded df rollup (the q_scalar_subquery shape)
+    "text_auto_stopwords",
     //  - sim_sq8_search: 1-row broadcast query codes vs every candidate's
     //    codes (the compact-code twin of sim_topk_brute's query vector)
     "sim_sq8_search",
@@ -105,9 +111,10 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_recall_curve: the sim_recall_audit shape (1-row query vector
     //    vs all rows), three constant-size re-counts of one 10x10 join
     "sim_recall_curve",
-    //  - sim_pq_distortion: every vector vs the 16 broadcast codewords
-    //    (the sim_pq_encode assignment shape it audits)
-    "sim_pq_distortion",
+    //  - sim_pq_distortion / sim_pq_code_balance: every vector vs the 16
+    //    broadcast codewords (the sim_pq_encode assignment shape they
+    //    audit)
+    "sim_pq_distortion", "sim_pq_code_balance",
     //  - events_top_coverage: 1-row totals scalar broadcast under the
     //    4-row threshold rollup (the events_pareto shape)
     "events_top_coverage",
