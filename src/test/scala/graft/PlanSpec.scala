@@ -42,6 +42,9 @@ class PlanSpec extends AnyFunSuite {
     //  - events_psi_ingredients: the same 1-row corpus time-midpoint
     //    scalar broadcast as etl_data_drift
     "events_psi_ingredients",
+    //  - events_revenue_hhi: 1-row revenue-total scalar under the
+    //    per-user share frame (the events_rfm shape)
+    "events_revenue_hhi",
     //  - events_markov_stationary: 1-row type-count scalar under the
     //    ≤types-row uniform start (the q_scalar_subquery shape)
     "events_markov_stationary",
