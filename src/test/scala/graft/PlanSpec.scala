@@ -42,6 +42,13 @@ class PlanSpec extends AnyFunSuite {
     //  - events_psi_ingredients: the same 1-row corpus time-midpoint
     //    scalar broadcast as etl_data_drift
     "events_psi_ingredients",
+    //  - sim_rq_encode: every vector vs the 8 broadcast stage-1
+    //    codewords, every residual vs the 9 broadcast stage-2 codewords
+    //    (the sim_pq_encode assignment shape, twice)
+    "sim_rq_encode",
+    //  - events_value_tail: 1-row observed-max scalar under the per-event
+    //    threshold sweep (the events_rfm shape)
+    "events_value_tail",
     //  - events_revenue_hhi: 1-row revenue-total scalar under the
     //    per-user share frame (the events_rfm shape)
     "events_revenue_hhi",
