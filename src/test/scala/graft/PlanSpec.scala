@@ -52,6 +52,12 @@ class PlanSpec extends AnyFunSuite {
     //  - events_revenue_hhi: 1-row revenue-total scalar under the
     //    per-user share frame (the events_rfm shape)
     "events_revenue_hhi",
+    //  - events_hte_bands: the etl_data_drift 1-row corpus time-midpoint
+    //    scalar broadcast under the per-user rollup
+    "events_hte_bands",
+    //  - sim_ood_bands: every vector vs the 8 broadcast seed centroids
+    //    (the sim_ivf_cells assignment shape)
+    "sim_ood_bands",
     //  - events_markov_stationary: 1-row type-count scalar under the
     //    ≤types-row uniform start (the q_scalar_subquery shape)
     "events_markov_stationary",
