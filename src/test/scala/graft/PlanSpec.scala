@@ -52,6 +52,10 @@ class PlanSpec extends AnyFunSuite {
     //  - events_revenue_hhi: 1-row revenue-total scalar under the
     //    per-user share frame (the events_rfm shape)
     "events_revenue_hhi",
+    //  - etl_cascade_impact / events_haar_energy: 1-row × 1-row census
+    //    scalar crosses (the graph_modularity class) / 1-row min-day
+    //    scalar broadcast under the day-spine rollup
+    "etl_cascade_impact", "events_haar_energy",
     //  - events_hte_bands: the etl_data_drift 1-row corpus time-midpoint
     //    scalar broadcast under the per-user rollup
     "events_hte_bands",
