@@ -52,6 +52,10 @@ class PlanSpec extends AnyFunSuite {
     //  - events_revenue_hhi: 1-row revenue-total scalar under the
     //    per-user share frame (the events_rfm shape)
     "events_revenue_hhi",
+    //  - text_heaps_curve: 1-row max-doc-id scalar broadcast under the
+    //    per-token first-seen and per-decile rollups (the events_rfm
+    //    shape)
+    "text_heaps_curve",
     //  - etl_cascade_impact / events_haar_energy: 1-row × 1-row census
     //    scalar crosses (the graph_modularity class) / 1-row min-day
     //    scalar broadcast under the day-spine rollup
