@@ -31,6 +31,10 @@ object Round11w {
         .where(col("i") < 32)
         .groupBy(col("event_type"), col("i"))
         .agg(count(lit(1)).as("v"))
+        // ≤32 rows per type forever; every level and every energy rollup
+        // re-references it, so ONE checkpoint stops the events scan from
+        // replaying per branch (8 scans -> 0 in the final plan)
+        .localCheckpoint(true)
       def level(prev: DataFrame, l: Int): (DataFrame, DataFrame) = {
         // project the pair index and signed value FIRST so the grouping
         // alias can never shadow the input's `i` inside the aggregates
@@ -66,24 +70,34 @@ object Round11w {
     // beside etl_erasure_audit's per-day event view. Two keyed joins
     // (orders on custkey, lineitem through the doomed orders).
     "etl_cascade_impact" -> ((s, dir) => {
+      // each table pays EXACTLY ONE scan in the final plan: the doomed
+      // key frames are built once behind eager checkpoints, and each
+      // census rides its table's single scan as a left-join conditional
+      // count (never a second scan for the total)
       val doomedC = Tables.customer(s, dir)
         .where(col("c_custkey") % 97 === 0)
         .select(col("c_custkey")).localCheckpoint(true)
       val doomedO = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
         .join(doomedC, col("o_custkey") === col("c_custkey"), "left_semi")
-        .localCheckpoint(true)
-      val doomedL = Tables.lineitem(s, dir).select(col("l_orderkey"))
-        .join(doomedO, col("l_orderkey") === col("o_orderkey"), "left_semi")
-      // per-table (deleted, total) as 1-row × 1-row scalar crosses (the
-      // graph_modularity census class) — no driver-side counts
-      def row(tag: String, del: DataFrame, all: DataFrame) =
-        del.agg(count(lit(1)).as("n_deleted"))
-          .crossJoin(broadcast(all.agg(count(lit(1)).as("n_total"))))
-          .select(lit(tag).as("table"), col("n_deleted"), col("n_total"))
-      row("customer", doomedC, Tables.customer(s, dir))
-        .unionByName(row("orders", doomedO, Tables.orders(s, dir)))
-        .unionByName(row("lineitem", doomedL, Tables.lineitem(s, dir)))
+        .select(col("o_orderkey")).localCheckpoint(true)
+      val cRow = Tables.customer(s, dir)
+        .agg(count(lit(1)).as("n_total"),
+          sum((col("c_custkey") % 97 === 0).cast("long")).as("n_deleted"))
+        .select(lit("customer").as("table"), col("n_deleted"), col("n_total"))
+      val oRow = Tables.orders(s, dir).select(col("o_custkey"))
+        .join(broadcast(doomedC), col("o_custkey") === col("c_custkey"),
+          "left")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("c_custkey")).as("n_deleted"))
+        .select(lit("orders").as("table"), col("n_deleted"), col("n_total"))
+      val lRow = Tables.lineitem(s, dir).select(col("l_orderkey"))
+        .join(broadcast(doomedO), col("l_orderkey") === col("o_orderkey"),
+          "left")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("o_orderkey")).as("n_deleted"))
+        .select(lit("lineitem").as("table"), col("n_deleted"), col("n_total"))
+      cRow.unionByName(oRow).unionByName(lRow)
         .withColumn("share_bp", idiv(col("n_deleted") * 10000, col("n_total")))
         .orderBy(col("table"))
     })

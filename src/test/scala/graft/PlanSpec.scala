@@ -316,6 +316,8 @@ class PlanSpec extends AnyFunSuite {
                                  // read once per candidate (different
                                  // determinant keys ⇒ different shuffles;
                                  // a shared scan would buy nothing)
+      "etl_pk_audit" -> 7,       // seven tables, ONE scan each — the
+                                 // catalog cover sheet's audited minimum
       "etl_cdc_collapse" -> 5    // orders under 3 snapshot roles: c1 reads
                                  // prev+mid, c2 reads mid+curr, the
                                  // resurrect compare reads prev again — at
