@@ -102,6 +102,31 @@ object ScaleProbe {
         .agg(count_distinct(col("user_id")).as("n_users"))
         .count()
     }
+    // etl_pit_leakage's point-in-time feature join at mult× events with
+    // SALTED users (user_id·mult+rep — the realistic growth shape: more
+    // users, per-user activity constant): the user-keyed label×feature
+    // join fans out per user only, so cost must stay ~linear in mult.
+    // (Replicating events under IDENTICAL users would square per-user
+    // fan-out — that is a data property, not a plan property: PIT joins
+    // are user-keyed by definition.)
+    time("pit_leakage_salted") {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("user_id") * mult + col("rep")).as("user_id"),
+          (col("event_id") * mult + col("rep")).as("event_id"),
+          col("ts"), col("event_type"))
+        .localCheckpoint(true)
+      val labels = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("label_id"),
+          col("ts").cast("long").as("lt"))
+      val feats = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").cast("long").as("ft"))
+      labels.join(feats, Seq("user_id"), "left")
+        .groupBy(col("label_id"), col("lt"))
+        .agg(max(when(col("ft") <= col("lt"), col("ft"))).as("pit_ft"))
+        .count()
+    }
     // text_phrase_search's positional-postings adjacency join at mult×
     // docs: both term posting lists grow ∝ mult, but adjacency requires
     // doc_id equality, so the join fans out per document, never across
