@@ -72,15 +72,29 @@ object Sketch {
     * merge by adding the sums and min/max-ing the extremes, so 1000
     * executors combine per-group O(1) state without reshuffling rows.
     * ONE definition serves q_moment_sketch and momentSketchStream (the
-    * same groupBy becomes a stateful streaming aggregate). */
+    * same groupBy becomes a stateful streaming aggregate).
+    *
+    * OVERFLOW BOUND: the powers and sums accumulate in DECIMAL(38,0),
+    * never raw long arithmetic — q⁴ up to |q| ≈ 3·10⁹ and group sums up
+    * to 10³⁸ are exact, far past any cents-grain input. The emitted
+    * columns are cast back to LongType for the mergeable-vector
+    * contract; a sum whose exact value exceeds Long range comes back
+    * NULL (an honest overflow signal) instead of a silently wrapped
+    * long, so arbitrary streaming inputs cannot corrupt the vector. */
   def momentVector(grouped: org.apache.spark.sql.DataFrame, grpCol: String,
                    valCol: String): org.apache.spark.sql.DataFrame = {
     val q = col(valCol)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    // decimal→long CAST wraps in non-ANSI Spark, so the Long-range guard
+    // is explicit: out-of-range exact sums emit NULL
+    def longOrNull(c: Column): Column =
+      when(c.between(lit(Long.MinValue), lit(Long.MaxValue)), c.cast("long"))
     grouped.groupBy(col(grpCol))
-      .agg(count(lit(1)).as("n"), sum(q).as("s1"),
-        sum(q * q).as("s2"), sum(q * q * q).as("s3"),
-        sum(q * q * q * q).as("s4"),
-        min(q).as("q_min"), max(q).as("q_max"))
+      .agg(count(lit(1)).as("n"), longOrNull(sum(q)).as("s1"),
+        longOrNull(sum(q * q)).as("s2"),
+        longOrNull(sum(q * q * q)).as("s3"),
+        longOrNull(sum(q * q * q * q)).as("s4"),
+        min(col(valCol)).as("q_min"), max(col(valCol)).as("q_max"))
   }
 
   /** HyperLogLog registers over a keyed frame: 256 buckets from the

@@ -725,9 +725,12 @@ object StreamOps {
               st.labels ++ evs.collect { case e if e.kind == "label" =>
                 (Math.floorDiv(e.ts.getTime, 1000L), e.id) })
           }
-          // finalize labels the watermark has passed: their at-or-before
-          // feature set can no longer change
-          val (ready, pending) = st.labels.partition(_._1 <= wmSec)
+          // finalize only labels STRICTLY below the floored watermark:
+          // wmSec truncates wm_ms, so a feature with ts_ms > wm_ms (not
+          // engine-dropped late) can still arrive with ft == wmSec; under
+          // lt < wmSec any such feature has ft >= wmSec > lt and cannot
+          // affect a finalized at-or-before pick
+          val (ready, pending) = st.labels.partition(_._1 < wmSec)
           val out = ready.sorted.map { case (lt, lid) =>
             val pick = st.feats.filter(_._1 <= lt) match {
               case Nil => None
@@ -735,18 +738,28 @@ object StreamOps {
             }
             PitOut(user, lid, lt, pick.map(_._1), pick.map(_._2))
           }
-          // compact: every pending/future label has lt > wmSec, so among
-          // features with ft ≤ wmSec only the dominant (ft, fv) can ever
-          // be picked again — keep it plus the in-horizon tail
-          val (older, newer) = st.feats.partition(_._1 <= wmSec)
+          // compact: every pending/future label has lt >= wmSec, so among
+          // features with ft < wmSec (same strict bound as finalization)
+          // only the dominant (ft, fv) can ever be picked again — keep it
+          // plus the in-horizon tail
+          val (older, newer) = st.feats.partition(_._1 < wmSec)
           val kept = if (older.isEmpty) newer else older.max :: newer
           if (pending.isEmpty && kept.isEmpty) {
             state.remove()
           } else {
             state.update(PitState(kept, pending))
-            if (pending.nonEmpty)
-              // strictly above the watermark by construction (lt > wmSec)
-              state.setTimeoutTimestamp(pending.map(_._1).min * 1000L + 999L)
+            // wake on the earliest pending label, or — when no labels are
+            // buffered but an in-horizon feature tail exists — on the
+            // earliest tail feature, so an inactive user's tail still
+            // compacts down to the single dominant row as the watermark
+            // advances (otherwise the group is never revisited)
+            val nextWake =
+              if (pending.nonEmpty) pending.map(_._1).min * 1000L + 999L
+              else if (newer.nonEmpty) newer.map(_._1).min * 1000L + 999L
+              else Long.MinValue
+            if (nextWake != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(nextWake, state.getCurrentWatermarkMs() + 1L))
           }
           out.iterator
       }

@@ -245,4 +245,24 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(merged == whole,
       "half + half moment vectors merge to the whole-set vector")
   }
+
+  test("momentVector overflow surfaces as NULL, never a wrapped long") {
+    // |q| = 10⁶ → q⁴ = 10²⁴ per row, far past Long.Max: raw long
+    // arithmetic would silently wrap (non-ANSI); the decimal-accumulated
+    // kernel must return NULL for the overflowed sums and exact values
+    // for everything that still fits
+    val rows = Seq(("big", 1000000L), ("big", 1000000L),
+      ("small", 3L), ("small", -2L))
+    val out = graft.ops.Sketch.momentVector(rows.toDF("g", "q"), "g", "q")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val big = out("big")
+    assert(big.getAs[Long]("n") == 2L && big.getAs[Long]("s1") == 2000000L)
+    assert(big.getAs[Long]("s2") == 2000000000000L, "Σq² exact (fits)")
+    assert(big.isNullAt(big.fieldIndex("s4")),
+      "Σq⁴ = 2·10²⁴ exceeds Long — must be NULL, not a wrapped value")
+    val small = out("small")
+    assert((small.getAs[Long]("s1"), small.getAs[Long]("s2"),
+      small.getAs[Long]("s3"), small.getAs[Long]("s4")) ==
+      ((1L, 13L, 19L, 97L)), "in-range vectors stay exact")
+  }
 }

@@ -565,6 +565,52 @@ class StreamOpsSpec extends AnyFunSuite {
       s"state rows $srows exceed user cardinality ${users + 1}")
   }
 
+  test("asofStream: a second-misaligned feature above the watermark is never missed; idle feature tails compact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    def feat(u: Long, ms: Long, id: Long, v: Long) =
+      graft.streaming.PitEvent(u, t(ms), "feat", id, v)
+    def label(u: Long, ms: Long, id: Long) =
+      graft.streaming.PitEvent(u, t(ms), "label", id, 0L)
+    val input = MemoryStream[graft.streaming.PitEvent]
+    val q = StreamOps.asofStream(input.toDF(), watermark = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pit_misalign").start()
+    // batch 1: a MID-SECOND label at lt = 25 (ts 25.400 s), a watermark
+    // driver to wm_ms = 25 900 (35.9 s − 10 s) so ⌊wm⌋ == the label
+    // second, and an idle user (50) buffering a 5 000-feature tail with
+    // no labels — the compaction fixture
+    input.addData((label(7, 25400L, 1L) +: feat(99, 35900L, -1L, 0L) +:
+      (0 until 5000).map(i => feat(50, i * 4L, -100L - i, i.toLong))): _*)
+    q.processAllAvailable()
+    val bytesAfterLoad = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.memoryUsedBytes).max
+    // batch 2: poke user 7 with an in-horizon feature (ft = 30 > lt,
+    // irrelevant to the pick) — the kernel must NOT finalize lt == ⌊wm⌋
+    input.addData(feat(7, 30000L, -2L, 7L))
+    q.processAllAvailable()
+    // batch 3: the dangerous row — ts 25.950 s > wm 25.900 s is NOT
+    // late, yet ft == 25 == lt: it must become the finalized pick
+    input.addData(feat(7, 25950L, -3L, 42L))
+    q.processAllAvailable()
+    val tailBytes = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.memoryUsedBytes).last
+    // batch 4: far-future sentinel finalizes everything
+    input.addData(feat(999999L, 1000000000L, -4L, 0L))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("pit_misalign")
+      .as[graft.streaming.PitOut].collect()
+    assert(out.toSeq == Seq(
+      graft.streaming.PitOut(7L, 1L, 25L, Some(25L), Some(42L))),
+      "the label must wait for the full second and pick the " +
+        "second-misaligned feature (pre-fix kernels emit feat = None)")
+    // the idle user's 5 000-feature tail compacted to the single
+    // dominant row via the event-time timeout — without any poke
+    assert(tailBytes.toDouble < bytesAfterLoad * 0.7,
+      s"idle tail state must shrink: $tailBytes B vs $bytesAfterLoad B")
+  }
+
   test("momentSketchStream equals the batch moment vector; 1 state row per group") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
