@@ -459,6 +459,24 @@ object ScaleProbe {
           (col("b") * mult + col("rep")).as("b"))
       graft.ops.Graph.coreNumbers(pairs, 3, 3).count()
     }
+    // Scale-adaptive IVF: cells = autoCells(n) ≈ √n, centroids trained
+    // on a constant-per-cell hash sample, full corpus assigned against
+    // the broadcast trained table. The probe prints the chosen cell
+    // count and the mean/max per-cell occupancy: occupancy must grow as
+    // ~√mult (the c + n/c balance point), NOT ∝ mult (what the fixed
+    // 8-cell build degrades to), and wall time stays scan-bound.
+    time("ivf_auto_build") {
+      val stats = graft.ops.Similarity
+        .ivfAutoStats(emb, "vec_id", "embedding")
+        .agg(max(col("n_cells")).as("cells"), count(lit(1)).as("occupied"),
+          avg(col("n")).as("mean_occ"), max(col("n")).as("max_occ"))
+        .collect().head
+      println(s"SCALE ivf_auto_detail cells=${stats.getAs[Long]("cells")} " +
+        s"occupied=${stats.getAs[Long]("occupied")} " +
+        f"mean_occ=${stats.getAs[Double]("mean_occ")}%.1f " +
+        s"max_occ=${stats.getAs[Long]("max_occ")}")
+      stats.getAs[Long]("occupied")
+    }
     spark.stop()
   }
 }

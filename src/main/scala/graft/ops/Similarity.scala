@@ -325,6 +325,68 @@ object Similarity {
       .localCheckpoint(true)
   }
 
+  /** Data-scaled IVF cell count: the smallest power-of-two c in
+    * [4, 4096] with c² ≥ n — the classic cells ≈ √n coarse-quantizer
+    * rule, in the same exact-integer form as [[autoPlanes]] (a floating
+    * √/log2 can land 1 ulp off an exact power and disagree with the SQL
+    * oracle's integer probe). A fixed cell count is a hard parallelism
+    * ceiling: at 100 TB each of 8 cells would hold n/8 vectors and
+    * every probe would scan them; c ≈ √n keeps BOTH the broadcast
+    * centroid table (c rows) and the per-cell candidate list (n/c rows)
+    * sub-linear, so probe work per query grows as √n instead of n. */
+  def autoCells(n: Long): Int = {
+    var c = 4
+    while (c < 4096 && c.toLong * c < n) c <<= 1
+    c
+  }
+
+  /** Scale-adaptive sampled-Lloyd IVF build — the "at 100 TB you train
+    * on a sample" discipline made real:
+    *
+    *  1. cells = [[autoCells]](n) — grows as √n;
+    *  2. the TRAIN SAMPLE is the `sampleFactor·cells` ids with the
+    *     smallest md5 (a deterministic hash sample, constant rows per
+    *     cell at any corpus size — the sample never scales with n);
+    *  3. round 0 assigns only the sample to the hash seeds (the first
+    *     `cells` of the same md5 order), one Lloyd mean upgrades them to
+    *     trained centroids — all training cost is sample-sized;
+    *  4. the FULL corpus is assigned once against the broadcast trained
+    *     centroids (a pure map stage: one scan, no shuffle of vectors).
+    *
+    * Returns per-cell occupancy of the full-corpus assignment plus the
+    * chosen cell count: (cell, n, min_id, c_norm_milli, n_cells). All
+    * arithmetic is the exact-integer milli-unit chain of
+    * [[ivfTrainStats]], so the build is bit-stable across engines. */
+  def ivfAutoStats(emb: DataFrame, idCol: String, vecCol: String,
+                   sampleFactor: Int = 8): DataFrame = {
+    val n = emb.count()
+    val cells = autoCells(n)
+    val quant = quantized(emb, idCol, vecCol)
+    val sampleIds = emb
+      .select(col(idCol).as("vid"), md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col("vid")).limit(cells * sampleFactor)
+      .select(col("vid"))
+    // the sample rides a broadcast semi-join — the corpus never shuffles
+    val sample = emb.join(
+      broadcast(sampleIds.withColumnRenamed("vid", idCol)), Seq(idCol),
+      "left_semi")
+    // round 0 on the sample only; its seeds (smallest `cells` by md5 of
+    // the sample) coincide with the corpus seeds because the sample IS
+    // the md5 prefix
+    val a0 = ivfAssign(sample, idCol, vecCol, cells)
+      .select(col(idCol).as("vid"), col("cell"))
+    // lloydCent's inner join on vid already restricts the mean to the
+    // sampled assignment — training reads sample-sized data only
+    val cent = lloydCent(quant, a0)
+    lloydAssign(quant, cent)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
+        floor(sqrt(max(col("dcc")).cast("double"))).cast("long")
+          .as("c_norm_milli"))
+      .withColumn("n_cells", lit(cells.toLong))
+      .orderBy(col("cell"))
+  }
+
   def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
                     cells: Int, iters: Int = 1): DataFrame = {
     require(iters >= 1, "ivfTrainStats: iters must be >= 1")

@@ -75,4 +75,27 @@ class SimEdgeSpec extends AnyFunSuite {
     assert(rows.nonEmpty) // executes and emits; exact bit math is
     // oracle-checked at sf0.01 — here the antipode must not tie the dup
   }
+
+  test("autoCells follows the power-of-two sqrt rule with the [4,4096] clamp") {
+    import graft.ops.Similarity.autoCells
+    assert(autoCells(1L) == 4 && autoCells(16L) == 4 && autoCells(17L) == 8)
+    assert(autoCells(500L) == 32, "the sf0.01 gate corpus trains 32 cells")
+    assert(autoCells(2000L) == 64 && autoCells(1L << 24) == 4096)
+    assert(autoCells(Long.MaxValue) == 4096, "hard ceiling holds")
+  }
+
+  test("sim_ivf_auto assigns the FULL corpus to sample-trained cells") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val n = emb.count()
+    val stats = SparkEntry.queries("sim_ivf_auto")(spark, TestSpark.sf)
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum == n,
+      "every corpus vector lands in exactly one trained cell")
+    val cells = graft.ops.Similarity.autoCells(n)
+    assert(stats.forall(_.getAs[Long]("n_cells") == cells.toLong))
+    assert(stats.length <= cells, "at most autoCells occupied")
+    // the train sample (8·cells by md5) is a strict subset here, so the
+    // sampled-Lloyd path is genuinely distinct from full-corpus training
+    assert(8L * cells < n, "fixture keeps the sample a strict subset")
+  }
 }
