@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{PitEvent, StreamOps}
+
+/** Volume stress for the stateful streaming operators — the streaming
+  * twin of ScaleProbe: drives asofStream / bitmapDistinctStream /
+  * bandJoinStream at `SPARK_GRAFT_SCALE_MULT`× the sf0.1 event volume
+  * and MEASURES throughput (rows/s) and the state-store footprint
+  * (max rows / bytes across progress events), so the bounded-state
+  * claims in SURVEY §5 are numbers, not prose.
+  *
+  * Growth shapes mirror the batch probes:
+  *  - asofStream: users are SALTED (more users, constant per-user
+  *    activity — the realistic firehose shape); total state grows with
+  *    live users but the PER-USER footprint must stay flat.
+  *  - bitmapDistinctStream: keys salted; the per-day bitmap is ≤width
+  *    bits NO MATTER the key volume — total state must stay FLAT.
+  *  - bandJoinStream: replicas are span-shifted (constant event density
+  *    per hour), so in-horizon state must stay FLAT while output pairs
+  *    grow ∝ mult.
+  */
+object StreamVolumeProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULT", "10").toInt
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val only = sys.env.getOrElse("SPARK_GRAFT_SCALE_CASES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def enabled(tag: String): Boolean = only.isEmpty || only(tag)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    def footprint(q: StreamingQuery): (Long, Long) = {
+      val sos = q.recentProgress.flatMap(_.stateOperators)
+      if (sos.isEmpty) (0L, 0L)
+      else (sos.map(_.numRowsTotal).max, sos.map(_.memoryUsedBytes).max)
+    }
+
+    // base events (ms-epoch longs on the driver; ~40k label/feat rows at
+    // sf0.1) — each case expands chunks lazily so only one expanded
+    // chunk is resident at a time
+    val base = graft.sources.Tables.events(spark, dir)
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"))
+      .as[(Long, Long, Long, String, Long)].collect().sortBy(_._3)
+    val spanMs = (base.last._3 - base.head._3) / 1000L + 1L
+    println(s"STREAMVOL mult=$mult base_rows=${base.length} span_ms=$spanMs")
+
+    // --- asofStream: salted users, time-chunked feed ------------------
+    if (enabled("asof")) {
+      val pit = base.filter(e => e._4 == "click" || e._4 == "purchase")
+      val input = MemoryStream[PitEvent]
+      val q = StreamOps.asofStream(input.toDF(), watermark = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("vol_pit").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      pit.grouped(pit.length / 16 + 1).foreach { chunk =>
+        val expanded = chunk.flatMap { case (id, u, us, et, cents) =>
+          (0 until mult).map { r =>
+            PitEvent(u * mult + r, new java.sql.Timestamp(us / 1000L),
+              if (et == "purchase") "label" else "feat", id * mult + r, cents)
+          }
+        }
+        fed += expanded.length
+        input.addData(expanded)
+        q.processAllAvailable()
+      }
+      input.addData(PitEvent(-1L,
+        new java.sql.Timestamp(base.last._3 / 1000L + 86400000L),
+        "feat", -1L, 0L))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      val outRows = spark.table("vol_pit").count()
+      q.stop()
+      val users = pit.map(_._2).distinct.length.toLong * mult
+      println(f"STREAMVOL asof rows=$fed out=$outRows $sec%.1f s " +
+        f"${fed / sec}%.0f rows/s state_rows=$srows state_bytes=$sbytes " +
+        f"bytes_per_user=${sbytes / math.max(users, 1L)}")
+    }
+
+    // --- bitmapDistinctStream: salted keys, rep-ordered feed ----------
+    if (enabled("bitmap")) {
+      val input = MemoryStream[(java.sql.Timestamp, Long)]
+      val q = StreamOps.bitmapDistinctStream(input.toDF().toDF("ts", "k"), "ts", "k")
+        .writeStream.outputMode("update").format("memory")
+        .queryName("vol_bmd").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      (0 until mult).foreach { r =>
+        val chunk = base.map { case (_, u, us, _, _) =>
+          (new java.sql.Timestamp(us / 1000L), u * mult + r)
+        }
+        fed += chunk.length
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      q.stop()
+      println(f"STREAMVOL bitmap rows=$fed $sec%.1f s ${fed / sec}%.0f rows/s " +
+        s"state_rows=$srows state_bytes=$sbytes")
+    }
+
+    // --- bandJoinStream: span-shifted replicas, rep-ordered feed ------
+    if (enabled("band")) {
+      val la = MemoryStream[(Long, java.sql.Timestamp)]
+      val lb = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val errs = base.filter(_._4 == "error")
+      val purch = base.filter(_._4 == "purchase")
+      val q = StreamOps.bandJoinStream(
+          la.toDF().toDF("event_id", "ts"),
+          lb.toDF().toDF("event_id", "user_id", "ts"), 600L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("vol_band").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      (0 until mult).foreach { r =>
+        val shift = r.toLong * spanMs
+        val ca = errs.map { case (id, _, us, _, _) =>
+          (id * mult + r, new java.sql.Timestamp(us / 1000L + shift)) }
+        val cb = purch.map { case (id, u, us, _, _) =>
+          (id * mult + r, u, new java.sql.Timestamp(us / 1000L + shift)) }
+        fed += ca.length + cb.length
+        la.addData(ca.toIndexedSeq); lb.addData(cb.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      val pairs = spark.table("vol_band").count()
+      q.stop()
+      println(f"STREAMVOL band rows=$fed pairs=$pairs $sec%.1f s " +
+        f"${fed / sec}%.0f rows/s state_rows=$srows state_bytes=$sbytes")
+    }
+    spark.stop()
+  }
+}
