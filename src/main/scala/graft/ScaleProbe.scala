@@ -110,22 +110,36 @@ object ScaleProbe {
     // fan-out — that is a data property, not a plan property: PIT joins
     // are user-keyed by definition.)
     time("pit_leakage_salted") {
+      // the REGISTERED kernel (as-of merge form) at salted-user growth
       val ev = graft.sources.Tables.events(spark, dir)
         .where(col("ts").isNotNull && col("user_id").isNotNull)
         .crossJoin(spark.range(mult).toDF("rep"))
         .select((col("user_id") * mult + col("rep")).as("user_id"),
           (col("event_id") * mult + col("rep")).as("event_id"),
-          col("ts"), col("event_type"))
+          col("ts"), col("event_type"), col("value"))
         .localCheckpoint(true)
-      val labels = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("label_id"),
-          col("ts").cast("long").as("lt"))
-      val feats = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").cast("long").as("ft"))
-      labels.join(feats, Seq("user_id"), "left")
-        .groupBy(col("label_id"), col("lt"))
-        .agg(max(when(col("ft") <= col("lt"), col("ft"))).as("pit_ft"))
-        .count()
+      graft.queries.Round11h.pitLeakage(ev)
+        .agg(sum(col("n_labels"))).collect().head.getLong(0)
+    }
+    // The whale case: ONE user with 10⁴ labels AND 10⁴ features on top
+    // of the base corpus — 10⁸ pair rows under a naive user-keyed
+    // label×feature join (one task owning hours at 100 TB). The as-of
+    // merge form streams the whale's 2·10⁴ rows through one partition's
+    // O(1)-state merge, so the case must stay SECONDS.
+    time("pit_whale") {
+      val base = graft.sources.Tables.events(spark, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      val whale = spark.range(20000).toDF("i").select(
+        lit(-42L).as("user_id"),
+        (col("i") + 10000000L).as("event_id"),
+        timestamp_seconds(lit(1700000000L) + col("i") * 60).as("ts"),
+        when(col("i") % 2 === 0, "click").otherwise("purchase")
+          .as("event_type"),
+        (col("i") % 97).cast("double").as("value"))
+      graft.queries.Round11h.pitLeakage(base.unionByName(whale))
+        .agg(sum(col("n_labels"))).collect().head.getLong(0)
     }
     // text_phrase_search's positional-postings adjacency join at mult×
     // docs: both term posting lists grow ∝ mult, but adjacency requires

@@ -65,36 +65,57 @@ object Round11h {
     // reads the future. Per label-day: labels, labels with any / with a
     // PIT-valid feature, leaky labels and the leak share — the audit
     // that says whether a training set built from a non-PIT join can be
-    // trusted. One user-keyed join, per-label conditional max — fan-out
-    // bounded by per-user activity, both engines pick ties identically
-    // (max over (ts, value) pairs).
-    "etl_pit_leakage" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .where(col("ts").isNotNull && col("user_id").isNotNull)
-      val labels = ev.where(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("label_id"),
-          col("ts").cast("long").as("lt"))
-      val feats = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").cast("long").as("ft"),
-          round(col("value") * 100).cast("long").as("fv"))
-      labels.join(feats, Seq("user_id"), "left")
-        .groupBy(col("label_id"), col("lt"))
-        .agg(max(when(col("ft") <= col("lt"),
-            struct(col("ft"), col("fv")))).as("pit"),
-          max(struct(col("ft"), col("fv"))).as("latest"))
-        .select(col("lt"),
-          col("latest").isNotNull.cast("long").as("has_feat"),
-          col("pit").isNotNull.cast("long").as("has_pit"),
-          (col("latest").isNotNull &&
-            col("latest.ft") > col("lt")).cast("long").as("leaky"))
-        .groupBy(idiv(col("lt"), lit(86400L)).as("day"))
-        .agg(count(lit(1)).as("n_labels"), sum(col("has_feat")).as("n_feat"),
-          sum(col("has_pit")).as("n_pit"), sum(col("leaky")).as("n_leaky"))
-        .withColumn("leak_bp",
-          idiv(col("n_leaky") * 10000, col("n_labels")))
-        .orderBy(col("day"))
-    })
+    // trusted. Whale-proof by construction (see [[pitLeakage]]): the
+    // deg_labels·deg_feats join is gone.
+    "etl_pit_leakage" -> ((s, dir) =>
+      pitLeakage(Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)))
   )
+
+  /** The PIT leakage kernel, WHALE-GUARDED: the naive form joins every
+    * label to every same-user feature (deg_l·deg_f pair rows — a single
+    * 10⁴-activity user owns a 10⁸-row task at 100 TB). This form never
+    * builds that product:
+    *
+    *  1. features compact to one row per (user, second) — a map-side-
+    *     combinable rollup (same-ts duplicates keep the max value,
+    *     exactly the old conditional-max tiebreak);
+    *  2. the PIT pick rides the NATIVE as-of join
+    *     (plans/AsOfJoinPlan): one sort per side, O(1)-state merge per
+    *     partition — a whale's rows STREAM through the merge instead of
+    *     cross-multiplying;
+    *  3. the naive "latest" pick is a one-row-per-user rollup joined
+    *     back 1:1.
+    *
+    * Per-user work is now O(activity log activity) (the sort), never
+    * O(activity²); ScaleProbe's `pit_whale` case pins a 10⁴×10⁴ whale
+    * at seconds. Output (and the DuckDB oracle) are unchanged — the
+    * rewrite is exact. */
+  def pitLeakage(ev: DataFrame): DataFrame = {
+    val labels = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"),
+        col("ts").cast("long").as("lt"))
+    val featAgg = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("f_user"), col("ts").cast("long").as("ft"),
+        round(col("value") * 100).cast("long").as("fv"))
+      .groupBy(col("f_user"), col("ft")).agg(max(col("fv")).as("fv"))
+    val latest = featAgg.groupBy(col("f_user").as("l_user"))
+      .agg(max(struct(col("ft"), col("fv"))).as("latest"))
+    graft.plans.AsOf.joinBackward(labels, featAgg,
+        "user_id", "f_user", "lt", "ft")
+      .join(latest, col("user_id") === col("l_user"), "left")
+      .select(col("lt"),
+        col("latest").isNotNull.cast("long").as("has_feat"),
+        col("ft").isNotNull.cast("long").as("has_pit"),
+        (col("latest").isNotNull &&
+          col("latest.ft") > col("lt")).cast("long").as("leaky"))
+      .groupBy(idiv(col("lt"), lit(86400L)).as("day"))
+      .agg(count(lit(1)).as("n_labels"), sum(col("has_feat")).as("n_feat"),
+        sum(col("has_pit")).as("n_pit"), sum(col("leaky")).as("n_leaky"))
+      .withColumn("leak_bp",
+        idiv(col("n_leaky") * 10000, col("n_labels")))
+      .orderBy(col("day"))
+  }
 
   val oracle: Map[String, String] = Map(
 

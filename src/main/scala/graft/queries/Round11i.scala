@@ -60,21 +60,23 @@ object Round11i {
     // feature at label time, the serving-freshness distribution a
     // feature store publishes beside etl_pit_leakage's correctness
     // number: per staleness band (≤1 m / ≤1 h / ≤1 d / older / missing)
-    // the label count, share, and exact min/max staleness. Same bounded
-    // user-keyed join as the leakage audit; the PIT pick is one
-    // conditional max per label.
+    // the label count, share, and exact min/max staleness. The PIT pick
+    // rides the NATIVE as-of merge over per-(user, second) deduped
+    // feature times — whale-proof like etl_pit_leakage (no
+    // deg_labels·deg_feats product anywhere; a hot user streams through
+    // one partition's O(1)-state merge).
     "etl_feature_staleness" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .where(col("ts").isNotNull && col("user_id").isNotNull)
       val labels = ev.where(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("label_id"),
           col("ts").cast("long").as("lt"))
-      val feats = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts").cast("long").as("ft"))
-      val st = labels.join(feats, Seq("user_id"), "left")
-        .groupBy(col("label_id"), col("lt"))
-        .agg(max(when(col("ft") <= col("lt"), col("ft"))).as("pit_ft"))
-        .select((col("lt") - col("pit_ft")).as("stale_s"))
+      val featTimes = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("f_user"), col("ts").cast("long").as("ft"))
+        .distinct()
+      val st = graft.plans.AsOf.joinBackward(labels, featTimes,
+          "user_id", "f_user", "lt", "ft")
+        .select((col("lt") - col("ft")).as("stale_s"))
         .withColumn("band",
           when(col("stale_s").isNull, "4_missing")
             .when(col("stale_s") <= 60L, "0_1m")
