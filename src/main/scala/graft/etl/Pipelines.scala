@@ -59,4 +59,97 @@ object Pipelines {
         KeyedParquetSink.read(s, targetPath)
       })))
   }
+
+  /** End-to-end corpus-rewrite report: what the dedup dropped, what the
+    * batched load wrote, what the compaction pass reclaimed. */
+  final case class CorpusRewriteReport(
+      rowsIn: Long, rowsKept: Long, dupsDropped: Long,
+      filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long, bytesAfter: Long, partitionsCompacted: Int)
+
+  /** The end-to-end LLM-corpus production job — the §2.9 pieces composed
+    * into ONE pipeline (the reference's whole job is extract → clean →
+    * upsert; this is that composition at the corpus grain):
+    *
+    *  1. DEDUP — near-dup clusters from the shingle pair index at
+    *     t = 0.5 (transitive closure via min-label rounds), keeper =
+    *     LONGEST member (ties → min id; the `dedup_keeper_strategies`
+    *     policy that keeps the most complete copy for training);
+    *  2. LAYOUT KEY — a 32-bit Z-order key interleaving clamped doc
+    *     length with a source-hash lane ([[graft.ops.Layout.mortonKey]]),
+    *     so per-file min/max prune BOTH length-band and source scans;
+    *  3. BATCHED LOAD — the kept corpus appends in `loadBatches`
+    *     key-disjoint batches through [[KeyedParquetSink.append]] (the
+    *     reference pages 100k rows per batch, etlService.js:446-449 —
+    *     same shape, Spark owns the paging), accreting ≥1 file per
+    *     bucket per batch;
+    *  4. MAINTENANCE — [[graft.sinks.Compaction.compact]] with
+    *     sortCols = zk merges each bucket back to its byte target and
+    *     pays for the Z-order clustering while the data is moving
+    *     anyway.
+    *
+    * Idempotent by construction: keepers of distinct clusters are never
+    * near-dups of each other (the closure is exhaustive at t), so
+    * re-running over the rewritten corpus drops 0 rows — the spec pins
+    * that, plus set-identity modulo dropped dups and per-file zk
+    * sortedness. */
+  def corpusRewrite(spark: SparkSession, docs: DataFrame, targetPath: String,
+                    numBuckets: Int = 16, loadBatches: Int = 4,
+                    targetBytes: Long = 256L * 1024): CorpusRewriteReport = {
+    import graft.ops.{Dedup, Layout}
+    val rowsIn = docs.count()
+    // 1. near-dup clusters → longest-keeper policy
+    val pairs = Dedup.pairIndex(docs, "doc_id", "text", 3, 0.5)
+    val labels = Dedup.minLabelClusters(pairs, 3)
+    val members = labels.join(
+      docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    val keepers = members.groupBy(col("label"))
+      .agg(max(struct((col("n_chars") * 10000000L - col("id")).as("k"),
+        col("id").as("kid"))).as("p"))
+      .select(col("p.kid").as("id"))
+    val drops = labels.select(col("id"))
+      .join(keepers, Seq("id"), "left_anti")
+      .withColumnRenamed("id", "doc_id")
+      .localCheckpoint(true)
+    val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+    // 2. Z-order layout key: (clamped length) × (source-hash lane)
+    val keptZk = kept.withColumn("zk", Layout.mortonKey(
+      least(col("n_chars"), lit(65535L)),
+      pmod(crc32(coalesce(col("source"), lit(""))), lit(256L))))
+    // 3. batched keyed load (key-disjoint slices → append accretes files)
+    (0 until loadBatches).foreach { b =>
+      KeyedParquetSink.append(
+        keptZk.where(pmod(col("doc_id"), lit(loadBatches)) === b),
+        targetPath, Seq("doc_id"), numBuckets)
+    }
+    val before = graft.sinks.Compaction.partitionStats(spark, targetPath)
+    // 4. compaction = the Z-order layout rewrite
+    val plans = graft.sinks.Compaction.compact(spark, targetPath,
+      targetBytes, sortCols = Seq("zk"))
+    val after = graft.sinks.Compaction.partitionStats(spark, targetPath)
+    val rowsKept = KeyedParquetSink.read(spark, targetPath).count()
+    CorpusRewriteReport(rowsIn, rowsKept, rowsIn - rowsKept,
+      before.map(_.nFiles.toLong).sum, before.map(_.bytes).sum,
+      after.map(_.nFiles.toLong).sum, after.map(_.bytes).sum, plans.size)
+  }
+
+  /** Layout audit over a written corpus table: one row per data file —
+    * rows, zk min/max, and the count of ORDER INVERSIONS of zk in file
+    * order (0 = the file is clustered; parquet row-group min/max stats
+    * are then tight and skippable). File order comes from
+    * monotonically_increasing_id over single-split reads — exact at
+    * maintenance-window file sizes; a petabyte audit would read
+    * row-group footers instead of rows. */
+  def layoutAudit(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("f")).orderBy(col("rid"))
+    spark.read.parquet(path)
+      .select(col("zk"), input_file_name().as("f"),
+        monotonically_increasing_id().as("rid"))
+      .withColumn("prev", lag(col("zk"), 1).over(w))
+      .groupBy(col("f"))
+      .agg(count(lit(1)).as("rows"), min(col("zk")).as("zk_min"),
+        max(col("zk")).as("zk_max"),
+        sum((col("prev") > col("zk")).cast("long")).as("inversions"))
+  }
 }

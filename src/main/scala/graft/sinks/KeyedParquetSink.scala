@@ -55,6 +55,18 @@ object KeyedParquetSink {
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
 
+  /** Append a batch into the keyed layout (streaming-append / batched-
+    * load shape): rows land in their key buckets WITHOUT touching
+    * existing files, so each batch adds ≥1 file per touched bucket —
+    * the small-file accretion [[Compaction]] exists to clean up. Use
+    * [[upsert]] when keys may repeat across batches; append trusts the
+    * caller's batches to be key-disjoint. */
+  def append(df: DataFrame, path: String, keys: Seq[String],
+             numBuckets: Int): Unit =
+    withBucket(df, keys, numBuckets)
+      .repartition(col(BucketCol))
+      .write.partitionBy(BucketCol).mode("append").parquet(path)
+
   /** Read the table back (bucket column dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
