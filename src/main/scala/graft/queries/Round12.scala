@@ -24,7 +24,36 @@ object Round12 {
     // path is genuinely exercised (sample ⊂ corpus).
     "sim_ivf_auto" -> ((s, dir) =>
       Similarity.ivfAutoStats(Tables.embeddings(s, dir),
-        "vec_id", "embedding"))
+        "vec_id", "embedding")),
+
+    // HLL register vector via the NATIVE TypedImperativeAggregate
+    // (functions/SketchAggregates): the buffer IS the 256-byte sketch,
+    // merged element-wise max — no explode, one ObjectHashAggregate
+    // partial/final pair, shuffle rows = partitions. Emitted rows are
+    // bit-equal to the composed Sketch.hllRegisters kernel (spec-pinned)
+    // so the oracle is the same register SQL.
+    "q_hll_native" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .agg(graft.functions.SketchAggregates
+          .hllRegistersAgg(col("user_id")).as("regs"))
+        .select(posexplode(col("regs")).as(Seq("bucket", "m")))
+        .where(col("m") > 0)
+        .select(col("bucket").cast("long").as("bucket"), col("m"))
+        .orderBy(col("bucket"))),
+
+    // CMS 4×1024 counter grid via the native aggregate: buffer = the
+    // 4096-cell long array, merged element-wise add. The composed
+    // explode form scans ×4 and shuffles up to cells × partitions rows;
+    // this shuffles ONE buffer per partition.
+    "q_cms_native" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .agg(graft.functions.SketchAggregates
+          .cmsSketchAgg(col("user_id")).as("cells"))
+        .select(posexplode(col("cells")).as(Seq("i", "cnt")))
+        .where(col("cnt") > 0)
+        .select(idiv(col("i").cast("long"), lit(1024L)).as("r"),
+          pmod(col("i").cast("long"), lit(1024L)).as("bucket"), col("cnt"))
+        .orderBy(col("r"), col("bucket")))
   )
 
   import SimMm.{milliNormCte, cosBpSql, dotmSql}
@@ -81,6 +110,29 @@ object Round12 {
          |  CAST(floor(sqrt(CAST(k.dcc AS DOUBLE))) AS BIGINT) AS c_norm_milli,
          |  CAST(cc.c AS BIGINT) AS n_cells
          |FROM af f JOIN dcc k USING (cell), cellsc cc
-         |GROUP BY f.cell, k.dcc, cc.c ORDER BY f.cell""".stripMargin
+         |GROUP BY f.cell, k.dcc, cc.c ORDER BY f.cell""".stripMargin,
+
+    "q_hll_native" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |b AS (SELECT h % 256 AS bucket, h // 256 AS rem FROM h)
+        |SELECT bucket,
+        |  CAST(max(CASE WHEN rem = 0 THEN 25
+        |    ELSE 25 - length(bin(rem)) END) AS BIGINT) AS m
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_cms_native" ->
+      s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT CAST(range AS BIGINT) AS r FROM range(4)),
+         |h AS (
+         |  SELECT r,
+         |    ${graft.ops.Sketch.h3Sql(
+               "CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+         |      % 1024 AS bucket
+         |  FROM ev CROSS JOIN r)
+         |SELECT r, bucket, count(*) AS cnt FROM h
+         |GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
   )
 }
