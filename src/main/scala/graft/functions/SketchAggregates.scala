@@ -52,6 +52,14 @@ object SketchAggregates {
   def cmsSketchAgg(key: Column, depth: Int = 4, width: Int = 1024): Column =
     Bridge.column(CmsSketchAgg(Bridge.expression(key.cast("string")),
       depth, width).toAggregateExpression())
+
+  /** `bitmap_cells_agg(key)` → array<long> of the OCCUPIED cell indices
+    * (ascending) of the width-bit linear-counting bitmap — the native
+    * form of Sketch.bitmapCell + distinct: buffer = width/64 words,
+    * merge = bitwise OR (idempotent, so replays converge). */
+  def bitmapCellsAgg(key: Column, width: Int = 4096): Column =
+    Bridge.column(BitmapCellsAgg(Bridge.expression(key.cast("string")),
+      width).toAggregateExpression())
 }
 
 /** 256-register HLL buffer: one byte per bucket holding the max
@@ -162,4 +170,64 @@ case class CmsSketchAgg(
   override protected def withNewChildInternal(c: Expression): CmsSketchAgg =
     copy(child = c)
   override def prettyName: String = "cms_sketch_agg"
+}
+
+/** width-bit linear-counting bitmap: buffer = width/64 OR-merged words
+  * (512 B at width 4096 — the bounded-state distinct sketch); eval emits
+  * the ascending occupied-cell indices so the row form equals
+  * `SELECT DISTINCT h3(key) % width`. */
+case class BitmapCellsAgg(
+    child: Expression,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long]((width + 63) / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val c = (graft.ops.Sketch.h3Jvm(v.toString) % width.toLong).toInt
+      buf(c >> 6) |= 1L << (c & 63)
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = collection.mutable.ArrayBuffer.empty[Long]
+    var c = 0
+    while (c < width) {
+      if ((buf(c >> 6) & (1L << (c & 63))) != 0L) out += c.toLong
+      c += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    Array.fill(b.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): BitmapCellsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapCellsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BitmapCellsAgg =
+    copy(child = c)
+  override def prettyName: String = "bitmap_cells_agg"
 }

@@ -53,7 +53,100 @@ object Round12 {
         .where(col("cnt") > 0)
         .select(idiv(col("i").cast("long"), lit(1024L)).as("r"),
           pmod(col("i").cast("long"), lit(1024L)).as("bucket"), col("cnt"))
-        .orderBy(col("r"), col("bucket")))
+        .orderBy(col("r"), col("bucket"))),
+
+    // Linear-counting bitmap via the native aggregate: 512 B of OR-merged
+    // words, eval = the ascending occupied cells — the third member of
+    // the native sketch family (q_bitmap_distinct's per-day explode
+    // collapses to one buffer per partition).
+    "q_bitmap_native" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .agg(graft.functions.SketchAggregates
+          .bitmapCellsAgg(col("user_id")).as("cells"))
+        .select(explode(col("cells")).as("cell"))
+        .orderBy(col("cell"))),
+
+    // CUSUM drift detector over daily event volume — the classic
+    // sequential change monitor beside the Shewhart control chart:
+    // per day the deviation from the corpus mean and its running sum,
+    // entirely integer by ×D cross-multiplication (dev_xd = D·n − N, so
+    // no float mean ever materializes; a sustained shift shows as a
+    // cusum trend long before any single day breaches a 3σ fence). The
+    // running window orders the BOUNDED daily frame (≤ days rows),
+    // never the corpus.
+    "events_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir).where(col("ts").isNotNull)
+        .groupBy(idiv(col("ts").cast("long"), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val wRun = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("dd", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("n")).over(wAll))
+        .withColumn("dev_xd", col("n") * col("dd") - col("tot"))
+        .withColumn("cusum_xd", sum(col("dev_xd")).over(wRun))
+        .select(col("day"), col("n"), col("dev_xd"), col("cusum_xd"))
+        .orderBy(col("day"))
+    }),
+
+    // Multimodal resolution-band audit: the stub-decoded (width, height)
+    // metadata (ops/Multimodal.fakeDims — a real deployment swaps the
+    // codec in, the schema doesn't change) rolled into area bands with
+    // byte budgets and orientation counts — the resize/recode planning
+    // table an image pipeline reads before a training run. One scan,
+    // decode is a pure per-row expression.
+    "mm_resolution_bands" -> ((s, dir) => {
+      val (w, h) = graft.ops.Multimodal.fakeDims("text")
+      Tables.documents(s, dir)
+        .select(w.cast("long").as("w"), h.cast("long").as("h"),
+          graft.ops.Multimodal.payloadSize(col("text")).as("bytes"))
+        .withColumn("band", idiv(col("w") * col("h"), lit(8192L)))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("bytes"),
+          sum((col("w") > col("h")).cast("long")).as("n_wide"),
+          sum((col("w") < col("h")).cast("long")).as("n_tall"),
+          sum((col("w") === col("h")).cast("long")).as("n_square"),
+          min(col("w") * col("h")).as("area_min"),
+          max(col("w") * col("h")).as("area_max"))
+        .orderBy(col("band"))
+    }),
+
+    // BFS reachability layers from the min supplier over the capped
+    // co-part projection — the k-hop neighborhood profile (how fast the
+    // graph closes around a node). Each layer is one keyed join + anti
+    // semi-join against the checkpointed visited frame: per-round work
+    // is frontier-edge-bounded (cap 64 per part), the driver only loops
+    // the 3-round counter.
+    "graph_bfs_layers" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+        .distinct().localCheckpoint(true)
+      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+        .localCheckpoint(true)
+      val und = spc.select(col("pk"), col("sk").as("a"))
+        .join(spc.select(col("pk"), col("sk").as("b")), Seq("pk"))
+        .where(col("a") =!= col("b"))
+        .select(col("a"), col("b")).distinct().localCheckpoint(true)
+      val seed = spc.agg(min(col("sk")).as("node"))
+        .withColumn("layer", lit(0L)).localCheckpoint(true)
+      var visited = seed
+      var frontier = seed.select(col("node"))
+      for (l <- 1 to 3) {
+        frontier = und.join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+          .select(col("b").as("node")).distinct()
+          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.unionByName(
+          frontier.withColumn("layer", lit(l.toLong))).localCheckpoint(true)
+      }
+      visited.groupBy(col("layer"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy(col("layer"))
+    })
   )
 
   import SimMm.{milliNormCte, cosBpSql, dotmSql}
@@ -133,6 +226,69 @@ object Round12 {
          |      % 1024 AS bucket
          |  FROM ev CROSS JOIN r)
          |SELECT r, bucket, count(*) AS cnt FROM h
-         |GROUP BY r, bucket ORDER BY r, bucket""".stripMargin
+         |GROUP BY r, bucket ORDER BY r, bucket""".stripMargin,
+
+    "q_bitmap_native" ->
+      s"""SELECT DISTINCT CAST(
+         |    ${graft.ops.Sketch.h3Sql("CAST(user_id AS VARCHAR)")} % 4096
+         |  AS BIGINT) AS cell
+         |FROM events WHERE user_id IS NOT NULL
+         |ORDER BY cell""".stripMargin,
+
+    "events_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |t AS (SELECT count(*) AS dd, CAST(sum(n) AS BIGINT) AS tot FROM d)
+        |SELECT day, n, CAST(n * dd - tot AS BIGINT) AS dev_xd,
+        |  CAST(sum(n * dd - tot) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cusum_xd
+        |FROM d, t ORDER BY day""".stripMargin,
+
+    "mm_resolution_bands" ->
+      """WITH m AS (
+        |  SELECT CAST(strpos('0123456789abcdef', substring(md5(text), 1, 1))
+        |      * 16 AS BIGINT) AS w,
+        |    CAST(strpos('0123456789abcdef', substring(md5(text), 2, 1))
+        |      * 16 AS BIGINT) AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+        |  FROM documents)
+        |SELECT CAST(w * h // 8192 AS BIGINT) AS band, count(*) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  CAST(sum(CASE WHEN w > h THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
+        |  CAST(sum(CASE WHEN w < h THEN 1 ELSE 0 END) AS BIGINT) AS n_tall,
+        |  CAST(sum(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
+        |  min(w * h) AS area_min, max(w * h) AS area_max
+        |FROM m GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "graph_bfs_layers" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+        |            FROM lineitem),
+        |pdall AS (SELECT pk, count(*) AS pd FROM sp GROUP BY pk),
+        |spc AS (SELECT sp.sk, sp.pk FROM sp JOIN pdall USING (pk)
+        |        WHERE pd <= 64),
+        |edges AS (SELECT DISTINCT l.sk AS a, r.sk AS b
+        |          FROM spc l JOIN spc r ON l.pk = r.pk AND l.sk <> r.sk),
+        |v0 AS (SELECT min(sk) AS node, CAST(0 AS BIGINT) AS layer FROM spc),
+        |f1 AS (SELECT DISTINCT e.b AS node FROM edges e
+        |       JOIN v0 ON e.a = v0.node
+        |       WHERE e.b NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT node, layer FROM v0 UNION ALL
+        |       SELECT node, CAST(1 AS BIGINT) FROM f1),
+        |f2 AS (SELECT DISTINCT e.b AS node FROM edges e
+        |       JOIN f1 ON e.a = f1.node
+        |       WHERE e.b NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT node, layer FROM v1 UNION ALL
+        |       SELECT node, CAST(2 AS BIGINT) FROM f2),
+        |f3 AS (SELECT DISTINCT e.b AS node FROM edges e
+        |       JOIN f2 ON e.a = f2.node
+        |       WHERE e.b NOT IN (SELECT node FROM v2)),
+        |v3 AS (SELECT node, layer FROM v2 UNION ALL
+        |       SELECT node, CAST(3 AS BIGINT) FROM f3)
+        |SELECT layer, count(*) AS n_nodes, min(node) AS min_node,
+        |  max(node) AS max_node
+        |FROM v3 GROUP BY layer ORDER BY layer""".stripMargin
   )
 }
