@@ -303,10 +303,11 @@ object Similarity {
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
 
-  /** One Lloyd re-assignment step: integer-basis-point cosine argmax of
-    * every vector against the broadcast centroid arrays (cell tiebreak).
-    * Returns the checkpointed (vid, cell, dcc) frame. */
-  private def lloydAssign(quant: DataFrame, cent: DataFrame): DataFrame = {
+  /** Every (vector, trained-centroid) cosine ranked per vector — the
+    * shared core of Lloyd re-assignment (rn = 1) and multi-cell probing
+    * (rn ≤ nprobe) against TRAINED centroids. One broadcast of the
+    * ≤cells centroid arrays, pure map stage over the quantized frame. */
+  private def lloydRanked(quant: DataFrame, cent: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def ldot(a: Column, b: Column): Column =
       graft.functions.LongVectorFunctions.vecDotLong(a, b)
@@ -320,10 +321,16 @@ object Similarity {
       .withColumn("dxc", ldot(col("xq"), col("cvec")))
       .withColumn("cos_bp", cosBp(col("dxc"), col("dxx"), col("dcc")))
       .withColumn("rn", row_number().over(w))
+  }
+
+  /** One Lloyd re-assignment step: integer-basis-point cosine argmax of
+    * every vector against the broadcast centroid arrays (cell tiebreak).
+    * Returns the checkpointed (vid, cell, dcc) frame. */
+  private def lloydAssign(quant: DataFrame, cent: DataFrame): DataFrame =
+    lloydRanked(quant, cent)
       .where(col("rn") === 1)
       .select(col("vid"), col("cell"), col("dcc"))
       .localCheckpoint(true)
-  }
 
   /** Data-scaled IVF cell count: the smallest power-of-two c in
     * [4, 4096] with c² ≥ n — the classic cells ≈ √n coarse-quantizer
@@ -357,8 +364,10 @@ object Similarity {
     * chosen cell count: (cell, n, min_id, c_norm_milli, n_cells). All
     * arithmetic is the exact-integer milli-unit chain of
     * [[ivfTrainStats]], so the build is bit-stable across engines. */
-  def ivfAutoStats(emb: DataFrame, idCol: String, vecCol: String,
-                   sampleFactor: Int = 8): DataFrame = {
+  /** The shared sampled-Lloyd train: (checkpointed quantized corpus,
+    * trained centroid frame, chosen cell count). */
+  private def ivfAutoTrained(emb: DataFrame, idCol: String, vecCol: String,
+                             sampleFactor: Int): (DataFrame, DataFrame, Int) = {
     val n = emb.count()
     val cells = autoCells(n)
     val quant = quantized(emb, idCol, vecCol)
@@ -377,7 +386,12 @@ object Similarity {
       .select(col(idCol).as("vid"), col("cell"))
     // lloydCent's inner join on vid already restricts the mean to the
     // sampled assignment — training reads sample-sized data only
-    val cent = lloydCent(quant, a0)
+    (quant, lloydCent(quant, a0), cells)
+  }
+
+  def ivfAutoStats(emb: DataFrame, idCol: String, vecCol: String,
+                   sampleFactor: Int = 8): DataFrame = {
+    val (quant, cent, cells) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
     lloydAssign(quant, cent)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
@@ -385,6 +399,33 @@ object Similarity {
           .as("c_norm_milli"))
       .withColumn("n_cells", lit(cells.toLong))
       .orderBy(col("cell"))
+  }
+
+  /** Search through the scale-adaptive index: exact integer-bp cosine
+    * top-k among the vectors assigned to the query's `nprobe` closest
+    * TRAINED cells. Candidate work per query is O(nprobe · n/cells) =
+    * O(nprobe · √n) under the autoCells rule — the scale path the fixed
+    * 8-cell search (O(n/8)) lacks. Both the assignment and the query's
+    * probe ranks come from one broadcast-centroids map stage over the
+    * checkpointed quantized corpus. */
+  def ivfAutoSearch(emb: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int, nprobe: Int,
+                    sampleFactor: Int = 8): DataFrame = {
+    def ldot(a: Column, b: Column): Column =
+      graft.functions.LongVectorFunctions.vecDotLong(a, b)
+    val (quant, cent, _) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
+    val ranked = lloydRanked(quant, cent)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vid"), col("cell"), col("xq"), col("dxx"))
+    val qc = ranked.where(col("vid") === lit(queryId) && col("rn") <= nprobe)
+      .select(col("cell"), col("xq").as("qxq"), col("dxx").as("qdxx"))
+    assigned.join(broadcast(qc), Seq("cell"))
+      .where(col("vid") =!= lit(queryId))
+      .withColumn("q_cos_bp", cosBp(ldot(col("xq"), col("qxq")),
+        col("dxx"), col("qdxx")))
+      .select(col("vid").as(idCol), col("q_cos_bp").as("cos_bp"))
+      .orderBy(col("cos_bp").desc, col(idCol))
+      .limit(k)
   }
 
   def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,

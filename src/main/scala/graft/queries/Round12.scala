@@ -26,6 +26,14 @@ object Round12 {
       Similarity.ivfAutoStats(Tables.embeddings(s, dir),
         "vec_id", "embedding")),
 
+    // Search through the scale-adaptive index: exact integer-bp cosine
+    // top-10 among the vectors in the query's 2 closest TRAINED cells —
+    // candidate work O(nprobe*sqrt(n)) under the autoCells rule, the
+    // scale path the fixed-cell search lacks.
+    "sim_ivf_auto_search" -> ((s, dir) =>
+      Similarity.ivfAutoSearch(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10, 2)),
+
     // HLL register vector via the NATIVE TypedImperativeAggregate
     // (functions/SketchAggregates): the buffer IS the 256-byte sketch,
     // merged element-wise max — no explode, one ObjectHashAggregate
@@ -151,11 +159,12 @@ object Round12 {
 
   import SimMm.{milliNormCte, cosBpSql, dotmSql}
 
-  val oracle: Map[String, String] = Map(
-
-    "sim_ivf_auto" ->
-      s"""WITH $milliNormCte,
-         |nrow AS (SELECT count(*) AS n FROM embeddings),
+  /** Shared sampled-Lloyd-train CTE chain (REFERENCES `miln` — place
+    * milliNormCte first): data-scaled cell count, md5-prefix sample,
+    * round-0 seed assignment on the sample, one Lloyd mean, and the
+    * full-corpus argmax assignment `af` (+ dxx/dcc/dxc norm frames). */
+  private lazy val ivfAutoCtes: String =
+      s"""nrow AS (SELECT count(*) AS n FROM embeddings),
          |cellsc AS (
          |  SELECT coalesce(min(CAST(1 AS BIGINT) << p) FILTER (
          |      WHERE (CAST(1 AS BIGINT) << (2 * p)) >= n), 4096) AS c
@@ -198,12 +207,35 @@ object Round12 {
          |    SELECT x.vec_id, x.cell, row_number() OVER (PARTITION BY x.vec_id
          |      ORDER BY ${cosBpSql("x.dxc", "v.dxx", "k.dcc")} DESC, x.cell) AS rn
          |    FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)) t
-         |  WHERE rn = 1)
+         |  WHERE rn = 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "sim_ivf_auto" ->
+      s"""WITH $milliNormCte,
+         |$ivfAutoCtes
          |SELECT f.cell, count(*) AS n, min(f.vec_id) AS min_id,
          |  CAST(floor(sqrt(CAST(k.dcc AS DOUBLE))) AS BIGINT) AS c_norm_milli,
          |  CAST(cc.c AS BIGINT) AS n_cells
          |FROM af f JOIN dcc k USING (cell), cellsc cc
          |GROUP BY f.cell, k.dcc, cc.c ORDER BY f.cell""".stripMargin,
+
+    "sim_ivf_auto_search" ->
+      s"""WITH $milliNormCte,
+         |$ivfAutoCtes,
+         |qr AS (
+         |  SELECT x.cell, row_number() OVER (
+         |    ORDER BY ${cosBpSql("x.dxc", "v.dxx", "k.dcc")} DESC, x.cell) AS qrn
+         |  FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)
+         |  WHERE x.vec_id = 0),
+         |qcells AS (SELECT cell FROM qr WHERE qrn <= 2),
+         |cand AS (SELECT f.vec_id FROM af f JOIN qcells USING (cell)
+         |         WHERE f.vec_id <> 0),
+         |qv AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0)
+         |SELECT c.vec_id,
+         |  ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cos_bp
+         |FROM cand c JOIN miln m USING (vec_id), qv q
+         |ORDER BY cos_bp DESC, c.vec_id LIMIT 10""".stripMargin,
 
     "q_hll_native" ->
       """WITH h AS (
