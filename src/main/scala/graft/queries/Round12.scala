@@ -122,6 +122,30 @@ object Round12 {
         .orderBy(col("band"))
     }),
 
+    // The corpus-rewrite decision table, oracle-gated (the pipeline
+    // composition graft.etl.Pipelines.corpusRewrite executes it; this
+    // query makes the dedup-drop plan itself hash-checked): per near-dup
+    // cluster the member count, the LONGEST-keeper pick (ties -> min
+    // id) and the exact chars kept vs dropped. Clusters ride the
+    // build-once shared t = 0.5 pair index; one rollup over the member
+    // frame.
+    "corpus_rewrite_plan" -> ((s, dir) => {
+      val labels = graft.ops.Dedup.connectedComponents(
+        TextDedup.sharedPairs05(s, dir))
+      labels
+        .join(Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct((col("n_chars") * 10000000L - col("id")).as("k"),
+            col("id").as("kid"), col("n_chars").as("kchars"))).as("p"),
+          sum(col("n_chars")).as("chars_total"))
+        .select(col("label"), col("n_members"), col("p.kid").as("keeper_id"),
+          col("p.kchars").as("keeper_chars"),
+          (col("chars_total") - col("p.kchars")).as("chars_dropped"))
+        .orderBy(col("label"))
+    }),
+
     // BFS reachability layers from the min supplier over the capped
     // co-part projection — the k-hop neighborhood profile (how fast the
     // graph closes around a node). Each layer is one keyed join + anti
@@ -294,6 +318,43 @@ object Round12 {
         |  CAST(sum(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
         |  min(w * h) AS area_min, max(w * h) AS area_max
         |FROM m GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "corpus_rewrite_plan" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh0 AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t),
+         |dfreq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+         |sh AS (SELECT doc, sh0.s AS s FROM sh0 JOIN dfreq USING (s) WHERE df <= 50),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |inter AS (
+         |  SELECT l.doc AS a, r.doc AS b, count(*) AS inter
+         |  FROM sh l JOIN sh r ON l.s = r.s WHERE l.doc < r.doc GROUP BY l.doc, r.doc),
+         |pairs AS (
+         |  SELECT a, b FROM inter
+         |  JOIN sizes sa ON sa.doc = a JOIN sizes sb ON sb.doc = b
+         |  WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+         |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS id, least(a, min(b)) AS label FROM reach GROUP BY a),
+         |mem AS (SELECT l.label, l.id, d.n_chars
+         |        FROM labels l JOIN documents d ON d.doc_id = l.id),
+         |pick AS (SELECT label, id AS keeper_id, n_chars AS keeper_chars,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY n_chars DESC, id) AS rk
+         |  FROM mem),
+         |g AS (SELECT label, count(*) AS n_members,
+         |      CAST(sum(n_chars) AS BIGINT) AS chars_total
+         |      FROM mem GROUP BY label)
+         |SELECT g.label, g.n_members, k.keeper_id, k.keeper_chars,
+         |  CAST(g.chars_total - k.keeper_chars AS BIGINT) AS chars_dropped
+         |FROM g JOIN (SELECT label, keeper_id, keeper_chars FROM pick
+         |             WHERE rk = 1) k USING (label)
+         |ORDER BY g.label""".stripMargin,
 
     "graph_bfs_layers" ->
       """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
