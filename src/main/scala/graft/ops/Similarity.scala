@@ -414,7 +414,12 @@ object Similarity {
     def ldot(a: Column, b: Column): Column =
       graft.functions.LongVectorFunctions.vecDotLong(a, b)
     val (quant, cent, _) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
+    // ONE broadcast-centroids pass feeds both the corpus assignment and
+    // the query's probe ranks — materialized (n + cells rows survive the
+    // filter) so neither consumer replays the centroid cross
     val ranked = lloydRanked(quant, cent)
+      .where(col("rn") === 1 || col("vid") === lit(queryId))
+      .localCheckpoint(true)
     val assigned = ranked.where(col("rn") === 1)
       .select(col("vid"), col("cell"), col("xq"), col("dxx"))
     val qc = ranked.where(col("vid") === lit(queryId) && col("rn") <= nprobe)

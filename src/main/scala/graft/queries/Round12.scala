@@ -122,6 +122,77 @@ object Round12 {
         .orderBy(col("band"))
     }),
 
+    // Type-3 slowly-changing dimension build (current + previous value
+    // per key, the change-tracking sibling of etl_scd2's full history):
+    // per user the latest event type, the one before it, and the change
+    // timestamp — a rank-2 window filter that rides Spark 4's
+    // WindowGroupLimit pushdown, so no task ever holds a whole user's
+    // history beyond the top 2 rows.
+    "etl_scd3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("cur_type"),
+          max(when(col("rn") === 2, col("event_type"))).as("prev_type"),
+          max(when(col("rn") === 1,
+            graft.etl.Normalize.isoDateTimeOrNull(col("ts"))))
+            .as("changed_at"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Day-over-day retention from OR-mergeable bitmaps — the sketch
+    // composition the bounded-state family exists for: per adjacent day
+    // pair the exact retained users (the audit) beside the 4096-cell
+    // bitmap-intersection estimate, plus the structural sandwich flag
+    // (exact-user cells ≤ AND-cells ≤ min single-day cells — collisions
+    // only ever ADD cells). All joins are user/cell-keyed; per-day cell
+    // state is ≤4096 no matter the user volume.
+    "events_bitmap_retention" -> ((s, dir) => {
+      val du = Tables.events(s, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(idiv(col("ts").cast("long"), lit(86400L)).as("day"),
+          col("user_id"))
+        .distinct().localCheckpoint(true)
+      val dc = du.select(col("day"),
+          graft.ops.Sketch.bitmapCell(col("user_id"), 4096L).as("cell"))
+        .distinct().localCheckpoint(true)
+      val perDay = du.groupBy(col("day")).agg(count(lit(1)).as("n_users"))
+      val perDayCells = dc.groupBy(col("day")).agg(count(lit(1)).as("n_cells"))
+      // exact retained users: user-keyed self-join, day b = day a + 1
+      val retained = du.select(col("day").as("da"), col("user_id"))
+        .join(du.select((col("day") - 1).as("da"), col("user_id")), Seq("da", "user_id"))
+        .groupBy(col("da")).agg(count(lit(1)).as("retained_exact"))
+      // exact-intersection users' OWN cells (the lower bound of the AND)
+      val interUserCells = du.select(col("day").as("da"), col("user_id"))
+        .join(du.select((col("day") - 1).as("da"), col("user_id")), Seq("da", "user_id"))
+        .select(col("da"), graft.ops.Sketch.bitmapCell(col("user_id"), 4096L).as("cell"))
+        .distinct().groupBy(col("da")).agg(count(lit(1)).as("inter_user_cells"))
+      // bitmap AND = cell-keyed intersection of the two days' cell sets
+      val interCells = dc.select(col("day").as("da"), col("cell"))
+        .join(dc.select((col("day") - 1).as("da"), col("cell")), Seq("da", "cell"))
+        .groupBy(col("da")).agg(count(lit(1)).as("cells_inter"))
+      perDay.select(col("day").as("da"), col("n_users").as("n_a"))
+        .join(perDay.select((col("day") - 1).as("da"), col("n_users").as("n_b")), Seq("da"))
+        .join(perDayCells.select(col("day").as("da"), col("n_cells").as("cells_a")), Seq("da"))
+        .join(perDayCells.select((col("day") - 1).as("da"), col("n_cells").as("cells_b")), Seq("da"))
+        .join(retained, Seq("da"), "left")
+        .join(interCells, Seq("da"), "left")
+        .join(interUserCells, Seq("da"), "left")
+        .select(col("da").as("day"), col("n_a"), col("n_b"),
+          coalesce(col("retained_exact"), lit(0L)).as("retained_exact"),
+          col("cells_a"), col("cells_b"),
+          coalesce(col("cells_inter"), lit(0L)).as("cells_inter"),
+          (coalesce(col("cells_inter"), lit(0L))
+            .between(coalesce(col("inter_user_cells"), lit(0L)),
+              least(col("cells_a"), col("cells_b")))).cast("long").as("ok"))
+        .orderBy(col("day"))
+    }),
+
     // The corpus-rewrite decision table, oracle-gated (the pipeline
     // composition graft.etl.Pipelines.corpusRewrite executes it; this
     // query makes the dedup-drop plan itself hash-checked): per near-dup
@@ -318,6 +389,55 @@ object Round12 {
         |  CAST(sum(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
         |  min(w * h) AS area_min, max(w * h) AS area_max
         |FROM m GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "etl_scd3" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tss,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT user_id,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS cur_type,
+        |  max(CASE WHEN rn = 2 THEN event_type END) AS prev_type,
+        |  max(CASE WHEN rn = 1
+        |    THEN strftime(tss, '%Y-%m-%d %H:%M:%S') END) AS changed_at
+        |FROM e WHERE rn <= 2 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_bitmap_retention" ->
+      s"""WITH du AS (
+         |  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    user_id
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |dc AS (SELECT DISTINCT day,
+         |    ${graft.ops.Sketch.h3Sql("CAST(user_id AS VARCHAR)")} % 4096 AS cell
+         |  FROM du),
+         |pd AS (SELECT day, count(*) AS n FROM du GROUP BY day),
+         |pc AS (SELECT day, count(*) AS nc FROM dc GROUP BY day),
+         |ret AS (SELECT a.day AS da, count(*) AS retained FROM du a
+         |        JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1
+         |        GROUP BY a.day),
+         |iuc AS (SELECT da, count(*) AS inter_user_cells FROM (
+         |    SELECT DISTINCT a.day AS da,
+         |      ${graft.ops.Sketch.h3Sql("CAST(a.user_id AS VARCHAR)")} % 4096 AS cell
+         |    FROM du a JOIN du b ON b.user_id = a.user_id AND b.day = a.day + 1) z
+         |  GROUP BY da),
+         |ic AS (SELECT a.day AS da, count(*) AS cells_inter FROM dc a
+         |       JOIN dc b ON b.cell = a.cell AND b.day = a.day + 1
+         |       GROUP BY a.day)
+         |SELECT pa.day, pa.n AS n_a, pb.n AS n_b,
+         |  CAST(coalesce(ret.retained, 0) AS BIGINT) AS retained_exact,
+         |  pca.nc AS cells_a, pcb.nc AS cells_b,
+         |  CAST(coalesce(ic.cells_inter, 0) AS BIGINT) AS cells_inter,
+         |  CAST(CASE WHEN coalesce(ic.cells_inter, 0)
+         |      BETWEEN coalesce(iuc.inter_user_cells, 0)
+         |      AND least(pca.nc, pcb.nc) THEN 1 ELSE 0 END AS BIGINT) AS ok
+         |FROM pd pa JOIN pd pb ON pb.day = pa.day + 1
+         |JOIN pc pca ON pca.day = pa.day
+         |JOIN pc pcb ON pcb.day = pa.day + 1
+         |LEFT JOIN ret ON ret.da = pa.day
+         |LEFT JOIN ic ON ic.da = pa.day
+         |LEFT JOIN iuc ON iuc.da = pa.day
+         |ORDER BY pa.day""".stripMargin,
 
     "corpus_rewrite_plan" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
