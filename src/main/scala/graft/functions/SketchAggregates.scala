@@ -60,6 +60,14 @@ object SketchAggregates {
   def bitmapCellsAgg(key: Column, width: Int = 4096): Column =
     Bridge.column(BitmapCellsAgg(Bridge.expression(key.cast("string")),
       width).toAggregateExpression())
+
+  /** `kmv_agg(key, k)` → array<long> of the k SMALLEST distinct 32-bit
+    * md5-prefix hashes (ascending) — the KMV/Theta distinct sketch as a
+    * native aggregate: buffer = a ≤k sorted set, merge = k-smallest of
+    * the union (the sorted-run merge every Theta engine ships). */
+  def kmvAgg(key: Column, k: Int = 256): Column =
+    Bridge.column(KmvAgg(Bridge.expression(key.cast("string")), k)
+      .toAggregateExpression())
 }
 
 /** 256-register HLL buffer: one byte per bucket holding the max
@@ -230,4 +238,69 @@ case class BitmapCellsAgg(
   override protected def withNewChildInternal(c: Expression): BitmapCellsAgg =
     copy(child = c)
   override def prettyName: String = "bitmap_cells_agg"
+}
+
+/** KMV/Theta buffer: the ≤k smallest DISTINCT h8 hashes in a sorted
+  * set. Insert is O(log k) with an early reject against the current
+  * max; merge keeps the k smallest of the union — associative,
+  * commutative, idempotent (set semantics), so partials and replays
+  * both converge. */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) { buf.add(h); if (buf.size > k) buf.pollLast(); () }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, SketchAggregates.h8Jvm(v.toString))
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+                     b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buf.size)
+    val it = buf.iterator(); var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+  override def deserialize(b: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    while (bb.hasRemaining) s.add(bb.getLong)
+    s
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): KmvAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KmvAgg =
+    copy(child = c)
+  override def prettyName: String = "kmv_agg"
 }

@@ -74,6 +74,47 @@ object Round12 {
         .select(explode(col("cells")).as("cell"))
         .orderBy(col("cell"))),
 
+    // KMV/Theta distinct sketch via the native aggregate: buffer = the
+    // 256 smallest distinct h8 hashes in a sorted set (k-smallest-of-
+    // union merge — the sorted-run merge every Theta engine ships);
+    // the composed q_kmv_distinct path is distinct + TakeOrdered, this
+    // shuffles ONE <=256-entry buffer per partition.
+    "q_kmv_native" -> ((s, dir) =>
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .agg(graft.functions.SketchAggregates
+          .kmvAgg(col("user_id")).as("hs"))
+        .select(explode(col("hs")).as("h"))
+        .orderBy(col("h"))),
+
+    // Recall@10 of the scale-adaptive index vs exact cosine — the eval
+    // number that says what the sqrt(n) candidate bound costs: exact
+    // top-10 (one corpus scan vs the broadcast query vector) against
+    // ivfAutoSearch's nprobe = 2 picks; emits the sim_recall_audit
+    // shape (k_exact, n_ann, hits, recall_bp), all counts over
+    // checkpointed <=10-row frames.
+    "sim_ivf_auto_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(Similarity.milliQuant(col("embedding")).as("qmq"))
+        .withColumn("qnsq", Similarity.normSqMilli(col("qmq")))
+      val exact = emb.where(col("vec_id") =!= 0L)
+        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .crossJoin(broadcast(q))
+        .withColumn("cos_bp", Similarity.cosBp(
+          Similarity.dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+        .orderBy(col("cos_bp").desc, col("vec_id")).limit(10)
+        .select(col("vec_id")).localCheckpoint(true)
+      val ann = Similarity.ivfAutoSearch(emb, "vec_id", "embedding", 0L, 10, 2)
+        .select(col("vec_id")).localCheckpoint(true)
+      exact.agg(count(lit(1)).as("k_exact"))
+        .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
+        .crossJoin(broadcast(
+          exact.join(ann, Seq("vec_id")).agg(count(lit(1)).as("hits"))))
+        .withColumn("recall_bp", when(col("k_exact") === 0, lit(0L))
+          .otherwise(idiv(col("hits") * 10000, col("k_exact"))))
+    }),
+
     // CUSUM drift detector over daily event volume — the classic
     // sequential change monitor beside the Shewhart control chart:
     // per day the deviation from the corpus mean and its running sum,
@@ -128,6 +169,7 @@ object Round12 {
     // timestamp — a rank-2 window filter that rides Spark 4's
     // WindowGroupLimit pushdown, so no task ever holds a whole user's
     // history beyond the top 2 rows.
+
     "etl_scd3" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -389,6 +431,43 @@ object Round12 {
         |  CAST(sum(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
         |  min(w * h) AS area_min, max(w * h) AS area_max
         |FROM m GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q_kmv_native" ->
+      """SELECT h FROM (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL) z
+        |ORDER BY h LIMIT 256""".stripMargin,
+
+    "sim_ivf_auto_recall" ->
+      s"""WITH $milliNormCte,
+         |$ivfAutoCtes,
+         |qv AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT m.vec_id,
+         |      ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cb
+         |    FROM miln m, qv q WHERE m.vec_id <> 0) z
+         |  ORDER BY cb DESC, vec_id LIMIT 10),
+         |qr AS (
+         |  SELECT x.cell, row_number() OVER (
+         |    ORDER BY ${cosBpSql("x.dxc", "v.dxx", "k.dcc")} DESC, x.cell) AS qrn
+         |  FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)
+         |  WHERE x.vec_id = 0),
+         |qcells AS (SELECT cell FROM qr WHERE qrn <= 2),
+         |cand AS (SELECT f.vec_id FROM af f JOIN qcells USING (cell)
+         |         WHERE f.vec_id <> 0),
+         |ann AS (SELECT c.vec_id FROM cand c JOIN miln m USING (vec_id), qv q
+         |  ORDER BY ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} DESC,
+         |    c.vec_id LIMIT 10),
+         |a AS (SELECT
+         |  (SELECT count(*) FROM ex) AS k_exact,
+         |  (SELECT count(*) FROM ann) AS n_ann,
+         |  (SELECT count(*) FROM ex JOIN ann USING (vec_id)) AS hits)
+         |SELECT CAST(k_exact AS BIGINT) AS k_exact,
+         |  CAST(n_ann AS BIGINT) AS n_ann, CAST(hits AS BIGINT) AS hits,
+         |  CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(hits * 10000 // k_exact AS BIGINT) END AS recall_bp
+         |FROM a""".stripMargin,
 
     "etl_scd3" ->
       """WITH e AS (

@@ -29,6 +29,25 @@ class SketchAggregatesSpec extends AnyFunSuite {
     assert(native == composed, "cell grids must be identical")
   }
 
+  test("native KMV equals the composed distinct + k-smallest path; merge = k-smallest of union") {
+    val native = graft.SparkEntry.queries("q_kmv_native")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSeq
+    val composed = events
+      .select(expr("conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10)")
+        .cast("long").as("h"))
+      .distinct().orderBy(col("h")).limit(256)
+      .collect().map(_.getLong(0)).toSeq
+    assert(native == composed, "ascending k-smallest hash sets identical")
+    // split-merge identity: k smallest of (k smallest of each half)
+    def kmv(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(SketchAggregates.kmvAgg(col("user_id")).as("hs"))
+        .collect().head.getSeq[Long](0)
+    val (a, b) = (events.where(col("event_id") % 2 === 0),
+      events.where(col("event_id") % 2 =!= 0))
+    val merged = (kmv(a) ++ kmv(b)).distinct.sorted.take(256)
+    assert(merged == kmv(events), "KMV k-smallest-of-union merge identity")
+  }
+
   test("merge identity: split-aggregate buffers combine to the whole") {
     def regs(df: org.apache.spark.sql.DataFrame): Array[Long] =
       df.agg(SketchAggregates.hllRegistersAgg(col("user_id")).as("r"))
