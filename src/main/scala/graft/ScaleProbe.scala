@@ -473,6 +473,32 @@ object ScaleProbe {
           (col("b") * mult + col("rep")).as("b"))
       graft.ops.Graph.coreNumbers(pairs, 3, 3).count()
     }
+    // Bitmap day-over-day retention at salted-user growth: every join is
+    // user- or cell-keyed, the per-day cell frame is capped at 4096 rows
+    // no matter the user volume — wall must stay scan-bound while the
+    // exact-retention side grows with users.
+    time("bitmap_retention") {
+      val ev = graft.sources.Tables.events(spark, dir)
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("user_id") * mult + col("rep")).as("user_id"), col("ts"))
+        .localCheckpoint(true)
+      val du = ev
+        .select(expr("CAST(ts AS LONG) div 86400").as("day"), col("user_id"))
+        .distinct().localCheckpoint(true)
+      val dc = du.select(col("day"),
+          graft.ops.Sketch.bitmapCell(col("user_id"), 4096L).as("cell"))
+        .distinct()
+      val ret = du.select(col("day").as("da"), col("user_id"))
+        .join(du.select((col("day") - 1).as("da"), col("user_id")),
+          Seq("da", "user_id"))
+        .groupBy(col("da")).agg(count(lit(1)).as("retained"))
+      val cells = dc.select(col("day").as("da"), col("cell"))
+        .join(dc.select((col("day") - 1).as("da"), col("cell")), Seq("da", "cell"))
+        .groupBy(col("da")).agg(count(lit(1)).as("cells_inter"))
+      ret.join(cells, Seq("da")).agg(sum(col("retained"))).collect()
+        .head.getLong(0)
+    }
     // Scale-adaptive IVF: cells = autoCells(n) ≈ √n, centroids trained
     // on a constant-per-cell hash sample, full corpus assigned against
     // the broadcast trained table. The probe prints the chosen cell
