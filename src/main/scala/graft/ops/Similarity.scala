@@ -433,6 +433,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k vs nprobe sweep over the scale-adaptive index — the
+    * latency/recall dial priced for the autoCells build: ONE sampled
+    * train + ONE scoring scan (every vector's exact cosine to the
+    * query, checkpointed) feed every sweep point, so adding a probe
+    * point costs only ≤k-row joins. Emits
+    * (nprobe, k_exact, n_ann, hits, recall_bp) per point. */
+  def ivfAutoProbeCurve(emb: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, k: Int, probes: Seq[Int],
+                        sampleFactor: Int = 8): DataFrame = {
+    def ldot(a: Column, b: Column): Column =
+      graft.functions.LongVectorFunctions.vecDotLong(a, b)
+    val (quant, cent, _) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
+    val ranked = lloydRanked(quant, cent)
+      .where(col("rn") === 1 || col("vid") === lit(queryId))
+      .localCheckpoint(true)
+    val assigned = ranked.where(col("rn") === 1)
+      .select(col("vid"), col("cell"), col("xq"), col("dxx"))
+    val qRow = ranked.where(col("vid") === lit(queryId) && col("rn") === 1)
+      .select(col("xq").as("qxq"), col("dxx").as("qdxx"))
+    // every vector's exact query cosine, ONCE — the exact reference and
+    // every sweep point rank slices of this frame
+    val scored = assigned.crossJoin(broadcast(qRow))
+      .where(col("vid") =!= lit(queryId))
+      .withColumn("cos_bp", cosBp(ldot(col("xq"), col("qxq")),
+        col("dxx"), col("qdxx")))
+      .select(col("vid"), col("cell"), col("cos_bp"))
+      .localCheckpoint(true)
+    val exact = scored.orderBy(col("cos_bp").desc, col("vid")).limit(k)
+      .select(col("vid")).localCheckpoint(true)
+    val pts = probes.map { np =>
+      val qc = ranked
+        .where(col("vid") === lit(queryId) && col("rn") <= np)
+        .select(col("cell"))
+      val ann = scored.join(broadcast(qc), Seq("cell"))
+        .orderBy(col("cos_bp").desc, col("vid")).limit(k)
+        .select(col("vid").as("aid")).localCheckpoint(true)
+      exact.join(ann, col("vid") === col("aid"), "left")
+        .agg(count(lit(1)).as("k_exact"), count(col("aid")).as("hits"))
+        .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
+        .select(lit(np.toLong).as("nprobe"), col("k_exact"), col("n_ann"),
+          col("hits"),
+          expr("CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (hits * 10000) div k_exact END").as("recall_bp"))
+    }
+    pts.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
                     cells: Int, iters: Int = 1): DataFrame = {
     require(iters >= 1, "ivfTrainStats: iters must be >= 1")

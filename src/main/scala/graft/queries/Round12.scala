@@ -74,11 +74,21 @@ object Round12 {
         .select(explode(col("cells")).as("cell"))
         .orderBy(col("cell"))),
 
+    // Recall-vs-nprobe sweep over the scale-adaptive index: the
+    // latency/recall dial for the autoCells build (nprobe in {1,2,4,8}
+    // of ~32 trained cells at gate SF) — one sampled train + one
+    // scoring scan feed every sweep point; the spec pins the curve
+    // monotone non-decreasing.
+    "sim_ivf_auto_probe_curve" -> ((s, dir) =>
+      Similarity.ivfAutoProbeCurve(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10, Seq(1, 2, 4, 8))),
+
     // KMV/Theta distinct sketch via the native aggregate: buffer = the
     // 256 smallest distinct h8 hashes in a sorted set (k-smallest-of-
     // union merge — the sorted-run merge every Theta engine ships);
     // the composed q_kmv_distinct path is distinct + TakeOrdered, this
     // shuffles ONE <=256-entry buffer per partition.
+
     "q_kmv_native" -> ((s, dir) =>
       Tables.events(s, dir).where(col("user_id").isNotNull)
         .agg(graft.functions.SketchAggregates
@@ -431,6 +441,44 @@ object Round12 {
         |  CAST(sum(CASE WHEN w = h THEN 1 ELSE 0 END) AS BIGINT) AS n_square,
         |  min(w * h) AS area_min, max(w * h) AS area_max
         |FROM m GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "sim_ivf_auto_probe_curve" -> {
+      def pt(np: Int) =
+        s"""a$np AS (SELECT vec_id FROM (
+           |    SELECT m.vec_id,
+           |      ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cb
+           |    FROM af f JOIN (SELECT cell FROM qr WHERE qrn <= $np) qc
+           |      USING (cell)
+           |    JOIN miln m ON m.vec_id = f.vec_id, qv q
+           |    WHERE f.vec_id <> 0) z
+           |  ORDER BY cb DESC, vec_id LIMIT 10),
+           |r$np AS (SELECT $np AS nprobe,
+           |  (SELECT count(*) FROM ex) AS k_exact,
+           |  (SELECT count(*) FROM a$np) AS n_ann,
+           |  (SELECT count(*) FROM ex JOIN a$np USING (vec_id)) AS hits)""".stripMargin
+      s"""WITH $milliNormCte,
+         |$ivfAutoCtes,
+         |qv AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM (
+         |    SELECT m.vec_id,
+         |      ${cosBpSql(dotmSql("m.mq", "q.qmq"), "m.nsq", "q.qnsq")} AS cb
+         |    FROM miln m, qv q WHERE m.vec_id <> 0) z
+         |  ORDER BY cb DESC, vec_id LIMIT 10),
+         |qr AS (
+         |  SELECT x.cell, row_number() OVER (
+         |    ORDER BY ${cosBpSql("x.dxc", "v.dxx", "k.dcc")} DESC, x.cell) AS qrn
+         |  FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)
+         |  WHERE x.vec_id = 0),
+         |${Seq(1, 2, 4, 8).map(pt).mkString(",\n")},
+         |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+         |      UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+         |  CAST(k_exact AS BIGINT) AS k_exact, CAST(n_ann AS BIGINT) AS n_ann,
+         |  CAST(hits AS BIGINT) AS hits,
+         |  CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(hits * 10000 // k_exact AS BIGINT) END AS recall_bp
+         |FROM u ORDER BY nprobe""".stripMargin
+    },
 
     "q_kmv_native" ->
       """SELECT h FROM (

@@ -82,11 +82,11 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_ivf_probe_curve: the sim_recall_audit shape per sweep point
     //    (1-row candidate-count scalar under the 1-row recall rollup)
     "sim_ivf_probe_curve",
-    //  - sim_ivf_auto_recall: the sim_recall_audit shape against the
-    //    scale-adaptive index — 1-row broadcast query vector under the
-    //    exact top-10 scan, then 1-row count scalars crossed into the
-    //    single recall row
-    "sim_ivf_auto_recall",
+    //  - sim_ivf_auto_recall / sim_ivf_auto_probe_curve: the
+    //    sim_recall_audit shape against the scale-adaptive index —
+    //    1-row broadcast query vector under the exact scoring scan,
+    //    then 1-row count scalars crossed into each recall row
+    "sim_ivf_auto_recall", "sim_ivf_auto_probe_curve",
     //  - sim_graph_search: the query-vector scoring pass is the
     //    sim_topk_brute 1-row broadcast; each hop is a 1-row frontier
     //    broadcast against the edge list

@@ -84,6 +84,17 @@ class SimEdgeSpec extends AnyFunSuite {
     assert(autoCells(Long.MaxValue) == 4096, "hard ceiling holds")
   }
 
+  test("sim_ivf_auto_probe_curve: recall is monotone non-decreasing in nprobe") {
+    val pts = graft.SparkEntry.queries("sim_ivf_auto_probe_curve")(
+        spark, TestSpark.sf)
+      .collect().map(r => r.getAs[Long]("nprobe") -> r.getAs[Long]("recall_bp"))
+    assert(pts.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(pts.map(_._2).sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must not drop as probes widen: ${pts.toSeq}")
+    assert(pts.last._2 > pts.head._2 || pts.head._2 == 10000L,
+      "widening probes must buy recall on the gate corpus")
+  }
+
   test("sim_ivf_auto assigns the FULL corpus to sample-trained cells") {
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
     val n = emb.count()
