@@ -607,6 +607,19 @@ object StreamOps {
   def hllRegistersStream(events: DataFrame, keyCol: String): DataFrame =
     graft.ops.Sketch.hllRegisters(events, keyCol)
 
+  /** Continuous KMV/Theta distinct sketch — the streaming twin of the
+    * batch q_kmv_native: the SAME native TypedImperativeAggregate
+    * (functions/SketchAggregates.KmvAgg) as a stateful aggregate, so
+    * state is ONE ≤k-entry sorted buffer NO MATTER the stream volume
+    * and the streamed hash set equals the batch one by shared code.
+    * The k-smallest-of-union merge is idempotent set algebra, so
+    * at-least-once/replayed delivery converges — the same property the
+    * HLL register and bitmap twins lean on. Emits the ascending
+    * k-smallest hashes (complete mode). */
+  def kmvStream(events: DataFrame, keyCol: String, k: Int = 256): DataFrame =
+    events.where(col(keyCol).isNotNull)
+      .agg(graft.functions.SketchAggregates.kmvAgg(col(keyCol), k).as("hs"))
+
   /** Continuous moments sketch — the streaming twin of the batch
     * q_moment_sketch: the SAME Sketch.momentVector aggregate as a
     * stateful keyed agg, so state is ONE (n, Σq..Σq⁴, min, max) row per

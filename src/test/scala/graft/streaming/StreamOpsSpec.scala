@@ -611,6 +611,36 @@ class StreamOpsSpec extends AnyFunSuite {
       s"idle tail state must shrink: $tailBytes B vs $bytesAfterLoad B")
   }
 
+  test("kmvStream converges to the batch k-smallest hash set under replay; 1 state row") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect()
+    val input = MemoryStream[Ev]
+    val q = StreamOps.kmvStream(input.toDF(), "user_id")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kmv").start()
+    val chunks = evs.grouped(evs.length / 3 + 1).toSeq
+    // at-least-once delivery: chunk 1 replayed after chunk 2 — the
+    // k-smallest-of-union merge is idempotent, so the set converges
+    (chunks.take(2) ++ Seq(chunks.head) ++ chunks.drop(2)).foreach { c =>
+      input.addData(c.toIndexedSeq); q.processAllAvailable()
+    }
+    val streamed = spark.table("kmv").as[Seq[Long]].collect().last
+    val batch = graft.SparkEntry.queries("q_kmv_native")(spark, TestSpark.sf)
+      .collect().map(_.getLong(0)).toSeq
+    val (srows, sbytes) = stateFootprint(q)
+    q.stop()
+    assert(streamed == batch,
+      "streamed KMV hash set == batch native-aggregate set (shared kernel)")
+    assert(srows == 1L, s"one global sketch buffer, got $srows state rows")
+    assert(sbytes <= 64L * 1024,
+      s"<=256-entry buffer must stay KBs, measured $sbytes B")
+  }
+
   test("momentSketchStream equals the batch moment vector; 1 state row per group") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
