@@ -42,6 +42,10 @@ object Bench {
     catch { case _: Throwable => () }
     try graft.queries.TextDedup.warmSharedIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared trained IVF index — same amortization for the 4-member
+    // sim_ivf_auto* family (see SimIvf)
+    try graft.queries.SimIvf.warmSharedIndex(spark, sfDir)
+    catch { case _: Throwable => () }
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()

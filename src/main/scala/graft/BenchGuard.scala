@@ -124,6 +124,8 @@ object BenchCheck {
     catch { case _: Throwable => () }
     try graft.queries.TextDedup.warmSharedIndex(spark, dir)
     catch { case _: Throwable => () }
+    try graft.queries.SimIvf.warmSharedIndex(spark, dir)
+    catch { case _: Throwable => () }
 
     val run2 = names.map { q =>
       def timed(): Double = {

@@ -88,6 +88,54 @@ object StreamVolumeProbe {
         f"bytes_per_user=${sbytes / math.max(users, 1L)}")
     }
 
+    // --- asofStream + idleTtlSec: churning user base ------------------
+    // Each replica is a DISJOINT user cohort active for one span, then
+    // silent forever — the churn shape where the default (dominant
+    // feature row lives forever) grows state ∝ users EVER seen. With
+    // the TTL at one span, cohort r evicts while cohort r+2 streams:
+    // state must PLATEAU near two cohorts, with evictions surfaced as
+    // label_id = -1 sentinels (never silent).
+    if (enabled("asof_ttl")) {
+      val pit = base.filter(e => e._4 == "click" || e._4 == "purchase")
+      val ttlSec = spanMs / 1000L
+      val input = MemoryStream[PitEvent]
+      val q = StreamOps.asofStream(input.toDF(), watermark = "1 hour",
+          idleTtlSec = Some(ttlSec))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("vol_pit_ttl").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      var firstRows = 0L; var lastRows = 0L
+      (0 until mult).foreach { r =>
+        val shift = r.toLong * spanMs
+        pit.grouped(pit.length / 4 + 1).foreach { chunk =>
+          val cohort = chunk.map { case (id, u, us, et, cents) =>
+            PitEvent(u * mult + r,
+              new java.sql.Timestamp(us / 1000L + shift),
+              if (et == "purchase") "label" else "feat", id * mult + r, cents)
+          }
+          fed += cohort.length
+          input.addData(cohort)
+          q.processAllAvailable()
+        }
+        val rows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption.getOrElse(0L)
+        if (r == 0) firstRows = rows
+        lastRows = rows
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      val evicted = spark.table("vol_pit_ttl")
+        .where(col("label_id") === -1L).count()
+      val outRows = spark.table("vol_pit_ttl")
+        .where(col("label_id") =!= -1L).count()
+      q.stop()
+      println(f"STREAMVOL asof_ttl rows=$fed out=$outRows evicted=$evicted " +
+        f"$sec%.1f s ${fed / sec}%.0f rows/s state_rows_max=$srows " +
+        f"state_bytes_max=$sbytes state_rows_rep1=$firstRows " +
+        f"state_rows_repN=$lastRows")
+    }
+
     // --- bitmapDistinctStream: salted keys, rep-ordered feed ----------
     if (enabled("bitmap")) {
       val input = MemoryStream[(java.sql.Timestamp, Long)]
@@ -140,6 +188,100 @@ object StreamVolumeProbe {
       q.stop()
       println(f"STREAMVOL band rows=$fed pairs=$pairs $sec%.1f s " +
         f"${fed / sec}%.0f rows/s state_rows=$srows state_bytes=$sbytes")
+    }
+
+    // --- upsertSink: mult× bootstrap, then bucket-local increments -----
+    // The sink's footprint claim is BUCKET-driven write amplification:
+    // an incremental batch whose keys hash into ONE of 64 buckets reads
+    // and rewrites ~1/64 of the table, however big the table grows.
+    if (enabled("sink")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_volsink").toString
+      val nb = 64
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = StreamOps.upsertSink(
+        input.toDF().toDF("event_id", "user_id", "cents"),
+        s"$root/table", Seq("event_id"), nb, s"$root/ckpt")
+      // bootstrap: the full mult× corpus in one batch
+      val t0 = System.nanoTime()
+      var fed = 0L
+      (0 until mult).foreach { r =>
+        val chunk = base.map { case (id, u, _, _, c) =>
+          (id * mult + r, u, c) }
+        fed += chunk.length
+        input.addData(chunk.toIndexedSeq)
+      }
+      q.processAllAvailable()
+      val bootSec = (System.nanoTime() - t0) / 1e9
+      // bucket map for replica-0 ids through the sink's own hash
+      val octant = base.map(_._1).toSeq.toDF("event_id")
+        .withColumn("b", pmod(xxhash64(
+          concat_ws(" ", (col("event_id") * mult).cast("string"))),
+          lit(nb)).cast("int"))
+        .as[(Long, Int)].collect().toMap
+      // 4 increments, each re-keying ONE bucket's residents
+      val t1 = System.nanoTime()
+      var incRows = 0L
+      (0 until 4).foreach { b =>
+        val chunk = base.filter(e => octant(e._1) == b)
+          .map { case (id, u, _, _, c) => (id * mult, u, c + 1L) }
+        incRows += chunk.length
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val incSec = (System.nanoTime() - t1) / 1e9 / 4.0
+      q.stop()
+      val stats = graft.sinks.Compaction.partitionStats(spark, s"$root/table")
+      val tableRows = graft.sinks.KeyedParquetSink
+        .read(spark, s"$root/table").count()
+      println(f"STREAMVOL sink rows=$fed bootstrap=$bootSec%.1f s " +
+        f"incr_mean=$incSec%.2f s incr_rows=${incRows / 4} " +
+        f"table_rows=$tableRows files=${stats.map(_.nFiles.toLong).sum} " +
+        f"bytes=${stats.map(_.bytes).sum}")
+    }
+
+    // --- nearDedupStream: span-shifted doc replicas --------------------
+    // Bounded-state claim: live state ∝ band keys inside the eviction
+    // horizon (3600 s at ~1 doc/s ⇒ a few thousand keys), NOT document
+    // history — replica N must hold the same state as replica 1.
+    if (enabled("neardedup")) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val spanMs = docs.length.toLong * 1000L
+      val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val q = StreamOps.nearDedupStream(
+          input.toDF().toDF("doc_id", "ts", "text"),
+          "doc_id", "text", "ts")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("vol_ndup").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      var firstRows = 0L; var lastRows = 0L
+      (0 until mult).foreach { r =>
+        val shift = r.toLong * spanMs
+        docs.zipWithIndex.grouped(docs.length / 4 + 1).foreach { g =>
+          val chunk = g.map { case ((id, text), i) =>
+            (id * mult + r,
+              new java.sql.Timestamp(i.toLong * 1000L + shift), text)
+          }
+          fed += chunk.length
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        val rows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption.getOrElse(0L)
+        if (r == 0) firstRows = rows
+        lastRows = rows
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      val verdicts = spark.table("vol_ndup").count()
+      q.stop()
+      println(f"STREAMVOL neardedup rows=$fed verdicts=$verdicts $sec%.1f s " +
+        f"${fed / sec}%.0f rows/s state_rows_max=$srows " +
+        f"state_bytes_max=$sbytes state_rows_rep1=$firstRows " +
+        f"state_rows_repN=$lastRows")
     }
     spark.stop()
   }

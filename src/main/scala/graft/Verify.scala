@@ -29,7 +29,10 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var overBudget = List.empty[(String, Double)]
     var idx = 0
-    SparkEntry.queries
+    // sorted-name order (as BenchCheck iterates): the WarmupGrace
+    // exemption then lands on a DETERMINISTIC opening workload instead
+    // of 3 arbitrary entries of HashMap iteration order
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()

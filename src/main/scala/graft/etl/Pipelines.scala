@@ -100,11 +100,17 @@ object Pipelines {
     val rowsIn = docs.count()
     // 1. near-dup clusters → longest-keeper policy
     val pairs = Dedup.pairIndex(docs, "doc_id", "text", 3, 0.5)
-    val labels = Dedup.minLabelClusters(pairs, 3)
+    // connected components RUN TO CONVERGENCE: a chain of near-dups of
+    // any eccentricity collapses to one label, so keepers of distinct
+    // clusters are never near-dups — the idempotence invariant below,
+    // and the same closure the hash-checked corpus_rewrite_plan uses
+    val labels = Dedup.connectedComponents(pairs)
     val members = labels.join(
       docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+    // keeper = (n_chars DESC, id ASC): max over the struct (n_chars, -id)
+    // is exact for ANY id range (no scaled-arithmetic encoding)
     val keepers = members.groupBy(col("label"))
-      .agg(max(struct((col("n_chars") * 10000000L - col("id")).as("k"),
+      .agg(max(struct(col("n_chars").as("k1"), (-col("id")).as("k2"),
         col("id").as("kid"))).as("p"))
       .select(col("p.kid").as("id"))
     val drops = labels.select(col("id"))

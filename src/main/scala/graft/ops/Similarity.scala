@@ -303,18 +303,27 @@ object Similarity {
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .withColumn("cq", ((col("sx") - col("sx") % col("n")) / col("n")).cast("long"))
 
-  /** Every (vector, trained-centroid) cosine ranked per vector — the
-    * shared core of Lloyd re-assignment (rn = 1) and multi-cell probing
-    * (rn ≤ nprobe) against TRAINED centroids. One broadcast of the
-    * ≤cells centroid arrays, pure map stage over the quantized frame. */
-  private def lloydRanked(quant: DataFrame, cent: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-(cell,dim) centroid rows folded to broadcast-ready ARRAYS:
+    * (cell, cvec: array<long>, dcc = ‖c‖² exact). The persisted-index
+    * layout ([[IvfIndex]]) stores exactly this shape. */
+  private[graft] def centroidArrays(cent: DataFrame): DataFrame = {
     def ldot(a: Column, b: Column): Column =
       graft.functions.LongVectorFunctions.vecDotLong(a, b)
-    val centArr = cent.groupBy(col("cell"))
+    cent.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
         s => s.getField("cq")).as("cvec"))
       .withColumn("dcc", ldot(col("cvec"), col("cvec")))
+  }
+
+  /** Every (vector, trained-centroid) cosine ranked per vector — the
+    * shared core of Lloyd re-assignment (rn = 1) and multi-cell probing
+    * (rn ≤ nprobe) against TRAINED centroid ARRAYS. One broadcast of the
+    * ≤cells centroid arrays, pure map stage over the quantized frame. */
+  private[graft] def lloydRankedArr(quant: DataFrame,
+                                    centArr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ldot(a: Column, b: Column): Column =
+      graft.functions.LongVectorFunctions.vecDotLong(a, b)
     val w = Window.partitionBy(col("vid")).orderBy(col("cos_bp").desc, col("cell"))
     quant.withColumn("dxx", ldot(col("xq"), col("xq")))
       .crossJoin(broadcast(centArr))
@@ -322,6 +331,9 @@ object Similarity {
       .withColumn("cos_bp", cosBp(col("dxc"), col("dxx"), col("dcc")))
       .withColumn("rn", row_number().over(w))
   }
+
+  private def lloydRanked(quant: DataFrame, cent: DataFrame): DataFrame =
+    lloydRankedArr(quant, centroidArrays(cent))
 
   /** One Lloyd re-assignment step: integer-basis-point cosine argmax of
     * every vector against the broadcast centroid arrays (cell tiebreak).
@@ -389,17 +401,55 @@ object Similarity {
     (quant, lloydCent(quant, a0), cells)
   }
 
-  def ivfAutoStats(emb: DataFrame, idCol: String, vecCol: String,
-                   sampleFactor: Int = 8): DataFrame = {
+  /** A trained scale-adaptive IVF index held as checkpointed frames —
+    * build ONCE ([[ivfAutoTrain]]), serve stats / search / probe-curve /
+    * recall from the same frames (the `*From` consumers), persist with
+    * [[IvfIndex.build]]. `assigned` is the full-corpus argmax assignment
+    * (vid, cell, xq, dxx, dcc): every consumer's candidate frame, so no
+    * consumer ever replays training or the corpus-wide centroid cross. */
+  final case class TrainedIvf(quant: DataFrame, centArr: DataFrame,
+                              cells: Int, assigned: DataFrame)
+
+  /** Train the scale-adaptive index once: sampled-Lloyd centroids
+    * ([[ivfAutoTrained]]) + ONE broadcast-centroids assignment scan of
+    * the full corpus, both checkpointed. This is the frame the four
+    * sim_ivf_auto* registry entries share (one train per session per
+    * dataset, not one per entry) and the exact content
+    * [[IvfIndex.build]] persists. */
+  def ivfAutoTrain(emb: DataFrame, idCol: String, vecCol: String,
+                   sampleFactor: Int = 8): TrainedIvf = {
     val (quant, cent, cells) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
-    lloydAssign(quant, cent)
+    val centArr = centroidArrays(cent).localCheckpoint(true)
+    val assigned = lloydRankedArr(quant, centArr)
+      .where(col("rn") === 1)
+      .select(col("vid"), col("cell"), col("xq"), col("dxx"), col("dcc"))
+      .localCheckpoint(true)
+    TrainedIvf(quant, centArr, cells, assigned)
+  }
+
+  /** The query vector's ranked probe cells against the trained centroids
+    * — a one-row broadcast-cross map stage over the checkpointed quant
+    * frame. Returns (cell, qxq, qdxx) for rn ≤ nprobe. */
+  private def queryProbeCells(t: TrainedIvf, queryId: Long,
+                              nprobe: Int): DataFrame =
+    lloydRankedArr(t.quant.where(col("vid") === lit(queryId)), t.centArr)
+      .where(col("rn") <= nprobe)
+      .select(col("cell"), col("xq").as("qxq"), col("dxx").as("qdxx"))
+
+  /** Per-cell occupancy stats of a trained index (the sim_ivf_auto
+    * shape) — one rollup over the shared assignment frame. */
+  def ivfAutoStatsFrom(t: TrainedIvf): DataFrame =
+    t.assigned
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
         floor(sqrt(max(col("dcc")).cast("double"))).cast("long")
           .as("c_norm_milli"))
-      .withColumn("n_cells", lit(cells.toLong))
+      .withColumn("n_cells", lit(t.cells.toLong))
       .orderBy(col("cell"))
-  }
+
+  def ivfAutoStats(emb: DataFrame, idCol: String, vecCol: String,
+                   sampleFactor: Int = 8): DataFrame =
+    ivfAutoStatsFrom(ivfAutoTrain(emb, idCol, vecCol, sampleFactor))
 
   /** Search through the scale-adaptive index: exact integer-bp cosine
     * top-k among the vectors assigned to the query's `nprobe` closest
@@ -408,23 +458,12 @@ object Similarity {
     * 8-cell search (O(n/8)) lacks. Both the assignment and the query's
     * probe ranks come from one broadcast-centroids map stage over the
     * checkpointed quantized corpus. */
-  def ivfAutoSearch(emb: DataFrame, idCol: String, vecCol: String,
-                    queryId: Long, k: Int, nprobe: Int,
-                    sampleFactor: Int = 8): DataFrame = {
+  def ivfAutoSearchFrom(t: TrainedIvf, idCol: String, queryId: Long,
+                        k: Int, nprobe: Int): DataFrame = {
     def ldot(a: Column, b: Column): Column =
       graft.functions.LongVectorFunctions.vecDotLong(a, b)
-    val (quant, cent, _) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
-    // ONE broadcast-centroids pass feeds both the corpus assignment and
-    // the query's probe ranks — materialized (n + cells rows survive the
-    // filter) so neither consumer replays the centroid cross
-    val ranked = lloydRanked(quant, cent)
-      .where(col("rn") === 1 || col("vid") === lit(queryId))
-      .localCheckpoint(true)
-    val assigned = ranked.where(col("rn") === 1)
-      .select(col("vid"), col("cell"), col("xq"), col("dxx"))
-    val qc = ranked.where(col("vid") === lit(queryId) && col("rn") <= nprobe)
-      .select(col("cell"), col("xq").as("qxq"), col("dxx").as("qdxx"))
-    assigned.join(broadcast(qc), Seq("cell"))
+    val qc = queryProbeCells(t, queryId, nprobe)
+    t.assigned.join(broadcast(qc), Seq("cell"))
       .where(col("vid") =!= lit(queryId))
       .withColumn("q_cos_bp", cosBp(ldot(col("xq"), col("qxq")),
         col("dxx"), col("qdxx")))
@@ -433,28 +472,31 @@ object Similarity {
       .limit(k)
   }
 
+  def ivfAutoSearch(emb: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int, nprobe: Int,
+                    sampleFactor: Int = 8): DataFrame =
+    ivfAutoSearchFrom(ivfAutoTrain(emb, idCol, vecCol, sampleFactor),
+      idCol, queryId, k, nprobe)
+
   /** Recall@k vs nprobe sweep over the scale-adaptive index — the
     * latency/recall dial priced for the autoCells build: ONE sampled
     * train + ONE scoring scan (every vector's exact cosine to the
     * query, checkpointed) feed every sweep point, so adding a probe
     * point costs only ≤k-row joins. Emits
     * (nprobe, k_exact, n_ann, hits, recall_bp) per point. */
-  def ivfAutoProbeCurve(emb: DataFrame, idCol: String, vecCol: String,
-                        queryId: Long, k: Int, probes: Seq[Int],
-                        sampleFactor: Int = 8): DataFrame = {
+  def ivfAutoProbeCurveFrom(t: TrainedIvf, queryId: Long, k: Int,
+                            probes: Seq[Int]): DataFrame = {
     def ldot(a: Column, b: Column): Column =
       graft.functions.LongVectorFunctions.vecDotLong(a, b)
-    val (quant, cent, _) = ivfAutoTrained(emb, idCol, vecCol, sampleFactor)
-    val ranked = lloydRanked(quant, cent)
-      .where(col("rn") === 1 || col("vid") === lit(queryId))
-      .localCheckpoint(true)
-    val assigned = ranked.where(col("rn") === 1)
-      .select(col("vid"), col("cell"), col("xq"), col("dxx"))
-    val qRow = ranked.where(col("vid") === lit(queryId) && col("rn") === 1)
+    // the query's rank of EVERY cell — ≤cells rows, one one-row map stage
+    val qRanks = lloydRankedArr(
+        t.quant.where(col("vid") === lit(queryId)), t.centArr)
+      .select(col("cell"), col("rn")).localCheckpoint(true)
+    val qRow = t.assigned.where(col("vid") === lit(queryId))
       .select(col("xq").as("qxq"), col("dxx").as("qdxx"))
     // every vector's exact query cosine, ONCE — the exact reference and
     // every sweep point rank slices of this frame
-    val scored = assigned.crossJoin(broadcast(qRow))
+    val scored = t.assigned.crossJoin(broadcast(qRow))
       .where(col("vid") =!= lit(queryId))
       .withColumn("cos_bp", cosBp(ldot(col("xq"), col("qxq")),
         col("dxx"), col("qdxx")))
@@ -463,9 +505,7 @@ object Similarity {
     val exact = scored.orderBy(col("cos_bp").desc, col("vid")).limit(k)
       .select(col("vid")).localCheckpoint(true)
     val pts = probes.map { np =>
-      val qc = ranked
-        .where(col("vid") === lit(queryId) && col("rn") <= np)
-        .select(col("cell"))
+      val qc = qRanks.where(col("rn") <= np).select(col("cell"))
       val ann = scored.join(broadcast(qc), Seq("cell"))
         .orderBy(col("cos_bp").desc, col("vid")).limit(k)
         .select(col("vid").as("aid")).localCheckpoint(true)
@@ -479,6 +519,12 @@ object Similarity {
     }
     pts.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
+
+  def ivfAutoProbeCurve(emb: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, k: Int, probes: Seq[Int],
+                        sampleFactor: Int = 8): DataFrame =
+    ivfAutoProbeCurveFrom(ivfAutoTrain(emb, idCol, vecCol, sampleFactor),
+      queryId, k, probes)
 
   def ivfTrainStats(emb: DataFrame, idCol: String, vecCol: String,
                     cells: Int, iters: Int = 1): DataFrame = {

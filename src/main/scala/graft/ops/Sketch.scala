@@ -80,7 +80,14 @@ object Sketch {
     * columns are cast back to LongType for the mergeable-vector
     * contract; a sum whose exact value exceeds Long range comes back
     * NULL (an honest overflow signal) instead of a silently wrapped
-    * long, so arbitrary streaming inputs cannot corrupt the vector. */
+    * long. Two distinct overflow surfaces are guarded: (a) the SUM
+    * exceeding Long range (checked on the exact decimal before the
+    * cast), and (b) a single ROW's power exceeding DECIMAL(38,0) —
+    * q³ past |q| ≈ 4.6·10¹², q⁴ past |q| ≈ 3·10⁹ — which non-ANSI
+    * Spark turns into a NULL row that sum() would silently skip. The
+    * row-level guard compares count(power) to count(q) and nulls the
+    * whole sum on any mismatch, so arbitrary streaming inputs cannot
+    * corrupt the vector with a wrong-but-non-NULL partial sum. */
   def momentVector(grouped: org.apache.spark.sql.DataFrame, grpCol: String,
                    valCol: String): org.apache.spark.sql.DataFrame = {
     val q = col(valCol)
@@ -89,11 +96,16 @@ object Sketch {
     // is explicit: out-of-range exact sums emit NULL
     def longOrNull(c: Column): Column =
       when(c.between(lit(Long.MinValue), lit(Long.MaxValue)), c.cast("long"))
+    // per-row decimal overflow (q³/q⁴ past 38 digits) nulls the row, and
+    // sum() would skip it — null the WHOLE sum instead of emitting a
+    // partial: any power-row lost vs the non-null inputs poisons that sum
+    def sumHonest(p: Column): Column =
+      when(count(p) === count(q), longOrNull(sum(p)))
     grouped.groupBy(col(grpCol))
-      .agg(count(lit(1)).as("n"), longOrNull(sum(q)).as("s1"),
-        longOrNull(sum(q * q)).as("s2"),
-        longOrNull(sum(q * q * q)).as("s3"),
-        longOrNull(sum(q * q * q * q)).as("s4"),
+      .agg(count(lit(1)).as("n"), sumHonest(q).as("s1"),
+        sumHonest(q * q).as("s2"),
+        sumHonest(q * q * q).as("s3"),
+        sumHonest(q * q * q * q).as("s4"),
         min(col(valCol)).as("q_min"), max(col(valCol)).as("q_max"))
   }
 

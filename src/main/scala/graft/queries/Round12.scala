@@ -22,17 +22,18 @@ object Round12 {
     // full corpus assigned once against the broadcast trained centroids.
     // At sf0.01 n=500 → 32 cells from a 256-vector sample — the sampled
     // path is genuinely exercised (sample ⊂ corpus).
+    // All four family members serve from SimIvf.sharedAuto — ONE train
+    // + ONE assignment scan per (session, dataset), not one per entry.
     "sim_ivf_auto" -> ((s, dir) =>
-      Similarity.ivfAutoStats(Tables.embeddings(s, dir),
-        "vec_id", "embedding")),
+      Similarity.ivfAutoStatsFrom(SimIvf.sharedAuto(s, dir))),
 
     // Search through the scale-adaptive index: exact integer-bp cosine
     // top-10 among the vectors in the query's 2 closest TRAINED cells —
     // candidate work O(nprobe*sqrt(n)) under the autoCells rule, the
     // scale path the fixed-cell search lacks.
     "sim_ivf_auto_search" -> ((s, dir) =>
-      Similarity.ivfAutoSearch(Tables.embeddings(s, dir),
-        "vec_id", "embedding", 0L, 10, 2)),
+      Similarity.ivfAutoSearchFrom(SimIvf.sharedAuto(s, dir),
+        "vec_id", 0L, 10, 2)),
 
     // HLL register vector via the NATIVE TypedImperativeAggregate
     // (functions/SketchAggregates): the buffer IS the 256-byte sketch,
@@ -80,8 +81,8 @@ object Round12 {
     // scoring scan feed every sweep point; the spec pins the curve
     // monotone non-decreasing.
     "sim_ivf_auto_probe_curve" -> ((s, dir) =>
-      Similarity.ivfAutoProbeCurve(Tables.embeddings(s, dir),
-        "vec_id", "embedding", 0L, 10, Seq(1, 2, 4, 8))),
+      Similarity.ivfAutoProbeCurveFrom(SimIvf.sharedAuto(s, dir),
+        0L, 10, Seq(1, 2, 4, 8))),
 
     // KMV/Theta distinct sketch via the native aggregate: buffer = the
     // 256 smallest distinct h8 hashes in a sorted set (k-smallest-of-
@@ -115,7 +116,8 @@ object Round12 {
           Similarity.dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
         .orderBy(col("cos_bp").desc, col("vec_id")).limit(10)
         .select(col("vec_id")).localCheckpoint(true)
-      val ann = Similarity.ivfAutoSearch(emb, "vec_id", "embedding", 0L, 10, 2)
+      val ann = Similarity.ivfAutoSearchFrom(SimIvf.sharedAuto(s, dir),
+          "vec_id", 0L, 10, 2)
         .select(col("vec_id")).localCheckpoint(true)
       exact.agg(count(lit(1)).as("k_exact"))
         .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
@@ -260,7 +262,9 @@ object Round12 {
           .select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_members"),
-          max(struct((col("n_chars") * 10000000L - col("id")).as("k"),
+          // (n_chars DESC, id ASC) exactly, for any id range: max over
+          // the struct (n_chars, -id) — no scaled-arithmetic encoding
+          max(struct(col("n_chars").as("k1"), (-col("id")).as("k2"),
             col("id").as("kid"), col("n_chars").as("kchars"))).as("p"),
           sum(col("n_chars")).as("chars_total"))
         .select(col("label"), col("n_members"), col("p.kid").as("keeper_id"),

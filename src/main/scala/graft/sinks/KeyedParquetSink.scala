@@ -71,6 +71,25 @@ object KeyedParquetSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
 
+  /** Bucket-pruned POINT READ: scan only the partitions whose bucket
+    * contains one of the `wanted` key tuples (a small frame carrying the
+    * key columns — e.g. the nprobe cells an IVF search probes). The
+    * bucket list is computed through the SAME withBucket hash as the
+    * writer (never re-derived driver-side, so it cannot drift) and is
+    * bounded by |wanted|, a config-sized frame, never data volume.
+    * Rows from co-hashed keys sharing a pruned bucket survive — callers
+    * filter the exact key inside; the read itself is
+    * |touched buckets| / numBuckets of the table. */
+  def readBuckets(spark: SparkSession, path: String, keys: Seq[String],
+                  numBuckets: Int, wanted: DataFrame): DataFrame = {
+    val buckets = withBucket(wanted.select(keys.map(col): _*), keys, numBuckets)
+      .select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    spark.read.parquet(path)
+      .where(col(BucketCol).isin(buckets.map(Integer.valueOf): _*))
+      .drop(BucketCol)
+  }
+
   /** Write as a BUCKETED catalog table (bucketBy + sortBy on the key):
     * two tables bucketed the same way join WITHOUT any shuffle — the
     * co-located fact-fact join that makes repeated large joins cheap at

@@ -81,8 +81,11 @@ case class PitEvent(user_id: Long, ts: java.sql.Timestamp, kind: String,
 
 /** Per-user PIT state: buffered feature observations (compacted below
   * the watermark — see [[StreamOps.asofStream]]) and labels awaiting
-  * watermark finalization. Seconds-granularity epochs. */
-case class PitState(feats: List[(Long, Long)], labels: List[(Long, Long)])
+  * watermark finalization. Seconds-granularity epochs. `lastSeen` is the
+  * user's newest event second — the idle clock the OPTIONAL TTL eviction
+  * reads (Long.MinValue until the first event lands). */
+case class PitState(feats: List[(Long, Long)], labels: List[(Long, Long)],
+                    lastSeen: Long = Long.MinValue)
 
 /** A finalized PIT enrichment: the label and the latest feature
   * observation at-or-before it (None when the user had none yet). */
@@ -717,9 +720,23 @@ object StreamOps {
     * Input: a unified `PitEvent` frame (`kind` ∈ {label, feat}). Rows
     * older than the watermark are dropped by the engine (standard
     * late-data semantics). Emits [[PitOut]] in label (sec, id) order
-    * per finalization. */
+    * per finalization.
+    *
+    * `idleTtlSec`: OPTIONAL idle eviction for production firehoses. The
+    * per-user dominant feature row correctly lives forever by default
+    * (a future label may still need it), but a long-running stream over
+    * a churning user base then accretes one state row per user EVER
+    * seen. With the TTL on, a user with no pending labels and no
+    * in-horizon features whose last event is ≥ idleTtlSec below the
+    * watermark is EVICTED — and the eviction is surfaced (the no-silent-
+    * caps rule) as a sentinel [[PitOut]] with label_id = -1 carrying the
+    * dominant feature that was dropped: a label arriving for that user
+    * later re-enters with empty feature history (the documented
+    * trade-off the flag opts into). Off (None, the default) the
+    * semantics are byte-identical to the un-flagged operator. */
   def asofStream(events: DataFrame,
-                 watermark: String = "1 hour"): Dataset[PitOut] = {
+                 watermark: String = "1 hour",
+                 idleTtlSec: Option[Long] = None): Dataset[PitOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.withWatermark("ts", watermark)
@@ -736,7 +753,9 @@ object StreamOps {
               st.feats ++ evs.collect { case e if e.kind == "feat" =>
                 (Math.floorDiv(e.ts.getTime, 1000L), e.v) },
               st.labels ++ evs.collect { case e if e.kind == "label" =>
-                (Math.floorDiv(e.ts.getTime, 1000L), e.id) })
+                (Math.floorDiv(e.ts.getTime, 1000L), e.id) },
+              math.max(st.lastSeen,
+                evs.map(e => Math.floorDiv(e.ts.getTime, 1000L)).max))
           }
           // finalize only labels STRICTLY below the floored watermark:
           // wmSec truncates wm_ms, so a feature with ts_ms > wm_ms (not
@@ -757,24 +776,44 @@ object StreamOps {
           // plus the in-horizon tail
           val (older, newer) = st.feats.partition(_._1 < wmSec)
           val kept = if (older.isEmpty) newer else older.max :: newer
+          // idle eviction: only the compacted dominant-row-only shape
+          // qualifies (no pending labels, no in-horizon features) and
+          // only after idleTtlSec of silence below the watermark
+          val idleEvict = idleTtlSec.exists(ttl =>
+            pending.isEmpty && newer.isEmpty &&
+              st.lastSeen != Long.MinValue && wmSec - st.lastSeen >= ttl)
           if (pending.isEmpty && kept.isEmpty) {
             state.remove()
+            out.iterator
+          } else if (idleEvict) {
+            state.remove()
+            // sentinel surfaces the dropped dominant feature — evictions
+            // are counted/observable downstream, never silent
+            val dom = older.max
+            (out :+ PitOut(user, -1L, st.lastSeen,
+              Some(dom._1), Some(dom._2))).iterator
           } else {
-            state.update(PitState(kept, pending))
+            state.update(PitState(kept, pending, st.lastSeen))
             // wake on the earliest pending label, or — when no labels are
             // buffered but an in-horizon feature tail exists — on the
             // earliest tail feature, so an inactive user's tail still
             // compacts down to the single dominant row as the watermark
-            // advances (otherwise the group is never revisited)
+            // advances (otherwise the group is never revisited); with the
+            // TTL on, a dominant-row-only user wakes at its idle deadline
+            // so the eviction actually fires
             val nextWake =
               if (pending.nonEmpty) pending.map(_._1).min * 1000L + 999L
               else if (newer.nonEmpty) newer.map(_._1).min * 1000L + 999L
-              else Long.MinValue
+              else idleTtlSec match {
+                case Some(ttl) if st.lastSeen != Long.MinValue =>
+                  (st.lastSeen + ttl) * 1000L
+                case _ => Long.MinValue
+              }
             if (nextWake != Long.MinValue)
               state.setTimeoutTimestamp(
                 math.max(nextWake, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          out.iterator
       }
   }
 

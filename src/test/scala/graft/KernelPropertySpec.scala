@@ -265,4 +265,20 @@ class KernelPropertySpec extends AnyFunSuite {
       small.getAs[Long]("s3"), small.getAs[Long]("s4")) ==
       ((1L, 13L, 19L, 97L)), "in-range vectors stay exact")
   }
+
+  test("momentVector per-ROW decimal overflow nulls the whole sum") {
+    // |q| = 10¹⁰ → q⁴ = 10⁴⁰ exceeds DECIMAL(38,0) PER ROW: non-ANSI
+    // Spark nulls that row's power and a naive sum() would silently
+    // skip it, returning 16 (the other row's 2⁴) as a wrong-but-non-NULL
+    // s4. The honest kernel compares count(power) to count(q) and nulls
+    // the WHOLE sum — no partial sums ever escape.
+    val rows = Seq(("g", 10000000000L), ("g", 2L))
+    val out = graft.ops.Sketch.momentVector(rows.toDF("g", "q"), "g", "q")
+      .collect().head
+    assert(out.getAs[Long]("n") == 2L &&
+      out.getAs[Long]("s1") == 10000000002L, "n/s1 unaffected")
+    assert(out.isNullAt(out.fieldIndex("s4")),
+      "one row's q⁴ overflowed 38 digits — s4 must be NULL, not 16")
+    assert(out.getAs[Long]("q_max") == 10000000000L)
+  }
 }

@@ -25,9 +25,10 @@ class PipelinesSpec extends AnyFunSuite {
       numBuckets = 8, loadBatches = 4, targetBytes = 256L * 1024)
     // 1. data-identical modulo dropped dups: the read-back table equals
     // the source minus exactly the non-keeper cluster members, computed
-    // INDEPENDENTLY here (longest keeper, ties → min id)
-    val labels = graft.ops.Dedup.minLabelClusters(
-      graft.ops.Dedup.pairIndex(docs, "doc_id", "text", 3, 0.5), 3)
+    // INDEPENDENTLY here (convergent components, longest keeper,
+    // ties → min id — the same closure the pipeline runs)
+    val labels = graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.pairIndex(docs, "doc_id", "text", 3, 0.5))
     val expectDrop = labels
       .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
       .withColumn("rk", row_number().over(

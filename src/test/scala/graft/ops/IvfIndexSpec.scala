@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The persisted IVF index artifact: build once → the store serves
+  * search/append with the training corpus GONE, search is bit-identical
+  * to the oracle-green inline sim_ivf_auto_search, and the probe read
+  * is partition-pruned to the probe cells' buckets. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def deleteRec(p: String): Unit = {
+    val root = new java.io.File(p)
+    if (root.isDirectory) root.listFiles.foreach(f => deleteRec(f.getPath))
+    root.delete(); ()
+  }
+
+  test("build → delete training corpus → search == inline ivfAutoSearch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+
+    // the training corpus is a DISPOSABLE COPY — the index must survive it
+    emb.write.parquet(s"$root/corpus")
+    val corpus = spark.read.parquet(s"$root/corpus")
+    val r = IvfIndex.build(spark, corpus, "vec_id", "embedding",
+      s"$root/idx", numBuckets = 16)
+    assert(r.cells == Similarity.autoCells(emb.count()) &&
+      r.nCentroids == r.cells.toLong, "trained √n cells, all persisted")
+    assert(r.nVectors == emb.count(), "every corpus vector assigned+stored")
+
+    // the query vector leaves the corpus BEFORE the corpus is destroyed
+    val qVec = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    deleteRec(s"$root/corpus")
+    assert(!new java.io.File(s"$root/corpus").exists,
+      "training corpus is gone — any rescan would now throw")
+
+    val got = IvfIndex.search(spark, s"$root/idx", qVec, k = 10, nprobe = 2,
+        numBuckets = 16, idCol = "vec_id", excludeId = Some(0L))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val want = Similarity.ivfAutoSearch(emb, "vec_id", "embedding",
+        0L, 10, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == want,
+      "stored-artifact search == the oracle-green inline search, in order")
+  }
+
+  test("search reads ONLY the probe cells' buckets (partition pruning)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfprune").toString
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", s"$root/idx",
+      numBuckets = 16)
+    val qVec = emb.where(col("vec_id") === 7L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val search = IvfIndex.search(spark, s"$root/idx", qVec, 5, nprobe = 2,
+      numBuckets = 16, excludeId = Some(7L))
+    search.collect() // materialize so the executed plan is final
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case _ if p.children.isEmpty => Seq(p)
+      case _ => p.children.flatMap(leaves)
+    }
+    val scans = leaves(search.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("vectors")) =>
+        f.selectedPartitions.partitionCount
+    }
+    val totalBuckets = new java.io.File(s"$root/idx/vectors")
+      .listFiles.count(_.getName.startsWith("_bucket="))
+    assert(scans.nonEmpty && scans.forall(_ <= 2),
+      s"vectors scan must touch <= nprobe bucket partitions, got $scans")
+    assert(totalBuckets > 2,
+      s"pruning is only meaningful against >2 stored buckets ($totalBuckets)")
+  }
+
+  test("append assigns against STORED centroids; new vectors searchable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val r = IvfIndex.build(spark, emb, "vec_id", "embedding", s"$root/idx",
+      numBuckets = 16)
+
+    // the batch: exact copies of 20 corpus vectors under fresh ids — each
+    // must land in its twin's cell and surface as a cos_bp=10000 neighbor
+    val batch = emb.where(col("vec_id") < 20L)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val appended = IvfIndex.append(spark, batch, "vec_id", "embedding",
+      s"$root/idx", numBuckets = 16)
+    assert(appended == 20L)
+    val st = IvfIndex.stats(spark, s"$root/idx")
+    assert(st.agg(sum(col("n"))).head.getLong(0) == r.nVectors + 20L,
+      "stats over the store counts the appended members")
+    assert(st.select(max(col("n_cells"))).head.getLong(0) == r.cells.toLong,
+      "append trains nothing — the cell count is the stored one")
+
+    // identical-vector check: the twin of vec 3 is a perfect-cosine hit
+    val qVec = emb.where(col("vec_id") === 3L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val top = IvfIndex.search(spark, s"$root/idx", qVec, 3, nprobe = 1,
+      numBuckets = 16, excludeId = Some(3L)).collect()
+    assert(top.head.getLong(0) == 100003L && top.head.getLong(1) == 10000L,
+      s"the appended exact twin must rank first at cos_bp=10000: " +
+        top.map(r0 => (r0.getLong(0), r0.getLong(1))).mkString(","))
+  }
+}

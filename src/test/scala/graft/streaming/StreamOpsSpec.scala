@@ -611,6 +611,55 @@ class StreamOpsSpec extends AnyFunSuite {
       s"idle tail state must shrink: $tailBytes B vs $bytesAfterLoad B")
   }
 
+  test("asofStream idleTtlSec: idle users evict (state falls, surfaced), later labels re-enter empty") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def feat(u: Long, sec: Long, id: Long, v: Long) =
+      graft.streaming.PitEvent(u, t(sec), "feat", id, v)
+    def label(u: Long, sec: Long, id: Long) =
+      graft.streaming.PitEvent(u, t(sec), "label", id, 0L)
+    val input = MemoryStream[graft.streaming.PitEvent]
+    val q = StreamOps.asofStream(input.toDF(), watermark = "10 seconds",
+        idleTtlSec = Some(60L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pit_ttl").start()
+    // user 1 deposits one feature, then goes silent; user 9 drives wm
+    // (epoch-0 events fall ON the initial watermark and are dropped as
+    // late — the fixture lives at t0 = 1000 s)
+    input.addData(feat(1L, 1000L, -1L, 7L), feat(9L, 1015L, -2L, 0L))
+    q.processAllAvailable()
+    // wm = 1020 s: user 1's feature compacts to the dominant row (< TTL)
+    input.addData(feat(9L, 1030L, -3L, 0L))
+    q.processAllAvailable()
+    val rowsBefore = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).last
+    // wm = 1070 s ≥ 1000 + 60: user 1's idle deadline passed — evicted
+    input.addData(feat(9L, 1080L, -4L, 0L))
+    q.processAllAvailable()
+    val rowsAfter = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).last
+    assert(rowsAfter < rowsBefore,
+      s"state rows must FALL on idle eviction: $rowsBefore -> $rowsAfter")
+    // the eviction is SURFACED: a label_id = -1 sentinel carrying the
+    // dropped dominant feature (no silent state caps)
+    val sentinels = spark.table("pit_ttl")
+      .as[graft.streaming.PitOut].collect().filter(_.label_id == -1L)
+    assert(sentinels.toSeq ==
+      Seq(graft.streaming.PitOut(1L, -1L, 1000L, Some(1000L), Some(7L))),
+      s"eviction sentinel expected, got ${sentinels.toSeq}")
+    // the documented trade-off: a label arriving AFTER eviction re-enters
+    // with empty feature history and finalizes feat-less
+    input.addData(label(1L, 1100L, 5L))
+    q.processAllAvailable()
+    input.addData(feat(9L, 1300L, -5L, 0L))
+    q.processAllAvailable(); q.stop()
+    val lbl = spark.table("pit_ttl").as[graft.streaming.PitOut]
+      .collect().filter(_.label_id == 5L).toSeq
+    assert(lbl == Seq(graft.streaming.PitOut(1L, 5L, 1100L, None, None)),
+      s"post-eviction label must see no features, got $lbl")
+  }
+
   test("kmvStream converges to the batch k-smallest hash set under replay; 1 state row") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
