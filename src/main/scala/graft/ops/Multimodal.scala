@@ -78,6 +78,55 @@ object Multimodal {
   def charChunkCount(c: Column): Column =
     floor((length(c).cast("long") + lit(ChunkBytes - 1)) / lit(ChunkBytes)).cast("long")
 
+  // ---- REAL header decode: BMP geometry, no codec library -------------
+  // The Windows BMP container (public layout): magic 'BM' at byte 0,
+  // and in the BITMAPINFOHEADER, int32 little-endian width at byte
+  // offset 18 and height at offset 22. A magic-driven header parse
+  // needs only byte slicing + hex arithmetic — all codegen'd string
+  // expressions over hex(payload), reproducible verbatim in the SQL
+  // oracle (DuckDB: ('0x' || hex)::BIGINT).
+
+  /** Lowercase hex of the payload bytes — the parse domain (2 hex chars
+    * per byte, so byte offset k = 1-based hex offset 2k+1). */
+  def payloadHex(bin: Column): Column = lower(hex(bin))
+
+  /** Unsigned 32-bit little-endian int at 0-based byte offset `off` of a
+    * lowercase-hex payload: swap the four byte pairs to big-endian and
+    * convert. Pure codegen'd substring/concat/conv. */
+  def leU32(hexs: Column, off: Int): Column = {
+    val p = 2 * off + 1
+    conv(concat(substring(hexs, p + 6, 2), substring(hexs, p + 4, 2),
+      substring(hexs, p + 2, 2), substring(hexs, p, 2)), 16, 10).cast("long")
+  }
+
+  /** 'BM' magic at byte 0. */
+  def bmpMagic(hexs: Column): Column = substring(hexs, 1, 4) === lit("424d")
+
+  def bmpWidth(hexs: Column): Column = leU32(hexs, 18)
+  def bmpHeight(hexs: Column): Column = leU32(hexs, 22)
+
+  /** 4-byte little-endian lowercase hex of a non-negative int — the
+    * write side of [[leU32]], for synthesizing container bytes
+    * in-query (the container has no real media files). */
+  def leHex4(v: Column): Column = {
+    val be = lpad(lower(hex(v)), 8, "0")
+    concat(substring(be, 7, 2), substring(be, 5, 2),
+      substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** A real BMP file prefix (hex) for the given pixel geometry:
+    * 'BM' + file size + reserved + pixel offset 54 + DIB size 40 +
+    * width + height — byte-compatible with an actual .bmp header, so
+    * [[bmpWidth]]/[[bmpHeight]] read synthesized and genuine files
+    * alike (spec-pinned against a hand-assembled real header). */
+  def bmpHeaderHex(w: Column, h: Column): Column =
+    concat(lit("424d"),
+      leHex4(lit(54L) + w * h * lit(3L)), // claimed file size (24bpp)
+      lit("00000000"),                    // reserved
+      leHex4(lit(54L)),                   // pixel data offset
+      leHex4(lit(40L)),                   // BITMAPINFOHEADER size
+      leHex4(w), leHex4(h))
+
   /** Explode a document into sampled chunk rows (every `stride`-th chunk),
     * md5-fingerprinting each chunk — the "frame sampling" shape: one narrow
     * explode, no shuffle until the caller aggregates. */

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal => MM}
+import graft.sources.Tables
+
+/** Round-13 batch: REAL container-header decode. The image-class slice
+  * of the corpus (the mm_format_sniff dispatch rule) carries a genuine
+  * BMP file prefix — synthesized in-query because the container ships
+  * no media files, but byte-compatible with an actual .bmp, and the
+  * decode reads ONLY the bytes: magic 'BM' → int32-LE width/height at
+  * their public offsets (18/22); any other magic keeps the stub dims.
+  * No codec library anywhere — the parse is codegen'd hex slicing.
+  */
+object Round13 {
+
+  // synthesized geometry for image-class docs: derived from n_chars so
+  // the oracle reproduces it without any hashing
+  private def wSyn = lit(16L) + pmod(col("n_chars"), lit(640L))
+  private def hSyn = lit(16L) + pmod(col("n_chars") * 7L, lit(480L))
+  private def isImg = substring(col("text"), 1, 1).between("a", "f")
+
+  /** Documents with an opaque BINARY payload: image-class docs hold a
+    * real BMP header, the rest an unmagiced digest blob. */
+  private def withPayload(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("payload",
+      unhex(when(isImg, MM.bmpHeaderHex(wSyn, hSyn))
+        .otherwise(concat(lit("0000"), md5(col("text"))))))
+
+  /** Magic-driven decode over the payload BYTES (never the synthesis
+    * inputs): (w, h, parsed) with the stub as the opaque-format path. */
+  private def decoded(docs: org.apache.spark.sql.DataFrame) = {
+    val hx = MM.payloadHex(col("payload"))
+    val stub = MM.fakeDims("text")
+    withPayload(docs)
+      .withColumn("w", when(MM.bmpMagic(hx), MM.bmpWidth(hx))
+        .otherwise(stub._1.cast("long")))
+      .withColumn("h", when(MM.bmpMagic(hx), MM.bmpHeight(hx))
+        .otherwise(stub._2.cast("long")))
+      .withColumn("parsed", MM.bmpMagic(hx).cast("long"))
+  }
+
+  val queries: Map[String, Q] = Map(
+
+    // Resolution bands over PARSED dims: the mm_resolution_bands audit
+    // where the image slice's geometry comes out of its real BMP header
+    // bytes and opaque formats keep the stub — one scan, the decode is
+    // a pure per-row codegen'd expression chain.
+    "mm_resolution_bands_bmp" -> ((s, dir) =>
+      decoded(Tables.documents(s, dir))
+        .withColumn("band", idiv(col("w") * col("h"), lit(8192L)))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("parsed")).as("n_parsed"),
+          sum((col("w") > col("h")).cast("long")).as("n_wide"),
+          sum((col("w") < col("h")).cast("long")).as("n_tall"),
+          min(col("w") * col("h")).as("area_min"),
+          max(col("w") * col("h")).as("area_max"))
+        .orderBy(col("band"))),
+
+    // Aspect-ratio buckets over the same parsed geometry — the
+    // resize-plan table (which target shapes cover the corpus), ratio
+    // in integer basis points, landscape/portrait/square classes.
+    "mm_ar_buckets_bmp" -> ((s, dir) =>
+      decoded(Tables.documents(s, dir))
+        .withColumn("ar_bp", idiv(col("w") * lit(10000L), col("h")))
+        .withColumn("shape",
+          when(col("ar_bp") > 10000L, "landscape")
+            .when(col("ar_bp") < 10000L, "portrait")
+            .otherwise("square"))
+        .groupBy(col("shape"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("parsed")).as("n_parsed"),
+          min(col("ar_bp")).as("ar_bp_min"),
+          max(col("ar_bp")).as("ar_bp_max"),
+          sum(col("w") * col("h")).as("px_total"))
+        .orderBy(col("shape")))
+  )
+
+  // --- oracle SQL -------------------------------------------------------
+
+  /** DuckDB little-endian hex swap of an lpad'ed 8-char hex column. */
+  private def le(x: String): String =
+    s"substring($x,7,2)||substring($x,5,2)||substring($x,3,2)||substring($x,1,2)"
+
+  /** DuckDB u32-LE at 0-based byte offset `off` of hex column hx. */
+  private def leAt(off: Int): String = {
+    val p = 2 * off + 1
+    s"CAST(('0x' || (substring(hx,${p + 6},2)||substring(hx,${p + 4},2)||" +
+      s"substring(hx,${p + 2},2)||substring(hx,$p,2))) AS BIGINT)"
+  }
+
+  /** The shared synthesize-then-parse CTE chain (documents → g(w,h,parsed)). */
+  private val decodeCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substring(text,1,1) BETWEEN 'a' AND 'f'
+       |      THEN 1 ELSE 0 END AS isb,
+       |    16 + (n_chars % 640) AS ws,
+       |    16 + ((n_chars * 7) % 480) AS hs
+       |  FROM documents),
+       |hx0 AS (
+       |  SELECT doc_id, text, isb,
+       |    lpad(lower(to_hex(54 + ws * hs * 3)), 8, '0') AS fa,
+       |    lpad(lower(to_hex(54)), 8, '0') AS fb,
+       |    lpad(lower(to_hex(40)), 8, '0') AS fc,
+       |    lpad(lower(to_hex(ws)), 8, '0') AS fw,
+       |    lpad(lower(to_hex(hs)), 8, '0') AS fh
+       |  FROM d),
+       |p AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN isb = 1 THEN '424d' || ${le("fa")} || '00000000' ||
+       |      ${le("fb")} || ${le("fc")} || ${le("fw")} || ${le("fh")}
+       |    ELSE '0000' || md5(text) END AS hx
+       |  FROM hx0),
+       |g AS (
+       |  SELECT
+       |    CASE WHEN substring(hx,1,4) = '424d' THEN ${leAt(18)}
+       |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),1,1))
+       |        * 16 AS BIGINT) END AS w,
+       |    CASE WHEN substring(hx,1,4) = '424d' THEN ${leAt(22)}
+       |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),2,1))
+       |        * 16 AS BIGINT) END AS h,
+       |    CASE WHEN substring(hx,1,4) = '424d' THEN 1 ELSE 0 END AS parsed
+       |  FROM p)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "mm_resolution_bands_bmp" ->
+      s"""WITH $decodeCtes
+         |SELECT CAST(w * h // 8192 AS BIGINT) AS band, count(*) AS n_docs,
+         |  CAST(sum(parsed) AS BIGINT) AS n_parsed,
+         |  CAST(sum(CASE WHEN w > h THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
+         |  CAST(sum(CASE WHEN w < h THEN 1 ELSE 0 END) AS BIGINT) AS n_tall,
+         |  min(w * h) AS area_min, max(w * h) AS area_max
+         |FROM g GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "mm_ar_buckets_bmp" ->
+      s"""WITH $decodeCtes,
+         |a AS (SELECT w, h, parsed, w * 10000 // h AS ar_bp FROM g)
+         |SELECT CASE WHEN ar_bp > 10000 THEN 'landscape'
+         |    WHEN ar_bp < 10000 THEN 'portrait'
+         |    ELSE 'square' END AS shape,
+         |  count(*) AS n_docs, CAST(sum(parsed) AS BIGINT) AS n_parsed,
+         |  min(ar_bp) AS ar_bp_min, max(ar_bp) AS ar_bp_max,
+         |  CAST(sum(w * h) AS BIGINT) AS px_total
+         |FROM a GROUP BY 1 ORDER BY shape""".stripMargin
+  )
+}

@@ -266,6 +266,45 @@ class KernelPropertySpec extends AnyFunSuite {
       ((1L, 13L, 19L, 97L)), "in-range vectors stay exact")
   }
 
+  test("native sketch aggregates: seeded random multi-partition runs are bit-equal to single-partition (empty partials, all-NULL groups)") {
+    import graft.functions.SketchAggregates
+    Seq(11, 42, 97).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows: Seq[(String, java.lang.Long)] = (1 to 2000).map { _ =>
+        val g = "g" + rnd.nextInt(5)
+        val k: java.lang.Long =
+          if (g == "g0") null                  // an entirely-NULL group
+          else if (rnd.nextInt(20) == 0) null  // sprinkled nulls elsewhere
+          else java.lang.Long.valueOf(rnd.nextInt(500).toLong)
+        (g, k)
+      }
+      val df = rows.toDF("grp", "key")
+      def sketches(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(col("grp")).agg(
+            SketchAggregates.hllRegistersAgg(col("key")).as("hll"),
+            SketchAggregates.cmsSketchAgg(col("key")).as("cms"),
+            SketchAggregates.bitmapCellsAgg(col("key")).as("bmp"),
+            SketchAggregates.kmvAgg(col("key")).as("kmv"))
+          .collect().map(r => r.getString(0) -> (r.getSeq[Long](1),
+            r.getSeq[Long](2), r.getSeq[Long](3), r.getSeq[Long](4)))
+          .toMap
+      val single = sketches(df.coalesce(1))
+      // round-robin spread: each group's rows cross many partitions, so
+      // partial buffers SERIALIZE, shuffle, and merge for real — the
+      // path fixture data exercises only narrowly
+      val spread = sketches(df.repartition(17))
+      // grp-hashed over 64 partitions: ~59 EMPTY partials join the merge
+      val sparse = sketches(df.repartition(64, col("grp")))
+      assert(spread == single, s"seed $seed: spread-merge drifted")
+      assert(sparse == single, s"seed $seed: empty-partial merge drifted")
+      // the all-NULL group must equal the EMPTY sketches, never crash
+      val g0 = single("g0")
+      assert(g0._1.forall(_ == 0L) && g0._2.forall(_ == 0L) &&
+        g0._3.isEmpty && g0._4.isEmpty,
+        s"seed $seed: all-NULL group must yield empty sketches")
+    }
+  }
+
   test("momentVector per-ROW decimal overflow nulls the whole sum") {
     // |q| = 10¹⁰ → q⁴ = 10⁴⁰ exceeds DECIMAL(38,0) PER ROW: non-ANSI
     // Spark nulls that row's power and a naive sum() would silently
