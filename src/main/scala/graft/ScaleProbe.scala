@@ -517,6 +517,31 @@ object ScaleProbe {
         s"max_occ=${stats.getAs[Long]("max_occ")}")
       stats.getAs[Long]("occupied")
     }
+    // Persisted IVF index: train+store once, then serve searches from
+    // the ARTIFACT. Search cost = broadcast centroid rank + a
+    // bucket-pruned read of nprobe cells' buckets (≈ nprobe·n/cells =
+    // nprobe·√n rows under the autoCells rule) — per-query wall must
+    // stay near-flat for 10× more vectors, never rescan the corpus.
+    if (enabled("ivf_index_build") || enabled("ivf_index_search20")) {
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivfidx").toString + "/idx"
+      time("ivf_index_build") {
+        val r = graft.ops.IvfIndex.build(spark, emb, "vec_id", "embedding",
+          idxPath, numBuckets = 64)
+        println(s"SCALE ivf_index_detail cells=${r.cells} " +
+          s"vectors=${r.nVectors}")
+        r.nVectors
+      }
+      val qvecs = emb.orderBy(col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      time("ivf_index_search20") {
+        qvecs.map { case (vid, v) =>
+          graft.ops.IvfIndex.search(spark, idxPath, v, k = 10, nprobe = 2,
+            numBuckets = 64, excludeId = Some(vid)).count()
+        }.sum
+      }
+    }
     spark.stop()
   }
 }
