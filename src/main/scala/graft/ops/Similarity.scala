@@ -429,12 +429,16 @@ object Similarity {
 
   /** The query vector's ranked probe cells against the trained centroids
     * — a one-row broadcast-cross map stage over the checkpointed quant
-    * frame. Returns (cell, qxq, qdxx) for rn ≤ nprobe. */
+    * frame, materialized (≤ nprobe rows) so the legitimate
+    * broadcast-assignment cross never appears in a consumer's plan
+    * (the IVF-family localCheckpoint convention the plan lint relies
+    * on). Returns (cell, qxq, qdxx) for rn ≤ nprobe. */
   private def queryProbeCells(t: TrainedIvf, queryId: Long,
                               nprobe: Int): DataFrame =
     lloydRankedArr(t.quant.where(col("vid") === lit(queryId)), t.centArr)
       .where(col("rn") <= nprobe)
       .select(col("cell"), col("xq").as("qxq"), col("dxx").as("qdxx"))
+      .localCheckpoint(true)
 
   /** Per-cell occupancy stats of a trained index (the sim_ivf_auto
     * shape) — one rollup over the shared assignment frame. */

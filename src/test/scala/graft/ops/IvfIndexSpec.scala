@@ -109,5 +109,24 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(top.head.getLong(0) == 100003L && top.head.getLong(1) == 10000L,
       s"the appended exact twin must rank first at cos_bp=10000: " +
         top.map(r0 => (r0.getLong(0), r0.getLong(1))).mkString(","))
+
+    // maintenance: appends accrete small files; standard Compaction over
+    // the CELL-keyed vectors table merges them and search is unchanged
+    val before = IvfIndex.search(spark, s"$root/idx", qVec, 10, nprobe = 2,
+      numBuckets = 16, excludeId = Some(3L))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    val statsBefore = graft.sinks.Compaction
+      .partitionStats(spark, s"$root/idx/vectors")
+    val plans = graft.sinks.Compaction.compact(spark, s"$root/idx/vectors",
+      targetBytes = 64L * 1024 * 1024)
+    val statsAfter = graft.sinks.Compaction
+      .partitionStats(spark, s"$root/idx/vectors")
+    assert(plans.nonEmpty &&
+      statsAfter.map(_.nFiles.toLong).sum < statsBefore.map(_.nFiles.toLong).sum,
+      "compaction must merge the append-accreted files")
+    val after = IvfIndex.search(spark, s"$root/idx", qVec, 10, nprobe = 2,
+      numBuckets = 16, excludeId = Some(3L))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    assert(after == before, "search through the compacted index is identical")
   }
 }
