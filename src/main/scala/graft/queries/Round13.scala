@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Multimodal => MM}
+import graft.ops.{Multimodal => MM, Similarity}
 import graft.sources.Tables
 
 /** Round-13 batch: REAL container-header decode. The image-class slice
@@ -74,7 +74,44 @@ object Round13 {
           min(col("ar_bp")).as("ar_bp_min"),
           max(col("ar_bp")).as("ar_bp_max"),
           sum(col("w") * col("h")).as("px_total"))
-        .orderBy(col("shape")))
+        .orderBy(col("shape"))),
+
+    // Hard-negative mining for contrastive training: per vector, its
+    // most-similar CROSS-LABEL neighbor (the pair a trainer most wants
+    // in the batch). Blocked by IVF cell so the self-join is
+    // Σ cell² = O(n²/cells), never corpus² — the same cell-locality
+    // trade every ANN-backed miner ships; per-vector top-1 is a window
+    // bounded by the cell's occupancy. Ranking in integer basis points
+    // (deterministic, engine-stable); vectors whose cell holds no other
+    // label drop out by construction.
+    "sim_hard_negatives" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val assigned = Similarity.ivfAssignAll(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
+        .select(col("vec_id"), col("label"), col("cell"),
+          Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+        .localCheckpoint(true) // hides the seed cross; feeds BOTH join sides
+      val a = assigned.select(col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("cell"),
+        col("mq").as("amq"), col("nsq").as("ansq"))
+      val b = assigned.select(col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("cell"),
+        col("mq").as("bmq"), col("nsq").as("bnsq"))
+      val w = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_bp").desc, col("b_id"))
+      a.join(b, Seq("cell"))
+        .where(col("a_label") =!= col("b_label"))
+        .withColumn("cos_bp", Similarity.cosBp(
+          Similarity.dotMilli(col("amq"), col("bmq")),
+          col("ansq"), col("bnsq")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+          col("b_id").as("hard_neg_id"), col("b_label").as("neg_label"),
+          col("cos_bp"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   // --- oracle SQL -------------------------------------------------------
@@ -144,6 +181,25 @@ object Round13 {
          |  count(*) AS n_docs, CAST(sum(parsed) AS BIGINT) AS n_parsed,
          |  min(ar_bp) AS ar_bp_min, max(ar_bp) AS ar_bp_max,
          |  CAST(sum(w * h) AS BIGINT) AS px_total
-         |FROM a GROUP BY 1 ORDER BY shape""".stripMargin
+         |FROM a GROUP BY 1 ORDER BY shape""".stripMargin,
+
+    "sim_hard_negatives" ->
+      s"""WITH ${SimMm.milliNormCte},
+         |${SimMm.ivfCte},
+         |cm AS (SELECT a.vec_id, a.cell, m.label, m.mq, m.nsq
+         |       FROM ass a JOIN miln m ON m.vec_id = a.vec_id
+         |       WHERE a.rn = 1),
+         |p AS (
+         |  SELECT x.vec_id, x.label, y.vec_id AS b_id,
+         |    y.label AS neg_label,
+         |    ${SimMm.cosBpSql(SimMm.dotmSql("x.mq", "y.mq"),
+               "x.nsq", "y.nsq")} AS cos_bp
+         |  FROM cm x JOIN cm y
+         |    ON x.cell = y.cell AND x.label <> y.label),
+         |r AS (SELECT vec_id, label, b_id AS hard_neg_id, neg_label,
+         |    cos_bp, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_bp DESC, b_id) AS rn FROM p)
+         |SELECT vec_id, label, hard_neg_id, neg_label, cos_bp
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }
