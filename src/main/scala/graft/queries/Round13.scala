@@ -111,6 +111,41 @@ object Round13 {
           col("b_id").as("hard_neg_id"), col("b_label").as("neg_label"),
           col("cos_bp"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Capacity plan for the asofStream idle-TTL policy (the batch twin
+    // of the round-13 streaming flag): with the PIT watermark one hour
+    // behind the newest event and a 1-day TTL, classify every user's
+    // end-of-stream state — active (pending labels / in-horizon
+    // features), dominant_only (compacted single feature row, inside
+    // TTL), or evicted — the state-store sizing table the probe
+    // measured live. One user-keyed aggregate + a 1-row scalar
+    // broadcast (the events_cuped shape); integer-second arithmetic.
+    "etl_ttl_eviction_plan" -> ((s, dir) => {
+      val ttl = 86400L; val horizon = 3600L
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").as("sec"),
+          col("event_type"))
+      val wm = ev.agg((max(col("sec")) - horizon).as("wm"))
+      ev.crossJoin(broadcast(wm))
+        .groupBy(col("user_id"))
+        .agg(max(col("wm")).as("wm"), max(col("sec")).as("last_s"),
+          sum(when(col("event_type") === "purchase" &&
+            col("sec") >= col("wm"), 1L).otherwise(0L)).as("pending"),
+          sum(when(col("event_type") === "click" &&
+            col("sec") >= col("wm"), 1L).otherwise(0L)).as("tail"))
+        .withColumn("st",
+          when(col("pending") > 0 || col("tail") > 0, "active")
+            .when(col("wm") - col("last_s") >= ttl, "evicted")
+            .otherwise("dominant_only"))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n_users"),
+          min(col("last_s")).as("last_s_min"),
+          max(col("last_s")).as("last_s_max"))
+        .orderBy(col("st"))
     })
   )
 
@@ -200,6 +235,30 @@ object Round13 {
          |    cos_bp, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY cos_bp DESC, b_id) AS rn FROM p)
          |SELECT vec_id, label, hard_neg_id, neg_label, cos_bp
-         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "etl_ttl_eviction_plan" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec, event_type
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('click', 'purchase')),
+        |w AS (SELECT max(sec) - 3600 AS wm FROM e),
+        |u AS (
+        |  SELECT user_id, max(w.wm) AS wm, max(sec) AS last_s,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND sec >= w.wm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+        |    CAST(sum(CASE WHEN event_type = 'click' AND sec >= w.wm
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tail
+        |  FROM e, w GROUP BY user_id),
+        |c AS (
+        |  SELECT CASE WHEN pending > 0 OR tail > 0 THEN 'active'
+        |    WHEN wm - last_s >= 86400 THEN 'evicted'
+        |    ELSE 'dominant_only' END AS st, last_s
+        |  FROM u)
+        |SELECT st, count(*) AS n_users, min(last_s) AS last_s_min,
+        |  max(last_s) AS last_s_max
+        |FROM c GROUP BY 1 ORDER BY st""".stripMargin
   )
 }

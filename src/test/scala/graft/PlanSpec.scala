@@ -276,7 +276,10 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_seed_quality: every vector vs the 4 broadcast seeds, twice
     //    (the sim_ivf_cells assignment shape) + 1-row balance scalars
     //    under the 1-row audit rollup (the census shape)
-    "sim_seed_quality")
+    "sim_seed_quality",
+    //  - etl_ttl_eviction_plan: 1-row watermark scalar broadcast under
+    //    the events scan (the events_cuped shape)
+    "etl_ttl_eviction_plan")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
