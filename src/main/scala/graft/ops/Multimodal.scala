@@ -102,6 +102,13 @@ object Multimodal {
   /** 'BM' magic at byte 0. */
   def bmpMagic(hexs: Column): Column = substring(hexs, 1, 4) === lit("424d")
 
+  /** Parseable BMP header: the magic AND enough bytes for the geometry
+    * fields (26 = through the height int32 at offset 22..25). A
+    * TRUNCATED file that kept its magic must take the opaque path, not
+    * emit NULL geometry from a short hex slice. */
+  def bmpParseable(hexs: Column): Column =
+    bmpMagic(hexs) && length(hexs) >= lit(52)
+
   def bmpWidth(hexs: Column): Column = leU32(hexs, 18)
   def bmpHeight(hexs: Column): Column = leU32(hexs, 22)
 

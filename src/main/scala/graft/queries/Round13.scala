@@ -33,11 +33,11 @@ object Round13 {
     val hx = MM.payloadHex(col("payload"))
     val stub = MM.fakeDims("text")
     withPayload(docs)
-      .withColumn("w", when(MM.bmpMagic(hx), MM.bmpWidth(hx))
+      .withColumn("w", when(MM.bmpParseable(hx), MM.bmpWidth(hx))
         .otherwise(stub._1.cast("long")))
-      .withColumn("h", when(MM.bmpMagic(hx), MM.bmpHeight(hx))
+      .withColumn("h", when(MM.bmpParseable(hx), MM.bmpHeight(hx))
         .otherwise(stub._2.cast("long")))
-      .withColumn("parsed", MM.bmpMagic(hx).cast("long"))
+      .withColumn("parsed", MM.bmpParseable(hx).cast("long"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -187,13 +187,14 @@ object Round13 {
        |  FROM hx0),
        |g AS (
        |  SELECT
-       |    CASE WHEN substring(hx,1,4) = '424d' THEN ${leAt(18)}
+       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN ${leAt(18)}
        |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),1,1))
        |        * 16 AS BIGINT) END AS w,
-       |    CASE WHEN substring(hx,1,4) = '424d' THEN ${leAt(22)}
+       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN ${leAt(22)}
        |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),2,1))
        |        * 16 AS BIGINT) END AS h,
-       |    CASE WHEN substring(hx,1,4) = '424d' THEN 1 ELSE 0 END AS parsed
+       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52
+       |      THEN 1 ELSE 0 END AS parsed
        |  FROM p)""".stripMargin
 
   val oracle: Map[String, String] = Map(

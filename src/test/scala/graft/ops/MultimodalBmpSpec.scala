@@ -55,6 +55,14 @@ class MultimodalBmpSpec extends AnyFunSuite {
       .select(Multimodal.payloadHex(unhex(col("hx"))).as("p"))
     assert(df.where(Multimodal.bmpMagic(col("p"))).count() == 0,
       "foreign magics must never reach the BMP parser")
+    // a TRUNCATED file that kept its magic (header cut before the
+    // geometry fields) must take the opaque path, never emit NULL dims
+    val cut = Seq("424d4e0000").toDF("hx")
+      .select(Multimodal.payloadHex(unhex(col("hx"))).as("p"))
+    val cutRow = cut.select(Multimodal.bmpMagic(col("p")),
+      Multimodal.bmpParseable(col("p"))).head
+    assert(cutRow.getBoolean(0) && !cutRow.getBoolean(1),
+      "magic present but header short: parseable must be false")
     // registry dispatch: every parsed doc in mm_resolution_bands_bmp is
     // an image-class doc, and at least one of each path exists
     val bands = graft.SparkEntry.queries("mm_resolution_bands_bmp")(
