@@ -129,4 +129,32 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
     assert(after == before, "search through the compacted index is identical")
   }
+
+  test("edges: tiny corpus builds; nprobe > cells degrades to brute force; empty append is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfedge").toString
+    val emb3 = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+      .where(col("vec_id") < 3L)
+    val r = IvfIndex.build(spark, emb3, "vec_id", "embedding", s"$root/idx",
+      numBuckets = 4)
+    assert(r.nVectors == 3L && r.cells == 4, s"3-vector corpus builds: $r")
+    val qVec = emb3.where(col("vec_id") === 0L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    // probing more cells than exist must rank EVERY vector — exactly the
+    // brute-force top-k (same integer-bp cosine, same tiebreaks)
+    val got = IvfIndex.search(spark, s"$root/idx", qVec, 2, nprobe = 99,
+        numBuckets = 4, idCol = "vec_id", excludeId = Some(0L))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val brute = Similarity.topKBrute(emb3, "vec_id", "embedding", 0L, 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == brute, s"nprobe > cells must equal brute force: $got vs $brute")
+    // an empty batch appends nothing and leaves search untouched
+    val appended = IvfIndex.append(spark, emb3.where(lit(false)),
+      "vec_id", "embedding", s"$root/idx", numBuckets = 4)
+    assert(appended == 0L)
+    val again = IvfIndex.search(spark, s"$root/idx", qVec, 2, nprobe = 99,
+        numBuckets = 4, idCol = "vec_id", excludeId = Some(0L))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(again == got, "empty append must not perturb the index")
+  }
 }
