@@ -482,6 +482,41 @@ object Similarity {
     ivfAutoSearchFrom(ivfAutoTrain(emb, idCol, vecCol, sampleFactor),
       idCol, queryId, k, nprobe)
 
+  /** BATCHED multi-query search — the production retrieval shape (one
+    * request carries Q queries, not one): all Q query rows rank their
+    * probe cells in ONE broadcast-centroids pass (≤ Q·nprobe rows,
+    * checkpointed + broadcast), candidates are ONE scan of the shared
+    * assignment joined on cell, and the per-query top-k is a window
+    * bounded by each query's candidate count (a global TakeOrdered
+    * cannot serve per-query limits). Per-batch cost: one assignment
+    * scan + Q·nprobe·(n/cells) candidate rows — amortizing the scan
+    * across the batch instead of paying it per query. Output:
+    * (qid, idCol, cos_bp, rank), rank 1..k per query. */
+  def ivfAutoSearchBatchFrom(t: TrainedIvf, idCol: String,
+                             queryIds: Seq[Long], k: Int,
+                             nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ldot(a: Column, b: Column): Column =
+      graft.functions.LongVectorFunctions.vecDotLong(a, b)
+    val qs = lloydRankedArr(
+        t.quant.where(col("vid").isin(queryIds.map(Long.box): _*)), t.centArr)
+      .where(col("rn") <= nprobe)
+      .select(col("vid").as("qid"), col("cell"),
+        col("xq").as("qxq"), col("dxx").as("qdxx"))
+      .localCheckpoint(true) // hides the ≤Q-row broadcast-assign cross
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("q_cos_bp").desc, col("vid"))
+    t.assigned.join(broadcast(qs), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .withColumn("q_cos_bp", cosBp(ldot(col("xq"), col("qxq")),
+        col("dxx"), col("qdxx")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("vid").as(idCol),
+        col("q_cos_bp").as("cos_bp"), col("rk").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Recall@k vs nprobe sweep over the scale-adaptive index — the
     * latency/recall dial priced for the autoCells build: ONE sampled
     * train + ONE scoring scan (every vector's exact cosine to the

@@ -314,7 +314,7 @@ object Round12 {
     * milliNormCte first): data-scaled cell count, md5-prefix sample,
     * round-0 seed assignment on the sample, one Lloyd mean, and the
     * full-corpus argmax assignment `af` (+ dxx/dcc/dxc norm frames). */
-  private lazy val ivfAutoCtes: String =
+  private[queries] lazy val ivfAutoCtes: String =
       s"""nrow AS (SELECT count(*) AS n FROM embeddings),
          |cellsc AS (
          |  SELECT coalesce(min(CAST(1 AS BIGINT) << p) FILTER (

@@ -113,6 +113,44 @@ object Round13 {
         .orderBy(col("vec_id"))
     }),
 
+    // Container integrity audit over the payload BYTES: class each doc
+    // by its magic (complete-header BMP / magic-but-truncated / opaque)
+    // and, for parseable BMPs, reconcile the header's CLAIMED file size
+    // (int32-LE at byte 2) against the bytes actually stored — the
+    // incomplete-download / corrupt-object scanner every ingest runs.
+    // The synthesized corpus stores header-only prefixes, so the audit
+    // honestly reports every BMP body as missing. Pure per-row hex
+    // kernel + one bounded class rollup.
+    "mm_bmp_integrity" -> ((s, dir) => {
+      val hx = MM.payloadHex(col("payload"))
+      withPayload(Tables.documents(s, dir))
+        .withColumn("cls",
+          when(MM.bmpParseable(hx), "bmp")
+            .when(MM.bmpMagic(hx), "bmp_truncated")
+            .otherwise("opaque"))
+        .withColumn("actual", idiv(length(hx).cast("long"), lit(2L)))
+        .withColumn("claimed",
+          when(MM.bmpParseable(hx), MM.leU32(hx, 2)))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("claimed") <= col("actual"), 1L).otherwise(0L))
+            .as("n_complete"),
+          sum(coalesce(greatest(col("claimed") - col("actual"), lit(0L)),
+            lit(0L))).as("bytes_missing"),
+          sum(col("actual")).as("bytes_stored"))
+        .orderBy(col("cls"))
+    }),
+
+    // BATCHED multi-query ANN search through the shared scale-adaptive
+    // index — the production retrieval shape (one request carries Q
+    // queries): all probe cells rank in ONE broadcast pass, candidates
+    // are ONE scan of the shared assignment, per-query top-5 via a
+    // window bounded by each query's candidate count. Batch cost
+    // amortizes the scan across queries instead of paying it per query.
+    "sim_ivf_batch_search" -> ((s, dir) =>
+      Similarity.ivfAutoSearchBatchFrom(SimIvf.sharedAuto(s, dir),
+        "vec_id", Seq(0L, 1L, 2L), 5, 2)),
+
     // Capacity plan for the asofStream idle-TTL policy (the batch twin
     // of the round-13 streaming flag): with the PIT watermark one hour
     // behind the newest event and a 1-day TTL, classify every user's
@@ -162,8 +200,8 @@ object Round13 {
       s"substring(hx,${p + 2},2)||substring(hx,$p,2))) AS BIGINT)"
   }
 
-  /** The shared synthesize-then-parse CTE chain (documents → g(w,h,parsed)). */
-  private val decodeCtes: String =
+  /** Container synthesis CTEs (documents → p(doc_id, text, hx)). */
+  private val synthCtes: String =
     s"""d AS (
        |  SELECT doc_id, text,
        |    CASE WHEN substring(text,1,1) BETWEEN 'a' AND 'f'
@@ -184,7 +222,11 @@ object Round13 {
        |    CASE WHEN isb = 1 THEN '424d' || ${le("fa")} || '00000000' ||
        |      ${le("fb")} || ${le("fc")} || ${le("fw")} || ${le("fh")}
        |    ELSE '0000' || md5(text) END AS hx
-       |  FROM hx0),
+       |  FROM hx0)""".stripMargin
+
+  /** The synthesize-then-parse chain (documents → g(w, h, parsed)). */
+  private val decodeCtes: String =
+    s"""$synthCtes,
        |g AS (
        |  SELECT
        |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN ${leAt(18)}
@@ -237,6 +279,52 @@ object Round13 {
          |      ORDER BY cos_bp DESC, b_id) AS rn FROM p)
          |SELECT vec_id, label, hard_neg_id, neg_label, cos_bp
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "mm_bmp_integrity" ->
+      s"""WITH $synthCtes,
+         |c AS (
+         |  SELECT
+         |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52
+         |        THEN 'bmp'
+         |      WHEN substring(hx,1,4) = '424d' THEN 'bmp_truncated'
+         |      ELSE 'opaque' END AS cls,
+         |    length(hx) // 2 AS actual,
+         |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52
+         |      THEN ${leAt(2)} END AS claimed
+         |  FROM p)
+         |SELECT cls, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN claimed <= actual THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_complete,
+         |  CAST(sum(coalesce(CASE WHEN claimed - actual > 0
+         |    THEN claimed - actual ELSE 0 END, 0)) AS BIGINT)
+         |    AS bytes_missing,
+         |  CAST(sum(actual) AS BIGINT) AS bytes_stored
+         |FROM c GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "sim_ivf_batch_search" ->
+      s"""WITH ${SimMm.milliNormCte},
+         |${Round12.ivfAutoCtes},
+         |qr AS (
+         |  SELECT x.vec_id AS qid, x.cell, row_number() OVER (
+         |    PARTITION BY x.vec_id
+         |    ORDER BY ${SimMm.cosBpSql("x.dxc", "v.dxx", "k.dcc")} DESC,
+         |      x.cell) AS qrn
+         |  FROM dxc x JOIN dxx v USING (vec_id) JOIN dcc k USING (cell)
+         |  WHERE x.vec_id IN (0, 1, 2)),
+         |qcells AS (SELECT qid, cell FROM qr WHERE qrn <= 2),
+         |cand AS (SELECT q.qid, f.vec_id FROM af f JOIN qcells q
+         |         USING (cell) WHERE f.vec_id <> q.qid),
+         |scored AS (
+         |  SELECT c.qid, c.vec_id,
+         |    ${SimMm.cosBpSql(SimMm.dotmSql("m.mq", "qm.mq"),
+               "m.nsq", "qm.nsq")} AS cos_bp
+         |  FROM cand c JOIN miln m ON m.vec_id = c.vec_id
+         |    JOIN miln qm ON qm.vec_id = c.qid),
+         |r AS (SELECT qid, vec_id, cos_bp, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos_bp DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT qid, vec_id, cos_bp, CAST(rk AS BIGINT) AS rank
+         |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin,
 
     "etl_ttl_eviction_plan" ->
       """WITH e AS (
