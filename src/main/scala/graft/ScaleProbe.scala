@@ -541,6 +541,59 @@ object ScaleProbe {
             numBuckets = 64, excludeId = Some(vid)).count()
         }.sum
       }
+      // The SAME 20 queries as ONE batch against the STORED artifact:
+      // all probe cells rank in one broadcast pass and the vectors table
+      // is read ONCE (bucket-pruned to the probe-cell UNION) — the
+      // amortization is the point; compare against ivf_index_search20's
+      // 20 serial reads.
+      time("ivf_index_batch20") {
+        val qdf = emb.orderBy(col("vec_id")).limit(20)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.ops.IvfIndex.searchBatch(spark, idxPath, qdf, "qid",
+          "embedding", k = 10, nprobe = 2, numBuckets = 64).count()
+      }
+      // Append-churn cadence: 8 small batches accrete ~1 file per
+      // touched bucket each (the production ingest shape), Compaction
+      // merges them back, and a search through the compacted store is
+      // row-identical — the measured maintenance loop for the artifact.
+      time("ivf_append_churn") {
+        val (qv0, qvec0) = qvecs.head
+        def top(): Seq[(Long, Long)] =
+          graft.ops.IvfIndex.search(spark, idxPath, qvec0, k = 10,
+              nprobe = 2, numBuckets = 64, excludeId = Some(qv0))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (0 until 8).foreach { i =>
+          val b = emb.where(pmod(col("vec_id"), lit(97L)) === i.toLong)
+            .select((col("vec_id") + 100000000L * (i + 1)).as("vec_id"),
+              col("embedding"))
+          graft.ops.IvfIndex.append(spark, b, "vec_id", "embedding",
+            idxPath, numBuckets = 64)
+        }
+        val preTop = top()
+        val before = graft.sinks.Compaction
+          .partitionStats(spark, s"$idxPath/vectors").map(_.nFiles.toLong).sum
+        graft.sinks.Compaction.compact(spark, s"$idxPath/vectors",
+          targetBytes = 64L * 1024 * 1024)
+        val after = graft.sinks.Compaction
+          .partitionStats(spark, s"$idxPath/vectors").map(_.nFiles.toLong).sum
+        require(top() == preTop, "search must be identical after compaction")
+        println(s"SCALE ivf_append_detail files_before=$before " +
+          s"files_after=$after")
+        before - after
+      }
+    }
+    // The ANN-backed hard-negative miner (sim_hard_negatives's kernel,
+    // Similarity.hardNegativesFrom): blocked by the scale-adaptive
+    // cells, so the cross-label pair bound is Σ cell² = O(n·√n) — the
+    // printed pair_bound must grow ≤ mult^1.5, never mult².
+    time("hard_negatives") {
+      val t = graft.ops.Similarity.ivfAutoTrain(emb, "vec_id", "embedding")
+      val pb = t.assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("pb")).head.getLong(0)
+      println(s"SCALE hard_negatives_detail cells=${t.cells} pair_bound=$pb")
+      graft.ops.Similarity.hardNegativesFrom(t,
+        emb.select(col("vec_id").as("vid"),
+          pmod(col("vec_id"), lit(8L)).as("label"))).count()
     }
     spark.stop()
   }

@@ -216,7 +216,7 @@ object StreamVolumeProbe {
       // bucket map for replica-0 ids through the sink's own hash
       val octant = base.map(_._1).toSeq.toDF("event_id")
         .withColumn("b", pmod(xxhash64(
-          concat_ws(" ", (col("event_id") * mult).cast("string"))),
+          concat_ws("\u0000", (col("event_id") * mult).cast("string"))),
           lit(nb)).cast("int"))
         .as[(Long, Int)].collect().toMap
       // 4 increments, each re-keying ONE bucket's residents

@@ -139,6 +139,75 @@ object Pipelines {
       after.map(_.nFiles.toLong).sum, after.map(_.bytes).sum, plans.size)
   }
 
+  /** What one continuous-ingest tick did, per stage. */
+  final case class IngestReport(rowsIn: Long, exactDups: Long,
+      nearDups: Long, uniques: Long, tokensSeen: Long, piecesSeen: Long,
+      vectorsAppended: Long)
+
+  /** One tick of the CONTINUOUS ingest loop — the reference's cron'd
+    * extract → clean → upsert cycle (index.js:75-86, etlService.js:416-
+    * 591) in stored-artifact form, composing the three persisted
+    * artifacts so every step answers from its STORE, never from a
+    * training corpus:
+    *
+    *  1. NORMALIZE — trim text, drop key-less/empty rows (the clean
+    *     step at document grain; no case folding — the dedup index
+    *     hashes raw content);
+    *  2. DEDUP VERDICTS — [[graft.ops.IncrementalDedup.verdicts]]
+    *     against the stored hash + band index: exact/near dups drop,
+    *     uniques continue;
+    *  3. INDEX FOLD — the uniques' hashes/bands/sigs upsert into the
+    *     dedup index, so RE-DELIVERY of the same batch verdicts every
+    *     row a dup: the whole tick is idempotent (spec-pinned — the
+    *     second run ingests 0 docs and appends 0 vectors);
+    *  4. TOKENIZE STATS — [[graft.ops.TokenizerModel.segment]] with the
+    *     stored BPE merges prices the uniques (tokens/pieces) for the
+    *     packing planner;
+    *  5. ANN APPEND — the uniques' embeddings assign against the STORED
+    *     centroids ([[graft.ops.IvfIndex.append]], no retrain) and are
+    *     immediately searchable.
+    *
+    * `batch` carries (doc_id, text, embedding); rows with a NULL
+    * embedding still dedup + price but skip the ANN append. Returns the
+    * per-stage counts. */
+  def ingest(spark: SparkSession, batch: DataFrame, dedupPath: String,
+             bpePath: String, ivfPath: String, dedupBuckets: Int = 8,
+             ivfBuckets: Int = 16): IngestReport = {
+    import graft.ops.{IncrementalDedup, IvfIndex, TokenizerModel}
+    val norm = batch
+      .where(col("doc_id").isNotNull)
+      .withColumn("text", trim(col("text")))
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .localCheckpoint(true) // feeds verdicts, the uniques join, counts
+    val rowsIn = norm.count()
+    val v = IncrementalDedup.verdicts(spark, norm, "doc_id", "text",
+        dedupPath)
+      .localCheckpoint(true)
+    val byStatus = v.groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniq = norm.join(
+        v.where(col("status") === "unique").select(col("doc_id")),
+        Seq("doc_id"))
+      .localCheckpoint(true) // feeds THREE artifact writes + the stats
+    val nUniq = uniq.count()
+    val (tokens, pieces, appended) =
+      if (nUniq == 0L) (0L, 0L, 0L)
+      else {
+        IncrementalDedup.append(spark, uniq, "doc_id", "text", dedupPath,
+          numBuckets = dedupBuckets)
+        val s = TokenizerModel.segment(spark, uniq, "doc_id", "text", bpePath)
+          .agg(coalesce(sum(col("n_tokens")), lit(0L)).as("t"),
+            coalesce(sum(col("n_pieces")), lit(0L)).as("p")).head
+        val a = IvfIndex.append(spark,
+          uniq.where(col("embedding").isNotNull)
+            .select(col("doc_id"), col("embedding")),
+          "doc_id", "embedding", ivfPath, ivfBuckets)
+        (s.getLong(0), s.getLong(1), a)
+      }
+    IngestReport(rowsIn, byStatus.getOrElse("exact_dup", 0L),
+      byStatus.getOrElse("near_dup", 0L), nUniq, tokens, pieces, appended)
+  }
+
   /** Layout audit over a written corpus table: one row per data file —
     * rows, zk min/max, and the count of ORDER INVERSIONS of zk in file
     * order (0 = the file is clustered; parquet row-group min/max stats

@@ -37,14 +37,35 @@ object Graph {
     * seed set is tiny against a 100 TB graph. The per-iteration
     * seed-rejoin is a keyed full-outer (a seed may have no inbound mass
     * yet must keep its base share). */
-  def personalizedPagerank(edges0: DataFrame, seeds: DataFrame,
-                           iters: Int = 3,
-                           scale: Long = 1000000000L): DataFrame = {
+  /** The build-once layout every pagerank-family iteration scans:
+    * (deg = (src, od) node degrees, edgesOd = the degree-annotated edge
+    * list REPARTITIONED BY src), both eagerly checkpointed —
+    * localCheckpoint preserves the hash partitioning in the LogicalRDD,
+    * so each iteration's pr ⋈ edges join exchanges only the |V|-sized
+    * rank frame and the O(|E|) list never shuffles again. Exposed so
+    * one shared build ([[graft.queries.GraphShared]]) can serve every
+    * family member instead of each query rebuilding it. */
+  def degreeAnnotated(edges0: DataFrame): (DataFrame, DataFrame) = {
     val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
       .localCheckpoint(true)
     val edgesOd = edges0.join(deg, Seq("src"))
       .repartition(col("src"))
       .localCheckpoint(true)
+    (deg, edgesOd)
+  }
+
+  def personalizedPagerank(edges0: DataFrame, seeds: DataFrame,
+                           iters: Int = 3,
+                           scale: Long = 1000000000L): DataFrame = {
+    val (_, edgesOd) = degreeAnnotated(edges0)
+    personalizedPagerankFrom(edgesOd, seeds, iters, scale)
+  }
+
+  /** [[personalizedPagerank]] over a PREBUILT [[degreeAnnotated]] edge
+    * frame — the shared-projection entry point. */
+  def personalizedPagerankFrom(edgesOd: DataFrame, seeds: DataFrame,
+                               iters: Int = 3,
+                               scale: Long = 1000000000L): DataFrame = {
     val sd = seeds.select(col("node")).distinct().localCheckpoint(true)
     val ns = sd.agg(count(lit(1)).as("ns"))
     val base = graft.queries.idiv(
@@ -71,11 +92,14 @@ object Graph {
 
   def pagerank(edges0: DataFrame, iters: Int = 3,
                scale: Long = 1000000000L): DataFrame = {
-    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
-    val edgesOd = edges0.join(deg, Seq("src"))
-      .repartition(col("src"))
-      .localCheckpoint(true) // scanned `iters`× by the iterations
+    val (deg, edgesOd) = degreeAnnotated(edges0)
+    pagerankFrom(deg, edgesOd, iters, scale)
+  }
+
+  /** [[pagerank]] over a PREBUILT [[degreeAnnotated]] frame pair — the
+    * shared-projection entry point (edgesOd is scanned `iters`×). */
+  def pagerankFrom(deg: DataFrame, edgesOd: DataFrame, iters: Int = 3,
+                   scale: Long = 1000000000L): DataFrame = {
     val nn = deg.agg(count(lit(1)).as("n"))
     val base = graft.queries.idiv(
       lit(15L) * graft.queries.idiv(lit(scale), col("n")), lit(100L))
@@ -112,11 +136,15 @@ object Graph {
     * linf_residual) — |V|-sized joins per iteration, never |E|². */
   def pagerankResiduals(edges0: DataFrame, iters: Int = 3,
                         scale: Long = 1000000000L): DataFrame = {
-    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
-    val edgesOd = edges0.join(deg, Seq("src"))
-      .repartition(col("src"))
-      .localCheckpoint(true)
+    val (deg, edgesOd) = degreeAnnotated(edges0)
+    pagerankResidualsFrom(deg, edgesOd, iters, scale)
+  }
+
+  /** [[pagerankResiduals]] over a PREBUILT [[degreeAnnotated]] frame
+    * pair — the shared-projection entry point. */
+  def pagerankResidualsFrom(deg: DataFrame, edgesOd: DataFrame,
+                            iters: Int = 3,
+                            scale: Long = 1000000000L): DataFrame = {
     val nn = deg.agg(count(lit(1)).as("n"))
     val base = graft.queries.idiv(
       lit(15L) * graft.queries.idiv(lit(scale), col("n")), lit(100L))

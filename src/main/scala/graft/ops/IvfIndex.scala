@@ -120,6 +120,50 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** BATCHED top-k against the STORED artifact — the production
+    * retrieval shape (one request carries Q queries), composed from two
+    * proven pieces: the one-broadcast probe-cell ranking of
+    * [[Similarity.ivfAutoSearchBatchFrom]] and ONE
+    * [[KeyedParquetSink.readBuckets]] point read over the UNION of
+    * every query's probe cells. Candidate I/O per batch is
+    * |distinct probe buckets| / numBuckets of the table — the read is
+    * amortized across the batch instead of paid per query, and a
+    * stored vector is scored at most once per query regardless of how
+    * many queries probe its cell. `queries` carries (qidCol, vecCol)
+    * rows; a stored row whose vid equals a qid is excluded from that
+    * query's candidates (the searching-for-a-member contract of the
+    * inline batch search — external queries should use ids disjoint
+    * from stored vids, e.g. negative). Output: (qid, idCol, cos_bp,
+    * rank), rank 1..k per query. */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+                  qidCol: String, vecCol: String, k: Int, nprobe: Int,
+                  numBuckets: Int = 16, idCol: String = "vid"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = centroids(spark, path)
+    // all Q queries rank their probe cells in ONE broadcast-centroids
+    // pass (≤ Q·nprobe rows, checkpointed — feeds the bucket prune AND
+    // the score join, and hides the legitimate broadcast cross)
+    val qRanked = Similarity.lloydRankedArr(
+        quantOf(queries, qidCol, vecCol), cent)
+      .where(col("rn") <= nprobe)
+      .select(col("vid").as("qid"), col("cell"),
+        col("xq").as("qxq"), col("dxx").as("qdxx"))
+      .localCheckpoint(true)
+    val cand = KeyedParquetSink.readBuckets(spark, s"$path/vectors",
+      Seq("cell"), numBuckets, qRanked.select(col("cell")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("q_cos_bp").desc, col("vid"))
+    cand.join(broadcast(qRanked), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .withColumn("q_cos_bp",
+        Similarity.cosBp(ldot(col("xq"), col("qxq")), col("dxx"), col("qdxx")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("vid").as(idCol),
+        col("q_cos_bp").as("cos_bp"), col("rk").cast("long").as("rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Occupancy audit of the STORED index (the sim_ivf_auto stats shape
     * over the artifact — drifts as appends land): per cell the member
     * count, min vid and centroid norm, plus the trained cell count. */

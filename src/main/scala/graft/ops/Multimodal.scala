@@ -109,8 +109,21 @@ object Multimodal {
   def bmpParseable(hexs: Column): Column =
     bmpMagic(hexs) && length(hexs) >= lit(52)
 
-  def bmpWidth(hexs: Column): Column = leU32(hexs, 18)
-  def bmpHeight(hexs: Column): Column = leU32(hexs, 22)
+  /** SIGNED 32-bit little-endian int at byte offset `off` — the
+    * BITMAPINFOHEADER geometry fields are int32, not DWORD: a genuine
+    * top-down BMP stores a NEGATIVE height, which the unsigned read
+    * would decode as ~4.29e9 and corrupt every band/aspect-ratio
+    * rollup downstream. Sign-extend when bit 31 is set. */
+  def leI32(hexs: Column, off: Int): Column = {
+    val u = leU32(hexs, off)
+    when(u >= lit(2147483648L), u - lit(4294967296L)).otherwise(u)
+  }
+
+  def bmpWidth(hexs: Column): Column = leI32(hexs, 18)
+
+  /** Pixel height = |signed height field| — negative means top-down row
+    * order (same geometry, different scanline direction). */
+  def bmpHeight(hexs: Column): Column = abs(leI32(hexs, 22))
 
   /** 4-byte little-endian lowercase hex of a non-negative int — the
     * write side of [[leU32]], for synthesizing container bytes

@@ -517,6 +517,42 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Hard-negative mining over a trained scale-adaptive index: per
+    * vector, its most-similar CROSS-LABEL neighbor (the pair a
+    * contrastive trainer most wants in the batch), blocked by the
+    * trained cells. `labels` carries (vid, label). With cells ≈ √n
+    * ([[autoCells]]) the cross-label self-join is bounded by
+    * Σ cell² = O(n·√n) — a fixed cell count would go quadratic as
+    * occupancy grows with the corpus. Per-vector top-1 is a window
+    * bounded by the cell's occupancy (~√n); ranking in integer basis
+    * points; vectors whose cell holds no other label drop out by
+    * construction. ONE definition serves the registered query
+    * (sim_hard_negatives) and the scale probe. */
+  def hardNegativesFrom(t: TrainedIvf, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the trained assignment carries (vid, cell, xq ≡ milliQuant,
+    // dxx ≡ normSq); only the label rides in from the caller
+    val assigned = t.assigned.join(labels, Seq("vid"))
+      .localCheckpoint(true) // feeds BOTH sides of the cell self-join
+    val a = assigned.select(col("vid").as("a_id"),
+      col("label").as("a_label"), col("cell"),
+      col("xq").as("amq"), col("dxx").as("ansq"))
+    val b = assigned.select(col("vid").as("b_id"),
+      col("label").as("b_label"), col("cell"),
+      col("xq").as("bmq"), col("dxx").as("bnsq"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_bp").desc, col("b_id"))
+    a.join(b, Seq("cell"))
+      .where(col("a_label") =!= col("b_label"))
+      .withColumn("cos_bp", cosBp(dotMilli(col("amq"), col("bmq")),
+        col("ansq"), col("bnsq")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+        col("b_id").as("hard_neg_id"), col("b_label").as("neg_label"),
+        col("cos_bp"))
+  }
+
   /** Recall@k vs nprobe sweep over the scale-adaptive index — the
     * latency/recall dial priced for the autoCells build: ONE sampled
     * train + ONE scoring scan (every vector's exact cosine to the

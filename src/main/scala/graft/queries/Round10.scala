@@ -201,15 +201,13 @@ object Round10 {
     // replays the 3 iterations as chained CTEs with the seed rejoin as
     // a FULL OUTER per round.
     "graph_pagerank_seeded" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
-          concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
-        .distinct()
       val seeds = Tables.supplier(s, dir)
         .where(col("s_suppkey") % 10 === 0)
         .select(concat(lit("s:"), col("s_suppkey").cast("string")).as("node"))
-      graft.ops.Graph.personalizedPagerank(
-          graft.ops.Graph.undirectedEdges(li, "a", "b"), seeds, 3)
+      // shared degree-annotated edge frame (GraphShared): one build
+      // serves the whole pagerank family
+      graft.ops.Graph.personalizedPagerankFrom(
+          GraphShared.prEdges(s, dir), seeds, 3)
         .where(col("pr") > 0)
         .orderBy(col("pr").desc, col("node")).limit(30)
     }),
@@ -219,12 +217,10 @@ object Round10 {
     // degree — the skew readout that predicts PageRank iteration
     // balance. Two keyed rollups; output bounded by distinct degrees.
     "graph_degree_hist" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
-          concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
-        .distinct()
-      graft.ops.Graph.undirectedEdges(li, "a", "b")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      // the per-node degree IS the shared pagerank build's deg frame
+      // (GraphShared) — the histogram is one bounded rollup on top
+      GraphShared.prDeg(s, dir)
+        .select(col("src"), col("od").as("deg"))
         .withColumn("side", substring(col("src"), 1, 1))
         .groupBy(col("side"), col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("side"), col("deg"))

@@ -55,14 +55,12 @@ object Round10b {
     // no ranking signal). Degrees are computed on the SAME capped graph
     // and broadcast (≤ supplier count rows).
     "graph_common_neighbors" -> ((s, dir) => {
-      // distinct edge list built ONCE (eager checkpoint — the
-      // graph_pagerank convention): five downstream uses, one scan.
-      // Kernel = graft.ops.Graph.{cappedVia, projectionPairs}, shared
-      // with ScaleProbe so the probed plan IS the registered one.
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      // the capped projection is the SHARED per-(session, dataset)
+      // frame (GraphShared): built+checkpointed once for the whole
+      // graph family. Kernel = graft.ops.Graph.{cappedVia,
+      // projectionPairs}, shared with ScaleProbe so the probed plan IS
+      // the registered one.
+      val spc = GraphShared.cappedSp(s, dir)
       val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
       val pairs = graft.ops.Graph.projectionPairs(spc, "sk", "pk")
       pairs
@@ -256,10 +254,7 @@ object Round10b {
     // checkpointed edge list; the frontier is deduped per hop (the
     // BFS-on-Spark shape: distinct per level, never multiplicities).
     "graph_bfs_2hop" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val spc = GraphShared.cappedSp(s, dir)
       val seeds = Tables.supplier(s, dir)
         .where(col("s_suppkey") % 20 === 0)
         .select(col("s_suppkey").as("seed"))

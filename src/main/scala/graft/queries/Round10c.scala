@@ -58,10 +58,8 @@ object Round10c {
     // per-part work is C(deg ≤ 64, 2) and total work stays linear in
     // the edge list at any corpus size.
     "graph_resource_alloc" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      // shared capped projection (GraphShared): one build per session
+      val spc = GraphShared.cappedSp(s, dir)
       val pd = spc.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
       val wtd = spc.join(pd, Seq("pk"))
         .select(col("pk"), col("sk").as("s1"), idiv(lit(1000000L), col("pd")).as("w"))
@@ -699,10 +697,7 @@ object Round10c {
     // (diversified suppliers ↔ widely-sourced parts). Top-10 per role;
     // kernel = graft.ops.Graph.hits, shared with any probe.
     "graph_hits" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val spc = GraphShared.cappedSp(s, dir)
       val scored = graft.ops.Graph.hits(spc, 2)
       val w = Window.partitionBy(col("role"))
         .orderBy(col("score").desc, col("id"))

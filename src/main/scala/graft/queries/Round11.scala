@@ -297,10 +297,8 @@ object Round11 {
     // would be 0, so pd ≥ 2). Same capped-postings bound: per-part
     // fan-out ≤ C(64,2) at any scale. Top-20 pairs by score.
     "graph_adamic_adar" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      // shared capped projection (GraphShared): one build per session
+      val spc = GraphShared.cappedSp(s, dir)
       val pd = spc.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
         .where(col("pd") >= 2)
       val wtd = spc.join(pd, Seq("pk"))
@@ -346,10 +344,7 @@ object Round11 {
     // union, so prolific suppliers stop dominating. Same capped-
     // postings bound; top-20 pairs.
     "graph_jaccard_coeff" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
+      val spc = GraphShared.cappedSp(s, dir)
       val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
       graft.ops.Graph.projectionPairs(spc, "sk", "pk")
         .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))

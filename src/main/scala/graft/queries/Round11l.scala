@@ -64,15 +64,13 @@ object Round11l {
     // must fall monotonically on the fixture; the contraction is the
     // 0.85 damping). Kernel shared verbatim with graph_pagerank /
     // ScaleProbe; each iteration adds one |V|-sized residual join.
-    "graph_pagerank_residual" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
-          concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
-        .distinct()
-      graft.ops.Graph.pagerankResiduals(
-          graft.ops.Graph.undirectedEdges(li, "a", "b"), 3, 1000000000L)
-        .orderBy(col("iter"))
-    })
+    "graph_pagerank_residual" -> ((s, dir) =>
+      // shared degree-annotated edge frame (GraphShared): one build
+      // serves the whole pagerank family
+      graft.ops.Graph.pagerankResidualsFrom(
+          GraphShared.prDeg(s, dir), GraphShared.prEdges(s, dir),
+          3, 1000000000L)
+        .orderBy(col("iter")))
   )
 
   val oracle: Map[String, String] = Map(

@@ -41,11 +41,8 @@ object Round11p {
     // inter), top 20. Same cappedVia-64 bound as the siblings, so pair
     // fan-out stays Σ df² over capped parts at any corpus size.
     "graph_jaccard_linkpred" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
-        .localCheckpoint(true)
+      // shared capped projection (GraphShared): already checkpointed
+      val spc = GraphShared.cappedSp(s, dir)
       val sd = spc.groupBy(col("sk")).agg(count(lit(1)).as("d"))
       val pairs = spc.select(col("pk"), col("sk").as("s1"))
         .join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))

@@ -21,11 +21,8 @@ object Round11y {
     // Σ capped-df², never |V|². Distinct per hop (BFS semantics, no
     // multiplicities).
     "graph_harmonic_2hop" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
-        .localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
-        .localCheckpoint(true)
+      // shared capped projection (GraphShared): already checkpointed
+      val spc = GraphShared.cappedSp(s, dir)
       val h1 = spc.groupBy(col("sk")).agg(count(lit(1)).as("n_parts"))
       val h2 = spc.select(col("pk"), col("sk").as("src"))
         .join(spc.select(col("pk"), col("sk").as("dst")), Seq("pk"))

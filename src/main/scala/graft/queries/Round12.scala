@@ -280,11 +280,8 @@ object Round12 {
     // is frontier-edge-bounded (cap 64 per part), the driver only loops
     // the 3-round counter.
     "graph_bfs_layers" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-        .distinct().localCheckpoint(true)
-      val spc = graft.ops.Graph.cappedVia(sp, "sk", "pk", 64)
-        .localCheckpoint(true)
+      // shared capped projection (GraphShared): already checkpointed
+      val spc = GraphShared.cappedSp(s, dir)
       val und = spc.select(col("pk"), col("sk").as("a"))
         .join(spc.select(col("pk"), col("sk").as("b")), Seq("pk"))
         .where(col("a") =!= col("b"))

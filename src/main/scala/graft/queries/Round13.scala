@@ -78,40 +78,16 @@ object Round13 {
 
     // Hard-negative mining for contrastive training: per vector, its
     // most-similar CROSS-LABEL neighbor (the pair a trainer most wants
-    // in the batch). Blocked by IVF cell so the self-join is
-    // Σ cell² = O(n²/cells), never corpus² — the same cell-locality
-    // trade every ANN-backed miner ships; per-vector top-1 is a window
-    // bounded by the cell's occupancy. Ranking in integer basis points
-    // (deterministic, engine-stable); vectors whose cell holds no other
-    // label drop out by construction.
-    "sim_hard_negatives" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val assigned = Similarity.ivfAssignAll(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 8)
-        .select(col("vec_id"), col("label"), col("cell"),
-          Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
-        .localCheckpoint(true) // hides the seed cross; feeds BOTH join sides
-      val a = assigned.select(col("vec_id").as("a_id"),
-        col("label").as("a_label"), col("cell"),
-        col("mq").as("amq"), col("nsq").as("ansq"))
-      val b = assigned.select(col("vec_id").as("b_id"),
-        col("label").as("b_label"), col("cell"),
-        col("mq").as("bmq"), col("nsq").as("bnsq"))
-      val w = Window.partitionBy(col("a_id"))
-        .orderBy(col("cos_bp").desc, col("b_id"))
-      a.join(b, Seq("cell"))
-        .where(col("a_label") =!= col("b_label"))
-        .withColumn("cos_bp", Similarity.cosBp(
-          Similarity.dotMilli(col("amq"), col("bmq")),
-          col("ansq"), col("bnsq")))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("a_id").as("vec_id"), col("a_label").as("label"),
-          col("b_id").as("hard_neg_id"), col("b_label").as("neg_label"),
-          col("cos_bp"))
-        .orderBy(col("vec_id"))
-    }),
+    // in the batch), blocked by the SHARED scale-adaptive IVF cells
+    // (SimIvf.sharedAuto, cells ≈ √n) so the cross-label self-join is
+    // bounded by Σ cell² = O(n·√n) — a fixed cell count would go
+    // quadratic as occupancy grows with the corpus. Kernel =
+    // Similarity.hardNegativesFrom, shared with the scale probe.
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegativesFrom(SimIvf.sharedAuto(s, dir),
+          Tables.embeddings(s, dir)
+            .select(col("vec_id").as("vid"), col("label")))
+        .orderBy(col("vec_id"))),
 
     // Container integrity audit over the payload BYTES: class each doc
     // by its magic (complete-header BMP / magic-but-truncated / opaque)
@@ -200,6 +176,13 @@ object Round13 {
       s"substring(hx,${p + 2},2)||substring(hx,$p,2))) AS BIGINT)"
   }
 
+  /** DuckDB SIGNED i32-LE at byte offset `off` — the BITMAPINFOHEADER
+    * geometry twin of [[graft.ops.Multimodal.leI32]] (sign-extend when
+    * bit 31 is set; a top-down BMP stores a negative height). */
+  private def leIAt(off: Int): String =
+    s"CASE WHEN ${leAt(off)} >= 2147483648 THEN ${leAt(off)} - 4294967296" +
+      s" ELSE ${leAt(off)} END"
+
   /** Container synthesis CTEs (documents → p(doc_id, text, hx)). */
   private val synthCtes: String =
     s"""d AS (
@@ -229,10 +212,10 @@ object Round13 {
     s"""$synthCtes,
        |g AS (
        |  SELECT
-       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN ${leAt(18)}
+       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN ${leIAt(18)}
        |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),1,1))
        |        * 16 AS BIGINT) END AS w,
-       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN ${leAt(22)}
+       |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52 THEN abs(${leIAt(22)})
        |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),2,1))
        |        * 16 AS BIGINT) END AS h,
        |    CASE WHEN substring(hx,1,4) = '424d' AND length(hx) >= 52
@@ -263,10 +246,9 @@ object Round13 {
 
     "sim_hard_negatives" ->
       s"""WITH ${SimMm.milliNormCte},
-         |${SimMm.ivfCte},
-         |cm AS (SELECT a.vec_id, a.cell, m.label, m.mq, m.nsq
-         |       FROM ass a JOIN miln m ON m.vec_id = a.vec_id
-         |       WHERE a.rn = 1),
+         |${Round12.ivfAutoCtes},
+         |cm AS (SELECT f.vec_id, f.cell, m.label, m.mq, m.nsq
+         |       FROM af f JOIN miln m ON m.vec_id = f.vec_id),
          |p AS (
          |  SELECT x.vec_id, x.label, y.vec_id AS b_id,
          |    y.label AS neg_label,

@@ -206,19 +206,16 @@ object Round9b {
     // iteration is one co-keyed join + one keyed rollup (shuffles on
     // node id only); the edge list is built once and checkpointed.
     // No dangling nodes by construction (undirected ⇒ outdeg ≥ 1).
-    "graph_pagerank" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(concat(lit("s:"), col("l_suppkey").cast("string")).as("a"),
-          concat(lit("p:"), col("l_partkey").cast("string")).as("b"))
-        .distinct()
+    "graph_pagerank" -> ((s, dir) =>
       // the iteration kernel lives in graft.ops.Graph — shared verbatim
       // with ScaleProbe's pagerank_3iter, so the probe characterizes
-      // THIS plan (edge build repartitioned by src + checkpointed once;
-      // each iteration exchanges only the |V|-sized rank frame)
-      graft.ops.Graph.pagerank(
-          graft.ops.Graph.undirectedEdges(li, "a", "b"), 3, SCALE)
-        .orderBy(col("pr").desc, col("node")).limit(30)
-    }),
+      // THIS plan; the degree-annotated edge frame is the SHARED
+      // per-(session, dataset) build (GraphShared) every pagerank-family
+      // member iterates over (each iteration exchanges only the
+      // |V|-sized rank frame)
+      graft.ops.Graph.pagerankFrom(
+          GraphShared.prDeg(s, dir), GraphShared.prEdges(s, dir), 3, SCALE)
+        .orderBy(col("pr").desc, col("node")).limit(30)),
 
     // Per-user rolling median (7-event window) of purchase cents —
     // the windowed-quantile kernel feature pipelines need. The frame

@@ -732,8 +732,12 @@ object StreamOps {
     * caps rule) as a sentinel [[PitOut]] with label_id = -1 carrying the
     * dominant feature that was dropped: a label arriving for that user
     * later re-enters with empty feature history (the documented
-    * trade-off the flag opts into). Off (None, the default) the
-    * semantics are byte-identical to the un-flagged operator. */
+    * trade-off the flag opts into). Off (None, the default) the OUTPUT
+    * is byte-identical to the pre-TTL operator — but NOT the
+    * checkpoint: adding `lastSeen` to [[PitState]] changed the state
+    * encoder schema, so a stream restarted from a pre-TTL checkpoint
+    * fails state-schema validation even with idleTtlSec = None; upgrade
+    * with a fresh checkpoint (replay from the source). */
   def asofStream(events: DataFrame,
                  watermark: String = "1 hour",
                  idleTtlSec: Option[Long] = None): Dataset[PitOut] = {

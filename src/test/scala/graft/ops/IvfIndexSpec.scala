@@ -130,6 +130,66 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(after == before, "search through the compacted index is identical")
   }
 
+  test("searchBatch == per-query search row-for-row; one bucket-pruned read over the probe-cell UNION") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfbatch").toString
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    IvfIndex.build(spark, emb, "vec_id", "embedding", s"$root/idx",
+      numBuckets = 16)
+
+    // 3 EXTERNAL queries (negative qids — disjoint from stored vids):
+    // copies of corpus vectors 0..2, so results are non-trivial
+    val qdf = emb.where(col("vec_id") < 3L)
+      .select((-col("vec_id") - 1L).as("qid"), col("embedding"))
+      .localCheckpoint(true)
+    val batch = IvfIndex.searchBatch(spark, s"$root/idx", qdf,
+      "qid", "embedding", k = 5, nprobe = 2, numBuckets = 16,
+      idCol = "vec_id")
+    val rows = batch.collect()
+
+    // row-for-row parity with the per-query stored-artifact search
+    (0 until 3).foreach { i =>
+      val qVec = emb.where(col("vec_id") === i.toLong)
+        .select(col("embedding")).head.getSeq[Float](0)
+      val want = IvfIndex.search(spark, s"$root/idx", qVec, 5, nprobe = 2,
+          numBuckets = 16, idCol = "vec_id")
+        .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+      val got = rows.filter(_.getLong(0) == -(i + 1).toLong)
+        .sortBy(_.getLong(3))
+        .map(r0 => (r0.getLong(1), r0.getLong(2))).toSeq
+      assert(got == want,
+        s"batch results for query $i must equal the serial search: $got vs $want")
+    }
+
+    // the executed plan reads ≤ |distinct probe cells| bucket partitions
+    // (the UNION of the 3 queries' nprobe=2 cells, not 3 separate reads)
+    val cent = IvfIndex.centroids(spark, s"$root/idx")
+    val probeCells = Similarity.lloydRankedArr(
+        qdf.select(col("qid").as("vid"),
+          Similarity.milliQuant(col("embedding")).as("xq")), cent)
+      .where(col("rn") <= 2).select(col("cell")).distinct().count()
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case _ if p.children.isEmpty => Seq(p)
+      case _ => p.children.flatMap(leaves)
+    }
+    val scans = leaves(batch.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("vectors")) =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scans.nonEmpty && scans.forall(_ <= probeCells),
+      s"batch vectors read must touch <= $probeCells probe-cell buckets, got $scans")
+    val totalBuckets = new java.io.File(s"$root/idx/vectors")
+      .listFiles.count(_.getName.startsWith("_bucket="))
+    assert(probeCells < totalBuckets,
+      s"pruning is only meaningful when probe cells ($probeCells) < stored buckets ($totalBuckets)")
+  }
+
   test("edges: tiny corpus builds; nprobe > cells degrades to brute force; empty append is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ivfedge").toString

@@ -28,6 +28,25 @@ class MultimodalBmpSpec extends AnyFunSuite {
       s"real BMP header must parse to (4, 2): $row")
   }
 
+  test("a TOP-DOWN BMP (negative int32 height) parses as |height|") {
+    import spark.implicits._
+    // Genuine top-down 4x2 header: height field = -2 (0xFFFFFFFE LE) —
+    // the BITMAPINFOHEADER geometry is SIGNED int32, so an unsigned
+    // read would decode ~4.29e9 and corrupt every band downstream.
+    val topDown = "424d" + "4e000000" + "00000000" + "36000000" +
+      "28000000" + "04000000" + "feffffff"
+    val df = Seq(topDown).toDF("hx")
+      .select(Multimodal.payloadHex(unhex(col("hx"))).as("p"))
+    val row = df.select(
+      Multimodal.bmpParseable(col("p")), Multimodal.bmpWidth(col("p")),
+      Multimodal.bmpHeight(col("p")),
+      Multimodal.leI32(col("p"), 22)).head
+    assert(row.getBoolean(0) && row.getLong(1) == 4L && row.getLong(2) == 2L,
+      s"top-down BMP must parse to (4, |−2| = 2): $row")
+    assert(row.getLong(3) == -2L,
+      s"the raw signed field must sign-extend to −2: ${row.getLong(3)}")
+  }
+
   test("bmpHeaderHex round-trips through BYTES for arbitrary geometry") {
     import spark.implicits._
     val dims = Seq((1L, 1L), (16L, 496L), (640L, 480L), (655L, 495L),
