@@ -522,7 +522,8 @@ object ScaleProbe {
     // bucket-pruned read of nprobe cells' buckets (≈ nprobe·n/cells =
     // nprobe·√n rows under the autoCells rule) — per-query wall must
     // stay near-flat for 10× more vectors, never rescan the corpus.
-    if (enabled("ivf_index_build") || enabled("ivf_index_search20")) {
+    if (enabled("ivf_index_build") || enabled("ivf_index_search20") ||
+        enabled("ivf_index_batch20") || enabled("ivf_append_churn")) {
       val idxPath = java.nio.file.Files
         .createTempDirectory("graft_scale_ivfidx").toString + "/idx"
       time("ivf_index_build") {
