@@ -6,9 +6,10 @@ import org.apache.spark.sql.DataFrame
 /** The SQL surface: the testdata tables registered as temp views plus
   * the GraftExtensions-registered native functions let a SQL user drive
   * the engine the way the reference's API users drove it — this spec
-  * runs ≥10 SURVEY §2 shapes as spark.sql TEXT (each query's committed
-  * oracle SQL, where it is ANSI enough for both engines) and pins the
-  * result row-identical to the DataFrame registry entry. */
+  * runs ALL 85 dialect-portable SURVEY §2 shapes as spark.sql TEXT
+  * (each query's committed oracle SQL, where it is ANSI enough for
+  * both engines — the graft.SqlSweep census) and pins every result
+  * row-identical to the DataFrame registry entry. */
 class SqlSurfaceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -18,18 +19,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.sources.Tables(spark, TestSpark.sf, t).createOrReplaceTempView(t)
     }
 
-  // §2 shapes whose oracle text is engine-portable ANSI (no DuckDB-only
-  // operators like // / strftime / string_split) — 85 of 112 filtered
-  // oracle texts run verbatim and match; this curated subset spans the
-  // shape families (agg, multi-join, window, set ops, subqueries, ETL
-  // merge/CDC, events analytics, graph, multimodal, dedup, percentile)
+  // EVERY §2 shape whose committed oracle text is engine-portable ANSI
+  // (no DuckDB-only operators like // / strftime / string_split) — the
+  // round-14 graft.SqlSweep pass ran all 443 texts through spark.sql:
+  // 85 parse AND match the DataFrame registry row-for-row (pinned here,
+  // spanning agg, multi-join, window, set ops, subqueries, ETL
+  // merge/CDC, events analytics, graph, multimodal, dedup, percentile);
+  // 357 use DuckDB dialect (PARSE_FAIL — by design, the oracle is
+  // DuckDB); ONE (q_regex_extract) parses on both engines but diverges
+  // semantically (regex dialect), so it must never be pinned.
   private val candidates = Seq(
-    "q1_agg", "q5_multi_join", "q_window_funcs", "q_gaps_islands",
-    "q_grouping_sets", "q_rollup", "q_anti_join", "q_scalar_subquery",
-    "etl_upsert_merge", "etl_changelog_extract", "events_funnel",
-    "events_zscore", "graph_degree_hist", "mm_format_sniff",
-    "dedup_exact", "q_weighted_percentile", "text_dedup_xsource",
-    "q_skyline")
+    "dedup_exact", "dedup_priority_keeper", "etl_apply_changes",
+    "etl_cdc_collapse", "etl_changelog_dispatch", "etl_changelog_extract",
+    "etl_clean_customer", "etl_incr_agg", "etl_merge_insert_only",
+    "etl_merge_update_only", "etl_order_totals_audit", "etl_quarantine",
+    "etl_run_report", "etl_schema_evolve", "etl_seq_gaps",
+    "etl_snapshot_diff", "etl_upsert_merge", "etl_validate_keys",
+    "events_autocorr", "events_changepoint", "events_correlate",
+    "events_dow_anomaly", "events_drawdown", "events_funnel",
+    "events_path", "events_type_overlap", "events_velocity",
+    "events_zscore", "graph_bfs_2hop", "graph_bfs_layers",
+    "graph_degree_hist", "graph_harmonic_2hop", "mm_format_sniff",
+    "mm_qa_sample", "mm_size_hist", "q12_ship_latency", "q13_custdist",
+    "q17_small_qty", "q1_agg", "q21_late_supplier", "q4_priority_exists",
+    "q5_multi_join", "q7_trade_volume", "q_anti_join",
+    "q_approx_distinct", "q_basket_pairs", "q_bloom_prune", "q_case_agg",
+    "q_cond_aggs", "q_correlated", "q_count_distinct", "q_cube",
+    "q_decile_stats", "q_distinct", "q_distinct_twophase", "q_except",
+    "q_except_all", "q_exists_chain", "q_filter_pushdown",
+    "q_gaps_islands", "q_grouping_sets", "q_histogram", "q_intersect",
+    "q_intersect_all", "q_join_fanout_audit", "q_merge_intervals",
+    "q_minmax_by", "q_null_handling", "q_null_safe_join", "q_outer_join",
+    "q_rel_division", "q_rollup", "q_scalar_subquery", "q_semi_join",
+    "q_skew_join", "q_skyline", "q_stats_corr", "q_string_funcs",
+    "q_union_agg", "q_unpivot", "q_weighted_percentile",
+    "q_window_funcs", "q_window_rank", "q_window_running",
+    "text_dedup_xsource")
 
   private def norm(df: DataFrame): Seq[Seq[String]] = {
     val cols = df.columns.sorted.toSeq
@@ -38,7 +63,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .toSeq.sortBy(_.mkString("\u0000"))
   }
 
-  test("≥10 registry shapes run as spark.sql TEXT and match the DataFrame results") {
+  test("all 85 dialect-portable registry shapes run as spark.sql TEXT and match the DataFrame results") {
     registerViews()
     val results = candidates.map { q =>
       val sqlText = SparkEntry.oracleSql(q)
@@ -52,8 +77,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val matched = results.collect { case (q, Right(true)) => q }
     assert(mismatched.isEmpty,
       s"SQL text and DataFrame results diverge for: $mismatched")
-    assert(matched.size >= 10,
-      s"need >=10 SQL-surface shapes green, got ${matched.size} " +
+    assert(matched.size >= 80,
+      s"need >=80 SQL-surface shapes green, got ${matched.size} " +
         s"(${matched.mkString(",")}); unparsed: $failedParse")
   }
 }
