@@ -279,7 +279,16 @@ class PlanSpec extends AnyFunSuite {
     "sim_seed_quality",
     //  - etl_ttl_eviction_plan: 1-row watermark scalar broadcast under
     //    the events scan (the events_cuped shape)
-    "etl_ttl_eviction_plan")
+    "etl_ttl_eviction_plan",
+    //  - events_wow_growth: 1-row max-date scalar broadcast under the
+    //    events scan (the events_cuped shape)
+    "events_wow_growth",
+    //  - sim_ivf_scan_cost: 1-row corpus-total scalar broadcast under
+    //    the ≤4-row probe-plan frame (the q_scalar_subquery shape)
+    "sim_ivf_scan_cost",
+    //  - text_bm25_lite: 1-row document-count scalar broadcast under
+    //    the ≤3-term tf frame (the q_scalar_subquery shape)
+    "text_bm25_lite")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {
