@@ -253,6 +253,38 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous-ingest sink — [[graft.etl.Pipelines.ingest]] per
+    * micro-batch: the reference's cron'd ETL loop as ONE streaming
+    * query over the three persisted artifacts. Each micro-batch of
+    * (doc_id, text, embedding) rows dedup-gates against the STORED
+    * index, folds its uniques into all three artifacts (dedup index,
+    * BPE pricing, ANN append), and appends the per-batch IngestReport
+    * as one row to `reportPath` — the run-report table (the
+    * etl_run_report shape, one row per ATTEMPT by design: a crash
+    * replay appends a second row for the same batch_id whose
+    * uniques = 0, which is itself the idempotence receipt). The
+    * ARTIFACTS are exactly-once in effect under checkpoint replay
+    * because a re-delivered batch verdicts every doc a dup and folds
+    * nothing (spec-pinned, the [[cdcSink]] discipline). */
+  def ingestSink(docs: DataFrame, dedupPath: String, bpePath: String,
+                 ivfPath: String, reportPath: String, checkpoint: String,
+                 dedupBuckets: Int = 8, ivfBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val r = graft.etl.Pipelines.ingest(spark, batch.toDF(),
+          dedupPath, bpePath, ivfPath, dedupBuckets, ivfBuckets)
+        Seq((batchId, r.rowsIn, r.exactDups, r.nearDups, r.uniques,
+            r.tokensSeen, r.piecesSeen, r.vectorsAppended))
+          .toDF("batch_id", "rows_in", "exact_dups", "near_dups",
+            "uniques", "n_tokens", "n_pieces", "vectors_appended")
+          .write.mode("append").parquet(reportPath)
+      }
+      .start()
+
   /** Continuous CDC MERGE sink — [[upsertSink]] plus the delete clause:
     * each micro-batch of a change stream (rows whose `changeCol` says
     * insert/update/delete) is MERGE INTO'd against the stored keyed

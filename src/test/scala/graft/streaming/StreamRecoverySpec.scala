@@ -134,6 +134,79 @@ class StreamRecoverySpec extends AnyFunSuite {
     assert(byLabel(800L) == PitOut(1L, 800L, sec(8), Some(sec(7)), Some(70L)))
   }
 
+  test("ingestSink: crash-replayed batch folds NOTHING into the three artifacts") {
+    import spark.implicits._
+    import graft.ops.{IncrementalDedup, IvfIndex, TokenizerModel}
+    val root = tempDir("recover-ingest")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val dedupPath = s"$root/dedup"; val bpePath = s"$root/bpe"
+    val ivfPath = s"$root/ivf"; val reportPath = s"$root/report"
+
+    // the three artifacts, built once (the IngestPipelineSpec fixture)
+    IncrementalDedup.buildIndex(
+      Seq(1L -> "alpha bravo charlie delta echo foxtrot golf hotel india",
+        2L -> "one two three four five six seven eight nine ten eleven")
+        .toDF("doc_id", "text"), "doc_id", "text", dedupPath)
+    TokenizerModel.save(spark,
+      Seq(("the", 1L, 10L)).toDF("token", "token_id", "n"),
+      Seq((1L, "t h")).toDF("round", "pair"), bpePath)
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val r0 = IvfIndex.build(spark, emb, "vec_id", "embedding", ivfPath,
+      numBuckets = 16)
+    def storedVectors(): Long = IvfIndex.stats(spark, ivfPath)
+      .agg(sum(col("n"))).head.getLong(0)
+    val vec5 = emb.where(col("vec_id") === 5L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val vec6 = emb.where(col("vec_id") === 6L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val vec7 = emb.where(col("vec_id") === 7L)
+      .select(col("embedding")).head.getSeq[Float](0)
+
+    def deliver(rows: Seq[(Long, String, Seq[Float])]): Unit =
+      rows.toDF("doc_id", "text", "embedding").repartition(1)
+        .write.mode("append").parquet(inDir)
+    def start() = StreamOps.ingestSink(
+      spark.readStream
+        .schema("doc_id LONG, text STRING, embedding ARRAY<FLOAT>")
+        .parquet(inDir),
+      dedupPath, bpePath, ivfPath, reportPath, ckpt)
+
+    // batch 0: two fresh docs with embeddings
+    deliver(Seq(
+      (2000001L, "streaming batch with wholly new content arrives", vec5),
+      (2000002L, "a second fresh streaming document lands here", vec6)))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(storedVectors() == r0.nVectors + 2L, "batch 0 folded 2 vectors")
+    // crash injection: the artifacts were written, the commit wasn't
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete() // local-FS checksum shadow
+    // batch 1 after restart: one fresh doc + one re-delivery of batch 0
+    deliver(Seq(
+      (2000003L, "the third document only exists after the restart", vec7),
+      (2000011L, "streaming batch with wholly new content arrives", vec5)))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // batch 0 REPLAYED: its docs are now stored, so the replay verdicts
+    // them exact dups and folds nothing — the artifacts are exactly-once
+    // in effect: build + 2 (batch 0) + 1 (batch 1's fresh doc) vectors
+    assert(storedVectors() == r0.nVectors + 3L,
+      "replayed batch 0 appended nothing; batch 1 appended its 1 unique")
+    // the report is an ATTEMPT log: batch 0 twice (the replay shows 0
+    // ingested — the idempotence receipt), batch 1 once
+    val rep = spark.read.parquet(reportPath)
+      .select($"batch_id", $"uniques", $"vectors_appended")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(rep == Seq((0L, 0L, 0L), (0L, 2L, 2L), (1L, 1L, 1L)),
+      s"attempt log must show the replay ingesting 0: $rep")
+    // and the re-delivered doc inside batch 1 gated on the STORED index
+    val v = IncrementalDedup.verdicts(spark,
+        Seq((3000001L, "the third document only exists after the restart"))
+          .toDF("doc_id", "text"), "doc_id", "text", dedupPath).head
+    assert(v.getAs[String]("status") == "exact_dup" &&
+      v.getAs[Long]("keeper") == 2000003L,
+      s"the streamed doc gates later copies from the store: $v")
+  }
+
   test("nearDedupStream file sink: replayed batch emits no duplicates, state survives restart") {
     import spark.implicits._
     val root = tempDir("recover-neardup")
