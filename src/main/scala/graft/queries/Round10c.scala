@@ -90,14 +90,10 @@ object Round10c {
     // rule — then windows over the attribute); one bounded rollup per
     // source.
     "text_winnowing" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("source"), TA.tokens(col("text")).as("toks"))
-        .select(col("source"), TA.shinglesOf(col("toks"), 3).as("sh"))
-        .where(size(col("sh")) >= 4)
-        .select(col("source"), transform(col("sh"), x => md5(x)).as("h"))
-        .withColumn("wins", TA.winnowMinima(col("h"), 4))
-        .select(col("source"), size(col("wins")).cast("long").as("nw"),
-          size(array_distinct(col("wins"))).cast("long").as("nf"))
+      // per-doc stats come from the SHARED winnowing frame (one corpus
+      // pass serves the whole family — see WinnowShared)
+      val d = WinnowShared.docWinnow(s, dir)
+        .select(col("source"), col("nw"), col("nf"))
       d.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("nw")).as("n_windows"), sum(col("nf")).as("n_fps"),
@@ -354,28 +350,11 @@ object Round10c {
     // no match signal), so pair work is ∝ true overlap at any corpus
     // size — the winnowing guarantee (any sufficiently long shared
     // substring shares a fingerprint) does the recall.
-    "dedup_winnow_pairs" -> ((s, dir) => {
-      val fp = Tables.documents(s, dir)
-        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TA.shinglesOf(col("toks"), 3).as("sh"))
-        .where(size(col("sh")) >= 4)
-        .select(col("doc_id"), transform(col("sh"), x => md5(x)).as("h"))
-        .select(col("doc_id"),
-          explode(array_distinct(TA.winnowMinima(col("h"), 4))).as("f"))
-      // df-capped postings materialized ONCE (the pairIndex build
-      // convention): dfreq + both self-join sides would otherwise
-      // re-derive the corpus-wide fingerprint pass four times
-      val capped = fp.join(
-        fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
-          .where(col("df") <= 50), Seq("f"))
-        .localCheckpoint(true)
-      capped.select(col("f"), col("doc_id").as("a"))
-        .join(capped.select(col("f"), col("doc_id").as("b")), Seq("f"))
-        .where(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-        .where(col("shared") >= 2)
-        .orderBy(col("a"), col("b"))
-    }),
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      // the SHARED winnow pair frame (one fingerprint pass + one capped
+      // self-join serve this entry, dedup_winnow_cc, and
+      // dedup_winnow_containment — see WinnowShared.winnowPairs)
+      WinnowShared.winnowPairs(s, dir).orderBy(col("a"), col("b"))),
 
     // SimHash bit-balance audit: per bit position of the 16-bit corpus
     // fingerprints, the ones-share (bp) and its deviation from the
@@ -871,13 +850,9 @@ object Round10c {
     // a match signal, and belongs in a cleaning rule. Emits df, doc
     // share (bp), and the capped/uncapped flag.
     "text_template_fps" -> ((s, dir) => {
-      val fp = Tables.documents(s, dir)
-        .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TA.shinglesOf(col("toks"), 3).as("sh"))
-        .where(size(col("sh")) >= 4)
-        .select(col("doc_id"), transform(col("sh"), x => md5(x)).as("h"))
-        .select(col("doc_id"),
-          explode(array_distinct(TA.winnowMinima(col("h"), 4))).as("f"))
+      // fingerprint postings from the SHARED winnowing frame (see
+      // WinnowShared — one corpus pass serves the whole family)
+      val fp = WinnowShared.fpPostings(s, dir)
       val nd = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
       fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("f")).limit(20)

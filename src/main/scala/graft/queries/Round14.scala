@@ -144,8 +144,8 @@ object Round14 {
   // --- oracle SQL -------------------------------------------------------
 
   /** The capped supplier–part projection CTE chain (shared with the
-    * jaccard/adamic-adar sibling oracles). */
-  private val projCtes: String =
+    * jaccard/adamic-adar sibling oracles and Round14b's LHN score). */
+  private[queries] val projCtes: String =
     """sp AS (
       |  SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
       |pd AS (SELECT pk, count(*) AS pdeg FROM sp GROUP BY pk),

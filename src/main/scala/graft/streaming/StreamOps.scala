@@ -7,6 +7,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One (band, bandkey) observation of a streaming document. */
 case class BandObs(bandkey: Long, band: Int, doc_id: Long, ts: java.sql.Timestamp)
 
+/** One changelog op consumed by the CDC anomaly auditor (`op` ∈ i/u/d). */
+case class CdcOp(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                 op: String)
+
+/** Per-key CDC audit state: the in-horizon (µs, event_id, op) buffer +
+  * the last FINALIZED op ("" = key never finalized an op). */
+case class CdcState(buf: List[(Long, Long, String)], last: String)
+
+/** One finalized changelog-order violation. */
+case class CdcViolation(user_id: Long, event_id: Long, ts_us: Long,
+                        violation: String)
+
 /** Per-bandkey state: the first document that claimed the bucket. */
 case class BandKeeper(keeperDoc: Long)
 
@@ -863,4 +875,74 @@ object StreamOps {
   def enrichStream(events: DataFrame, dim: DataFrame, key: Seq[String],
                    how: String = "inner"): DataFrame =
     events.join(broadcast(dim), key, how)
+
+  /** Streaming CDC op-sequence anomaly audit — the streaming twin of
+    * the etl_cdc_anomalies batch query (queries/Round14b.scala): per
+    * key, flag the op transitions a well-formed changelog never
+    * produces (update/delete before any insert, insert on a live key,
+    * update after delete, double delete), in exact per-key
+    * (ts, event_id) order even under out-of-order delivery.
+    *
+    * Semantics: ops buffer per key until the watermark passes them,
+    * then finalize in (µs, event_id) order — the SAME total order the
+    * batch lag window uses — folding from the last finalized op.
+    * Output is Append: one row per VIOLATING op, exactly once.
+    *
+    * State per key = the in-horizon op buffer (bounded by the
+    * watermark, like asofStream's label buffer) + ONE carried op
+    * string, so steady-state memory is O(live keys), constant per key
+    * no matter how long the changelog history — the audit never
+    * re-reads finalized history. Expects columns (user_id, ts,
+    * event_id, op ∈ {i, u, d}).
+    *
+    * Checkpoint note: first deployment defines the state schema; the
+    * operator has no flag-dependent state variants. */
+  def cdcAnomalyStream(ops: DataFrame,
+                       watermark: String = "1 hour"): Dataset[CdcViolation] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
+    ops.withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "event_id", "op").as[CdcOp]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcViolation](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var st = state.getOption.getOrElse(CdcState(Nil, ""))
+          if (it.nonEmpty)
+            st = st.copy(buf = st.buf ++ it.map { e =>
+              // µs-exact event time: millis + the sub-milli nano tail
+              val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+              (us, e.event_id, e.op)
+            })
+          // finalize strictly below the watermark: anything still
+          // arriving (not engine-dropped) has ts >= wm and sorts after
+          val (ready, pending) = st.buf.partition(_._1 < wmUs)
+          var last = st.last
+          val out = ready.sorted.flatMap { case (us, id, op) =>
+            val viol = (op, last) match {
+              case ("i", "i") | ("i", "u") => Some("insert_on_live")
+              case ("u", "d")              => Some("update_after_delete")
+              case ("u", "")               => Some("update_before_insert")
+              case ("d", "d")              => Some("double_delete")
+              case ("d", "")               => Some("delete_before_insert")
+              case _                       => None
+            }
+            last = op
+            viol.map(v => CdcViolation(user, id, us, v))
+          }
+          if (pending.isEmpty && last.isEmpty) {
+            state.remove()
+            out.iterator
+          } else {
+            state.update(CdcState(pending, last))
+            // wake when the earliest pending op crosses the watermark
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                pending.map(_._1).min / 1000L + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
 }

@@ -729,4 +729,86 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(sbytes <= batch.size.toLong * 4096,
       s"measured $sbytes B for ${batch.size} fixed-width moment rows")
   }
+
+  test("cdcAnomalyStream: finalized violations equal the batch lag audit under shuffled delivery") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val src = graft.sources.Tables.events(spark, TestSpark.sf)
+      .where(col("ts").isNotNull &&
+        col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        when(col("event_type") === "signup", "i")
+          .when(col("event_type") === "purchase", "u")
+          .otherwise("d").as("op"))
+    val rows = src.as[graft.streaming.CdcOp].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[graft.streaming.CdcOp]
+    val q = StreamOps.cdcAnomalyStream(input.toDF(), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdcaud").start()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      // intra-batch disorder is free (the watermark moves after the batch)
+      input.addData(scala.util.Random.shuffle(chunk.toIndexedSeq))
+      q.processAllAvailable()
+    }
+    // far-future sentinel pushes the watermark past every buffered op
+    val far = new java.sql.Timestamp(rows.map(_.ts.getTime).max + 86400000L)
+    input.addData(graft.streaming.CdcOp(999999L, far, -1L, "i"))
+    q.processAllAvailable()
+    val streamed = spark.table("cdcaud")
+      .as[graft.streaming.CdcViolation].collect()
+      .map(v => v.event_id -> v.violation).toMap
+    // batch twin: the etl_cdc_anomalies lag kernel at per-op granularity
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = src.withColumn("prev", lag(col("op"), 1).over(w))
+      .withColumn("violation",
+        when(col("op") === "i" && col("prev").isin("i", "u"), "insert_on_live")
+          .when(col("op") === "u" && col("prev") === "d", "update_after_delete")
+          .when(col("op") === "u" && col("prev").isNull, "update_before_insert")
+          .when(col("op") === "d" && col("prev") === "d", "double_delete")
+          .when(col("op") === "d" && col("prev").isNull, "delete_before_insert"))
+      .where(col("violation").isNotNull)
+      .select(col("event_id"), col("violation"))
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch,
+      "every violating op finalized once with the batch verdict")
+    // the registered rollup agrees too (same data → same histogram)
+    val reg = graft.queries.Round14b.queries("etl_cdc_anomalies")(
+        spark, TestSpark.sf)
+      .collect().map(r => r.getAs[String]("violation") ->
+        r.getAs[Long]("n_ops")).toMap
+    val rolled = streamed.groupBy(_._2).map { case (v, m) => v -> m.size.toLong }
+    assert(rolled == reg, "streamed rollup == registered batch query")
+    // MEASURED state: ≤ one row per key (+ the sentinel user)
+    val users = rows.map(_.user_id).distinct.length
+    val (srows, _) = stateFootprint(q)
+    q.stop()
+    assert(srows <= users + 1L,
+      s"state rows $srows exceed key cardinality ${users + 1}")
+  }
+
+  test("cdcAnomalyStream: a late op re-orders into its event-time slot before finalization") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[graft.streaming.CdcOp]
+    val q = StreamOps.cdcAnomalyStream(input.toDF(), watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdclate").start()
+    // arrival order i(t1), u(t3), then LATE d(t2): processed in arrival
+    // order there is no violation; in event-time order (i, d, u) the u
+    // is an update_after_delete — the audit must see the event-time one
+    input.addData(graft.streaming.CdcOp(1L, ts(1), 10L, "i"),
+      graft.streaming.CdcOp(1L, ts(3), 30L, "u"))
+    q.processAllAvailable()
+    input.addData(graft.streaming.CdcOp(1L, ts(2), 20L, "d"))
+    q.processAllAvailable()
+    // watermark flush
+    input.addData(graft.streaming.CdcOp(999L, ts(59), -1L, "i"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cdclate").as[graft.streaming.CdcViolation]
+      .collect().map(v => (v.event_id, v.violation)).toSet
+    assert(got == Set((30L, "update_after_delete")),
+      s"late delete re-ordered before the update: $got")
+  }
 }
