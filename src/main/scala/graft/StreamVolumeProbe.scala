@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.streaming.{PitEvent, StreamOps}
+import graft.streaming.{CdcOp, PitEvent, StreamOps}
 
 /** Volume stress for the stateful streaming operators — the streaming
   * twin of ScaleProbe: drives asofStream / bitmapDistinctStream /
@@ -86,6 +86,44 @@ object StreamVolumeProbe {
       println(f"STREAMVOL asof rows=$fed out=$outRows $sec%.1f s " +
         f"${fed / sec}%.0f rows/s state_rows=$srows state_bytes=$sbytes " +
         f"bytes_per_user=${sbytes / math.max(users, 1L)}")
+    }
+
+    // --- cdcAnomalyStream: salted keys, time-chunked feed -------------
+    // State is ONE carried op per key after its buffer drains, so
+    // state_rows must track live-key cardinality (× mult) while
+    // bytes/key stays ~constant — the O(live keys) claim, measured.
+    if (enabled("cdc")) {
+      val ops = base.filter(e =>
+        e._4 == "signup" || e._4 == "purchase" || e._4 == "error")
+      val input = MemoryStream[CdcOp]
+      val q = StreamOps.cdcAnomalyStream(input.toDF(), watermark = "1 hour")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("vol_cdc").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      ops.grouped(ops.length / 16 + 1).foreach { chunk =>
+        val expanded = chunk.flatMap { case (id, u, us, et, _) =>
+          (0 until mult).map { r =>
+            CdcOp(u * mult + r, new java.sql.Timestamp(us / 1000L),
+              id * mult + r,
+              if (et == "signup") "i" else if (et == "purchase") "u" else "d")
+          }
+        }
+        fed += expanded.length
+        input.addData(expanded)
+        q.processAllAvailable()
+      }
+      input.addData(CdcOp(-1L,
+        new java.sql.Timestamp(base.last._3 / 1000L + 86400000L), -1L, "i"))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      val outRows = spark.table("vol_cdc").count()
+      q.stop()
+      val keys = ops.map(_._2).distinct.length.toLong * mult
+      println(f"STREAMVOL cdc rows=$fed out=$outRows $sec%.1f s " +
+        f"${fed / sec}%.0f rows/s state_rows=$srows state_bytes=$sbytes " +
+        f"keys=$keys bytes_per_key=${sbytes / math.max(keys, 1L)}")
     }
 
     // --- asofStream + idleTtlSec: churning user base ------------------
