@@ -208,6 +208,39 @@ object Pipelines {
       byStatus.getOrElse("near_dup", 0L), nUniq, tokens, pieces, appended)
   }
 
+  /** What one subject-erasure run removed, per stored artifact. */
+  final case class EraseReport(subjects: Long, dedupHashes: Long,
+      dedupBands: Long, dedupSigs: Long, annRows: Long)
+
+  /** Subject ERASURE across the ingest loop's stored artifacts — the
+    * lifecycle complement of [[ingest]], and the execution of the plan
+    * the batch audits (etl_subject_access / etl_erasure_audit) produce:
+    * every row DERIVED from the subjects' content leaves every store,
+    * bucket-pruned per table, in one call —
+    *   - dedup index: signatures, band rows, and the exact-hash rows
+    *     the subjects keep ([[graft.ops.IncrementalDedup.erase]] — an
+    *     identical text re-ingested later verdicts `unique` again;
+    *     erasure beats dedup memory);
+    *   - ANN index: the subjects' stored vectors
+    *     ([[graft.ops.IvfIndex.delete]]).
+    * The tokenizer model (and the ANN centroids) stay: they are
+    * aggregate statistics over many documents, not subject rows — the
+    * same contract as append's no-retrain. Idempotent: a second run
+    * removes 0 everywhere (the erasure receipt a re-audit checks). */
+  def erase(spark: SparkSession, ids: DataFrame, idCol: String,
+            dedupPath: String, ivfPath: String, dedupBuckets: Int = 8,
+            ivfBuckets: Int = 16): EraseReport = {
+    import graft.ops.{IncrementalDedup, IvfIndex}
+    val idf = ids.select(col(idCol).cast("long").as("doc")).distinct()
+      .localCheckpoint(true)
+    val n = idf.count()
+    val (h, b, s) = IncrementalDedup.erase(spark, idf, "doc", dedupPath,
+      dedupBuckets)
+    val ann = IvfIndex.delete(spark, ivfPath,
+      idf.select(col("doc").as("vid")), "vid", ivfBuckets)
+    EraseReport(n, h, b, s, ann)
+  }
+
   /** Layout audit over a written corpus table: one row per data file —
     * rows, zk min/max, and the count of ORDER INVERSIONS of zk in file
     * order (0 = the file is clustered; parquet row-group min/max stats

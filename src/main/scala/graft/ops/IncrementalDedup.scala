@@ -174,4 +174,40 @@ object IncrementalDedup {
       Dedup.lshBands(sigs, rowsPerBand), Seq("bandkey", "doc"), numBuckets)
     KeyedParquetSink.upsert(spark, s"$path/sigs", sigs, Seq("doc"), numBuckets)
   }
+
+  /** Subject ERASURE through the stored dedup index: remove every row
+    * DERIVED from the given doc ids, bucket-pruned per table —
+    *   - `sigs/` (doc-keyed): the subjects' signature rows;
+    *   - `bands/` ((bandkey, doc)-keyed): located by a column-pruned
+    *     (bandkey, doc) scan, then only the subjects' band buckets are
+    *     rewritten;
+    *   - `hashes/` (h-keyed): rows whose KEEPER is a subject — the md5
+    *     is a fingerprint of the subject's text, itself derived
+    *     content. Deleting it means an identical text re-ingested
+    *     later verdicts `unique` again: erasure beats dedup memory,
+    *     the only GDPR-consistent order (remembering the hash would
+    *     retain what was erased).
+    * Idempotent; untouched buckets never rewritten (the
+    * [[KeyedParquetSink.deleteMatching]] contract). Returns
+    * (hashes, bands, sigs) rows removed. */
+  def erase(spark: SparkSession, ids: DataFrame, idCol: String,
+            path: String, numBuckets: Int = 8): (Long, Long, Long) = {
+    val idf = ids.select(col(idCol).cast("long").as("doc")).distinct()
+      .localCheckpoint(true) // feeds three locate/delete passes
+    val sigsN = KeyedParquetSink.deleteMatching(spark, s"$path/sigs",
+      Seq("doc"), numBuckets, idf, Seq("doc"))
+    val bandRows = KeyedParquetSink.read(spark, s"$path/bands")
+      .select(col("bandkey"), col("doc"))
+      .join(broadcast(idf), Seq("doc"), "left_semi")
+      .localCheckpoint(true) // ≤ |ids|·bands rows: prune + match
+    val bandsN = KeyedParquetSink.deleteMatching(spark, s"$path/bands",
+      Seq("bandkey", "doc"), numBuckets, bandRows, Seq("doc"))
+    val hashRows = KeyedParquetSink.read(spark, s"$path/hashes")
+      .join(broadcast(idf.select(col("doc").as("keeper"))),
+        Seq("keeper"), "left_semi")
+      .select(col("h")).localCheckpoint(true)
+    val hashesN = KeyedParquetSink.deleteMatching(spark, s"$path/hashes",
+      Seq("h"), numBuckets, hashRows, Seq("h"))
+    (hashesN, bandsN, sigsN)
+  }
 }

@@ -164,6 +164,35 @@ object IvfIndex {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Subject ERASURE through the stored artifact — the GDPR path the
+    * batch audits (etl_subject_access / etl_erasure_audit) plan for,
+    * applied to the ANN store: remove the given vector ids so no later
+    * search, batch search, append-assignment or stats can ever return
+    * them. Centroids are NOT retrained (they are aggregate statistics,
+    * not subject rows — the same no-retrain contract as [[append]]).
+    *
+    * Two-phase, because the table is bucketed by CELL to serve search
+    * and an id gives no bucket:
+    *   1. LOCATE — a column-pruned scan of (vid, cell) only (two narrow
+    *      columns, never the vector payload) semi-joined against the
+    *      ids: yields each subject's cell, ≤ |ids| rows.
+    *   2. REWRITE — [[KeyedParquetSink.deleteMatching]] prunes to the
+    *      buckets those cells hash into, anti-joins the vids, and
+    *      dynamic-partition-overwrites just those buckets; untouched
+    *      buckets are never opened.
+    * Idempotent (re-deleting matches nothing). Returns rows removed. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String, numBuckets: Int = 16): Long = {
+    val idf = ids.select(col(idCol).cast("long").as("vid")).distinct()
+      .localCheckpoint(true) // feeds the locate pass once
+    val located = KeyedParquetSink.read(spark, s"$path/vectors")
+      .select(col("vid"), col("cell"))
+      .join(broadcast(idf), Seq("vid"), "left_semi")
+      .localCheckpoint(true) // ≤ |ids| rows; prune list + match rows
+    KeyedParquetSink.deleteMatching(spark, s"$path/vectors",
+      Seq("cell"), numBuckets, located, Seq("vid"))
+  }
+
   /** Occupancy audit of the STORED index (the sim_ivf_auto stats shape
     * over the artifact — drifts as appends land): per cell the member
     * count, min vid and centroid norm, plus the trained cell count. */

@@ -158,4 +158,55 @@ object KeyedParquetSink {
       }
     } finally mergedB.unpersist()
   }
+
+  /** Row-level DELETE against a NON-unique keyed table (one the MERGE
+    * path cannot serve: `keys` here is a layout key like the IVF cell,
+    * shared by many rows, so a keyed merge would collapse them). Rows of
+    * `victims` identify their targets by `matchCols`; victims must ALSO
+    * carry the `keys` columns, which prune the rewrite — only the
+    * buckets the victims' keys hash into are read, anti-joined on
+    * `matchCols`, and dynamic-partition-overwritten, so an erasure
+    * batch costs |touched buckets| / numBuckets of the table, never a
+    * full rewrite. A bucket whose rows were ALL victims is dropped
+    * explicitly (the same resurrection blind spot mergeInto covers).
+    * Untouched bucket directories are never opened or rewritten.
+    * Idempotent: re-deleting the same victims matches nothing.
+    * Returns the number of rows removed. */
+  def deleteMatching(spark: SparkSession, path: String, keys: Seq[String],
+                     numBuckets: Int, victims: DataFrame,
+                     matchCols: Seq[String]): Long = {
+    val vb = withBucket(victims, keys, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = vb.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).sorted         // bounded by numBuckets
+      if (touched.isEmpty) return 0L
+      val base = spark.read.parquet(path)
+        .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+      val kept = base.join(
+          vb.select(matchCols.map(col): _*).distinct(),
+          matchCols, "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val beforeN = base.count()
+        val keptN = kept.count()
+        val survivors = kept.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet         // bounded by numBuckets
+        kept.repartition(col(BucketCol))
+          .write.partitionBy(BucketCol).mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(path)
+        val emptied = touched.filterNot(survivors)
+        if (emptied.nonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          emptied.foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"),
+              true)
+          }
+        }
+        beforeN - keptN
+      } finally kept.unpersist()
+    } finally vb.unpersist()
+  }
 }

@@ -94,4 +94,69 @@ class IngestPipelineSpec extends AnyFunSuite {
       .agg(sum(col("n"))).head.getLong(0) == r0.nVectors + 2L,
       "the second run must not grow the ANN artifact")
   }
+
+  test("erase: subjects leave every store; an erased text re-ingests as unique; idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-erase").toString
+    val dedupPath = s"$root/dedup"; val bpePath = s"$root/bpe"
+    val ivfPath = s"$root/ivf"
+    IncrementalDedup.buildIndex(
+      histDocs.toDF("doc_id", "text"), "doc_id", "text", dedupPath)
+    TokenizerModel.save(spark,
+      Seq(("the", 1L, 10L), ("engine", 2L, 5L)).toDF("token", "token_id", "n"),
+      Seq((1L, "t h"), (2L, "th e")).toDF("round", "pair"), bpePath)
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val r0 = IvfIndex.build(spark, emb, "vec_id", "embedding", ivfPath,
+      numBuckets = 16)
+    val vec5 = emb.where(col("vec_id") === 5L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val subjectText =
+      "completely novel content that matches nothing stored here"
+    val batch = Seq(
+      (1000001L, subjectText, Some(vec5)),
+      (1000011L, histDocs.head._2, None: Option[Seq[Float]]))
+      .toDF("doc_id", "text", "embedding")
+    val r1 = Pipelines.ingest(spark, batch, dedupPath, bpePath, ivfPath)
+    assert(r1.uniques == 1L && r1.vectorsAppended == 1L, s"setup: $r1")
+
+    // subjects: the ingested doc (hash keeper + sigs + bands + ANN row)
+    // and the exact-dup delivery (gated out — NO derived rows anywhere)
+    val er = Pipelines.erase(spark,
+      Seq(1000001L, 1000011L).toDF("doc_id"), "doc_id", dedupPath, ivfPath)
+    assert(er.subjects == 2L, s"$er")
+    assert(er.dedupHashes == 1L && er.dedupSigs == 1L && er.dedupBands == 2L,
+      s"the ingested subject's derived rows (1 hash, 1 sig, k/rpb=2 bands) " +
+        s"leave the dedup index; the gated dup never had any: $er")
+    assert(er.annRows == 1L, s"the subject's stored vector leaves: $er")
+
+    // every store answers WITHOUT the subjects now:
+    // the ANN first hit for vec5 is no longer the erased doc
+    val top = IvfIndex.search(spark, ivfPath, vec5, k = 2, nprobe = 2,
+      numBuckets = 16, excludeId = Some(5L)).collect()
+    assert(top.head.getLong(0) != 1000001L,
+      s"the erased vector must never be returned: ${top.head}")
+    assert(IvfIndex.stats(spark, ivfPath)
+      .agg(sum(col("n"))).head.getLong(0) == r0.nVectors,
+      "the store holds exactly the non-subject vectors")
+    // the dedup index FORGOT the subject's text: an identical
+    // re-delivery verdicts unique again (erasure beats dedup memory —
+    // remembering the hash would retain what was erased)
+    val v = IncrementalDedup.verdicts(spark,
+        Seq((3000001L, subjectText)).toDF("doc_id", "text"),
+        "doc_id", "text", dedupPath).head
+    assert(v.getAs[String]("status") == "unique",
+      s"an erased text must re-ingest as unique: $v")
+    // history docs the subjects never touched still gate normally
+    val vh = IncrementalDedup.verdicts(spark,
+        Seq((3000002L, histDocs(1)._2)).toDF("doc_id", "text"),
+        "doc_id", "text", dedupPath).head
+    assert(vh.getAs[String]("status") == "exact_dup",
+      s"unrelated history must be untouched by the erasure: $vh")
+
+    // idempotent: the second run removes 0 everywhere (the receipt)
+    val er2 = Pipelines.erase(spark,
+      Seq(1000001L, 1000011L).toDF("doc_id"), "doc_id", dedupPath, ivfPath)
+    assert(er2 == Pipelines.EraseReport(2L, 0L, 0L, 0L, 0L),
+      s"re-erasure must be a no-op: $er2")
+  }
 }

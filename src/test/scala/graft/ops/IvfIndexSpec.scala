@@ -190,6 +190,88 @@ class IvfIndexSpec extends AnyFunSuite {
       s"pruning is only meaningful when probe cells ($probeCells) < stored buckets ($totalBuckets)")
   }
 
+  test("delete erases subjects from the store; untouched buckets never rewritten; idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val r = IvfIndex.build(spark, emb, "vec_id", "embedding", s"$root/idx",
+      numBuckets = 16)
+
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$root/idx/vectors").listFiles
+        .filter(_.getName.startsWith("_bucket=")).map { d =>
+          d.getName -> d.listFiles.map(f =>
+            s"${f.getName}:${f.length}").toSet
+        }.toMap
+    val before = bucketFiles()
+
+    // pre-delete search wide enough to contain the future victims
+    val qVec = emb.where(col("vec_id") === 5L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val pre = IvfIndex.search(spark, s"$root/idx", qVec, 20, nprobe = 2,
+        numBuckets = 16, idCol = "vec_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+
+    // erase 3 subjects, among them the query's own stored twin (vec 5);
+    // snapshot their cells BEFORE the rows disappear (expected-bucket set)
+    val victims = Seq(5L, 6L, 7L).toDF("vec_id")
+    val expected = KeyedParquetSink_cellsOf(spark, s"$root/idx",
+        Seq(5L, 6L, 7L))
+      .select(pmod(xxhash64(concat_ws("\u0000", col("cell"))), lit(16))
+        .cast("int").as("b"))
+      .collect().map(r0 => s"_bucket=${r0.getInt(0)}").toSet
+    val removed = IvfIndex.delete(spark, s"$root/idx", victims, "vec_id",
+      numBuckets = 16)
+    assert(removed == 3L, s"3 stored subjects erased, got $removed")
+    val st = IvfIndex.stats(spark, s"$root/idx")
+    assert(st.agg(sum(col("n"))).head.getLong(0) == r.nVectors - 3L,
+      "the store counts exactly the survivors")
+
+    // post-delete search = the pre-delete ranking minus the erased ids
+    // (nothing else moved: other rows' scores are untouched; victims
+    // outside the probe cells simply never appeared in pre)
+    val exp = pre.filterNot(p => Seq(5L, 6L, 7L).contains(p._1))
+    val post = IvfIndex.search(spark, s"$root/idx", qVec, 17, nprobe = 2,
+        numBuckets = 16, idCol = "vec_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(pre.exists(_._1 == 5L) && !exp.exists(_._1 == 5L),
+      "the query's own stored twin was visible before and filtered after")
+    assert(post == exp.take(17),
+      "post-delete ranking == pre-delete minus the erased subjects")
+    assert(!post.exists(p => Seq(5L, 6L, 7L).contains(p._1)),
+      "no erased subject is ever returned")
+
+    // the rewrite touched ONLY the buckets the subjects' cells hash to
+    // (expected set snapshotted before the delete, above)
+    val after = bucketFiles()
+    val changed = before.keySet.filter(k => before(k) != after.getOrElse(k, Set.empty))
+    assert(changed.nonEmpty && changed.subsetOf(expected),
+      s"only the victims' buckets may change: $changed vs $expected")
+    assert(changed.size < before.size,
+      "the erasure must NOT rewrite the whole table")
+
+    // idempotent: a second identical erasure removes nothing, moves nothing
+    val again = IvfIndex.delete(spark, s"$root/idx", victims, "vec_id",
+      numBuckets = 16)
+    assert(again == 0L, "re-deleting the same subjects matches nothing")
+    // erasing unknown ids is a clean no-op
+    val ghost = IvfIndex.delete(spark, s"$root/idx",
+      Seq(999999L).toDF("vec_id"), "vec_id", numBuckets = 16)
+    assert(ghost == 0L, "unknown subjects erase nothing")
+  }
+
+  /** The victims' cells, read the same way delete's locate pass reads
+    * them (column-pruned vid+cell scan). */
+  private def KeyedParquetSink_cellsOf(spark: org.apache.spark.sql.SparkSession,
+                                       path: String,
+                                       ids: Seq[Long]) = {
+    import spark.implicits._
+    graft.sinks.KeyedParquetSink.read(spark, s"$path/vectors")
+      .select(col("vid"), col("cell"))
+      .join(broadcast(ids.toDF("vid")), Seq("vid"), "left_semi")
+      .select(col("cell")).distinct()
+  }
+
   test("edges: tiny corpus builds; nprobe > cells degrades to brute force; empty append is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ivfedge").toString
