@@ -523,7 +523,8 @@ object ScaleProbe {
     // nprobe·√n rows under the autoCells rule) — per-query wall must
     // stay near-flat for 10× more vectors, never rescan the corpus.
     if (enabled("ivf_index_build") || enabled("ivf_index_search20") ||
-        enabled("ivf_index_batch20") || enabled("ivf_append_churn")) {
+        enabled("ivf_index_batch20") || enabled("ivf_append_churn") ||
+        enabled("ivf_erase100")) {
       val idxPath = java.nio.file.Files
         .createTempDirectory("graft_scale_ivfidx").toString + "/idx"
       time("ivf_index_build") {
@@ -581,6 +582,25 @@ object ScaleProbe {
         println(s"SCALE ivf_append_detail files_before=$before " +
           s"files_after=$after")
         before - after
+      }
+      // Subject erasure against the mult×-sized artifact: a FIXED
+      // 100-subject batch. The locate pass is a column-pruned (vid,
+      // cell) scan (grows with the store but reads two narrow columns);
+      // the rewrite is bucket-pruned to the subjects' cells — erase
+      // cost must track the SUBJECT BATCH, not the store.
+      time("ivf_erase100") {
+        import spark.implicits._
+        val victims = (0L until 100L).toDF("vid")
+        val removed = graft.ops.IvfIndex.delete(spark, idxPath, victims,
+          "vid", numBuckets = 64)
+        require(removed == 100L, s"all 100 subjects stored+erased: $removed")
+        removed
+      }
+      if (enabled("ivf_erase100")) {
+        import spark.implicits._
+        val again = graft.ops.IvfIndex.delete(spark, idxPath,
+          (0L until 100L).toDF("vid"), "vid", numBuckets = 64)
+        require(again == 0L, s"re-erasure must remove nothing: $again")
       }
     }
     // The ANN-backed hard-negative miner (sim_hard_negatives's kernel,
