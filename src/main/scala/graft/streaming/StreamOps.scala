@@ -297,6 +297,36 @@ object StreamOps {
       }
       .start()
 
+  /** Continuous subject-erasure sink — the lifecycle complement of
+    * [[ingestSink]]: each micro-batch of (doc_id) erasure requests runs
+    * [[graft.etl.Pipelines.erase]] against the stored dedup + ANN
+    * artifacts and appends one EraseReport row per attempt to
+    * `reportPath` (the erasure receipt a compliance re-audit reads —
+    * one row per ATTEMPT by design: a crash replay appends a second
+    * row for the same batch_id whose removal counts are 0, which is
+    * itself the idempotence proof). The artifacts are exactly-once in
+    * effect under checkpoint replay because erasure is idempotent
+    * (re-deleting the same subjects matches nothing — the
+    * [[ingestSink]] discipline, inverted). */
+  def eraseSink(requests: DataFrame, idCol: String, dedupPath: String,
+                ivfPath: String, reportPath: String, checkpoint: String,
+                dedupBuckets: Int = 8, ivfBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val r = graft.etl.Pipelines.erase(spark, batch.toDF(), idCol,
+          dedupPath, ivfPath, dedupBuckets, ivfBuckets)
+        Seq((batchId, r.subjects, r.dedupHashes, r.dedupBands,
+            r.dedupSigs, r.annRows))
+          .toDF("batch_id", "subjects", "dedup_hashes", "dedup_bands",
+            "dedup_sigs", "ann_rows")
+          .write.mode("append").parquet(reportPath)
+      }
+      .start()
+
   /** Continuous CDC MERGE sink — [[upsertSink]] plus the delete clause:
     * each micro-batch of a change stream (rows whose `changeCol` says
     * insert/update/delete) is MERGE INTO'd against the stored keyed

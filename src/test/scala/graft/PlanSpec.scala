@@ -288,7 +288,11 @@ class PlanSpec extends AnyFunSuite {
     "sim_ivf_scan_cost",
     //  - text_bm25_lite: 1-row document-count scalar broadcast under
     //    the ≤3-term tf frame (the q_scalar_subquery shape)
-    "text_bm25_lite")
+    "text_bm25_lite",
+    //  - sim_routing_margin: every vector vs the broadcast ≤4096-row
+    //    trained centroid table (the sim_ivf_cells assignment shape —
+    //    the same lloydRankedArr cross the probe-curve family rides)
+    "sim_routing_margin")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -207,6 +207,71 @@ class StreamRecoverySpec extends AnyFunSuite {
       s"the streamed doc gates later copies from the store: $v")
   }
 
+  test("eraseSink: crash-replayed erasure removes NOTHING twice; receipts logged per attempt") {
+    import spark.implicits._
+    import graft.ops.{IncrementalDedup, IvfIndex, TokenizerModel}
+    val root = tempDir("recover-erase")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+    val dedupPath = s"$root/dedup"; val bpePath = s"$root/bpe"
+    val ivfPath = s"$root/ivf"; val reportPath = s"$root/report"
+
+    // artifacts + two ingested subjects to erase (the ingest fixture)
+    IncrementalDedup.buildIndex(
+      Seq(1L -> "alpha bravo charlie delta echo foxtrot golf hotel india")
+        .toDF("doc_id", "text"), "doc_id", "text", dedupPath)
+    TokenizerModel.save(spark,
+      Seq(("the", 1L, 10L)).toDF("token", "token_id", "n"),
+      Seq((1L, "t h")).toDF("round", "pair"), bpePath)
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf)
+    val r0 = IvfIndex.build(spark, emb, "vec_id", "embedding", ivfPath,
+      numBuckets = 16)
+    val vec5 = emb.where(col("vec_id") === 5L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val vec6 = emb.where(col("vec_id") === 6L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    val ing = graft.etl.Pipelines.ingest(spark, Seq(
+        (2000001L, "subject one text that will be erased later", Some(vec5)),
+        (2000002L, "subject two text that will also be erased", Some(vec6)))
+        .toDF("doc_id", "text", "embedding"),
+      dedupPath, bpePath, ivfPath)
+    assert(ing.uniques == 2L && ing.vectorsAppended == 2L, s"fixture: $ing")
+    def storedVectors(): Long = IvfIndex.stats(spark, ivfPath)
+      .agg(sum(col("n"))).head.getLong(0)
+
+    def deliver(ids: Seq[Long]): Unit =
+      ids.toDF("doc_id").repartition(1).write.mode("append").parquet(inDir)
+    def start() = StreamOps.eraseSink(
+      spark.readStream.schema("doc_id LONG").parquet(inDir),
+      "doc_id", dedupPath, ivfPath, reportPath, ckpt)
+
+    // batch 0: erase subject one
+    deliver(Seq(2000001L))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(storedVectors() == r0.nVectors + 1L, "subject one's vector left")
+    // crash injection: the artifacts were rewritten, the commit wasn't
+    assert(new java.io.File(s"$ckpt/commits/0").delete())
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    // batch 1 after restart: erase subject two
+    deliver(Seq(2000002L))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+
+    // batch 0 REPLAYED: the subject is already gone — the replay removes
+    // nothing (idempotent erasure), batch 1 removes subject two
+    assert(storedVectors() == r0.nVectors,
+      "exactly the two subjects' vectors are gone — no over-deletion")
+    val rep = spark.read.parquet(reportPath)
+      .select($"batch_id", $"subjects", $"ann_rows", $"dedup_sigs")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(rep == Seq((0L, 1L, 0L, 0L), (0L, 1L, 1L, 1L), (1L, 1L, 1L, 1L)),
+      s"attempt log: the replay's receipt row removes 0: $rep")
+    // the dedup store FORGOT both subjects: their texts re-ingest unique
+    val v = IncrementalDedup.verdicts(spark,
+        Seq((3000001L, "subject one text that will be erased later"))
+          .toDF("doc_id", "text"), "doc_id", "text", dedupPath).head
+    assert(v.getAs[String]("status") == "unique",
+      s"an erased text must verdict unique again: $v")
+  }
+
   test("nearDedupStream file sink: replayed batch emits no duplicates, state survives restart") {
     import spark.implicits._
     val root = tempDir("recover-neardup")
