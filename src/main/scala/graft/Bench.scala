@@ -53,6 +53,9 @@ object Bench {
     // shared mutual-kNN edge frame (sim_knn_graph + sim_knn_cc)
     try graft.queries.SimMm.warmKnnEdges(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared quantized embedding corpus (the sim_* exact-integer kernels)
+    try graft.queries.SimShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     // shared winnowing fingerprint frame (text_winnowing +
     // dedup_winnow_pairs + text_template_fps — see WinnowShared)
     try graft.queries.WinnowShared.warmShared(spark, sfDir)

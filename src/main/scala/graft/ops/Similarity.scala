@@ -55,36 +55,60 @@ object Similarity {
       .limit(k)
   }
 
-  /** Farthest-first traversal (greedy k-center): seed 1 = `seedId`,
-    * each round adds the vector maximizing its min exact squared-L2 to
-    * the chosen set (tie → min id). Every round is one scan of the
-    * quantized table against the ≤k-row broadcast chosen set + one
-    * TakeOrdered(1) — never pairwise over the corpus. ONE definition
-    * serves sim_farthest_first and the scale probe. */
+  /** One chosen k-center seed: id, milli-quantized vector, squared norm,
+    * selection order (1-based), and its min-d2 to the earlier seeds at
+    * selection time (0 for the seed). ≤k of these ever exist, so they
+    * live on the DRIVER — the whole point of [[farthestFirstSeeds]]. */
+  final case class CenterSeed(cid: Long, cmq: Seq[Long], cnsq: Long,
+                              ord: Long, mind2: Long)
+
+  /** Farthest-first traversal (greedy k-center) over a pre-quantized
+    * `(vec_id, mq, nsq)` frame (e.g. the shared SimShared.miln corpus):
+    * seed 1 = `seedId`, each round adds the vector maximizing its min
+    * exact squared-L2 to the chosen set (tie → min id).
+    *
+    * The chosen set is ≤k rows, so it lives on the DRIVER and each
+    * round compiles it into the scan as literal codeword arrays:
+    * min-d2 = least over ≤k codegen'd integer dot products — ONE
+    * whole-stage-codegen pass over the corpus per round, zero joins,
+    * zero shuffles (TakeOrdered(1) moves one row per partition), zero
+    * per-round checkpoints. k rounds cost k corpus scans flat; the
+    * per-round join + groupBy + eager-checkpoint chain this replaces
+    * was the structure that blew sim_seed_quality to 11× its anchor. */
+  def farthestFirstSeeds(base: DataFrame, seedId: Long,
+                         k: Int): Seq[CenterSeed] = {
+    val seed = base.where(col("vec_id") === lit(seedId))
+      .select(col("vec_id"), col("mq"), col("nsq")).head()
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      CenterSeed(seed.getLong(0), seed.getSeq[Long](1), seed.getLong(2), 1L, 0L))
+    for (r <- 2 to k) {
+      val d2s = chosen.map(c =>
+        col("nsq") + lit(c.cnsq) -
+          lit(2L) * dotMilli(col("mq"), typedLit(c.cmq)))
+      val minD2 = if (d2s.size == 1) d2s.head else least(d2s.toSeq: _*)
+      val next = base
+        .where(!col("vec_id").isin(chosen.map(_.cid).toSeq: _*))
+        .select(col("vec_id"), col("mq"), col("nsq"), minD2.as("mind2"))
+        .orderBy(col("mind2").desc, col("vec_id"))
+        .limit(1).head()
+      chosen += CenterSeed(next.getLong(0), next.getSeq[Long](1),
+        next.getLong(2), r.toLong, next.getLong(3))
+    }
+    chosen.toSeq
+  }
+
+  /** [[farthestFirstSeeds]] over raw embeddings, returned as the
+    * (ord, vec_id, mind2) frame sim_farthest_first and the scale probe
+    * emit. The corpus is scanned k times (quantize is a cheap codegen
+    * map riding each scan) — no corpus-sized checkpoint. */
   def farthestFirst(emb: DataFrame, idCol: String, vecCol: String,
                     seedId: Long, k: Int): DataFrame = {
     val base = emb
       .select(col(idCol).as("vec_id"), milliQuant(col(vecCol)).as("mq"))
       .withColumn("nsq", normSqMilli(col("mq")))
-      .localCheckpoint(true)
-    var chosen = base.where(col("vec_id") === lit(seedId))
-      .select(col("vec_id").as("cid"), col("mq").as("cmq"), col("nsq").as("cnsq"),
-        lit(1L).as("ord"), lit(0L).as("mind2"))
-      .localCheckpoint(true)
-    for (r <- 2 to k) {
-      val cand = base
-        .join(chosen.select(col("cid")), col("vec_id") === col("cid"), "left_anti")
-        .crossJoin(broadcast(chosen.select(col("cmq"), col("cnsq"))))
-        .withColumn("d2", col("nsq") + col("cnsq") -
-          lit(2L) * dotMilli(col("mq"), col("cmq")))
-        .groupBy(col("vec_id"), col("mq"), col("nsq"))
-        .agg(min(col("d2")).as("mind2"))
-      val next = cand.orderBy(col("mind2").desc, col("vec_id")).limit(1)
-        .select(col("vec_id").as("cid"), col("mq").as("cmq"),
-          col("nsq").as("cnsq"), lit(r.toLong).as("ord"), col("mind2"))
-      chosen = chosen.unionAll(next).localCheckpoint(true)
-    }
-    chosen.select(col("ord"), col("cid").as("vec_id"), col("mind2"))
+    val seeds = farthestFirstSeeds(base, seedId, k)
+    import emb.sparkSession.implicits._
+    seeds.map(c => (c.ord, c.cid, c.mind2)).toDF("ord", "vec_id", "mind2")
   }
 
   /** Euclidean (L2) top-k vs one query vector — the metric twin of

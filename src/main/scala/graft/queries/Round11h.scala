@@ -20,32 +20,30 @@ object Round11h {
     // k-center traversal — judged by the 4-cell assignment each
     // induces: total within-cell squared distance (SSE), the k-center
     // radius (max min-distance — what farthest-first 2-approximates),
-    // and cell balance. One checkpointed quantized frame feeds both
-    // audits; each is one broadcast-4-row assignment pass (the
-    // sim_ivf_cells shape), ties → lowest seed id.
+    // and cell balance. Both 4-seed sets live on the DRIVER and are
+    // compiled into the assignment scan as literal codewords
+    // (array_min over 4 codegen'd (d2, cid) structs — ties → lowest
+    // seed id), so each audit is a pure map pass over the shared
+    // quantized corpus + a 4-group rollup: zero corpus shuffles, zero
+    // per-query checkpoints — the structure that had this query at
+    // 11× its anchor (per-round join/groupBy/checkpoint) is gone.
     "sim_seed_quality" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val base = emb
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
-        .localCheckpoint(true)
+      val base = SimShared.miln(s, dir)
       val hseeds = base
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(4)
-        .select(col("vec_id").as("cid"), col("mq").as("cmq"),
-          col("nsq").as("cnsq"))
-        .localCheckpoint(true)
-      val ffIds = Similarity.farthestFirst(emb, "vec_id", "embedding", 0L, 4)
-        .select(col("vec_id").as("cid"))
-      val ffseeds = base.join(ffIds, base("vec_id") === ffIds("cid"))
-        .select(col("cid"), col("mq").as("cmq"), col("nsq").as("cnsq"))
-        .localCheckpoint(true)
-      def audit(seeds: DataFrame, tag: String) = {
-        val a = base.crossJoin(broadcast(seeds))
-          .withColumn("d2", col("nsq") + col("cnsq") -
-            lit(2L) * Similarity.dotMilli(col("mq"), col("cmq")))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d2"), col("cid"))).as("m"))
-          .select(col("m.d2").as("mind2"), col("m.cid").as("cell"))
+        .select(col("vec_id"), col("mq"), col("nsq"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      val ffseeds = Similarity.farthestFirstSeeds(base, 0L, 4)
+        .map(c => (c.cid, c.cmq, c.cnsq))
+      def audit(seeds: Seq[(Long, Seq[Long], Long)], tag: String) = {
+        val pick = array_min(array(seeds.map { case (cid, cmq, cnsq) =>
+          struct((col("nsq") + lit(cnsq) -
+            lit(2L) * Similarity.dotMilli(col("mq"), typedLit(cmq))).as("d2"),
+            lit(cid).as("cid"))
+        }: _*))
+        val a = base.select(pick.getField("d2").as("mind2"),
+          pick.getField("cid").as("cell"))
         val cells = a.groupBy(col("cell")).agg(count(lit(1)).as("cn"))
         a.agg(count(lit(1)).as("n_vecs"), sum(col("mind2")).as("sse"),
             max(col("mind2")).as("radius_d2"))

@@ -75,8 +75,11 @@ object Round11r {
           split(col("bg"), " ").getItem(1).as("w2"))
       val train = docs.where(col("doc_id") % 10 =!= 0)
       val test = bigrams(docs.where(col("doc_id") % 10 === 0))
+      // single-consumer train-bigram table: feeds exactly one join below,
+      // so it stays LAZY — an eager corpus-sized checkpoint here was the
+      // many-tiny-jobs structure that had this query at 10× its anchor
       val tb = bigrams(train).groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("n2")).localCheckpoint(true)
+        .agg(count(lit(1)).as("n2"))
       val tu = train
         .select(explode(TA.tokens(col("text"))).as("w2"))
         .groupBy(col("w2")).agg(count(lit(1)).as("n1"))

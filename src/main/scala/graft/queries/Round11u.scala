@@ -24,48 +24,57 @@ object Round11u {
     // distortion totals. Both codebooks are tiny broadcasts; residuals
     // are a per-row zip, never a shuffle.
     "sim_rq_encode" -> ((s, dir) => {
-      val m = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
-        .localCheckpoint(true)
-      // stage-1 codebook: 8 hash-sampled vectors (the pqSeeds convention)
+      val m = SimShared.miln(s, dir)
+      // stage-1 codebook: 8 hash-sampled vectors (the pqSeeds
+      // convention) — ≤8 rows, collected to the DRIVER so the encode
+      // compiles them into the scan as literal codewords.
       val cb1 = m.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(8)
-        .select(col("vec_id").as("c1"), col("mq").as("cmq"),
-          col("nsq").as("cnsq"))
-        .localCheckpoint(true)
-      val a1 = m.crossJoin(broadcast(cb1))
-        .withColumn("d2", col("nsq") + col("cnsq") -
-          lit(2L) * Similarity.dotMilli(col("mq"), col("cmq")))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("c1"), col("cmq"))).as("pick"))
-        .select(col("vec_id"), col("pick.c1").as("c1"),
-          col("pick.d2").as("d1"), col("pick.cmq").as("cmq"))
-      // residual per vector (per-row zip against the picked codeword)
-      val res = a1.join(m.select(col("vec_id"), col("mq")), Seq("vec_id"))
-        .select(col("vec_id"), col("c1"), col("d1"),
-          expr("zip_with(mq, cmq, (x, c) -> x - c)").as("r"))
-        .localCheckpoint(true)
-      // stage-2 codebook: residuals of 8 differently-salted sampled ids,
-      // plus the explicit zero codeword
-      val cb2 = res
+        .limit(8).select(col("vec_id"), col("mq"), col("nsq")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      // stage-2 codebook: residuals of 8 differently-salted sampled ids
+      // (sampled over the SAME id universe — the salt orders ids, not
+      // residuals) plus the explicit zero codeword. The 8 residuals are
+      // RE-DERIVED driver-side (8 × 8 exact-integer dot products) —
+      // no corpus-sized residual checkpoint just to sample 8 rows.
+      val cb2samples = m
         .orderBy(md5(concat(lit("rq2_"), col("vec_id").cast("string"))),
           col("vec_id"))
-        .limit(8)
-        .select(col("vec_id").as("c2"), col("r").as("cr"))
-        .unionByName(res.sparkSession.range(1)
-          .select(lit(-1L).as("c2"),
-            expr("transform(sequence(1, 64), i -> 0L)").as("cr")))
-        .localCheckpoint(true)
-      res.crossJoin(broadcast(cb2))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(r, cr, (a, b) -> a - b), 0L, " +
-            "(acc, v) -> acc + v * v)"))
-        .groupBy(col("vec_id"), col("c1"), col("d1"))
-        .agg(min(struct(col("d2"), col("c2"))).as("pick"))
+        .limit(8).select(col("vec_id"), col("mq"), col("nsq")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+      def assign1(mq: Seq[Long], nsq: Long): (Long, Seq[Long]) =
+        cb1.map { case (c1, cmq, cnsq) =>
+          val d2 = nsq + cnsq -
+            2L * mq.iterator.zip(cmq.iterator).map(p => p._1 * p._2).sum
+          ((d2, c1), cmq)
+        }.minBy(_._1) match { case ((_, c1), cmq) => (c1, cmq) }
+      val cb2: Seq[(Long, Seq[Long])] = cb2samples.map { case (vid, mq, nsq) =>
+        val (_, cmq) = assign1(mq, nsq)
+        (vid, mq.iterator.zip(cmq.iterator).map(p => p._1 - p._2).toSeq)
+      } :+ (-1L, Seq.fill(64)(0L))
+      // ONE whole-stage-codegen pass over the shared corpus: stage-1
+      // argmin (8 literal (d2, c1, codeword) structs, ties → lowest
+      // c1), per-row residual zip, stage-2 argmin (9 literal L2²
+      // structs, ties → lowest c2 so the zero codeword −1 wins them),
+      // then the 8-group map-side-combinable rollup. Zero joins, zero
+      // corpus shuffles, zero checkpoints beyond the shared frame.
+      val pick1 = array_min(array(cb1.map { case (c1, cmq, cnsq) =>
+        struct((col("nsq") + lit(cnsq) -
+          lit(2L) * Similarity.dotMilli(col("mq"), typedLit(cmq))).as("d2"),
+          lit(c1).as("c1"), typedLit(cmq).as("cw"))
+      }: _*))
+      val withR = m
+        .select(col("vec_id"), pick1.getField("c1").as("c1"),
+          pick1.getField("d2").as("d1"),
+          zip_with(col("mq"), pick1.getField("cw"), (x, c) => x - c).as("r"))
+      val pick2 = array_min(array(cb2.map { case (c2, cr) =>
+        struct(graft.functions.LongVectorFunctions
+          .vecL2SqSlice(col("r"), typedLit(cr), 0, 64).as("d2"),
+          lit(c2).as("c2"))
+      }: _*))
+      withR.select(col("c1"), col("d1"), pick2.getField("d2").as("d2"))
         .groupBy(col("c1"))
         .agg(count(lit(1)).as("n"), sum(col("d1")).as("d1_total"),
-          sum(col("pick.d2")).as("d2_total"))
+          sum(col("d2")).as("d2_total"))
         .orderBy(col("c1"))
     }),
 

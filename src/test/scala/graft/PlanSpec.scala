@@ -42,10 +42,6 @@ class PlanSpec extends AnyFunSuite {
     //  - events_psi_ingredients: the same 1-row corpus time-midpoint
     //    scalar broadcast as etl_data_drift
     "events_psi_ingredients",
-    //  - sim_rq_encode: every vector vs the 8 broadcast stage-1
-    //    codewords, every residual vs the 9 broadcast stage-2 codewords
-    //    (the sim_pq_encode assignment shape, twice)
-    "sim_rq_encode",
     //  - events_value_tail: 1-row observed-max scalar under the per-event
     //    threshold sweep (the events_rfm shape)
     "events_value_tail",
@@ -226,9 +222,6 @@ class PlanSpec extends AnyFunSuite {
     //  - events_did_ingredients: 1-row time-midpoint scalar broadcast
     //    under the purchase scan (the events_rfm shape)
     "graph_hits", "events_did_ingredients",
-    //  - sim_farthest_first: ≤4-row broadcast chosen set vs the quantized
-    //    scan each round (the sim_ivf_cells assignment shape)
-    "sim_farthest_first",
     //  - graph_modularity: 1-row edge-count scalar broadcast under the
     //    1-row ingredients rollup (the census shape)
     "graph_modularity",
@@ -273,9 +266,9 @@ class PlanSpec extends AnyFunSuite {
     //  - text_nb_train: two 1-row class-total scalars broadcast under
     //    the 16-row bucket rollup (the q_scalar_subquery shape)
     "text_nb_train",
-    //  - sim_seed_quality: every vector vs the 4 broadcast seeds, twice
-    //    (the sim_ivf_cells assignment shape) + 1-row balance scalars
-    //    under the 1-row audit rollup (the census shape)
+    //  - sim_seed_quality: 1-row balance scalars under the 1-row audit
+    //    rollup only (the census shape) — the seed assignment itself is
+    //    literal-codeword expressions now, not a broadcast cross
     "sim_seed_quality",
     //  - etl_ttl_eviction_plan: 1-row watermark scalar broadcast under
     //    the events scan (the events_cuped shape)
