@@ -45,6 +45,28 @@ object Runner {
   private val HistoryLimit = 100
   def history: Seq[RunReport] = historyRef.get()
 
+  /** Persist a finished run's report into a keyed parquet run-history
+    * table — the durable twin of the reference's append-only run log
+    * (utils/logger.js writes RSBSAetl.log; /api/logs serves it back,
+    * index.js:200-240). One row per (run_id, stage), keyed upsert so a
+    * re-persisted run replaces itself instead of duplicating; the table
+    * survives session restarts, unlike the in-memory [[history]]. */
+  def persistReport(spark: SparkSession, path: String, runId: Long,
+                    report: RunReport, numBuckets: Int = 16): Unit = {
+    val df = report.toDF(spark)
+      .withColumn(
+        "run_id", org.apache.spark.sql.functions.lit(runId))
+    val keys = Seq("run_id", "stage")
+    if (graft.sinks.KeyedParquetSink.tableExists(spark, path))
+      graft.sinks.KeyedParquetSink.upsert(spark, path, df, keys, numBuckets)
+    else graft.sinks.KeyedParquetSink.write(df, path, keys, numBuckets)
+  }
+
+  /** Read the persisted run history back (all runs, all stages) — the
+    * queryable /api/logs surface over the stored table. */
+  def runHistory(spark: SparkSession, path: String): DataFrame =
+    graft.sinks.KeyedParquetSink.read(spark, path)
+
   /** Cooperative stop (index.js stop endpoint): the current run finishes
     * its in-flight stage, skips the rest, and scheduled loops exit. */
   private val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)

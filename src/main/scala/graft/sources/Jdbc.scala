@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** JDBC source/sink parity with the reference's MySQL pools
+  * (config/db.js sourcePool/targetPool, services/etlService.js).
+  *
+  * READ — the reference extracts per changelog key
+  * (`SELECT * FROM voucher WHERE reference_no = ?`, etlService.js:17-23)
+  * over a 4-connection pool. The Spark-native shape is the JDBC DataSource
+  * with *pushdown*: filters on the returned frame compile into the remote
+  * WHERE clause and `numPartitions`/`partitionColumn` split the scan into
+  * concurrent range queries (the pool, but planned by the engine). For a
+  * key-list extract, [[readPredicates]] issues one remote query per
+  * predicate — the reference's per-reference_no loop, parallelized.
+  *
+  * WRITE — the reference loads via batched
+  * `INSERT … ON DUPLICATE KEY UPDATE` with retry ×3 + delay per batch
+  * (etlService.js:36-53, 84-104). Spark's built-in JDBC writer is
+  * append-only, so [[upsert]] implements the keyed write per partition:
+  * batched UPDATE-else-INSERT inside a transaction per batch, bounded
+  * retry with linear backoff, failed batches counted `skipped` (the run
+  * continues — reference etlService.js:84-104 does the same). Parallelism
+  * is capped by `numPartitions` connections ≡ the reference's
+  * concurrencyLimit 4; per-batch transactions bound both memory and the
+  * redo a retry replays. At 100 TB the frame upstream is arbitrary —
+  * only |changed rows| / numPartitions flows through each connection.
+  */
+object Jdbc {
+
+  /** Whole-table read with pushdown: `.where`/`.select` on the result
+    * reach the remote engine (PushedFilters in the scan). */
+  def read(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+
+  /** Range-partitioned parallel read: `numPartitions` concurrent remote
+    * range queries on `partCol` (the reference's connection pool, but
+    * with the engine choosing the ranges). `partCol` should be indexed
+    * remotely — each partition is a `WHERE partCol BETWEEN …`. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+                      partCol: String, lower: Long, upper: Long,
+                      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", numPartitions)
+      .load()
+
+  /** One remote query per predicate string — the reference's per-key
+    * `WHERE reference_no = ?` loop (etlService.js:17-23) as explicit
+    * partition predicates. Caller chunks a key list into ≤ a few hundred
+    * predicates (e.g. `reference_no IN ('a','b',…)` per chunk). */
+  def readPredicates(spark: SparkSession, url: String, table: String,
+                     predicates: Seq[String]): DataFrame =
+    spark.read.jdbc(url, table, predicates.toArray,
+      new java.util.Properties())
+
+  /** Changelog-driven incremental extract over JDBC — the EtlLogger page
+    * + per-key select (models/EtlLogger.js:6-17, etlService.js:446-449)
+    * as ONE semi-join: the changelog rows for `entity` (non-null key,
+    * non-null table — EtlLogger.js:11-12) pushed down into the changelog
+    * scan, the key set distinct'd and semi-joined against the source
+    * read. Both sides are JDBC scans with pushdown; the join is the
+    * broadcast-able [[graft.etl.Changelog.extract]] shape. */
+  def changelogExtract(spark: SparkSession, url: String,
+                       sourceTable: String, keyCol: String,
+                       changelogTable: String, logKeyCol: String,
+                       tableCol: String, entity: String): DataFrame = {
+    val changelog = read(spark, url, changelogTable)
+      .where(col(tableCol) === entity && col(logKeyCol).isNotNull &&
+        col(tableCol).isNotNull)
+    graft.etl.Changelog.extract(
+      read(spark, url, sourceTable), keyCol, changelog, logKeyCol)
+  }
+
+  /** DDL/utility statement against the remote database (the reference's
+    * ensureTablesExist, etlService.js:299-417). */
+  def execute(url: String, sql: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try { val st = conn.createStatement(); try st.execute(sql) finally st.close() }
+    finally conn.close()
+  }
+
+  /** Totals of one upsert run — the reference's per-entity
+    * processed/skipped report (etlService.js:572-583). */
+  final case class UpsertStats(processed: Long, skippedNullKey: Long,
+                               skippedFailed: Long)
+
+  private def sqlTypeFor(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType => java.sql.Types.SMALLINT
+    case ByteType => java.sql.Types.TINYINT
+    case DoubleType => java.sql.Types.DOUBLE
+    case FloatType => java.sql.Types.REAL
+    case BooleanType => java.sql.Types.BOOLEAN
+    case StringType => java.sql.Types.VARCHAR
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case DateType => java.sql.Types.DATE
+    case _: TimestampType => java.sql.Types.TIMESTAMP
+    case BinaryType => java.sql.Types.BINARY
+    case _ => java.sql.Types.OTHER
+  }
+
+  private def bind(ps: PreparedStatement, pos: Int, v: Any, dt: DataType): Unit =
+    v match {
+      case null => ps.setNull(pos, sqlTypeFor(dt))
+      case d: java.math.BigDecimal => ps.setBigDecimal(pos, d)
+      case d: scala.math.BigDecimal => ps.setBigDecimal(pos, d.bigDecimal)
+      case t: java.sql.Timestamp => ps.setTimestamp(pos, t)
+      case d: java.sql.Date => ps.setDate(pos, d)
+      case i: java.time.Instant => ps.setTimestamp(pos, java.sql.Timestamp.from(i))
+      case d: java.time.LocalDate => ps.setDate(pos, java.sql.Date.valueOf(d))
+      case other => ps.setObject(pos, other)
+    }
+
+  /** Batched keyed upsert ≡ `INSERT … ON DUPLICATE KEY UPDATE` with the
+    * reference's retry discipline (etlService.js:36-53, 84-104):
+    *
+    *  - rows with any NULL key are skipped up front (the reference's
+    *    "missing voucher_id or reference_no" filter, etlService.js:66-75);
+    *  - per partition: one connection; per `batchSize` rows: batched
+    *    UPDATE of the non-key columns, then batched INSERT of the rows
+    *    the update didn't match, one transaction per batch;
+    *  - a failing batch is rolled back and retried up to `retries` times
+    *    with linear backoff on a FRESH connection; after the last attempt
+    *    its rows count as skipped and the run continues;
+    *  - `numPartitions` caps concurrent connections (reference
+    *    concurrencyLimit 4, etlService.js:12).
+    *
+    * Duplicate keys WITHIN the frame resolve by batch order (last write
+    * wins — the reference's row-order semantics); dedup upstream with
+    * [[graft.etl.Upsert.merge]] when a deterministic winner is needed.
+    * `beforeBatch` is a test seam for injecting transient faults
+    * (≡ the reference's retry-path tests); production callers leave it
+    * None. Returns the processed/skipped totals the reference logs at
+    * etlService.js:572-583. */
+  def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
+             batchSize: Int = 1000, retries: Int = 3, backoffMs: Long = 100,
+             numPartitions: Int = 4,
+             beforeBatch: Option[() => Unit] = None): UpsertStats = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val fields = schema.fields
+    val keySet = keys.toSet
+    require(keys.forall(schema.fieldNames.contains),
+      s"keys ${keys.mkString(",")} must exist in ${schema.fieldNames.mkString(",")}")
+    val nonKeys = fields.filterNot(f => keySet.contains(f.name))
+    require(nonKeys.nonEmpty, "upsert needs at least one non-key column")
+    val keyFields = keys.map(k => fields(schema.fieldIndex(k)))
+
+    val updateSql = s"UPDATE $table SET " +
+      nonKeys.map(f => s"${f.name} = ?").mkString(", ") +
+      " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (" +
+      fields.map(_.name).mkString(", ") + ") VALUES (" +
+      fields.map(_ => "?").mkString(", ") + ")"
+
+    val processed = spark.sparkContext.longAccumulator("jdbc_upsert_processed")
+    val skippedNull = spark.sparkContext.longAccumulator("jdbc_upsert_null_key")
+    val skippedFail = spark.sparkContext.longAccumulator("jdbc_upsert_failed")
+
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val nonKeyIdx = nonKeys.map(f => schema.fieldIndex(f.name))
+    val allTypes = fields.map(_.dataType)
+
+    // cap parallel connections; coalesce avoids a shuffle when the frame
+    // already has few partitions
+    val shaped =
+      if (df.rdd.getNumPartitions > numPartitions) df.coalesce(numPartitions)
+      else df
+    shaped.foreachPartition { (it: Iterator[Row]) =>
+      // single streaming pass — never materializes the partition
+      var nullCount = 0L
+      val good = it.filter { r =>
+        val bad = keyIdx.exists(r.isNullAt)
+        if (bad) nullCount += 1
+        !bad
+      }
+
+      def runBatch(rawRows: Array[Row]): Unit = {
+        // collapse duplicate keys within the batch, LAST occurrence wins
+        // (MySQL's ON DUPLICATE KEY applies batch rows in order; the
+        // update-else-insert split would instead collide on the INSERT)
+        val byKey = new scala.collection.mutable.LinkedHashMap[Seq[Any], Row]
+        rawRows.foreach(r => byKey.update(keyIdx.toSeq.map(r.get), r))
+        val rows = byKey.values.toArray
+        var attempt = 0
+        var done = false
+        while (!done && attempt < retries) {
+          attempt += 1
+          var conn: Connection = null
+          try {
+            beforeBatch.foreach(f => f())
+            conn = DriverManager.getConnection(url)
+            conn.setAutoCommit(false)
+            val up = conn.prepareStatement(updateSql)
+            try {
+              rows.foreach { r =>
+                var p = 1
+                nonKeyIdx.foreach { i =>
+                  bind(up, p, if (r.isNullAt(i)) null else r.get(i), allTypes(i)); p += 1
+                }
+                keyIdx.foreach { i => bind(up, p, r.get(i), allTypes(i)); p += 1 }
+                up.addBatch()
+              }
+              val counts = up.executeBatch()
+              val misses = rows.indices.filter(i => counts(i) == 0).map(rows)
+              if (misses.nonEmpty) {
+                val ins = conn.prepareStatement(insertSql)
+                try {
+                  misses.foreach { r =>
+                    fields.indices.foreach { i =>
+                      bind(ins, i + 1, if (r.isNullAt(i)) null else r.get(i),
+                        allTypes(i))
+                    }
+                    ins.addBatch()
+                  }
+                  ins.executeBatch()
+                } finally ins.close()
+              }
+              conn.commit()
+              processed.add(rawRows.length)
+              done = true
+            } finally up.close()
+          } catch {
+            case e: SQLException =>
+              if (conn != null) { try conn.rollback() catch { case _: SQLException => () } }
+              if (attempt >= retries) skippedFail.add(rawRows.length)
+              else Thread.sleep(backoffMs * attempt)
+          } finally {
+            if (conn != null) { try conn.close() catch { case _: SQLException => () } }
+          }
+        }
+      }
+
+      good.grouped(batchSize).foreach(g => runBatch(g.toArray))
+      skippedNull.add(nullCount)
+    }
+    UpsertStats(processed.value, skippedNull.value, skippedFail.value)
+  }
+}
