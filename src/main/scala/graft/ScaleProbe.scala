@@ -383,6 +383,34 @@ object ScaleProbe {
         .select((col("vec_id") * mult + col("rep")).as("vec_id"), col("embedding"))
       graft.ops.Similarity.farthestFirst(e, "vec_id", "embedding", 0L, 4).count()
     }
+    // Storage-footprint diet (the round-15 localCheckpoint audit's
+    // evidence line): the shared-quantized-frame + driver-side-codebook
+    // pattern (sim_seed_quality's shape) must leave persisted storage
+    // FLAT — the one shared frame and nothing else — at mult× vectors.
+    // Before the diet this flow checkpointed per round and per audit,
+    // so storage grew with every consumer; now `after == shared` bytes.
+    time("seed_audit_storage") {
+      def storageBytes: Long = spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+      val base = emb
+        .select(col("vec_id"),
+          graft.ops.Similarity.milliQuant(col("embedding")).as("mq"))
+        .withColumn("nsq",
+          graft.ops.Similarity.normSqMilli(col("mq")))
+        .localCheckpoint(true) // the SimShared.miln analog, built once
+      val shared = storageBytes
+      val seeds = graft.ops.Similarity.farthestFirstSeeds(base, 0L, 4)
+      val pick = array_min(array(seeds.map(c =>
+        struct((col("nsq") + lit(c.cnsq) - lit(2L) *
+          graft.ops.Similarity.dotMilli(col("mq"), typedLit(c.cmq))).as("d2"),
+          lit(c.cid).as("cid"))): _*))
+      val n = base.select(pick.getField("d2").as("mind2"))
+        .agg(count(lit(1)), sum(col("mind2"))).count()
+      val after = storageBytes
+      println(s"SCALE seed_audit_storage_bytes shared=$shared after=$after " +
+        s"flat=${shared == after}")
+      n
+    }
     time("edit_distance") {
       val t = docs.withColumn("len", length(col("text")).cast("long"))
       graft.ops.Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)

@@ -452,10 +452,8 @@ object Audits {
     // and final ranking are bit-stable across engines — round(double, 4)
     // ranking (the r6 hash-break class) never appears.
     "sim_prefix_rerank" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+      val emb = SimShared.miln(s, dir)
         .withColumn("mp", slice(col("mq"), 1, 16))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
         .withColumn("npsq", Similarity.normSqMilli(col("mp")))
       val q = emb.where(col("vec_id") === 0L)
         .select(col("mq").as("qmq"), col("mp").as("qmp"),

@@ -179,8 +179,8 @@ object Round10c {
     // rollup is 64 rows; the ranking window runs over that bounded
     // frame.
     "sim_opq_permute" -> ((s, dir) => {
-      val stats = Tables.embeddings(s, dir)
-        .select(posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+      val stats = SimShared.miln(s, dir)
+        .select(posexplode(col("mq")).as(Seq("d", "x")))
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("x")).as("sxx"))
@@ -252,8 +252,8 @@ object Round10c {
     // whether the permutation was worth it. Same 64-row bounded stats
     // frame; two layout rollups, 2-row output.
     "sim_opq_gain" -> ((s, dir) => {
-      val stats = Tables.embeddings(s, dir)
-        .select(posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+      val stats = SimShared.miln(s, dir)
+        .select(posexplode(col("mq")).as(Seq("d", "x")))
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("x")).as("sxx"))
@@ -404,8 +404,8 @@ object Round10c {
     // power method does at any corpus size (the O(n·d²) moment pass
     // dominates; iterations are O(d²)).
     "sim_power_iteration" -> ((s, dir) => {
-      val tri = Tables.embeddings(s, dir)
-        .select(graft.ops.Similarity.milliQuant(col("embedding")).as("mq"))
+      val tri = SimShared.miln(s, dir)
+        .select(col("mq"))
         .select(explode(expr(
           """flatten(transform(sequence(0, 63), i ->
             |  transform(sequence(i, 63), j ->
@@ -622,9 +622,8 @@ object Round10c {
     // TakeOrdered).
     "sim_filtered_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val q = emb.where(col("vec_id") === 0L)
-        .select(Similarity.milliQuant(col("embedding")).as("qmq"))
-        .withColumn("qnsq", Similarity.normSqMilli(col("qmq")))
+      val q = SimShared.miln(s, dir).where(col("vec_id") === 0L)
+        .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
       emb.where(col("vec_id") =!= 0L && col("label") === 3L)
         .select(col("vec_id"), col("label"),
           Similarity.milliQuant(col("embedding")).as("mq"))

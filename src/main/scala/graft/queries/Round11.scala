@@ -42,8 +42,7 @@ object Round11 {
     // Angle 0 is the identity, so the rotated layout can never lose to
     // pairing alone; the spec asserts it beats the serpentine baseline.
     "sim_opq_rotate" -> ((s, dir) => {
-      val q = Tables.embeddings(s, dir)
-        .select(Similarity.milliQuant(col("embedding")).as("mq"))
+      val q = SimShared.miln(s, dir).select(col("mq"))
       val tri = q.select(explode(expr(gramExpr)).as("p"))
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .agg(sum(col("p.xy")).as("sxy"))
@@ -249,13 +248,10 @@ object Round11 {
     // 8×8 pairwise sims are checkpointed and every greedy round runs on
     // those bounded frames. Deterministic (vec_id tiebreaks).
     "sim_mmr_rerank" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.where(col("vec_id") === 0L)
-        .select(Similarity.milliQuant(col("embedding")).as("qmq"))
-        .withColumn("qnsq", Similarity.normSqMilli(col("qmq")))
-      val sl = emb.where(col("vec_id") =!= 0L)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+      val m = SimShared.miln(s, dir)
+      val q = m.where(col("vec_id") === 0L)
+        .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
+      val sl = m.where(col("vec_id") =!= 0L)
         .crossJoin(broadcast(q))
         .withColumn("rel_bp", Similarity.cosBp(
           Similarity.dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))

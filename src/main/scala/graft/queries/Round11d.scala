@@ -27,8 +27,7 @@ object Round11d {
     // 10×10. Integer-bp cosine end-to-end (Similarity.cosBp), so the
     // curve is engine-reproducible.
     "sim_mrl_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
+      val emb = SimShared.miln(s, dir).select(col("vec_id"), col("mq"))
       val q = emb.where(col("vec_id") === 0L).select(col("mq").as("qmq"))
       def cosP(p: Int) = Similarity.cosBp(
         Similarity.dotMilli(slice(col("mq"), 1, p), slice(col("qmq"), 1, p)),

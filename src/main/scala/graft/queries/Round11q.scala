@@ -55,9 +55,7 @@ object Round11q {
       val und = edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+      val e = SimShared.miln(s, dir)
       val q = e.where(col("vec_id") === 0L)
         .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
       val score = e.crossJoin(broadcast(q))

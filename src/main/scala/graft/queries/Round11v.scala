@@ -57,10 +57,7 @@ object Round11v {
     "sim_ood_bands" -> ((s, dir) => {
       def ilog2(c: org.apache.spark.sql.Column) =
         (length(bin(c)) - 1).cast("long")
-      val m = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
-        .localCheckpoint(true)
+      val m = SimShared.miln(s, dir)
       val cb = m.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(8)
         .select(col("vec_id").as("cid"), col("mq").as("cmq"),

@@ -104,13 +104,10 @@ object Round12 {
     // shape (k_exact, n_ann, hits, recall_bp), all counts over
     // checkpointed <=10-row frames.
     "sim_ivf_auto_recall" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val q = emb.where(col("vec_id") === 0L)
-        .select(Similarity.milliQuant(col("embedding")).as("qmq"))
-        .withColumn("qnsq", Similarity.normSqMilli(col("qmq")))
-      val exact = emb.where(col("vec_id") =!= 0L)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+      val m = SimShared.miln(s, dir)
+      val q = m.where(col("vec_id") === 0L)
+        .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
+      val exact = m.where(col("vec_id") =!= 0L)
         .crossJoin(broadcast(q))
         .withColumn("cos_bp", Similarity.cosBp(
           Similarity.dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))

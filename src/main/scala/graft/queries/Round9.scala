@@ -293,8 +293,8 @@ object Round9 {
     // partial agg collapses to the 2080-cell grid; means come from
     // sim_dim_stats, so no doubles are needed here.
     "sim_cov_moments" -> ((s, dir) => {
-      val pairs = Tables.embeddings(s, dir)
-        .select(graft.ops.Similarity.milliQuant(col("embedding")).as("mq"))
+      val pairs = SimShared.miln(s, dir)
+        .select(col("mq"))
         .select(explode(expr(
           """flatten(transform(sequence(0, 63), i ->
             |  transform(sequence(i, 63), j ->

@@ -495,9 +495,7 @@ object SimMm {
     // sim_sq8_search ranks by — no float math anywhere.
     "sim_rank_corr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val m = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+      val m = SimShared.miln(s, dir)
       val q = m.where(col("vec_id") === 0)
         .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
       val top = m.where(col("vec_id") =!= 0)
@@ -545,9 +543,7 @@ object SimMm {
     // cost stays ONE scan at 100 TB, never Q scans.
     "sim_batch_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val m = Tables.embeddings(s, dir)
-        .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
+      val m = SimShared.miln(s, dir)
       val q = m.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("mq").as("qmq"), col("nsq").as("qnsq"))
       val w = Window.partitionBy(col("qid"))
@@ -649,8 +645,8 @@ object SimMm {
     // 64-key aggregate; map-side partials collapse the corpus, so the
     // reducer sees 64 rows per partition at any scale.
     "sim_dim_stats" -> ((s, dir) =>
-      Tables.embeddings(s, dir)
-        .select(posexplode(Similarity.milliQuant(col("embedding"))).as(Seq("d", "x")))
+      SimShared.miln(s, dir)
+        .select(posexplode(col("mq")).as(Seq("d", "x")))
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("min_milli"), max(col("x")).as("max_milli"),
