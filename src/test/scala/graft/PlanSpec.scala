@@ -11,10 +11,14 @@ class PlanSpec extends AnyFunSuite {
   // memoized: constructing a query can be expensive (the dedup pair
   // generators eagerly checkpoint their index, the ANN queries count the
   // vector table), and several tests read every plan
+  private val dfCache =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+  private def dfOf(name: String): org.apache.spark.sql.DataFrame =
+    dfCache.getOrElseUpdate(name,
+      SparkEntry.queries(name)(spark, TestSpark.sf))
   private val planCache = scala.collection.mutable.Map.empty[String, String]
   private def planOf(name: String): String = planCache.getOrElseUpdate(name,
-    SparkEntry.queries(name)(spark, TestSpark.sf)
-      .queryExecution.explainString(SimpleMode))
+    dfOf(name).queryExecution.explainString(SimpleMode))
 
   // Deliberate tiny-side broadcast nested-loop joins:
   //  - sim_topk_brute / sim_ann_search: single-row query vector vs all
@@ -294,6 +298,54 @@ class PlanSpec extends AnyFunSuite {
       if (!allowNestedLoop(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$plan")
     }
+  }
+
+  // Queries whose plan contains a Window WITHOUT partitioning — the
+  // "Moving all data to a single partition" class. Legal ONLY above a
+  // frame with a documented row bound (an aggregate / limit that shrinks
+  // the data to spine size first); the assertion below keeps the list
+  // honest the same way the BNLJ allowlist does. Grouped by the bound:
+  private val allowUnpartitionedWindow: Set[String] = Set(
+    // DAY-SPINE bound (≤ one row per day — the cumulative/lag window of
+    // a daily series runs over the spine, never the events):
+    "etl_backfill_plan", "etl_data_drift", "events_burst",
+    "events_changepoint", "events_cusum", "events_day_over_day",
+    "events_ewma", "events_forecast_naive", "events_psi_ingredients",
+    "events_slo_burn", "events_sprt", "events_stl_lite",
+    "events_user_growth", "q_backlog",
+    // TYPE/BAND/BUCKET-TABLE bound (≤ types × bands rows after the
+    // rollup: quality bands, strata, temperature buckets, run-length
+    // blocks, duration deciles):
+    "corpus_strata_alloc", "corpus_temperature_mix", "events_anomaly_runs",
+    "events_pareto", "events_survival", "events_top_coverage",
+    "q_hist_equidepth", "etl_feature_staleness",
+    // BLOCK-TABLE bound — the house two-phase prefix sum: a per-block
+    // pre-aggregate (bounded by the value-block grid) feeds the only
+    // unpartitioned window; per-row ranks ride partitioned windows:
+    "corpus_pack_budget", "corpus_pack_split", "corpus_shard_manifest",
+    "mm_shard_plan", "dedup_sorted_neighborhood", "etl_seq_gaps",
+    "events_concurrency", "q_skyline",
+    // DIM/CELL/TOP-K bound (64 dims, 2080 Gram cells, ≤cells IVF cells,
+    // 16-codeword PQ tables, 32-row rank-correlation shortlist):
+    "sim_opq_gain", "sim_opq_permute", "sim_opq_rotate", "sim_pq_adc_sdc",
+    "sim_ivf_rebalance", "sim_ivf_scan_cost", "sim_rank_corr",
+    // VOCAB/HEAVY-HITTER bound (top-K limit lowers to TakeOrdered before
+    // the window; the window sees ≤K rows / the ≤3-row order table /
+    // the ≤10-decile curve):
+    "text_vocab_build", "text_token_ids", "text_zipf_audit",
+    "text_heaps_curve", "text_bigram_coverage", "text_backoff_coverage")
+
+  test("every unpartitioned Window sits above a documented bounded frame") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val n = dfOf(name).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0 && !allowUnpartitionedWindow.contains(name)) Some(name -> n)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unjustified single-partition windows in: ${offenders.mkString(", ")}")
   }
 
   test("per-query scan counts stay at their audited minima") {
