@@ -508,7 +508,18 @@ object Dedup {
     * shingle arrays — no second shuffle.
     * Returns (a, b, inter, uni, jaccard_bp), a < b. */
   def snmPairs(docs: DataFrame, idCol: String, textCol: String,
-               n: Int = 3, window: Int = 2): DataFrame = {
+               n: Int = 3, window: Int = 2): DataFrame =
+    snmPairsDist(docs, idCol, textCol, n, window).drop("dist")
+
+  /** [[snmPairs]] with each verified pair tagged by its GLOBAL-sort-order
+    * neighbor offset `dist` ∈ [1, window] (blocks are contiguous key
+    * ranges of the global order, so block-local and carry offsets are the
+    * same coordinate; a pair appears at exactly one offset). The w-sweep
+    * audit reads this once and evaluates every w ≤ window from the same
+    * frame — pricing the SNM operating point costs ONE pair build, not
+    * one per candidate w. */
+  def snmPairsDist(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, window: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = docs
       .select(col(idCol).as("did"), TextAnalysis.tokens(col(textCol)).as("toks"))
@@ -531,7 +542,8 @@ object Dedup {
     val local = (1 to window).map { i =>
       nbr.where(col(s"nid$i").isNotNull)
         .select(col("did").as("da"), col("sh").as("sha"),
-          col(s"nid$i").as("db"), col(s"nsh$i").as("shb"))
+          col(s"nid$i").as("db"), col(s"nsh$i").as("shb"),
+          lit(i.toLong).as("dist"))
     }.reduce(_ unionAll _)
     // boundary carry: first/last `window` rows per block (≤ 2w·256 rows
     // forever), one bounded global re-sort, keep only cross-block leads
@@ -546,7 +558,8 @@ object Dedup {
     val carry = (1 to window).map { i =>
       bnd.where(col(s"nid$i").isNotNull && col(s"nblk$i") =!= col("blk"))
         .select(col("did").as("da"), col("sh").as("sha"),
-          col(s"nid$i").as("db"), col(s"nsh$i").as("shb"))
+          col(s"nid$i").as("db"), col(s"nsh$i").as("shb"),
+          lit(i.toLong).as("dist"))
     }.reduce(_ unionAll _)
     local.unionAll(carry)
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
@@ -554,7 +567,8 @@ object Dedup {
         size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
       .where(col("uni") > 0 && col("inter") * 2 >= col("uni"))
       .select(least(col("da"), col("db")).as("a"),
-        greatest(col("da"), col("db")).as("b"), col("inter"), col("uni"),
+        greatest(col("da"), col("db")).as("b"), col("dist"),
+        col("inter"), col("uni"),
         graft.queries.idiv(col("inter") * 10000, col("uni")).as("jaccard_bp"))
   }
 

@@ -68,6 +68,34 @@ object Round15 {
         .orderBy(col("c_custkey"))
     }),
 
+    // SNM window-size sweep — pricing the sorted-neighborhood operating
+    // point the way dedup_pr_audit prices LSH banding: ONE w=4 pair
+    // build (Dedup.snmPairsDist tags each verified pair with its
+    // global-order neighbor offset), then each w ∈ [1, 4] reads off its
+    // pair count, true positives vs the shared t=0.5 truth, and the
+    // precision/recall curve — the evidence for whether w=2 (the
+    // registered default) leaves recall on the table. No per-w rebuild:
+    // the sweep costs one SNM pass + one truth semi-join at any scale.
+    "dedup_snm_sweep" -> ((s, dir) => {
+      val pd = graft.ops.Dedup.snmPairsDist(
+          Tables.documents(s, dir), "doc_id", "text", 3, 4)
+        .select(col("a"), col("b"), col("dist"))
+      val truth = TextDedup.sharedPairs05(s, dir).select(col("a"), col("b"))
+      val perW = pd
+        .join(truth.withColumn("t", lit(1L)), Seq("a", "b"), "left")
+        .select(explode(sequence(col("dist"), lit(4L))).as("w"),
+          coalesce(col("t"), lit(0L)).as("t"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("t")).as("tp"))
+      perW.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(col("w"), col("n_pairs"), col("tp"), col("n_truth"),
+          idiv(col("tp") * 10000, greatest(col("n_pairs"), lit(1L)))
+            .as("precision_bp"),
+          idiv(col("tp") * 10000, greatest(col("n_truth"), lit(1L)))
+            .as("recall_bp"))
+        .orderBy(col("w"))
+    }),
+
     // Persisted run history ≡ utils/logger.js + /api/logs: two pipeline
     // runs (the second ending in a failing stage — reference runs log
     // errors and keep the report, etlService.js:499-521) persisted
@@ -110,6 +138,40 @@ object Round15 {
         |  c_acctbal AS acctbal
         |FROM customer WHERE c_custkey % 20 = 0
         |ORDER BY c_custkey""".stripMargin,
+
+    "dedup_snm_sweep" ->
+      s"""WITH ${Round10b.pairsCte},
+         |sd AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shd FROM t),
+         |k AS (SELECT doc_id, shd,
+         |    list_aggregate(list_transform(shd, s -> md5(s)), 'min') AS key
+         |  FROM sd WHERE len(shd) > 0),
+         |r AS (SELECT doc_id, shd,
+         |    lead(doc_id, 1) OVER w AS nid1, lead(shd, 1) OVER w AS nsh1,
+         |    lead(doc_id, 2) OVER w AS nid2, lead(shd, 2) OVER w AS nsh2,
+         |    lead(doc_id, 3) OVER w AS nid3, lead(shd, 3) OVER w AS nsh3,
+         |    lead(doc_id, 4) OVER w AS nid4, lead(shd, 4) OVER w AS nsh4
+         |  FROM k WINDOW w AS (ORDER BY key, doc_id)),
+         |p AS (SELECT doc_id AS da, shd AS sha, nid1 AS db, nsh1 AS shb, 1 AS dist
+         |      FROM r WHERE nid1 IS NOT NULL
+         |      UNION ALL SELECT doc_id, shd, nid2, nsh2, 2 FROM r WHERE nid2 IS NOT NULL
+         |      UNION ALL SELECT doc_id, shd, nid3, nsh3, 3 FROM r WHERE nid3 IS NOT NULL
+         |      UNION ALL SELECT doc_id, shd, nid4, nsh4, 4 FROM r WHERE nid4 IS NOT NULL),
+         |j AS (SELECT least(da, db) AS a, greatest(da, db) AS b, dist,
+         |    len(list_intersect(sha, shb)) AS inter,
+         |    len(sha) + len(shb) - len(list_intersect(sha, shb)) AS uni FROM p),
+         |v AS (SELECT a, b, dist FROM j WHERE uni > 0 AND inter * 2 >= uni),
+         |f AS (SELECT v.dist, CASE WHEN pr.a IS NULL THEN 0 ELSE 1 END AS t
+         |      FROM v LEFT JOIN pairs pr ON pr.a = v.a AND pr.b = v.b),
+         |e AS (SELECT CAST(w.range AS BIGINT) AS w, f.t
+         |      FROM f CROSS JOIN range(1, 5) w WHERE w.range >= f.dist),
+         |g AS (SELECT w, count(*) AS n_pairs, CAST(sum(t) AS BIGINT) AS tp
+         |      FROM e GROUP BY w),
+         |nt AS (SELECT count(*) AS n_truth FROM pairs)
+         |SELECT w, n_pairs, tp, n_truth,
+         |  CAST(tp * 10000 // greatest(n_pairs, 1) AS BIGINT) AS precision_bp,
+         |  CAST(tp * 10000 // greatest(n_truth, 1) AS BIGINT) AS recall_bp
+         |FROM g, nt ORDER BY w""".stripMargin,
 
     "etl_run_history" ->
       """SELECT CAST(1 AS BIGINT) AS run_id, 'clean_customer' AS stage,

@@ -286,6 +286,9 @@ class PlanSpec extends AnyFunSuite {
     //  - text_bm25_lite: 1-row document-count scalar broadcast under
     //    the ≤3-term tf frame (the q_scalar_subquery shape)
     "text_bm25_lite",
+    //  - dedup_snm_sweep: 1-row truth-count scalar broadcast under the
+    //    ≤4-row per-w rollup (the census shape)
+    "dedup_snm_sweep",
     //  - sim_routing_margin: every vector vs the broadcast ≤4096-row
     //    trained centroid table (the sim_ivf_cells assignment shape —
     //    the same lloydRankedArr cross the probe-curve family rides)
