@@ -25,6 +25,65 @@ import graft.etl.Upsert
 object KeyedParquetSink {
 
   private val BucketCol = "_bucket"
+  private val MetaFile = "_graft_buckets"
+
+  /** Persist the layout's bucket count beside the data. Every keyed
+    * operation hashes with `pmod(xxhash64(keys), numBuckets)` — a CALLER
+    * passing a different count than the table was written with would
+    * compute touched-bucket lists under the wrong modulus and silently
+    * miss rows (for an erasure path that is a compliance hazard, not a
+    * perf bug). The count is tiny table metadata, so it is stored at
+    * write time and VALIDATED on every keyed read/merge/delete. */
+  private def writeMeta(spark: SparkSession, path: String,
+                        numBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted bucket count, when the table carries one (tables
+    * written before the metadata existed do not — callers' argument is
+    * trusted for those, as before). */
+  def storedBuckets(spark: SparkSession, path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    try {
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](32)
+          val n = in.read(buf)
+          Some(new String(buf, 0, n, "UTF-8").trim.toInt)
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def validateBuckets(spark: SparkSession, path: String,
+                              numBuckets: Int): Unit =
+    storedBuckets(spark, path).foreach { stored =>
+      require(stored == numBuckets,
+        s"bucket-count mismatch for $path: table written with $stored " +
+          s"buckets, caller passed $numBuckets — keyed pruning would hash " +
+          "under the wrong modulus and silently miss rows")
+    }
+
+  /** After a merge/delete left zero rows across the whole table, the
+    * dynamic overwrite wrote no partitions and every bucket directory is
+    * gone — a later read would fail schema inference on the empty root.
+    * Leave ONE zero-row schema-bearing parquet file in `_bucket=0` so
+    * the table stays readable (and upsertable) as an empty table. */
+  private def keepEmptySchema(spark: SparkSession, path: String,
+                              schema: org.apache.spark.sql.types.StructType): Unit = {
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == BucketCol))
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+      .repartition(1)
+      .write.mode("append").parquet(s"$path/$BucketCol=0")
+  }
 
   /** Filesystem-aware existence check (java.io.File would be always-false
     * on hdfs:// or s3a:// paths, silently turning upserts into full
@@ -50,10 +109,12 @@ object KeyedParquetSink {
       pmod(xxhash64(concat_ws("\u0000", keys.map(col): _*)), lit(numBuckets)).cast("int"))
 
   /** Initial (or full-replace) write of the keyed table. */
-  def write(df: DataFrame, path: String, keys: Seq[String], numBuckets: Int): Unit =
+  def write(df: DataFrame, path: String, keys: Seq[String], numBuckets: Int): Unit = {
     withBucket(df, keys, numBuckets)
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("overwrite").parquet(path)
+    writeMeta(df.sparkSession, path, numBuckets)
+  }
 
   /** Append a batch into the keyed layout (streaming-append / batched-
     * load shape): rows land in their key buckets WITHOUT touching
@@ -62,10 +123,13 @@ object KeyedParquetSink {
     * [[upsert]] when keys may repeat across batches; append trusts the
     * caller's batches to be key-disjoint. */
   def append(df: DataFrame, path: String, keys: Seq[String],
-             numBuckets: Int): Unit =
+             numBuckets: Int): Unit = {
+    validateBuckets(df.sparkSession, path, numBuckets)
     withBucket(df, keys, numBuckets)
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).mode("append").parquet(path)
+    writeMeta(df.sparkSession, path, numBuckets)
+  }
 
   /** Read the table back (bucket column dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -82,6 +146,7 @@ object KeyedParquetSink {
     * |touched buckets| / numBuckets of the table. */
   def readBuckets(spark: SparkSession, path: String, keys: Seq[String],
                   numBuckets: Int, wanted: DataFrame): DataFrame = {
+    validateBuckets(spark, path, numBuckets)
     val buckets = withBucket(wanted.select(keys.map(col): _*), keys, numBuckets)
       .select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -125,6 +190,7 @@ object KeyedParquetSink {
                 insertUnmatched: Boolean = true,
                 deleteCond: Option[org.apache.spark.sql.Column] = None,
                 versionCols: Seq[String] = Nil): Unit = {
+    validateBuckets(spark, path, numBuckets)
     val up = withBucket(source, keys, numBuckets)
     val touched = up.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted           // bounded by numBuckets
@@ -155,6 +221,11 @@ object KeyedParquetSink {
         emptied.foreach { b =>
           fs.delete(new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"), true)
         }
+        // a merge that deleted the table's last rows must leave a
+        // schema-bearing empty file, or the next read fails inference
+        if (survivors.isEmpty && !fs.listStatus(root)
+              .exists(_.getPath.getName.startsWith(s"$BucketCol=")))
+          keepEmptySchema(spark, path, base.schema)
       }
     } finally mergedB.unpersist()
   }
@@ -175,6 +246,7 @@ object KeyedParquetSink {
   def deleteMatching(spark: SparkSession, path: String, keys: Seq[String],
                      numBuckets: Int, victims: DataFrame,
                      matchCols: Seq[String]): Long = {
+    validateBuckets(spark, path, numBuckets)
     val vb = withBucket(victims, keys, numBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -204,6 +276,12 @@ object KeyedParquetSink {
             fs.delete(new org.apache.hadoop.fs.Path(root, s"$BucketCol=$b"),
               true)
           }
+          // an erasure that removed the table's last rows must leave a
+          // schema-bearing empty file, or the next locate pass / read
+          // fails schema inference instead of returning 0 rows
+          if (keptN == 0L && !fs.listStatus(root)
+                .exists(_.getPath.getName.startsWith(s"$BucketCol=")))
+            keepEmptySchema(spark, path, base.schema)
         }
         beforeN - keptN
       } finally kept.unpersist()

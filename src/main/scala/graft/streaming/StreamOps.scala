@@ -12,8 +12,11 @@ case class CdcOp(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
                  op: String)
 
 /** Per-key CDC audit state: the in-horizon (µs, event_id, op) buffer +
-  * the last FINALIZED op ("" = key never finalized an op). */
-case class CdcState(buf: List[(Long, Long, String)], last: String)
+  * the last FINALIZED op ("" = key never finalized an op) + the µs
+  * event time of the key's last arrival (Long.MinValue = none), for the
+  * optional idle eviction. */
+case class CdcState(buf: List[(Long, Long, String)], last: String,
+                    lastSeenUs: Long = Long.MinValue)
 
 /** One finalized changelog-order violation. */
 case class CdcViolation(user_id: Long, event_id: Long, ts_us: Long,
@@ -920,15 +923,29 @@ object StreamOps {
     *
     * State per key = the in-horizon op buffer (bounded by the
     * watermark, like asofStream's label buffer) + ONE carried op
-    * string, so steady-state memory is O(live keys), constant per key
-    * no matter how long the changelog history — the audit never
-    * re-reads finalized history. Expects columns (user_id, ts,
-    * event_id, op ∈ {i, u, d}).
+    * string. Once a key finalizes an op, its carried-op row lives
+    * FOREVER by default — required to catch insert_on_live across
+    * arbitrarily long gaps — so state is O(keys EVER seen), not
+    * O(live keys), on a rotating key domain. Expects columns
+    * (user_id, ts, event_id, op ∈ {i, u, d}).
     *
-    * Checkpoint note: first deployment defines the state schema; the
-    * operator has no flag-dependent state variants. */
+    * `idleTtlSec`: OPTIONAL idle eviction for rotating/high-cardinality
+    * key domains (the asofStream flag's twin). With it on, a key with
+    * no pending ops whose last arrival is ≥ idleTtlSec below the
+    * watermark is EVICTED, surfaced (the no-silent-caps rule) as a
+    * sentinel [[CdcViolation]] with event_id = -1 and violation =
+    * "state_evicted" carrying the key's last-seen µs; an op for that
+    * key arriving later folds from the never-finalized state again
+    * (e.g. a genuine update then reads update_before_insert — the
+    * documented trade-off the flag opts into). Off (None, the
+    * default) the OUTPUT is byte-identical to the pre-TTL operator —
+    * but NOT the checkpoint: adding `lastSeenUs` to [[CdcState]]
+    * changed the state encoder schema, so a stream restarted from a
+    * pre-TTL checkpoint fails state-schema validation even with
+    * idleTtlSec = None; upgrade with a fresh checkpoint. */
   def cdcAnomalyStream(ops: DataFrame,
-                       watermark: String = "1 hour"): Dataset[CdcViolation] = {
+                       watermark: String = "1 hour",
+                       idleTtlSec: Option[Long] = None): Dataset[CdcViolation] = {
     val spark = ops.sparkSession
     import spark.implicits._
     ops.withWatermark("ts", watermark)
@@ -939,12 +956,15 @@ object StreamOps {
         (user: Long, it: Iterator[CdcOp], state: GroupState[CdcState]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           var st = state.getOption.getOrElse(CdcState(Nil, ""))
-          if (it.nonEmpty)
-            st = st.copy(buf = st.buf ++ it.map { e =>
+          if (it.nonEmpty) {
+            val incoming = it.map { e =>
               // µs-exact event time: millis + the sub-milli nano tail
               val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
               (us, e.event_id, e.op)
-            })
+            }.toList
+            st = st.copy(buf = st.buf ++ incoming,
+              lastSeenUs = math.max(st.lastSeenUs, incoming.map(_._1).max))
+          }
           // finalize strictly below the watermark: anything still
           // arriving (not engine-dropped) has ts >= wm and sorts after
           val (ready, pending) = st.buf.partition(_._1 < wmUs)
@@ -961,16 +981,33 @@ object StreamOps {
             last = op
             viol.map(v => CdcViolation(user, id, us, v))
           }
+          val idleEvict = idleTtlSec.exists(ttl =>
+            pending.isEmpty && st.lastSeenUs != Long.MinValue &&
+              wmUs - st.lastSeenUs >= ttl * 1000000L)
           if (pending.isEmpty && last.isEmpty) {
             state.remove()
             out.iterator
+          } else if (idleEvict) {
+            state.remove()
+            // sentinel surfaces the dropped carried op — evictions are
+            // counted/observable downstream, never silent
+            (out :+ CdcViolation(user, -1L, st.lastSeenUs,
+              "state_evicted")).iterator
           } else {
-            state.update(CdcState(pending, last))
-            // wake when the earliest pending op crosses the watermark
-            if (pending.nonEmpty)
+            state.update(CdcState(pending, last, st.lastSeenUs))
+            // wake when the earliest pending op crosses the watermark —
+            // or, with the TTL on and nothing pending, at the key's
+            // idle deadline so the eviction actually fires
+            val nextWakeMs =
+              if (pending.nonEmpty) pending.map(_._1).min / 1000L + 1L
+              else idleTtlSec match {
+                case Some(ttl) if st.lastSeenUs != Long.MinValue =>
+                  st.lastSeenUs / 1000L + ttl * 1000L
+                case _ => Long.MinValue
+              }
+            if (nextWakeMs != Long.MinValue)
               state.setTimeoutTimestamp(math.max(
-                pending.map(_._1).min / 1000L + 1L,
-                state.getCurrentWatermarkMs() + 1L))
+                nextWakeMs, state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
       }

@@ -122,4 +122,44 @@ class KeyedParquetSinkSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters:") && plan.contains("LessThan(o_orderkey"),
       s"no ORC pushdown:\n$plan")
   }
+
+  test("bucket-count mismatch is rejected loudly, never silently partial") {
+    val dir = Files.createTempDirectory("graft_sink_meta").toString + "/t"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    KeyedParquetSink.write(base, dir, Seq("id"), numBuckets = 8)
+    assert(KeyedParquetSink.storedBuckets(spark, dir).contains(8))
+    val victims = Seq(Tuple1(1L)).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      KeyedParquetSink.deleteMatching(spark, dir, Seq("id"),
+        numBuckets = 16, victims, Seq("id"))
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      KeyedParquetSink.upsert(spark, dir, victims.withColumn("name", lit("x")),
+        Seq("id"), numBuckets = 4)
+    }
+    assert(e2.getMessage.contains("bucket-count mismatch"))
+    // the correct count still works
+    val n = KeyedParquetSink.deleteMatching(spark, dir, Seq("id"),
+      numBuckets = 8, victims, Seq("id"))
+    assert(n == 1L)
+  }
+
+  test("full-table erasure leaves a readable zero-row table") {
+    val dir = Files.createTempDirectory("graft_sink_empty").toString + "/t"
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+    KeyedParquetSink.write(base, dir, Seq("id"), numBuckets = 4)
+    val victims = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val removed = KeyedParquetSink.deleteMatching(spark, dir, Seq("id"),
+      numBuckets = 4, victims, Seq("id"))
+    assert(removed == 2L)
+    // the erased-empty table still reads (0 rows, schema intact) ...
+    val back = KeyedParquetSink.read(spark, dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSet == Set("id", "name", "v"))
+    // ... and accepts a later upsert
+    KeyedParquetSink.upsert(spark, dir,
+      Seq((9L, "z", 9.0)).toDF("id", "name", "v"), Seq("id"), numBuckets = 4)
+    assert(KeyedParquetSink.read(spark, dir).count() == 1L)
+  }
 }

@@ -811,4 +811,39 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(got == Set((30L, "update_after_delete")),
       s"late delete re-ordered before the update: $got")
   }
+
+  test("cdcAnomalyStream idleTtlSec: idle carried-op keys evict (surfaced), later ops re-enter empty") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[graft.streaming.CdcOp]
+    val q = StreamOps.cdcAnomalyStream(input.toDF(),
+        watermark = "1 minute", idleTtlSec = Some(120L))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdcttl").start()
+    def stateRows(): Long =
+      q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal).last
+    // key 1 finalizes an insert, then goes silent
+    input.addData(graft.streaming.CdcOp(1L, ts(1), 10L, "i"))
+    q.processAllAvailable()
+    // another key keeps the watermark moving well past 1's idle deadline
+    input.addData(graft.streaming.CdcOp(2L, ts(10), 20L, "i"))
+    q.processAllAvailable()
+    input.addData(graft.streaming.CdcOp(2L, ts(20), 21L, "u"))
+    q.processAllAvailable()
+    val evicted = spark.table("cdcttl")
+      .as[graft.streaming.CdcViolation].collect()
+      .filter(_.violation == "state_evicted")
+    assert(evicted.map(_.user_id).contains(1L),
+      s"key 1 surfaced its eviction: ${evicted.mkString(",")}")
+    // a genuine update for the evicted key now folds from empty state —
+    // the documented re-enter-empty trade-off
+    input.addData(graft.streaming.CdcOp(1L, ts(21), 11L, "u"))
+    q.processAllAvailable()
+    input.addData(graft.streaming.CdcOp(999L, ts(59), -1L, "i"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cdcttl").as[graft.streaming.CdcViolation]
+      .collect().map(v => (v.user_id, v.event_id, v.violation)).toSet
+    assert(got.contains((1L, 11L, "update_before_insert")),
+      s"re-entered key folds from empty: $got")
+  }
 }
