@@ -328,6 +328,10 @@ class PlanSpec extends AnyFunSuite {
     "corpus_pack_budget", "corpus_pack_split", "corpus_shard_manifest",
     "mm_shard_plan", "dedup_sorted_neighborhood", "etl_seq_gaps",
     "events_concurrency", "q_skyline",
+    //   (dedup_snm_sweep: same SNM boundary carry as
+    //    dedup_sorted_neighborhood — the global re-sort runs over the
+    //    ≤2w·256-row first/last-rows-per-block frame, one per lead)
+    "dedup_snm_sweep",
     // DIM/CELL/TOP-K bound (64 dims, 2080 Gram cells, ≤cells IVF cells,
     // 16-codeword PQ tables, 32-row rank-correlation shortlist):
     "sim_opq_gain", "sim_opq_permute", "sim_opq_rotate", "sim_pq_adc_sdc",
