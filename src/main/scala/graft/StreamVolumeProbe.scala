@@ -174,6 +174,55 @@ object StreamVolumeProbe {
         f"state_rows_repN=$lastRows")
     }
 
+    // --- cdcAnomalyStream + idleTtlSec: churning key domain -----------
+    // Each replica is a DISJOINT key cohort active for one span, then
+    // silent forever — the churn shape where the default (carried op
+    // per key forever) grows state ∝ keys EVER seen. With the TTL at
+    // one span, cohort r evicts while cohort r+2 streams: state must
+    // PLATEAU near two cohorts, evictions surfaced as state_evicted
+    // sentinels (never silent).
+    if (enabled("cdc_ttl")) {
+      val ops = base.filter(e =>
+        e._4 == "signup" || e._4 == "purchase" || e._4 == "error")
+      val ttlSec = spanMs / 1000L
+      val input = MemoryStream[CdcOp]
+      val q = StreamOps.cdcAnomalyStream(input.toDF(), watermark = "1 hour",
+          idleTtlSec = Some(ttlSec))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("vol_cdc_ttl").start()
+      val t0 = System.nanoTime()
+      var fed = 0L
+      var firstRows = 0L; var lastRows = 0L
+      (0 until mult).foreach { r =>
+        val shift = r.toLong * spanMs
+        ops.grouped(ops.length / 4 + 1).foreach { chunk =>
+          val cohort = chunk.map { case (id, u, us, et, _) =>
+            CdcOp(u * mult + r,
+              new java.sql.Timestamp(us / 1000L + shift), id * mult + r,
+              if (et == "signup") "i" else if (et == "purchase") "u" else "d")
+          }
+          fed += cohort.length
+          input.addData(cohort)
+          q.processAllAvailable()
+        }
+        val rows = q.recentProgress.flatMap(_.stateOperators)
+          .map(_.numRowsTotal).lastOption.getOrElse(0L)
+        if (r == 0) firstRows = rows
+        lastRows = rows
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (srows, sbytes) = footprint(q)
+      val evicted = spark.table("vol_cdc_ttl")
+        .where(col("violation") === "state_evicted").count()
+      val outRows = spark.table("vol_cdc_ttl")
+        .where(col("violation") =!= "state_evicted").count()
+      q.stop()
+      println(f"STREAMVOL cdc_ttl rows=$fed out=$outRows evicted=$evicted " +
+        f"$sec%.1f s ${fed / sec}%.0f rows/s state_rows_max=$srows " +
+        f"state_bytes_max=$sbytes state_rows_rep1=$firstRows " +
+        f"state_rows_repN=$lastRows")
+    }
+
     // --- bitmapDistinctStream: salted keys, rep-ordered feed ----------
     if (enabled("bitmap")) {
       val input = MemoryStream[(java.sql.Timestamp, Long)]

@@ -343,12 +343,16 @@ object Graph {
   def hits(edges0: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "hits needs >= 1 iteration (a is derived in the loop)")
     val e = edges0.select(col("sk"), col("pk")).distinct().localCheckpoint(true)
+    // the projection is checkpointed ONCE and scanned twice (1-row max,
+    // then the rescale map); the max is a bounded driver scalar compiled
+    // into the select as a literal — the old 1-row-broadcast crossJoin
+    // form computed the join+rollup twice per half-iteration and left a
+    // nested-loop join in the plan
     def rescale(df: DataFrame, idCol: String, vCol: String): DataFrame = {
-      val mx = df.agg(max(abs(col(vCol))).as("mx"))
-      df.crossJoin(broadcast(mx))
-        .select(col(idCol),
-          graft.queries.idiv(col(vCol) * 1000, col("mx")).as(vCol))
-        .localCheckpoint(true)
+      val d = df.localCheckpoint(true)
+      val mx = d.agg(max(abs(col(vCol)))).head().getLong(0)
+      d.select(col(idCol),
+        graft.queries.idiv(col(vCol) * 1000, lit(mx)).as(vCol))
     }
     var h = e.select(col("sk")).distinct().withColumn("h", lit(1L))
       .localCheckpoint(true)

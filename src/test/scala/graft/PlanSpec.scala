@@ -221,11 +221,9 @@ class PlanSpec extends AnyFunSuite {
     //  - events_mix_shift: bounded type list broadcast under the day
     //    spine (dimension fill — the text_source_divergence shape)
     "sim_filtered_topk", "events_mix_shift",
-    //  - graph_hits: 1-row max-score scalar broadcast under each
-    //    half-iteration's re-scaled frame (the sim_power_iteration shape)
     //  - events_did_ingredients: 1-row time-midpoint scalar broadcast
     //    under the purchase scan (the events_rfm shape)
-    "graph_hits", "events_did_ingredients",
+    "events_did_ingredients",
     //  - graph_modularity: 1-row edge-count scalar broadcast under the
     //    1-row ingredients rollup (the census shape)
     "graph_modularity",
