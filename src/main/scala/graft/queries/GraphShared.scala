@@ -27,7 +27,8 @@ import graft.sources.Tables
 object GraphShared {
 
   private final case class Frames(cappedSp: DataFrame, prDeg: DataFrame,
-                                  prEdges: DataFrame)
+                                  prEdges: DataFrame, projPairs: DataFrame,
+                                  skDeg: DataFrame)
 
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Frames]
@@ -49,7 +50,17 @@ object GraphShared {
         sp.select(concat(lit("s:"), col("sk").cast("string")).as("a"),
           concat(lit("p:"), col("pk").cast("string")).as("b")), "a", "b")
       val (deg, edgesOd) = graft.ops.Graph.degreeAnnotated(und)
-      Frames(cappedSp, graft.Caches.pin(deg), graft.Caches.pin(edgesOd))
+      // one-mode projection pair counts (s1 < s2, shared-part count) —
+      // five link-prediction/census entries and the BFS edge list all
+      // rode their own copy of this edges×cap self-join before round 15
+      val projPairs = graft.Caches.pin(
+        graft.ops.Graph.projectionPairs(cappedSp, "sk", "pk")
+          .localCheckpoint(true))
+      val skDeg = graft.Caches.pin(
+        cappedSp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true))
+      Frames(cappedSp, graft.Caches.pin(deg), graft.Caches.pin(edgesOd),
+        projPairs, skDeg)
     })
   }
 
@@ -65,12 +76,22 @@ object GraphShared {
   private[graft] def prEdges(s: SparkSession, dir: String): DataFrame =
     frames(s, dir).prEdges
 
+  /** The checkpointed (s1, s2, inter) one-mode projection pair counts
+    * over the capped bipartite frame (s1 < s2). */
+  private[graft] def projPairs(s: SparkSession, dir: String): DataFrame =
+    frames(s, dir).projPairs
+
+  /** The checkpointed (sk, deg) supplier-degree rollup of cappedSp. */
+  private[graft] def skDeg(s: SparkSession, dir: String): DataFrame =
+    frames(s, dir).skDeg
+
   /** Materialize the shared frames (bench warmup) — without it,
     * whichever graph entry runs first in an alphabetical registry sweep
     * absorbs the whole build and its single-shot time reads as that
     * query's cost. */
   def warmShared(s: SparkSession, dir: String): Unit = {
     val f = frames(s, dir)
-    f.cappedSp.count(); f.prEdges.count(); ()
+    f.cappedSp.count(); f.prEdges.count()
+    f.projPairs.count(); f.skDeg.count(); ()
   }
 }

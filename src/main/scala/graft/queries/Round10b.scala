@@ -60,9 +60,8 @@ object Round10b {
       // graph family. Kernel = graft.ops.Graph.{cappedVia,
       // projectionPairs}, shared with ScaleProbe so the probed plan IS
       // the registered one.
-      val spc = GraphShared.cappedSp(s, dir)
-      val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-      val pairs = graft.ops.Graph.projectionPairs(spc, "sk", "pk")
+      val deg = GraphShared.skDeg(s, dir)
+      val pairs = GraphShared.projPairs(s, dir)
       pairs
         .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("d1"))), Seq("s1"))
         .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("d2"))), Seq("s2"))

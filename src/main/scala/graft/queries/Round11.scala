@@ -340,9 +340,8 @@ object Round11 {
     // union, so prolific suppliers stop dominating. Same capped-
     // postings bound; top-20 pairs.
     "graph_jaccard_coeff" -> ((s, dir) => {
-      val spc = GraphShared.cappedSp(s, dir)
-      val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-      graft.ops.Graph.projectionPairs(spc, "sk", "pk")
+      val deg = GraphShared.skDeg(s, dir)
+      GraphShared.projPairs(s, dir)
         .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))
         .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), Seq("s2"))
         .withColumn("jaccard_bp", idiv(col("inter") * 10000,

@@ -279,10 +279,11 @@ object Round12 {
     "graph_bfs_layers" -> ((s, dir) => {
       // shared capped projection (GraphShared): already checkpointed
       val spc = GraphShared.cappedSp(s, dir)
-      val und = spc.select(col("pk"), col("sk").as("a"))
-        .join(spc.select(col("pk"), col("sk").as("b")), Seq("pk"))
-        .where(col("a") =!= col("b"))
-        .select(col("a"), col("b")).distinct().localCheckpoint(true)
+      // the undirected edge list IS the shared projection pair frame,
+      // expanded both ways — no per-query self-join + checkpoint
+      val pp = GraphShared.projPairs(s, dir).select(col("s1"), col("s2"))
+      val und = pp.select(col("s1").as("a"), col("s2").as("b"))
+        .unionAll(pp.select(col("s2").as("a"), col("s1").as("b")))
       val seed = spc.agg(min(col("sk")).as("node"))
         .withColumn("layer", lit(0L)).localCheckpoint(true)
       var visited = seed

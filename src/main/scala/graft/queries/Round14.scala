@@ -22,11 +22,10 @@ object Round14 {
     // eval ranks against (Liben-Nowell & Kleinberg). Same capped-64
     // pair bound as the jaccard/adamic-adar siblings; top 20.
     "graph_pref_attachment" -> ((s, dir) => {
-      val spc = GraphShared.cappedSp(s, dir)
-      val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("d"))
-      graft.ops.Graph.projectionPairs(spc, "sk", "pk")
-        .join(deg.select(col("sk").as("s1"), col("d").as("d1")), Seq("s1"))
-        .join(deg.select(col("sk").as("s2"), col("d").as("d2")), Seq("s2"))
+      val deg = GraphShared.skDeg(s, dir)
+      GraphShared.projPairs(s, dir)
+        .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), Seq("s1"))
+        .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), Seq("s2"))
         .withColumn("pa_score", col("d1") * col("d2"))
         .select(col("s1"), col("s2"), col("inter"), col("d1"), col("d2"),
           col("pa_score"))
@@ -38,8 +37,7 @@ object Round14 {
     // that prices any pairwise stage before running it (output bounded
     // by the 64-cap: k ≤ 64 distinct values at any corpus size).
     "graph_overlap_hist" -> ((s, dir) =>
-      graft.ops.Graph.projectionPairs(
-          GraphShared.cappedSp(s, dir), "sk", "pk")
+      GraphShared.projPairs(s, dir)
         .groupBy(col("inter")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("inter"))),
 

@@ -80,11 +80,10 @@ object Round14b {
     // 3 parts outranks a hub pair sharing 30 of 900). Same capped-64
     // pair bound; integer-exact ppm; top 20.
     "graph_lhn_index" -> ((s, dir) => {
-      val spc = GraphShared.cappedSp(s, dir)
-      val deg = spc.groupBy(col("sk")).agg(count(lit(1)).as("d"))
-      graft.ops.Graph.projectionPairs(spc, "sk", "pk")
-        .join(deg.select(col("sk").as("s1"), col("d").as("d1")), Seq("s1"))
-        .join(deg.select(col("sk").as("s2"), col("d").as("d2")), Seq("s2"))
+      val deg = GraphShared.skDeg(s, dir)
+      GraphShared.projPairs(s, dir)
+        .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), Seq("s1"))
+        .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), Seq("s2"))
         .withColumn("lhn_ppm",
           idiv(col("inter") * 1000000L, col("d1") * col("d2")))
         .select(col("s1"), col("s2"), col("inter"), col("d1"), col("d2"),
