@@ -56,6 +56,10 @@ object Bench {
     // shared quantized embedding corpus (the sim_* exact-integer kernels)
     try graft.queries.SimShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared sorted-neighborhood pair frame (dedup_sorted_neighborhood
+    // + dedup_snm_sweep)
+    try graft.queries.SnmShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     // shared winnowing fingerprint frame (text_winnowing +
     // dedup_winnow_pairs + text_template_fps — see WinnowShared)
     try graft.queries.WinnowShared.warmShared(spark, sfDir)

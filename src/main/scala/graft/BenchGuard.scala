@@ -134,6 +134,8 @@ object BenchCheck {
     catch { case _: Throwable => () }
     try graft.queries.SimShared.warmShared(spark, dir)
     catch { case _: Throwable => () }
+    try graft.queries.SnmShared.warmShared(spark, dir)
+    catch { case _: Throwable => () }
 
     val run2 = names.map { q =>
       def timed(): Double = {

@@ -156,7 +156,9 @@ object Round10b {
     // Kernel = graft.ops.Dedup.snmPairs, shared with ScaleProbe so the
     // probed plan IS the registered one.
     "dedup_sorted_neighborhood" -> ((s, dir) =>
-      graft.ops.Dedup.snmPairs(Tables.documents(s, dir), "doc_id", "text")
+      // the w=2 semantics read off the SHARED w=4 tagged build
+      // (SnmShared): a pair's global-order offset is window-invariant
+      SnmShared.pairs4(s, dir).where(col("dist") <= 2).drop("dist")
         .orderBy(col("a"), col("b"))),
 
     // Type-token-ratio bands per source: per-doc lexical diversity

@@ -77,8 +77,7 @@ object Round15 {
     // registered default) leaves recall on the table. No per-w rebuild:
     // the sweep costs one SNM pass + one truth semi-join at any scale.
     "dedup_snm_sweep" -> ((s, dir) => {
-      val pd = graft.ops.Dedup.snmPairsDist(
-          Tables.documents(s, dir), "doc_id", "text", 3, 4)
+      val pd = SnmShared.pairs4(s, dir)
         .select(col("a"), col("b"), col("dist"))
       val truth = TextDedup.sharedPairs05(s, dir).select(col("a"), col("b"))
       val perW = pd
