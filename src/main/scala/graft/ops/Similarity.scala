@@ -619,6 +619,49 @@ object Similarity {
     pts.reduce(_ unionByName _).orderBy(col("nprobe"))
   }
 
+  /** Fixed-cell recall-vs-nprobe sweep sharing ONE ranked-cells pass:
+    * the old form called [[topKBrute]] + [[ivfSearchMultiProbe]] per
+    * sweep point — five corpus scan+shuffle passes for a 4-point curve.
+    * Here the broadcast-seed ranking runs once, slims to one row per
+    * vector (plus the query's cell ranks) behind a single checkpoint,
+    * and every sweep point is a broadcast-cell filter + TakeOrdered over
+    * that frame. Output identical to the per-point composition. */
+  def ivfProbeCurveFixed(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long, k: Int, cells: Int,
+                         probes: Seq[Int]): DataFrame = {
+    val slim = rankedCells(emb, idCol, vecCol, cells)
+      .where(col("rn") === 1 || col(idCol) === lit(queryId))
+      .select(col(idCol), col("mq"), col("nsq"), col("seed_id"), col("rn"))
+      .localCheckpoint(true) // ~1 row/vector; feeds qRanks + every point
+    val qRanks = slim.where(col(idCol) === lit(queryId))
+      .select(col("seed_id").as("cell"), col("rn"))
+    val assigned = slim.where(col("rn") === 1)
+      .select(col(idCol), col("mq"), col("nsq"), col("seed_id").as("cell"))
+    val qRow = assigned.where(col(idCol) === lit(queryId))
+      .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
+    val scored = assigned.crossJoin(broadcast(qRow))
+      .where(col(idCol) =!= lit(queryId))
+      .withColumn("cos_bp",
+        cosBp(dotMilli(col("mq"), col("qmq")), col("nsq"), col("qnsq")))
+      .select(col(idCol), col("cell"), col("cos_bp"))
+    val exact = scored.orderBy(col("cos_bp").desc, col(idCol)).limit(k)
+      .select(col(idCol)).localCheckpoint(true)
+    val pts = probes.map { np =>
+      val qc = qRanks.where(col("rn") <= np).select(col("cell"))
+      val ann = scored.join(broadcast(qc), Seq("cell"))
+        .orderBy(col("cos_bp").desc, col(idCol)).limit(k)
+        .select(col(idCol).as("aid")).localCheckpoint(true)
+      exact.join(ann, col(idCol) === col("aid"), "left")
+        .agg(count(lit(1)).as("k_exact"), count(col("aid")).as("hits"))
+        .crossJoin(broadcast(ann.agg(count(lit(1)).as("n_ann"))))
+        .select(lit(np.toLong).as("nprobe"), col("k_exact"), col("n_ann"),
+          col("hits"),
+          expr("CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (hits * 10000) div k_exact END").as("recall_bp"))
+    }
+    pts.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
   def ivfAutoProbeCurve(emb: DataFrame, idCol: String, vecCol: String,
                         queryId: Long, k: Int, probes: Seq[Int],
                         sampleFactor: Int = 8): DataFrame =

@@ -22,25 +22,12 @@ object Round11q {
     // 10000 BY CONSTRUCTION — pinned in the spec as the curve's anchor).
     // One checkpointed exact reference; each sweep point is the
     // registered multiprobe kernel.
-    "sim_ivf_probe_curve" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val exact = Similarity.topKBrute(emb, "vec_id", "embedding", 0L, 10)
-        .select(col("vec_id")).localCheckpoint(true)
-      val pts = Seq(1, 2, 4, 8).map { np =>
-        val ann = Similarity.ivfSearchMultiProbe(emb, "vec_id", "embedding",
-            0L, 10, 8, np)
-          .select(col("vec_id").as("aid")).localCheckpoint(true)
-        val annN = ann.agg(count(lit(1)).as("n_ann"))
-        exact.join(ann, col("vec_id") === col("aid"), "left")
-          .agg(count(lit(1)).as("k_exact"), count(col("aid")).as("hits"))
-          .crossJoin(broadcast(annN))
-          .select(lit(np.toLong).as("nprobe"), col("k_exact"), col("n_ann"),
-            col("hits"),
-            expr("CASE WHEN k_exact = 0 THEN CAST(0 AS BIGINT) " +
-              "ELSE (hits * 10000) div k_exact END").as("recall_bp"))
-      }
-      pts.reduce(_ unionByName _).orderBy(col("nprobe"))
-    }),
+    "sim_ivf_probe_curve" -> ((s, dir) =>
+      // ONE ranked-cells pass serves the exact reference and all four
+      // sweep points (was topKBrute + 4 multiprobe searches = five
+      // corpus passes) — see Similarity.ivfProbeCurveFixed
+      Similarity.ivfProbeCurveFixed(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 0L, 10, 8, Seq(1, 2, 4, 8))),
 
     // Greedy navigable-graph search — the HNSW-style primitive, traced:
     // walk the mutual top-3 kNN graph from the lowest node toward the
