@@ -56,6 +56,14 @@ object Bench {
     // shared quantized embedding corpus (the sim_* exact-integer kernels)
     try graft.queries.SimShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared Gram/moment triangle + power-iteration steps (the
+    // second-moment family: sim_cov_moments / sim_power_* / sim_opq_* /
+    // sim_dim_stats)
+    try graft.queries.GramShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
+    // shared PQ seeds + encode (the sim_pq_* / sim_ivf_pq_* family)
+    try graft.queries.PqShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     // shared sorted-neighborhood pair frame (dedup_sorted_neighborhood
     // + dedup_snm_sweep)
     try graft.queries.SnmShared.warmShared(spark, sfDir)

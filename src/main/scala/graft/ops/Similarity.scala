@@ -833,7 +833,16 @@ object Similarity {
     * from re-running the sample scan. */
   def pqSeeds(emb: DataFrame, idCol: String, vecCol: String,
               codebook: Int): DataFrame =
-    emb.select(col(idCol).as("code"), milliQuant(col(vecCol)).as("cq"),
+    pqSeedsQuant(
+      emb.select(col(idCol), milliQuant(col(vecCol)).as("mq")),
+      idCol, codebook)
+
+  /** [[pqSeeds]] over an ALREADY milli-quantized frame (idCol, mq) —
+    * the variant [[graft.queries.PqShared]] builds from the shared
+    * [[graft.queries.SimShared.miln]] corpus so the quantize scan isn't
+    * re-paid per PQ registry entry. */
+  def pqSeedsQuant(quant: DataFrame, idCol: String, codebook: Int): DataFrame =
+    quant.select(col(idCol).as("code"), col("mq").as("cq"),
         md5(col(idCol).cast("string")).as("h"))
       .orderBy(col("h"), col("code")).limit(codebook)
       .select(col("code"), col("cq"))
@@ -851,9 +860,17 @@ object Similarity {
     * so the shuffle carries n·subs argmin rows, never the n·codebook·subs
     * candidate rows. Output: (vec_id, sub, code, dist). */
   def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
-              dim: Int, subs: Int, seeds: DataFrame): DataFrame = {
+              dim: Int, subs: Int, seeds: DataFrame): DataFrame =
+    pqCodesQuant(
+      emb.select(col(idCol), milliQuant(col(vecCol)).as("mq")),
+      idCol, dim, subs, seeds)
+
+  /** [[pqCodes]] over an ALREADY milli-quantized frame (idCol, mq) —
+    * see [[pqSeedsQuant]]. */
+  def pqCodesQuant(quant: DataFrame, idCol: String,
+                   dim: Int, subs: Int, seeds: DataFrame): DataFrame = {
     val subLen = dim / subs
-    emb.select(col(idCol).as("vid"), milliQuant(col(vecCol)).as("xq"))
+    quant.select(col(idCol).as("vid"), col("mq").as("xq"))
       .crossJoin(broadcast(seeds))
       .select(col("vid"), col("code"),
         posexplode(array((0 until subs).map(s =>
@@ -876,9 +893,18 @@ object Similarity {
   def pqSearchAdc(emb: DataFrame, idCol: String, vecCol: String,
                   queryId: Long, k: Int, dim: Int, subs: Int,
                   codebook: Int): DataFrame = {
-    val subLen = dim / subs
     val seeds = pqSeeds(emb, idCol, vecCol, codebook)
     val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
+    pqSearchAdcWith(emb, idCol, vecCol, queryId, k, dim, subs, seeds, codes)
+  }
+
+  /** [[pqSearchAdc]] over a PREBUILT (seeds, codes) pair — the variant
+    * the registry feeds from [[graft.queries.PqShared]] so one encode
+    * serves every PQ consumer in a session. */
+  def pqSearchAdcWith(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, dim: Int, subs: Int,
+                      seeds: DataFrame, codes: DataFrame): DataFrame = {
+    val subLen = dim / subs
     val q = emb.where(col(idCol) === lit(queryId))
       .select(milliQuant(col(vecCol)).as("qx"))
     val lut = seeds.crossJoin(broadcast(q))
@@ -906,10 +932,21 @@ object Similarity {
   def pqAdcSdcCompare(emb: DataFrame, idCol: String, vecCol: String,
                       queryId: Long, k: Int, dim: Int, subs: Int,
                       codebook: Int): DataFrame = {
-    val subLen = dim / subs
     val seeds = pqSeeds(emb, idCol, vecCol, codebook)
+    // checkpoint: the codes feed BOTH scoring paths below
     val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
       .localCheckpoint(true)
+    pqAdcSdcCompareWith(emb, idCol, vecCol, queryId, k, dim, subs,
+      seeds, codes)
+  }
+
+  /** [[pqAdcSdcCompare]] over a PREBUILT (seeds, codes) pair — `codes`
+    * must already be materialized (checkpointed); both scoring paths
+    * read it. */
+  def pqAdcSdcCompareWith(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, k: Int, dim: Int, subs: Int,
+                          seeds: DataFrame, codes: DataFrame): DataFrame = {
+    val subLen = dim / subs
     val q = emb.where(col(idCol) === lit(queryId))
       .select(milliQuant(col(vecCol)).as("qx"))
     val lutAdc = seeds.crossJoin(broadcast(q))
@@ -956,7 +993,14 @@ object Similarity {
     * (sub, code, n, min_id, c_norm_milli) — codewords that attract no vectors
     * drop out, mirroring k-means cluster death. */
   def pqTrainStats(emb: DataFrame, idCol: String, vecCol: String,
-                   dim: Int, subs: Int, codebook: Int): DataFrame = {
+                   dim: Int, subs: Int, codebook: Int): DataFrame =
+    pqTrainStatsWith(emb, idCol, vecCol, dim, subs,
+      pqSeeds(emb, idCol, vecCol, codebook))
+
+  /** [[pqTrainStats]] over a PREBUILT seed codebook — see
+    * [[pqSearchAdcWith]]. */
+  def pqTrainStatsWith(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, subs: Int, seeds: DataFrame): DataFrame = {
     import graft.functions.LongVectorFunctions.{vecDotLong, vecL2SqSlice}
     val subLen = dim / subs
     def subArr(c: Column): Column =
@@ -965,7 +1009,7 @@ object Similarity {
       .select(col(idCol).as("vid"), milliQuant(col(vecCol)).as("xq"))
       .select(col("vid"), posexplode(subArr(col("xq"))).as(Seq("sub", "xs")))
       .localCheckpoint(true)
-    val seedSub = pqSeeds(emb, idCol, vecCol, codebook)
+    val seedSub = seeds
       .select(col("code"), posexplode(subArr(col("cq"))).as(Seq("sub", "cs")))
     val enc0 = subRows.join(broadcast(seedSub), Seq("sub"))
       .withColumn("dist", vecL2SqSlice(col("xs"), col("cs"), 0, subLen))
@@ -1005,16 +1049,29 @@ object Similarity {
   def ivfPqSearch(emb: DataFrame, idCol: String, vecCol: String,
                   queryId: Long, k: Int, cells: Int, dim: Int, subs: Int,
                   codebook: Int): DataFrame = {
+    val seeds = pqSeeds(emb, idCol, vecCol, codebook)
+    val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
+    ivfPqSearchWith(emb, idCol, vecCol, queryId, k, cells, dim, subs,
+      seeds, codes)
+  }
+
+  /** [[ivfPqSearch]] over a PREBUILT (seeds, codes) pair; `assignedOpt`
+    * optionally supplies an already-materialized (idCol, cell) IVF
+    * assignment so an audit computing both the search and its exact
+    * twin pays the coarse quantizer once. */
+  def ivfPqSearchWith(emb: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, k: Int, cells: Int, dim: Int,
+                      subs: Int, seeds: DataFrame, codes: DataFrame,
+                      assignedOpt: Option[DataFrame] = None): DataFrame = {
     val subLen = dim / subs
     // the (id, cell) assignment is referenced twice (candidate semi-join
     // + query-cell lookup); checkpointing the narrow two-column frame
     // keeps the windowed assignment from executing per reference
-    val assigned = ivfAssign(emb, idCol, vecCol, cells)
-      .select(col(idCol), col("cell"))
-      .localCheckpoint(true)
+    val assigned = assignedOpt.getOrElse(
+      ivfAssign(emb, idCol, vecCol, cells)
+        .select(col(idCol), col("cell"))
+        .localCheckpoint(true))
     val qcell = assigned.where(col(idCol) === lit(queryId)).select(col("cell"))
-    val seeds = pqSeeds(emb, idCol, vecCol, codebook)
-    val codes = pqCodes(emb, idCol, vecCol, dim, subs, seeds)
     val q = emb.where(col(idCol) === lit(queryId))
       .select(milliQuant(col(vecCol)).as("qx"))
     val lut = seeds.crossJoin(broadcast(q))

@@ -179,13 +179,9 @@ object Round10c {
     // rollup is 64 rows; the ranking window runs over that bounded
     // frame.
     "sim_opq_permute" -> ((s, dir) => {
-      val stats = SimShared.miln(s, dir)
-        .select(posexplode(col("mq")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("d").cast("long").as("d"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_n"))
+      // per-dim n·variance from the shared GramShared moment frame (one
+      // corpus pass per session serves the whole OPQ layout family)
+      val stats = GramShared.varN(s, dir)
       val r = row_number().over(Window.orderBy(col("var_n").desc, col("d"))) - 1
       stats.withColumn("r", r.cast("long"))
         .withColumn("sub",
@@ -252,14 +248,10 @@ object Round10c {
     // whether the permutation was worth it. Same 64-row bounded stats
     // frame; two layout rollups, 2-row output.
     "sim_opq_gain" -> ((s, dir) => {
-      val stats = SimShared.miln(s, dir)
-        .select(posexplode(col("mq")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
-        .select(col("d").cast("long").as("d"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_n"))
-        .localCheckpoint(true)
+      // per-dim n·variance from the shared GramShared moment frame —
+      // both layout rollups below read the pinned 64-row frame, so the
+      // per-entry checkpoint the old build needed is gone
+      val stats = GramShared.varN(s, dir)
       val natural = stats.withColumn("sub", idiv(col("d"), lit(8L)))
         .withColumn("layout", lit("natural"))
       val r = row_number().over(Window.orderBy(col("var_n").desc, col("d"))) - 1
@@ -398,38 +390,12 @@ object Round10c {
     // vₖ₊₁ = A·vₖ, each step re-scaled to ±1000 by the max |component|
     // with truncating integer division — the top-eigenvector direction
     // estimate (PCA's first axis) with every step bit-stable
-    // cross-engine. The matrix build is one corpus scan behind a
-    // checkpoint; each iteration is a 4096-cell join against a 64-row
-    // vector — driver-free, bounded, and exactly what a distributed
-    // power method does at any corpus size (the O(n·d²) moment pass
-    // dominates; iterations are O(d²)).
-    "sim_power_iteration" -> ((s, dir) => {
-      val tri = SimShared.miln(s, dir)
-        .select(col("mq"))
-        .select(explode(expr(
-          """flatten(transform(sequence(0, 63), i ->
-            |  transform(sequence(i, 63), j ->
-            |    struct(CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
-            |           mq[i] * mq[j] AS xy))))""".stripMargin)).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(sum(col("p.xy")).as("a"))
-        .localCheckpoint(true)
-      val A = tri.select(col("d1").as("i"), col("d2").as("j"), col("a"))
-        .unionAll(tri.where(col("d1") =!= col("d2"))
-          .select(col("d2").as("i"), col("d1").as("j"), col("a")))
-      def step(v: org.apache.spark.sql.DataFrame, vCol: String, out: String) = {
-        val raw = A.join(v.withColumnRenamed("d", "j"), Seq("j"))
-          .groupBy(col("i").as("d"))
-          .agg(sum(col("a") * col(vCol)).as("raw"))
-        val mx = raw.agg(max(abs(col("raw"))).as("mx"))
-        raw.crossJoin(broadcast(mx))
-          .select(col("d"), idiv(col("raw") * 1000, col("mx")).as(out))
-      }
-      val v0 = tri.select(col("d1").as("d")).distinct().withColumn("v0", lit(1L))
-      val v1 = step(v0, "v0", "v1_milli").localCheckpoint(true)
-      val v2 = step(v1, "v1_milli", "v2_milli")
-      v1.join(v2, Seq("d")).orderBy(col("d"))
-    }),
+    // cross-engine. Matrix AND iterations live in the shared
+    // GramShared.powerVecs frame (ONE O(n·d²) moment pass + two O(d²)
+    // steps per session serve this entry and sim_power_convergence);
+    // the entry is a sort of that pinned 64-row frame.
+    "sim_power_iteration" -> ((s, dir) =>
+      GramShared.powerVecs(s, dir).orderBy(col("d"))),
 
     // Time-hierarchy rollup: daily, monthly, and all-time event volume +
     // distinct actives in ONE pass (ROLLUP(month, day) — partial

@@ -15,15 +15,6 @@ import graft.sources.Tables
   */
 object Round11 {
 
-  /** The sim_power_iteration Gram-build fragment: per-row upper-triangle
-    * expansion of the milli-quantized vector — ONE O(n·d²) corpus pass,
-    * 2080 output cells. */
-  private val gramExpr =
-    """flatten(transform(sequence(0, 63), i ->
-      |  transform(sequence(i, 63), j ->
-      |    struct(CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
-      |           mq[i] * mq[j] AS xy))))""".stripMargin
-
   val queries: Map[String, Q] = Map(
 
     // OPQ rotation (Procrustes-lite): pair the variance-ranked dims
@@ -42,16 +33,14 @@ object Round11 {
     // Angle 0 is the identity, so the rotated layout can never lose to
     // pairing alone; the spec asserts it beats the serpentine baseline.
     "sim_opq_rotate" -> ((s, dir) => {
-      val q = SimShared.miln(s, dir).select(col("mq"))
-      val tri = q.select(explode(expr(gramExpr)).as("p"))
-        .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(sum(col("p.xy")).as("sxy"))
-        .localCheckpoint(true)
-      val sums = q.select(posexplode(col("mq")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-        .select(col("d").cast("long").as("d"), col("n"), col("sx"))
-        .localCheckpoint(true)
+      // Gram triangle + per-dim moments are the shared GramShared frames
+      // (one corpus pass each per session, serving the whole
+      // second-moment family) — this entry is pure O(d²) arithmetic on
+      // the pinned 2080/64-row frames.
+      val tri = GramShared.gram(s, dir)
+        .select(col("d1"), col("d2"), col("sum_xy").as("sxy"))
+      val sums = GramShared.dimStats(s, dir)
+        .select(col("d"), col("n"), col("sx"))
       val vars = tri.where(col("d1") === col("d2"))
         .select(col("d1").as("d"), col("sxy").as("sxx"))
         .join(sums, Seq("d"))

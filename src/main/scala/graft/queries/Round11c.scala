@@ -20,10 +20,12 @@ object Round11c {
     // readout that says what the second quantization error costs. One
     // seeds+codes build feeds both paths (checkpointed); each path is a
     // broadcast-LUT equi-join + keyed sum. Kernel shared with the spec
-    // via Similarity.pqAdcSdcCompare.
+    // via Similarity.pqAdcSdcCompare; seeds + codes from the shared
+    // PqShared build (encode once, serve every PQ entry).
     "sim_pq_adc_sdc" -> ((s, dir) =>
-      Similarity.pqAdcSdcCompare(Tables.embeddings(s, dir), "vec_id",
-        "embedding", 0L, 10, 64, 4, 16)),
+      Similarity.pqAdcSdcCompareWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 0L, 10, 64, 4,
+        PqShared.seeds(s, dir), PqShared.codes(s, dir))),
 
     // Bounded-round core decomposition of the near-dup pair graph: per
     // node the highest k ∈ {1,2,3} whose 3-round k-core peel it

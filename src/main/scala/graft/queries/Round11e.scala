@@ -116,16 +116,19 @@ object Round11e {
     // uses); every audit join is ≤10×10.
     "sim_ivfpq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val ann = Similarity.ivfPqSearch(emb, "vec_id", "embedding",
-          0L, 10, 8, 64, 4, 16).select(col("vec_id"))
+      // the (id, cell) assignment is shared between the IVF-PQ search
+      // under audit and the in-cell exact twin — one coarse quantizer pass
+      val ass = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+        .select(col("vec_id"), col("cell")).localCheckpoint(true)
+      val ann = Similarity.ivfPqSearchWith(emb, "vec_id", "embedding",
+          0L, 10, 8, 64, 4, PqShared.seeds(s, dir), PqShared.codes(s, dir),
+          Some(ass)).select(col("vec_id"))
         .localCheckpoint(true)
       // each exact top-10 is computed once and checkpointed (10 rows):
       // the final audit plan joins three tiny attribute frames, paying
       // zero further corpus scans
       val exact = Similarity.l2TopK(emb, "vec_id", "embedding", 0L, 10)
         .select(col("vec_id")).localCheckpoint(true)
-      val ass = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
-        .select(col("vec_id"), col("cell")).localCheckpoint(true)
       val qcell = ass.where(col("vec_id") === 0L).select(col("cell"))
       val inCell = emb.join(
         ass.join(broadcast(qcell), Seq("cell"), "left_semi")

@@ -83,7 +83,10 @@ object Round11o {
     // bounded by the FIXED ±1000 scale, so the arithmetic never grows
     // with the corpus.
     "sim_power_convergence" -> ((s, dir) => {
-      val both = Round10c.queries("sim_power_iteration")(s, dir)
+      // the shared pinned 64-row power-step frame — NOT a re-run of the
+      // sim_power_iteration plan (that rebuild was the round-15 bench's
+      // worst row, 18.8x anchor)
+      val both = GramShared.powerVecs(s, dir)
       both.agg(
           count(lit(1)).as("d"),
           sum(col("v1_milli") * col("v2_milli")).as("dot"),

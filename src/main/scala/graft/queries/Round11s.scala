@@ -22,9 +22,7 @@ object Round11s {
     // where one code absorbs most vectors quantizes nothing. One rollup
     // over the registered encode kernel's output.
     "sim_pq_code_balance" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val codes = Similarity.pqCodes(emb, "vec_id", "embedding", 64, 4,
-        Similarity.pqSeeds(emb, "vec_id", "embedding", 16))
+      val codes = PqShared.codes(s, dir)
       val perCode = codes.groupBy(col("sub"), col("code"))
         .agg(count(lit(1)).as("cn"))
       perCode.groupBy(col("sub"))

@@ -104,10 +104,15 @@ object Round15b {
     // ascending delivery means gaps only open (no late fills), so the
     // summed per-batch emissions + final outstanding count per 4096-id
     // shard must equal the relational min/max/distinct arithmetic.
+    // The % 16 < 2 key-range slice is the same discipline as the other
+    // two replay entries: the MemoryStream harness collects its input to
+    // the driver, so the input must be a FIXED slice of the table, never
+    // proportional to it (unsliced, sf0.1 already meant 1.3M driver-held
+    // ids and 100x is a driver-memory wall).
     "stream_seq_gaps_replay" -> ((s, dir) => {
       import s.implicits._
       val ids = Tables.orders(s, dir)
-        .where(col("o_orderkey") % 7 =!= 0)
+        .where(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 16 < 2)
         .select(col("o_orderkey").cast("long").as("id"))
         .as[Long].collect().sorted.toSeq
       val streamed = replay[Tuple1[Long]](
@@ -180,7 +185,7 @@ object Round15b {
     "stream_seq_gaps_replay" ->
       """WITH ids AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS id FROM orders
-        |  WHERE o_orderkey % 7 <> 0),
+        |  WHERE o_orderkey % 7 <> 0 AND o_orderkey % 16 < 2),
         |g AS (SELECT id // 4096 AS shard, min(id) AS smin, max(id) AS smax,
         |    count(*) AS n_seen, count(DISTINCT id) AS nd
         |  FROM ids GROUP BY 1)

@@ -289,21 +289,13 @@ object Round9 {
     // Exact covariance INGREDIENTS of the embedding space: Σ xᵢ·xⱼ over
     // the milli-quantized components for every dimension pair i ≤ j
     // (2080 cells) — the Gram/covariance input to whitening or OPQ
-    // rotation fit. One scan, per-row upper-triangle expansion, map-side
-    // partial agg collapses to the 2080-cell grid; means come from
-    // sim_dim_stats, so no doubles are needed here.
-    "sim_cov_moments" -> ((s, dir) => {
-      val pairs = SimShared.miln(s, dir)
-        .select(col("mq"))
-        .select(explode(expr(
-          """flatten(transform(sequence(0, 63), i ->
-            |  transform(sequence(i, 63), j ->
-            |    struct(CAST(i AS BIGINT) AS d1, CAST(j AS BIGINT) AS d2,
-            |           mq[i] * mq[j] AS xy))))""".stripMargin)).as("p"))
-      pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sum_xy"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+    // rotation fit. The cells are the shared GramShared triangle (ONE
+    // corpus pass per session serves the whole second-moment family);
+    // this entry is a projection + sort of that 2080-row pinned frame.
+    "sim_cov_moments" -> ((s, dir) =>
+      GramShared.gram(s, dir)
+        .select(col("d1"), col("d2"), col("n"), col("sum_xy"))
+        .orderBy(col("d1"), col("d2"))),
 
     // TPC-H Q7 shape: bilateral trade volume — revenue between every
     // (supplier nation, customer nation) pair by ship year. Fact-side

@@ -168,35 +168,37 @@ object SimMm {
 
     // Product-quantization encode: each vector compressed to 4 codeword
     // ids (16-dim subvectors, 16 hash-sampled codewords) by exact integer
-    // sub-L2 argmin — the memory side of IVF-PQ.
-    "sim_pq_encode" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.pqCodes(emb, "vec_id", "embedding", 64, 4,
-          Similarity.pqSeeds(emb, "vec_id", "embedding", 16))
-        .orderBy(col("vec_id"), col("sub"))
-    }),
+    // sub-L2 argmin — the memory side of IVF-PQ. The encode is the shared
+    // PqShared frame (built once per session; every PQ entry reads it —
+    // the way a real index encodes once and serves many).
+    "sim_pq_encode" -> ((s, dir) =>
+      PqShared.codes(s, dir).orderBy(col("vec_id"), col("sub"))),
 
     // PQ top-k by asymmetric distance: the query scores every vector
     // through its 4 codes and a broadcast 16×4 lookup table — no vector
-    // math on the scored side.
+    // math on the scored side. Seeds + codes come from the shared
+    // PqShared build.
     "sim_pq_search" -> ((s, dir) =>
-      Similarity.pqSearchAdc(Tables.embeddings(s, dir), "vec_id", "embedding",
-        0L, 10, 64, 4, 16)),
+      Similarity.pqSearchAdcWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 0L, 10, 64, 4,
+        PqShared.seeds(s, dir), PqShared.codes(s, dir))),
 
     // One PQ training round: per-subspace integer centroid means from
     // the initial encode, integer-L2 re-assignment — hash-sampled
     // codewords upgraded to trained centroids (the PQ twin of
-    // sim_ivf_train).
+    // sim_ivf_train). Seeds from the shared PqShared build.
     "sim_pq_train" -> ((s, dir) =>
-      Similarity.pqTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding",
-        64, 4, 16)),
+      Similarity.pqTrainStatsWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 64, 4, PqShared.seeds(s, dir))),
 
     // Full IVF-PQ search: the query's IVF cell bounds the candidate set,
     // PQ asymmetric distance scores it through codes alone — the
-    // canonical billion-scale ANN composition.
+    // canonical billion-scale ANN composition. Seeds + codes from the
+    // shared PqShared build.
     "sim_ivf_pq_search" -> ((s, dir) =>
-      Similarity.ivfPqSearch(Tables.embeddings(s, dir), "vec_id", "embedding",
-        0L, 10, 8, 64, 4, 16)),
+      Similarity.ivfPqSearchWith(Tables.embeddings(s, dir), "vec_id",
+        "embedding", 0L, 10, 8, 64, 4,
+        PqShared.seeds(s, dir), PqShared.codes(s, dir))),
 
     // ANN quality audit: recall of the LSH-bucketed top-k against the
     // brute-force top-k, computed IN-QUERY (the index-evaluation step a
@@ -565,9 +567,7 @@ object SimMm {
     // the quantization-error readout that says whether 16 codewords per
     // subspace are enough. One keyed rollup over the encode output.
     "sim_pq_distortion" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.pqCodes(emb, "vec_id", "embedding", 64, 4,
-          Similarity.pqSeeds(emb, "vec_id", "embedding", 16))
+      PqShared.codes(s, dir)
         .groupBy(col("sub"))
         .agg(count(lit(1)).as("n"), sum(col("dist")).as("sd"),
           max(col("dist")).as("max_dist"),
@@ -645,14 +645,10 @@ object SimMm {
     // 64-key aggregate; map-side partials collapse the corpus, so the
     // reducer sees 64 rows per partition at any scale.
     "sim_dim_stats" -> ((s, dir) =>
-      SimShared.miln(s, dir)
-        .select(posexplode(col("mq")).as(Seq("d", "x")))
-        .groupBy(col("d"))
-        .agg(count(lit(1)).as("n"),
-          min(col("x")).as("min_milli"), max(col("x")).as("max_milli"),
-          sum(col("x")).as("sx"),
-          count(when(col("x") === 0L, 1)).as("n_zero"))
-        .select(col("d").cast("long").as("d"), col("n"),
+      // projection of the shared GramShared per-dim moment frame (one
+      // corpus pass per session serves the whole second-moment family)
+      GramShared.dimStats(s, dir)
+        .select(col("d"), col("n"),
           col("min_milli"), col("max_milli"),
           expr("(sx - sx % n) div n").as("mean_milli"), col("n_zero"))
         .orderBy(col("d")))

@@ -52,13 +52,23 @@ object KeyedParquetSink {
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        try {
-          val buf = new Array[Byte](32)
-          val n = in.read(buf)
-          Some(new String(buf, 0, n, "UTF-8").trim.toInt)
-        } finally in.close()
+        // read fully: a single read() may return a partial buffer (or -1
+        // on an empty file) on some filesystems
+        val bytes =
+          try {
+            val out = new java.io.ByteArrayOutputStream(32)
+            val buf = new Array[Byte](32)
+            var n = in.read(buf)
+            while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            out.toByteArray
+          } finally in.close()
+        val text = new String(bytes, "UTF-8").trim
+        // empty/corrupt metadata degrades to the pre-metadata
+        // trust-the-caller path instead of crashing every keyed
+        // read/merge/delete on the table
+        text.toIntOption.filter(_ > 0)
       }
-    } catch { case _: java.io.IOException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private def validateBuckets(spark: SparkSession, path: String,

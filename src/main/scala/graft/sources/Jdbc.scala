@@ -88,9 +88,27 @@ object Jdbc {
   }
 
   /** Totals of one upsert run — the reference's per-entity
-    * processed/skipped report (etlService.js:572-583). */
+    * processed/skipped report (etlService.js:572-583). `processed`
+    * counts KEYS written (post in-batch duplicate collapse);
+    * `collapsedDupes` counts the extra same-key occurrences the
+    * last-write-wins collapse absorbed, so
+    * processed + collapsedDupes + skipped* = input rows. */
   final case class UpsertStats(processed: Long, skippedNullKey: Long,
-                               skippedFailed: Long)
+                               skippedFailed: Long, collapsedDupes: Long = 0L)
+
+  /** SQL identifiers this sink interpolates into statements. Plain
+    * unquoted names are portable across every dialect the reference
+    * targets; anything else (spaces, quotes, reserved punctuation — or a
+    * hostile name) would produce broken or injectable SQL, so it is
+    * rejected loudly instead of quoted best-effort (quote characters
+    * are themselves vendor-specific: MySQL backticks vs ANSI double
+    * quotes). Rename upstream with `withColumnRenamed`. */
+  private val SafeIdent = "^[A-Za-z_][A-Za-z0-9_$]*$".r
+
+  private def requireSafeIdent(kind: String, name: String): Unit =
+    require(SafeIdent.matches(name),
+      s"$kind '$name' is not a safe SQL identifier " +
+        "([A-Za-z_][A-Za-z0-9_$]*); rename it before the JDBC write")
 
   private def sqlTypeFor(dt: DataType): Int = dt match {
     case LongType => java.sql.Types.BIGINT
@@ -134,17 +152,32 @@ object Jdbc {
     *  - `numPartitions` caps concurrent connections (reference
     *    concurrencyLimit 4, etlService.js:12).
     *
-    * Duplicate keys WITHIN the frame resolve by batch order (last write
-    * wins — the reference's row-order semantics); dedup upstream with
+    * Batch-count semantics: drivers may return
+    * `Statement.SUCCESS_NO_INFO` (-2) for batched statements instead of
+    * exact row counts — MySQL Connector/J does exactly that with
+    * `rewriteBatchedStatements=true`, the reference target's most common
+    * batched configuration. Treating -2 as "updated" would silently drop
+    * every new-key INSERT, so rows whose update count is not exact are
+    * re-resolved by a per-row keyed SELECT existence probe (unambiguous
+    * under BOTH MySQL count modes — `useAffectedRows` changes what an
+    * UPDATE count means, never what a SELECT finds). An
+    * `EXECUTE_FAILED` element fails the batch into the retry path.
+    *
+    * Duplicate keys WITHIN one batch collapse last-write-wins before the
+    * statements run (counted `collapsedDupes`); duplicates that land in
+    * DIFFERENT partitions race on write order — dedup upstream with
     * [[graft.etl.Upsert.merge]] when a deterministic winner is needed.
     * `beforeBatch` is a test seam for injecting transient faults
-    * (≡ the reference's retry-path tests); production callers leave it
-    * None. Returns the processed/skipped totals the reference logs at
+    * (≡ the reference's retry-path tests) and `forceNoInfoCounts`
+    * simulates a SUCCESS_NO_INFO-returning driver on an exact-count
+    * test database; production callers leave both default. Returns the
+    * processed/skipped totals the reference logs at
     * etlService.js:572-583. */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
              batchSize: Int = 1000, retries: Int = 3, backoffMs: Long = 100,
              numPartitions: Int = 4,
-             beforeBatch: Option[() => Unit] = None): UpsertStats = {
+             beforeBatch: Option[() => Unit] = None,
+             forceNoInfoCounts: Boolean = false): UpsertStats = {
     val spark = df.sparkSession
     val schema = df.schema
     val fields = schema.fields
@@ -155,16 +188,22 @@ object Jdbc {
     require(nonKeys.nonEmpty, "upsert needs at least one non-key column")
     val keyFields = keys.map(k => fields(schema.fieldIndex(k)))
 
+    requireSafeIdent("table", table)
+    fields.foreach(f => requireSafeIdent("column", f.name))
+
     val updateSql = s"UPDATE $table SET " +
       nonKeys.map(f => s"${f.name} = ?").mkString(", ") +
       " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
     val insertSql = s"INSERT INTO $table (" +
       fields.map(_.name).mkString(", ") + ") VALUES (" +
       fields.map(_ => "?").mkString(", ") + ")"
+    val probeSql = s"SELECT 1 FROM $table WHERE " +
+      keys.map(k => s"$k = ?").mkString(" AND ")
 
     val processed = spark.sparkContext.longAccumulator("jdbc_upsert_processed")
     val skippedNull = spark.sparkContext.longAccumulator("jdbc_upsert_null_key")
     val skippedFail = spark.sparkContext.longAccumulator("jdbc_upsert_failed")
+    val collapsed = spark.sparkContext.longAccumulator("jdbc_upsert_collapsed")
 
     val keyIdx = keys.map(schema.fieldIndex).toArray
     val nonKeyIdx = nonKeys.map(f => schema.fieldIndex(f.name))
@@ -210,8 +249,37 @@ object Jdbc {
                 keyIdx.foreach { i => bind(up, p, r.get(i), allTypes(i)); p += 1 }
                 up.addBatch()
               }
-              val counts = up.executeBatch()
-              val misses = rows.indices.filter(i => counts(i) == 0).map(rows)
+              val counts0 = up.executeBatch()
+              val counts =
+                if (forceNoInfoCounts)
+                  counts0.map(_ => java.sql.Statement.SUCCESS_NO_INFO)
+                else counts0
+              if (counts.exists(_ == java.sql.Statement.EXECUTE_FAILED))
+                throw new SQLException(
+                  "executeBatch reported EXECUTE_FAILED without throwing")
+              // exact count 0 → definitively unmatched → INSERT.
+              // SUCCESS_NO_INFO → resolve by keyed SELECT existence probe
+              // (an exact-count assumption here silently LOSES inserts on
+              // MySQL rewriteBatchedStatements=true — see the method doc).
+              val noInfoIdx = rows.indices
+                .filter(i => counts(i) == java.sql.Statement.SUCCESS_NO_INFO)
+              val probedAbsent: Set[Int] =
+                if (noInfoIdx.isEmpty) Set.empty
+                else {
+                  val pr = conn.prepareStatement(probeSql)
+                  try noInfoIdx.filter { i =>
+                    var p = 1
+                    keyIdx.foreach { ki =>
+                      bind(pr, p, rows(i).get(ki), allTypes(ki)); p += 1
+                    }
+                    val rs = pr.executeQuery()
+                    try !rs.next() finally rs.close()
+                  }.toSet
+                  finally pr.close()
+                }
+              val misses = rows.indices
+                .filter(i => counts(i) == 0 || probedAbsent.contains(i))
+                .map(rows)
               if (misses.nonEmpty) {
                 val ins = conn.prepareStatement(insertSql)
                 try {
@@ -226,7 +294,11 @@ object Jdbc {
                 } finally ins.close()
               }
               conn.commit()
-              processed.add(rawRows.length)
+              // keys written; the same-key occurrences the in-batch
+              // collapse absorbed are reported separately so the caller's
+              // row accounting still balances
+              processed.add(rows.length)
+              collapsed.add(rawRows.length - rows.length)
               done = true
             } finally up.close()
           } catch {
@@ -243,6 +315,7 @@ object Jdbc {
       good.grouped(batchSize).foreach(g => runBatch(g.toArray))
       skippedNull.add(nullCount)
     }
-    UpsertStats(processed.value, skippedNull.value, skippedFail.value)
+    UpsertStats(processed.value, skippedNull.value, skippedFail.value,
+      collapsed.value)
   }
 }

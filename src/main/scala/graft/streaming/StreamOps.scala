@@ -14,9 +14,20 @@ case class CdcOp(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
 /** Per-key CDC audit state: the in-horizon (µs, event_id, op) buffer +
   * the last FINALIZED op ("" = key never finalized an op) + the µs
   * event time of the key's last arrival (Long.MinValue = none), for the
-  * optional idle eviction. */
+  * optional idle eviction. This 3-field encoding is persisted ONLY when
+  * `idleTtlSec` is set; the TTL-off path keeps the original
+  * [[CdcStateV1]] encoding so deployed checkpoints resume (see
+  * [[StreamOps.cdcAnomalyStream]]). */
 case class CdcState(buf: List[(Long, Long, String)], last: String,
                     lastSeenUs: Long = Long.MinValue)
+
+/** The ORIGINAL two-field CDC state encoding — the checkpoint contract
+  * of every cdcAnomalyStream deployed before the idle-TTL flag existed
+  * ("first deployment defines the schema"). The TTL-off path persists
+  * THIS shape, so upgrading the library never breaks a live stream's
+  * state-schema validation; only enabling `idleTtlSec` (which genuinely
+  * needs the extra field) requires a fresh checkpoint. */
+case class CdcStateV1(buf: List[(Long, Long, String)], last: String)
 
 /** One finalized changelog-order violation. */
 case class CdcViolation(user_id: Long, event_id: Long, ts_us: Long,
@@ -938,24 +949,45 @@ object StreamOps {
     * key arriving later folds from the never-finalized state again
     * (e.g. a genuine update then reads update_before_insert — the
     * documented trade-off the flag opts into). Off (None, the
-    * default) the OUTPUT is byte-identical to the pre-TTL operator —
-    * but NOT the checkpoint: adding `lastSeenUs` to [[CdcState]]
-    * changed the state encoder schema, so a stream restarted from a
-    * pre-TTL checkpoint fails state-schema validation even with
-    * idleTtlSec = None; upgrade with a fresh checkpoint. */
+    * default) BOTH the output AND the persisted state encoding are
+    * byte-identical to the pre-TTL operator ([[CdcStateV1]], two
+    * fields), so a deployed stream restarted from an existing
+    * checkpoint after a library upgrade resumes cleanly; only turning
+    * the flag ON switches to the 3-field [[CdcState]] encoding and
+    * requires a fresh checkpoint. */
   def cdcAnomalyStream(ops: DataFrame,
                        watermark: String = "1 hour",
                        idleTtlSec: Option[Long] = None): Dataset[CdcViolation] = {
     val spark = ops.sparkSession
     import spark.implicits._
+    idleTtlSec match {
+      case None =>
+        // TTL off: persist the original two-field shape (checkpoint
+        // compatibility); lastSeenUs is never read on this path
+        cdcAnomaly[CdcStateV1](ops, watermark, None,
+          v1 => CdcState(v1.buf, v1.last),
+          st => CdcStateV1(st.buf, st.last))
+      case some =>
+        cdcAnomaly[CdcState](ops, watermark, some, identity, identity)
+    }
+  }
+
+  /** The CDC audit state machine, generic over the PERSISTED state shape
+    * `S` (see [[cdcAnomalyStream]] — V1 two-field vs TTL three-field).
+    * `dec`/`enc` bridge the stored shape to the working [[CdcState]]. */
+  private def cdcAnomaly[S: org.apache.spark.sql.Encoder](
+      ops: DataFrame, watermark: String, idleTtlSec: Option[Long],
+      dec: S => CdcState, enc: CdcState => S): Dataset[CdcViolation] = {
+    val spark = ops.sparkSession
+    import spark.implicits._
     ops.withWatermark("ts", watermark)
       .selectExpr("user_id", "ts", "event_id", "op").as[CdcOp]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[CdcState, CdcViolation](
+      .flatMapGroupsWithState[S, CdcViolation](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[CdcOp], state: GroupState[CdcState]) =>
+        (user: Long, it: Iterator[CdcOp], state: GroupState[S]) =>
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          var st = state.getOption.getOrElse(CdcState(Nil, ""))
+          var st = state.getOption.map(dec).getOrElse(CdcState(Nil, ""))
           if (it.nonEmpty) {
             val incoming = it.map { e =>
               // µs-exact event time: millis + the sub-milli nano tail
@@ -994,7 +1026,7 @@ object StreamOps {
             (out :+ CdcViolation(user, -1L, st.lastSeenUs,
               "state_evicted")).iterator
           } else {
-            state.update(CdcState(pending, last, st.lastSeenUs))
+            state.update(enc(CdcState(pending, last, st.lastSeenUs)))
             // wake when the earliest pending op crosses the watermark —
             // or, with the TTL on and nothing pending, at the key's
             // idle deadline so the eviction actually fires

@@ -32,6 +32,22 @@ class BenchGuardSpec extends AnyFunSuite {
       wide).isEmpty)
   }
 
+  test("job-count gate: a rebuilt-frame structure is a violation; AQE jitter is not") {
+    val ref = Map("a" -> 4.0, "b" -> 20.0, "c" -> 2.0)
+    // small AQE/retry variance sits inside the band
+    assert(BenchGuard.checkJobs(
+      Map("a" -> 6.0, "b" -> 24.0, "c" -> 3.0), ref).isEmpty)
+    // a per-entry frame rebuild adds 10+ tiny jobs — red
+    val vs = BenchGuard.checkJobs(Map("a" -> 15.0, "b" -> 20.0), ref)
+    assert(vs.map(_.name) == Seq("a"))
+    // proportional band on the heavy kernels: 25%, not unlimited
+    assert(BenchGuard.checkJobs(Map("b" -> 40.0), ref).map(_.name) == Seq("b"))
+    // new queries face the absolute ceiling
+    assert(BenchGuard.checkJobs(Map("new1" -> 79.0), ref).isEmpty)
+    assert(BenchGuard.checkJobs(Map("new1" -> 81.0), ref).map(_.name) ==
+      Seq("new1"))
+  }
+
   test("reference JSON round-trips exactly") {
     val m = Map("q1_agg" -> 0.73, "graph_pagerank" -> 4.3,
       "weird\"name" -> 1.25e-1)

@@ -205,11 +205,56 @@ class JdbcSpec extends AnyFunSuite {
     try Jdbc.execute(url, "DROP TABLE dw_tgt") catch { case _: SQLException => () }
     Jdbc.execute(url,
       "CREATE TABLE dw_tgt (C_ID BIGINT NOT NULL, NAME VARCHAR(40), PRIMARY KEY (C_ID))")
-    Jdbc.upsert(
+    val stats = Jdbc.upsert(
       Seq((1L, "first"), (1L, "second")).toDF("C_ID", "NAME")
         .coalesce(1),
       url, "dw_tgt", Seq("C_ID"), numPartitions = 1)
     val got = Jdbc.read(spark, url, "dw_tgt").collect()
     assert(got.length === 1 && got(0).getString(1) === "second")
+    // accounting balances: 1 key written + 1 collapsed occurrence = 2 input rows
+    assert(stats.processed === 1 && stats.collapsedDupes === 1)
+  }
+
+  test("SUCCESS_NO_INFO batch counts lose no inserts (MySQL " +
+    "rewriteBatchedStatements shape)") {
+    // Derby returns exact counts, so the hazard is simulated with the
+    // forceNoInfoCounts seam: every batched UPDATE reports -2 and the
+    // sink must resolve matched-vs-missing by the keyed SELECT probe.
+    // Under the old `count == 0` logic this test loses BOTH inserts
+    // (every row classified "updated") — the silent-data-loss advice item.
+    seed()
+    import spark.implicits._
+    try Jdbc.execute(url, "DROP TABLE ni_tgt") catch { case _: SQLException => () }
+    Jdbc.execute(url,
+      "CREATE TABLE ni_tgt (C_ID BIGINT NOT NULL, NAME VARCHAR(40), PRIMARY KEY (C_ID))")
+    Jdbc.execute(url, "INSERT INTO ni_tgt VALUES (1, 'stale')")
+    val stats = Jdbc.upsert(
+      Seq((1L, "updated"), (2L, "new2"), (3L, "new3")).toDF("C_ID", "NAME"),
+      url, "ni_tgt", Seq("C_ID"), numPartitions = 1,
+      forceNoInfoCounts = true)
+    assert(stats.processed === 3 && stats.skippedFailed === 0)
+    val got = Jdbc.read(spark, url, "ni_tgt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got === Array((1L, "updated"), (2L, "new2"), (3L, "new3")))
+    // and it stays idempotent under no-info counts: the probe finds the
+    // now-present keys, so no duplicate-key INSERT is attempted
+    val stats2 = Jdbc.upsert(
+      Seq((2L, "new2b"), (3L, "new3b")).toDF("C_ID", "NAME"),
+      url, "ni_tgt", Seq("C_ID"), numPartitions = 1,
+      forceNoInfoCounts = true)
+    assert(stats2.processed === 2 && stats2.skippedFailed === 0)
+    assert(Jdbc.read(spark, url, "ni_tgt").count() === 3)
+  }
+
+  test("unsafe table/column identifiers are rejected before any SQL runs") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("C_ID", "NAME")
+    intercept[IllegalArgumentException] {
+      Jdbc.upsert(df, url, "tgt; DROP TABLE x", Seq("C_ID"))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.upsert(df.withColumnRenamed("NAME", "evil name\""),
+        url, "ok_tgt", Seq("C_ID"))
+    }
   }
 }

@@ -145,6 +145,24 @@ class KeyedParquetSinkSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("empty or corrupt bucket metadata degrades to trust-the-caller") {
+    val dir = Files.createTempDirectory("graft_sink_meta2").toString + "/t"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    KeyedParquetSink.write(base, dir, Seq("id"), numBuckets = 8)
+    val meta = java.nio.file.Paths.get(dir, "_graft_buckets")
+    // empty file: read() returns -1 — must map to None, not crash
+    java.nio.file.Files.write(meta, Array.empty[Byte])
+    assert(KeyedParquetSink.storedBuckets(spark, dir).isEmpty)
+    // corrupt content: not an int — same degradation
+    java.nio.file.Files.write(meta, "not-a-number".getBytes("UTF-8"))
+    assert(KeyedParquetSink.storedBuckets(spark, dir).isEmpty)
+    // and keyed operations proceed on the caller's count (pre-metadata
+    // behavior) instead of crashing every read/merge/delete
+    val n = KeyedParquetSink.deleteMatching(spark, dir, Seq("id"),
+      numBuckets = 8, Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(n == 1L)
+  }
+
   test("full-table erasure leaves a readable zero-row table") {
     val dir = Files.createTempDirectory("graft_sink_empty").toString + "/t"
     val base = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")

@@ -24,6 +24,63 @@ class StreamRecoverySpec extends AnyFunSuite {
   private def tempDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
 
+  test("cdcAnomalyStream TTL-off keeps the PRE-TTL state schema; " +
+    "checkpoint restart resumes") {
+    import spark.implicits._
+
+    // every byte under <ckpt>/state — the persisted state schema files
+    // record field names as text, so a grep for the TTL-only field
+    // proves which encoding a deployment wrote
+    def stateBytes(ckpt: String): String = {
+      val root = java.nio.file.Paths.get(ckpt, "state")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .map(p => new String(java.nio.file.Files.readAllBytes(p),
+          "ISO-8859-1"))
+        .mkString
+    }
+
+    def run(ttl: Option[Long], tag: String): String = {
+      val root = tempDir(s"cdc-compat-$tag")
+      val inDir = s"$root/in"; val ckpt = s"$root/ckpt"
+      val outDir = s"$root/out"
+      def deliver(rows: Seq[CdcOp]): Unit =
+        rows.toDF().repartition(1).write.mode("append").parquet(inDir)
+      def start() = {
+        val in = spark.readStream
+          .schema(Seq.empty[CdcOp].toDF().schema).parquet(inDir)
+        StreamOps.cdcAnomalyStream(in, watermark = "10 minutes",
+            idleTtlSec = ttl)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("parquet").option("path", outDir).start()
+      }
+      // key 1 finalizes an op and carries state across the stop
+      deliver(Seq(CdcOp(1L, ts(1), 10L, "i"), CdcOp(1L, ts(2), 11L, "i")))
+      val q1 = start(); q1.processAllAvailable(); q1.stop()
+      // restart from the SAME checkpoint — the state-schema validation
+      // a deployed stream hits on library upgrade — and flush
+      deliver(Seq(CdcOp(999L, ts(59), -1L, "i")))
+      val q2 = start(); q2.processAllAvailable(); q2.stop()
+      val got = spark.read.parquet(outDir)
+        .as[CdcViolation].collect()
+        .map(v => (v.event_id, v.violation)).toSet
+      assert(got == Set((11L, "insert_on_live")),
+        s"[$tag] resumed stream finalized the carried verdict: $got")
+      stateBytes(ckpt)
+    }
+
+    // TTL off: the persisted schema is the ORIGINAL two-field CdcStateV1
+    // — no lastSeenUs anywhere in the checkpoint, so pre-upgrade
+    // deployments resume without a state-schema mismatch
+    assert(!run(None, "off").contains("lastSeenUs"),
+      "TTL-off checkpoint must not carry the 3-field schema")
+    // TTL on: the flag genuinely needs the idle clock — 3-field schema
+    assert(run(Some(3600L), "on").contains("lastSeenUs"),
+      "TTL-on checkpoint stores the 3-field schema")
+  }
+
   test("upsertSink: crash-replayed batch + overlapping redelivery is exactly-once") {
     import spark.implicits._
     val root = tempDir("recover-upsert")
