@@ -73,6 +73,17 @@ object Bench {
     try graft.queries.WinnowShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
 
+    // per-query Spark-job counter (same structural signal BenchCheck
+    // gates; recorded here so the driver artifact carries it too)
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCounter.incrementAndGet(); ()
+        }
+      })
+
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => () }
@@ -81,11 +92,14 @@ object Bench {
     // run1 warms (JIT, codegen cache, OS page cache), run2 is the record
     val both = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val cold = timed(name)
-      name -> (cold, timed(name))
+      val j0 = jobCounter.get()
+      val warm = timed(name)
+      name -> (cold, warm, jobCounter.get() - j0)
     }
-    val results = both.map { case (n, (_, warm)) => n -> warm }
+    val results = both.map { case (n, (_, warm, _)) => n -> warm }
     val coldTotal = both.map(_._2._1).sum
     val total = results.map(_._2).sum
+    val jobs = both.map { case (n, (_, _, j)) => n -> j }
 
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
@@ -97,10 +111,12 @@ object Bench {
     // Full-precision record for the repo (the stdout line is size-capped).
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullJobs = jobs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     try {
       val p = java.nio.file.Paths.get("bench_latest.json")
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"cpus":$cpus,"queries":$full,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"cpus":$cpus,"queries":$full,"jobs":$fullJobs,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 

@@ -1000,7 +1000,8 @@ object Similarity {
   /** [[pqTrainStats]] over a PREBUILT seed codebook — see
     * [[pqSearchAdcWith]]. */
   def pqTrainStatsWith(emb: DataFrame, idCol: String, vecCol: String,
-                       dim: Int, subs: Int, seeds: DataFrame): DataFrame = {
+                       dim: Int, subs: Int, seeds: DataFrame,
+                       codesOpt: Option[DataFrame] = None): DataFrame = {
     import graft.functions.LongVectorFunctions.{vecDotLong, vecL2SqSlice}
     val subLen = dim / subs
     def subArr(c: Column): Column =
@@ -1011,11 +1012,19 @@ object Similarity {
       .localCheckpoint(true)
     val seedSub = seeds
       .select(col("code"), posexplode(subArr(col("cq"))).as(Seq("sub", "cs")))
-    val enc0 = subRows.join(broadcast(seedSub), Seq("sub"))
-      .withColumn("dist", vecL2SqSlice(col("xs"), col("cs"), 0, subLen))
-      .groupBy(col("vid"), col("sub"))
-      .agg(min(struct(col("dist"), col("code"))).as("m"))
-      .select(col("vid"), col("sub"), col("m.code").as("code"))
+    // the initial assignment IS the encode ([[pqCodes]] computes the same
+    // (dist, code) argmin) — when the caller has it materialized
+    // (PqShared.codes), reuse it and skip a corpus x codebook pass
+    val enc0 = codesOpt match {
+      case Some(codes) =>
+        codes.select(col(idCol).as("vid"), col("sub"), col("code"))
+      case None =>
+        subRows.join(broadcast(seedSub), Seq("sub"))
+          .withColumn("dist", vecL2SqSlice(col("xs"), col("cs"), 0, subLen))
+          .groupBy(col("vid"), col("sub"))
+          .agg(min(struct(col("dist"), col("code"))).as("m"))
+          .select(col("vid"), col("sub"), col("m.code").as("code"))
+    }
     val cent = subRows.join(enc0, Seq("vid", "sub"))
       .select(col("sub"), col("code"), posexplode(col("xs")).as(Seq("d", "x")))
       .groupBy(col("sub"), col("code"), col("d"))

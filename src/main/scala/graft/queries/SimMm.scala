@@ -189,7 +189,8 @@ object SimMm {
     // sim_ivf_train). Seeds from the shared PqShared build.
     "sim_pq_train" -> ((s, dir) =>
       Similarity.pqTrainStatsWith(Tables.embeddings(s, dir), "vec_id",
-        "embedding", 64, 4, PqShared.seeds(s, dir))),
+        "embedding", 64, 4, PqShared.seeds(s, dir),
+        Some(PqShared.codes(s, dir)))),
 
     // Full IVF-PQ search: the query's IVF cell bounds the candidate set,
     // PQ asymmetric distance scores it through codes alone — the

@@ -110,6 +110,22 @@ object Jdbc {
       s"$kind '$name' is not a safe SQL identifier " +
         "([A-Za-z_][A-Za-z0-9_$]*); rename it before the JDBC write")
 
+  /** The MySQL-family native upsert — the REFERENCE'S OWN statement
+    * shape (etlService.js:46-50: `INSERT INTO t (cols) VALUES (…) ON
+    * DUPLICATE KEY UPDATE col = VALUES(col)`). One statement per row,
+    * batched: with `rewriteBatchedStatements=true` Connector/J rewrites
+    * the batch into the reference's literal multi-row form. The server
+    * resolves matched-vs-new atomically, so this path has no
+    * update-else-insert split and therefore NONE of the batch-count
+    * ambiguity the generic path has to probe around. */
+  private[graft] def nativeUpsertSql(table: String, fields: Seq[String],
+                                     keys: Seq[String]): String = {
+    val nonKeys = fields.filterNot(keys.contains)
+    s"INSERT INTO $table (" + fields.mkString(", ") + ") VALUES (" +
+      fields.map(_ => "?").mkString(", ") + ") ON DUPLICATE KEY UPDATE " +
+      nonKeys.map(c => s"$c = VALUES($c)").mkString(", ")
+  }
+
   private def sqlTypeFor(dt: DataType): Int = dt match {
     case LongType => java.sql.Types.BIGINT
     case IntegerType => java.sql.Types.INTEGER
@@ -152,16 +168,18 @@ object Jdbc {
     *  - `numPartitions` caps concurrent connections (reference
     *    concurrencyLimit 4, etlService.js:12).
     *
-    * Batch-count semantics: drivers may return
-    * `Statement.SUCCESS_NO_INFO` (-2) for batched statements instead of
-    * exact row counts — MySQL Connector/J does exactly that with
-    * `rewriteBatchedStatements=true`, the reference target's most common
-    * batched configuration. Treating -2 as "updated" would silently drop
-    * every new-key INSERT, so rows whose update count is not exact are
-    * re-resolved by a per-row keyed SELECT existence probe (unambiguous
-    * under BOTH MySQL count modes — `useAffectedRows` changes what an
-    * UPDATE count means, never what a SELECT finds). An
-    * `EXECUTE_FAILED` element fails the batch into the retry path.
+    * Dialects: MySQL/MariaDB urls use the reference's native
+    * `INSERT … ON DUPLICATE KEY UPDATE col = VALUES(col)` statement
+    * (etlService.js:46-50) — the server resolves matched-vs-new
+    * atomically, no count interpretation at all. Every other dialect
+    * runs the portable UPDATE-else-INSERT split, with these batch-count
+    * semantics: drivers may return `Statement.SUCCESS_NO_INFO` (-2) for
+    * batched statements instead of exact row counts. Treating -2 as
+    * "updated" would silently drop every new-key INSERT, so rows whose
+    * update count is not exact are re-resolved by a per-row keyed
+    * SELECT existence probe (unambiguous regardless of whether the
+    * driver counts found or changed rows). An `EXECUTE_FAILED` element
+    * fails the batch into the retry path.
     *
     * Duplicate keys WITHIN one batch collapse last-write-wins before the
     * statements run (counted `collapsedDupes`); duplicates that land in
@@ -199,6 +217,12 @@ object Jdbc {
       fields.map(_ => "?").mkString(", ") + ")"
     val probeSql = s"SELECT 1 FROM $table WHERE " +
       keys.map(k => s"$k = ?").mkString(" AND ")
+    // MySQL/MariaDB get the reference's native ON DUPLICATE KEY UPDATE;
+    // every other dialect runs the portable update-else-insert split
+    val nativeSql: Option[String] =
+      if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:"))
+        Some(nativeUpsertSql(table, fields.map(_.name).toSeq, keys))
+      else None
 
     val processed = spark.sparkContext.longAccumulator("jdbc_upsert_processed")
     val skippedNull = spark.sparkContext.longAccumulator("jdbc_upsert_null_key")
@@ -239,68 +263,82 @@ object Jdbc {
             beforeBatch.foreach(f => f())
             conn = DriverManager.getConnection(url)
             conn.setAutoCommit(false)
-            val up = conn.prepareStatement(updateSql)
-            try {
-              rows.foreach { r =>
-                var p = 1
-                nonKeyIdx.foreach { i =>
-                  bind(up, p, if (r.isNullAt(i)) null else r.get(i), allTypes(i)); p += 1
-                }
-                keyIdx.foreach { i => bind(up, p, r.get(i), allTypes(i)); p += 1 }
-                up.addBatch()
-              }
-              val counts0 = up.executeBatch()
-              val counts =
-                if (forceNoInfoCounts)
-                  counts0.map(_ => java.sql.Statement.SUCCESS_NO_INFO)
-                else counts0
-              if (counts.exists(_ == java.sql.Statement.EXECUTE_FAILED))
-                throw new SQLException(
-                  "executeBatch reported EXECUTE_FAILED without throwing")
-              // exact count 0 → definitively unmatched → INSERT.
-              // SUCCESS_NO_INFO → resolve by keyed SELECT existence probe
-              // (an exact-count assumption here silently LOSES inserts on
-              // MySQL rewriteBatchedStatements=true — see the method doc).
-              val noInfoIdx = rows.indices
-                .filter(i => counts(i) == java.sql.Statement.SUCCESS_NO_INFO)
-              val probedAbsent: Set[Int] =
-                if (noInfoIdx.isEmpty) Set.empty
-                else {
-                  val pr = conn.prepareStatement(probeSql)
-                  try noInfoIdx.filter { i =>
-                    var p = 1
-                    keyIdx.foreach { ki =>
-                      bind(pr, p, rows(i).get(ki), allTypes(ki)); p += 1
-                    }
-                    val rs = pr.executeQuery()
-                    try !rs.next() finally rs.close()
-                  }.toSet
-                  finally pr.close()
-                }
-              val misses = rows.indices
-                .filter(i => counts(i) == 0 || probedAbsent.contains(i))
-                .map(rows)
-              if (misses.nonEmpty) {
-                val ins = conn.prepareStatement(insertSql)
-                try {
-                  misses.foreach { r =>
-                    fields.indices.foreach { i =>
-                      bind(ins, i + 1, if (r.isNullAt(i)) null else r.get(i),
-                        allTypes(i))
-                    }
-                    ins.addBatch()
+            // full-field batched insert-shaped statement (shared by the
+            // native-upsert path and the miss-insert path, so the Derby
+            // suite exercises the same bind loop the MySQL path runs)
+            def insertAll(sql: String, rs: Seq[Row]): Unit = {
+              val ins = conn.prepareStatement(sql)
+              try {
+                rs.foreach { r =>
+                  fields.indices.foreach { i =>
+                    bind(ins, i + 1, if (r.isNullAt(i)) null else r.get(i),
+                      allTypes(i))
                   }
-                  ins.executeBatch()
-                } finally ins.close()
-              }
-              conn.commit()
-              // keys written; the same-key occurrences the in-batch
-              // collapse absorbed are reported separately so the caller's
-              // row accounting still balances
-              processed.add(rows.length)
-              collapsed.add(rawRows.length - rows.length)
-              done = true
-            } finally up.close()
+                  ins.addBatch()
+                }
+                ins.executeBatch()
+              } finally ins.close()
+            }
+            nativeSql match {
+              case Some(sql) =>
+                // the reference's own statement (etlService.js:48-50):
+                // the server resolves matched-vs-new atomically, so this
+                // path has NO batch-count interpretation and needs no
+                // existence probe
+                insertAll(sql, rows.toIndexedSeq)
+              case None =>
+                val up = conn.prepareStatement(updateSql)
+                try {
+                  rows.foreach { r =>
+                    var p = 1
+                    nonKeyIdx.foreach { i =>
+                      bind(up, p, if (r.isNullAt(i)) null else r.get(i), allTypes(i)); p += 1
+                    }
+                    keyIdx.foreach { i => bind(up, p, r.get(i), allTypes(i)); p += 1 }
+                    up.addBatch()
+                  }
+                  val counts0 = up.executeBatch()
+                  val counts =
+                    if (forceNoInfoCounts)
+                      counts0.map(_ => java.sql.Statement.SUCCESS_NO_INFO)
+                    else counts0
+                  if (counts.exists(_ == java.sql.Statement.EXECUTE_FAILED))
+                    throw new SQLException(
+                      "executeBatch reported EXECUTE_FAILED without throwing")
+                  // exact count 0 → definitively unmatched → INSERT.
+                  // SUCCESS_NO_INFO → resolve by keyed SELECT existence
+                  // probe (an exact-count assumption here silently LOSES
+                  // inserts on MySQL rewriteBatchedStatements=true — see
+                  // the method doc).
+                  val noInfoIdx = rows.indices
+                    .filter(i => counts(i) == java.sql.Statement.SUCCESS_NO_INFO)
+                  val probedAbsent: Set[Int] =
+                    if (noInfoIdx.isEmpty) Set.empty
+                    else {
+                      val pr = conn.prepareStatement(probeSql)
+                      try noInfoIdx.filter { i =>
+                        var p = 1
+                        keyIdx.foreach { ki =>
+                          bind(pr, p, rows(i).get(ki), allTypes(ki)); p += 1
+                        }
+                        val rs = pr.executeQuery()
+                        try !rs.next() finally rs.close()
+                      }.toSet
+                      finally pr.close()
+                    }
+                  val misses = rows.indices
+                    .filter(i => counts(i) == 0 || probedAbsent.contains(i))
+                    .map(rows)
+                  if (misses.nonEmpty) insertAll(insertSql, misses)
+                } finally up.close()
+            }
+            conn.commit()
+            // keys written; the same-key occurrences the in-batch
+            // collapse absorbed are reported separately so the caller's
+            // row accounting still balances
+            processed.add(rows.length)
+            collapsed.add(rawRows.length - rows.length)
+            done = true
           } catch {
             case e: SQLException =>
               if (conn != null) { try conn.rollback() catch { case _: SQLException => () } }

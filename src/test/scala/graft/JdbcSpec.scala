@@ -246,6 +246,18 @@ class JdbcSpec extends AnyFunSuite {
     assert(Jdbc.read(spark, url, "ni_tgt").count() === 3)
   }
 
+  test("MySQL-family urls build the reference's native upsert statement") {
+    // etlService.js:46-50 — INSERT … ON DUPLICATE KEY UPDATE col=VALUES(col);
+    // the execution plumbing (bind loop, batch, transaction, retry) is the
+    // SAME insertAll path the Derby suite drives via the miss-insert branch
+    assert(Jdbc.nativeUpsertSql("voucher",
+      Seq("amount", "payout", "voucher_id", "reference_no"),
+      Seq("voucher_id", "reference_no")) ===
+      "INSERT INTO voucher (amount, payout, voucher_id, reference_no) " +
+        "VALUES (?, ?, ?, ?) ON DUPLICATE KEY UPDATE " +
+        "amount = VALUES(amount), payout = VALUES(payout)")
+  }
+
   test("unsafe table/column identifiers are rejected before any SQL runs") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("C_ID", "NAME")
