@@ -67,6 +67,7 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
   private val sseClients = new CopyOnWriteArraySet[OutputStream]()
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Bind and start; returns the bound port (pass 0 to pick a free one). */
   def start(): Int = {
@@ -98,8 +99,17 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
         case _ => (405, obj("message" -> quote("method not allowed")))
       })
     // a small worker pool: SSE clients hold their handler thread for the
-    // lifetime of the connection, so the control endpoints need their own
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // lifetime of the connection, so the control endpoints need their
+    // own. DAEMON threads + explicit shutdown in stop(): HttpServer.stop
+    // does NOT shut down a user-supplied executor, and a non-daemon pool
+    // would keep the embedding JVM alive after main returns (observed:
+    // a registry sweep that ran etl_http_shell hung sbt for hours).
+    pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-http-worker")
+      t.setDaemon(true)
+      t
+    })
+    server.setExecutor(pool)
     server.start()
     server.getAddress.getPort
   }
@@ -109,6 +119,7 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
     sseClients.forEach(out => try out.close() catch { case _: Throwable => () })
     sseClients.clear()
     if (server != null) server.stop(0)
+    if (pool != null) { pool.shutdownNow(); () }
   }
 
   // --- endpoint bodies ----------------------------------------------------
@@ -241,7 +252,34 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
     * persisted report. The HTTP layer adds nothing to the semantics. */
   private def runOnce(): Runner.RunReport = {
     lastRunAt.set(Some(LocalDateTime.now()))
-    val report = Runner.run(spark, stages)
+    // live progress tail while the run executes: poll the Progress
+    // listener's per-stage task fractions and stream them as `progress`
+    // SSE events — the serving twin of the reference's live log %.
+    // Poll-only-when-watched: zero cost without attached clients.
+    def emitProgress(): Unit =
+      if (!sseClients.isEmpty)
+        graft.etl.Progress.snapshot().foreach { sp =>
+          broadcast("progress", obj(
+            "stage" -> quote(sp.stage),
+            "tasks_done" -> sp.tasksDone.toString,
+            "tasks_total" -> sp.tasksTotal.toString,
+            "pct" -> math.round(sp.fraction * 100).toString))
+        }
+    val pollerDone = new AtomicBoolean(false)
+    val poller = new Thread(() => {
+      try while (!pollerDone.get()) { emitProgress(); Thread.sleep(100) }
+      catch { case _: InterruptedException => () }
+    }, "graft-http-progress")
+    poller.setDaemon(true)
+    poller.start()
+    val report =
+      try Runner.run(spark, stages)
+      finally {
+        pollerDone.set(true); poller.interrupt()
+        // final snapshot AFTER the run: an attached tail always sees the
+        // completed fractions even when the run outpaces the poll tick
+        emitProgress()
+      }
     val runId = runSeq.incrementAndGet()
     report.results.foreach { r =>
       log(s"run $runId stage ${r.stage}: " +

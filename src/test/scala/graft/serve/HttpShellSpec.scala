@@ -166,9 +166,15 @@ class HttpShellSpec extends AnyFunSuite {
       // the attached tail
       val fr = post(port, "/api/start-etl-force")
       assert(fr.statusCode() == 200)
-      val events = readUntil("open_orders")
+      // marker matches only the LOG line ("run N stage open_orders: ok
+      // rows=…"), so the buffer is read past any progress events first
+      val events = readUntil("open_orders: ok")
       assert(events.contains("event: log") &&
         events.contains("clean_customer"), events.take(500))
+      // ... and live per-stage task fractions from the Progress
+      // listener (at least the guaranteed end-of-run snapshot)
+      assert(events.contains("event: progress") &&
+        events.contains("\"tasks_total\""), events.take(500))
       sock.close()
     } finally shell.stop()
   }
