@@ -5,17 +5,26 @@ package graft
   *
   * Methodology: each query is fully materialized through the `noop` DSv2
   * sink — `count()` would let Catalyst prune projections/sorts and
-  * under-report compute-heavy queries. Each query runs TWICE and reports
-  * run 2: the single-shot cold number bundles first-touch JIT/codegen
-  * compilation and page-cache warming into whichever query pays them
-  * first (observed 10-50× inflation on the first toucher of a kernel —
-  * 62 s vs 5.3 s steady for graph_pagerank in the round-9 audit), which
-  * repeatedly read as false regressions. Steady-state is the number that
-  * predicts cluster throughput, where code is JIT-hot and data is
-  * resident; the cold total is still recorded in bench_latest.json
-  * (`cold_value`) for anyone auditing startup cost. An untimed session
-  * warm-up absorbs init so it isn't charged to the first query. The
-  * session is the tuned GraftSession (AQE, shuffle=cpus).
+  * under-report compute-heavy queries. Every query runs TWICE — one full
+  * ASCENDING sweep (cold: absorbs first-touch JIT/codegen compilation
+  * and page-cache warming; observed 10-50× inflation on the first
+  * toucher of a kernel, 62 s vs 5.3 s steady for graph_pagerank in the
+  * round-9 audit) and then one full DESCENDING sweep, which is the
+  * record. Two full sweeps instead of per-query back-to-back pairs
+  * (round 17): the recorded sweep starts with a registry-warm JVM, so
+  * the alphabetical head no longer reads young-JVM warmup as that
+  * query's cost (the recurring driver-bench "fresh weak cluster" at the
+  * head of BENCH_r14-r16), and a transient box-noise window can't
+  * inflate both sweeps' reading of the same query. Steady-state is the
+  * number that predicts cluster throughput, where code is JIT-hot and
+  * data is resident; the cold total is still recorded in
+  * bench_latest.json (`cold_value`). An untimed session warm-up absorbs
+  * init so it isn't charged to the first query. The session is the
+  * tuned GraftSession (AQE, shuffle=cpus). The stdout line also carries
+  * `job_flags` — per-query Spark-job counts checked against the
+  * committed caps (tools/bench_jobs_ref.json): a time blowup with
+  * job_flags=0 is box noise, not a plan change (the round-16
+  * adjudication discriminator, now in the driver-visible artifact).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -83,29 +92,67 @@ object Bench {
           jobCounter.incrementAndGet(); ()
         }
       })
+    // the listener bus is async — spin until the counter is stable
+    // (the BenchCheck.jobsNow discipline) so job counts can't be
+    // attributed to the wrong query
+    def jobsNow(): Long = {
+      var prev = -1L
+      var cur = jobCounter.get()
+      var spins = 0
+      while (cur != prev && spins < 200) {
+        Thread.sleep(10); prev = cur; cur = jobCounter.get(); spins += 1
+      }
+      cur
+    }
 
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try materialize(name) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    // run1 warms (JIT, codegen cache, OS page cache), run2 is the record
-    val both = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      val cold = timed(name)
-      val j0 = jobCounter.get()
+    // Sweep 1 (ascending) warms: JIT, codegen cache, OS page cache.
+    // Sweep 2 — the RECORD — runs in REVERSE registry order: by the time
+    // it starts the JVM has executed the whole registry once, so the
+    // alphabetical head no longer pays young-JVM warmup (the recurring
+    // driver-bench "fresh weak cluster" at the head of the run), and a
+    // rotating box-noise window can't inflate both sweeps' reading of
+    // the same query.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val coldByName = names.map(name => name -> timed(name)).toMap
+    val warmPairs = names.reverse.map { name =>
+      val j0 = jobsNow()
       val warm = timed(name)
-      name -> (cold, warm, jobCounter.get() - j0)
-    }
-    val results = both.map { case (n, (_, warm, _)) => n -> warm }
-    val coldTotal = both.map(_._2._1).sum
+      name -> (warm, jobsNow() - j0)
+    }.toMap
+    val results = names.map(n => n -> warmPairs(n)._1)
+    val coldTotal = coldByName.valuesIterator.sum
     val total = results.map(_._2).sum
-    val jobs = both.map { case (n, (_, _, j)) => n -> j }
+    val jobs = names.map(n => n -> warmPairs(n)._2)
+
+    // driver-visible structural summary: job counts at-or-under their
+    // committed caps discriminate box noise from plan regressions
+    // (round-16 adjudication), so the flag count rides the stdout JSON
+    val jobFlagged: Seq[String] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+          BenchCheck.JobsRefPath))) {
+        val jobsRef = BenchGuard.load(BenchCheck.JobsRefPath)
+        BenchGuard.checkJobs(
+          jobs.map { case (n, j) => n -> j.toDouble }.toMap, jobsRef)
+          .map(_.name)
+      } else Nil
+
+    // compact, always-included: the noise/structure discriminator
+    val flagsJson = s""","job_flags":${jobFlagged.size}""" +
+      (if (jobFlagged.nonEmpty)
+        jobFlagged.take(20).map("\"" + _ + "\"")
+          .mkString(""","job_flagged":[""", ",", "]")
+      else "")
 
     def render(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","omitted_fastest":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec"$flagsJson,"queries":$qs$om,"sf":"$sfDir"}"""
     }
 
     // Full-precision record for the repo (the stdout line is size-capped).
@@ -116,7 +163,7 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("bench_latest.json")
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"cpus":$cpus,"queries":$full,"jobs":$fullJobs,"sf":"$sfDir"}\n"""
+        s"""{"metric":"total","value":$total,"unit":"sec","cold_value":$coldTotal,"cpus":$cpus$flagsJson,"queries":$full,"jobs":$fullJobs,"sf":"$sfDir"}\n"""
           .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 

@@ -42,6 +42,63 @@ object Caches {
     df
   }
 
+  /** Conf key selecting how SESSION-SHARED frames materialize:
+    * `local` (default) or `reliable`. */
+  val ModeKey = "spark.graft.checkpoint.mode"
+
+  /** Conf key for the reliable checkpoint directory (used when the
+    * SparkContext has none set; defaults under the warehouse dir). */
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  private def isCheckpointed(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case _: LogicalRDD => true
+      case _ => false
+    }
+
+  /** Materialize-and-pin for the session-shared frames (SimShared /
+    * PqShared / GraphShared / WinnowShared / SnmShared / the t=0.5 pair
+    * index …) — the cross-QUERY caches whose loss breaks every later
+    * consumer, because pinning + lineage truncation makes their blocks
+    * non-recomputable.
+    *
+    * `local` (default): `localCheckpoint(true)` — executor-resident
+    * MEMORY_AND_DISK blocks, no external storage, the right call on
+    * local[k] where the executor IS the driver. On a 1000-executor
+    * cluster with dynamic allocation or preemption this is the one real
+    * risk in the checkpoint discipline: a localCheckpoint block dies
+    * with its executor, its truncated lineage cannot recompute it, and
+    * every later query reading the shared frame fails.
+    *
+    * `reliable` (`spark.graft.checkpoint.mode=reliable`): a reliable
+    * `Dataset.checkpoint(eager = true)` — partitions land as FILES in
+    * the checkpoint dir (`spark.graft.checkpoint.dir`, else the
+    * context's dir, else `<warehouse>/graft_checkpoints`; on a cluster
+    * point it at durable shared storage). Executor loss costs a file
+    * re-read, never a failed job; `sweep` is a no-op against it (the
+    * data is files, not storage blocks).
+    *
+    * Kernel-INTERNAL per-round truncations (the iterative Lloyd/CC/
+    * BFS checkpoints) deliberately stay `localCheckpoint`: they live
+    * within one query execution, where an executor loss fails that
+    * query and the retry rebuilds them — only frames that OUTLIVE a
+    * query need the reliable path. */
+  def shared(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ModeKey, "local") match {
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(spark.conf.get(DirKey,
+            spark.conf.get("spark.sql.warehouse.dir") + "/graft_checkpoints"))
+        pin(df.checkpoint(eager = true))
+      case _ =>
+        // behavior-identical to the historical pin(localCheckpoint(true));
+        // an already-checkpointed frame is not copied a second time
+        if (isCheckpointed(df)) pin(df) else pin(df.localCheckpoint(true))
+    }
+  }
+
   // Unpersisting a checkpointed RDD logs a WARN ("lineage has been
   // truncated and cannot be recomputed") per RDD. That is exactly the
   // intended, safe case here — the frame is dead — and 200 copies of it

@@ -631,6 +631,57 @@ object ScaleProbe {
         require(again == 0L, s"re-erasure must remove nothing: $again")
       }
     }
+    // PQ-coded persisted store: the codes tier replaces raw vectors as
+    // the search-time memory side (ADC over subs small ints/vector).
+    // The probe pins (a) the on-disk bytes ratio between pq_codes/ and
+    // vectors/ — the 100 TB memory argument made measurable — and
+    // (b) that ADC search cost stays bucket-pruned near-flat at mult×,
+    // with the two-tier refine reading only the shortlist's raw rows.
+    if (enabled("ivfpq_build") || enabled("ivfpq_adc20") ||
+        enabled("ivfpq_batch20") || enabled("ivfpq_rerank20")) {
+      val pqPath = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivfpq").toString + "/idx"
+      time("ivfpq_build") {
+        val t = graft.ops.Similarity.ivfAutoTrain(emb, "vec_id", "embedding")
+        val r = graft.ops.IvfIndex.buildPq(spark, t, pqPath,
+          codebook = 16, subs = 4, dim = 64, numBuckets = 64)
+        def bytes(p: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles.map(walk).sum else f.length
+          walk(new java.io.File(p))
+        }
+        val raw = bytes(s"$pqPath/vectors")
+        val codes = bytes(s"$pqPath/pq_codes")
+        println(s"SCALE ivfpq_detail raw_bytes=$raw code_bytes=$codes " +
+          f"ratio=${raw.toDouble / codes}%.1f")
+        r.nVectors
+      }
+      val pqQvecs = emb.orderBy(col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1))
+      time("ivfpq_adc20") {
+        pqQvecs.map { case (vid, v) =>
+          graft.ops.IvfIndex.searchPqAdc(spark, pqPath, v, k = 10,
+            nprobe = 2, numBuckets = 64, excludeId = Some(vid)).count()
+        }.sum
+      }
+      time("ivfpq_batch20") {
+        val qdf = emb.orderBy(col("vec_id")).limit(20)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        graft.ops.IvfIndex.searchPqBatch(spark, pqPath, qdf, "qid",
+          "embedding", k = 10, nprobe = 2, numBuckets = 64).count()
+      }
+      // two-tier refine: ADC shortlists 100, exact cosine re-ranks to
+      // top-10 from the raw buckets — the raw tier is touched for 100
+      // rows per query, never the cell population
+      time("ivfpq_rerank20") {
+        pqQvecs.map { case (vid, v) =>
+          graft.ops.IvfIndex.searchPqRerank(spark, pqPath, v, k = 10,
+            nprobe = 2, shortlist = 100, numBuckets = 64,
+            excludeId = Some(vid)).count()
+        }.sum
+      }
+    }
     // The ANN-backed hard-negative miner (sim_hard_negatives's kernel,
     // Similarity.hardNegativesFrom): blocked by the scale-adaptive
     // cells, so the cross-label pair bound is Σ cell² = O(n·√n) — the

@@ -49,12 +49,11 @@ object GramShared {
   private[graft] def gram(s: SparkSession, dir: String): DataFrame = {
     evictStopped()
     gramCache.getOrElseUpdate((s, dir), {
-      graft.Caches.pin(SimShared.miln(s, dir)
+      graft.Caches.shared(SimShared.miln(s, dir)
         .select(col("mq"))
         .select(explode(expr(gramExpr)).as("p"))
         .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
-        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sum_xy"))
-        .localCheckpoint(true))
+        .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("sum_xy")))
     })
   }
 
@@ -64,7 +63,7 @@ object GramShared {
   private[graft] def dimStats(s: SparkSession, dir: String): DataFrame = {
     evictStopped()
     dimCache.getOrElseUpdate((s, dir), {
-      graft.Caches.pin(SimShared.miln(s, dir)
+      graft.Caches.shared(SimShared.miln(s, dir)
         .select(posexplode(col("mq")).as(Seq("d", "x")))
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -72,8 +71,7 @@ object GramShared {
           min(col("x")).as("min_milli"), max(col("x")).as("max_milli"),
           count(when(col("x") === 0L, 1)).as("n_zero"))
         .select(col("d").cast("long").as("d"), col("n"), col("sx"),
-          col("sxx"), col("min_milli"), col("max_milli"), col("n_zero"))
-        .localCheckpoint(true))
+          col("sxx"), col("min_milli"), col("max_milli"), col("n_zero")))
     })
   }
 
@@ -111,7 +109,7 @@ object GramShared {
         .withColumn("v0", lit(1L))
       val v1 = step(v0, "v0", "v1_milli").localCheckpoint(true)
       val v2 = step(v1, "v1_milli", "v2_milli")
-      graft.Caches.pin(v1.join(v2, Seq("d")).localCheckpoint(true))
+      graft.Caches.shared(v1.join(v2, Seq("d")))
     })
   }
 

@@ -42,8 +42,8 @@ object GraphShared {
         .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
         .distinct()
         .localCheckpoint(true) // feeds the cap rollup AND the edge build
-      val cappedSp = graft.Caches.pin(
-        graft.ops.Graph.cappedVia(sp, "sk", "pk", 64).localCheckpoint(true))
+      val cappedSp = graft.Caches.shared(
+        graft.ops.Graph.cappedVia(sp, "sk", "pk", 64))
       // the pagerank node ids: side-prefixed strings, derived from the
       // SAME distinct pair frame (≡ re-distincting prefixed lineitem)
       val und = graft.ops.Graph.undirectedEdges(
@@ -53,14 +53,12 @@ object GraphShared {
       // one-mode projection pair counts (s1 < s2, shared-part count) —
       // five link-prediction/census entries and the BFS edge list all
       // rode their own copy of this edges×cap self-join before round 15
-      val projPairs = graft.Caches.pin(
-        graft.ops.Graph.projectionPairs(cappedSp, "sk", "pk")
-          .localCheckpoint(true))
-      val skDeg = graft.Caches.pin(
-        cappedSp.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true))
-      Frames(cappedSp, graft.Caches.pin(deg), graft.Caches.pin(edgesOd),
-        projPairs, skDeg)
+      val projPairs = graft.Caches.shared(
+        graft.ops.Graph.projectionPairs(cappedSp, "sk", "pk"))
+      val skDeg = graft.Caches.shared(
+        cappedSp.groupBy(col("sk")).agg(count(lit(1)).as("deg")))
+      Frames(cappedSp, graft.Caches.shared(deg),
+        graft.Caches.shared(edgesOd), projPairs, skDeg)
     })
   }
 

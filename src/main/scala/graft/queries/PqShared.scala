@@ -43,11 +43,10 @@ object PqShared {
         .select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("mq"))
       // pqSeedsQuant checkpoints internally (the tiny codebook table)
-      val seeds = graft.Caches.pin(
+      val seeds = graft.Caches.shared(
         Similarity.pqSeedsQuant(quant, "vec_id", Codebook))
-      val codes = graft.Caches.pin(
-        Similarity.pqCodesQuant(quant, "vec_id", Dim, Subs, seeds)
-          .localCheckpoint(true))
+      val codes = graft.Caches.shared(
+        Similarity.pqCodesQuant(quant, "vec_id", Dim, Subs, seeds))
       (seeds, codes)
     })
   }

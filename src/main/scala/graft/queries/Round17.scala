@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IvfIndex, Similarity}
+import graft.sources.Tables
+
+/** Round-17 registry: the PQ-coded PERSISTED ANN store inside the
+  * oracle gate.
+  *
+  * The in-query IVF-PQ composition (`sim_ivf_pq_search`) has been
+  * oracle-green since round 8, but the persisted [[IvfIndex]] artifact
+  * stored raw milli vectors — at 100 TB the memory side of an ANN index
+  * must hold PQ codes (~32× smaller) with ADC scoring on read, or the
+  * store IS the corpus. This entry proves the stored path end-to-end:
+  * the index is built into a scratch store from the SAME frames the
+  * inline kernels use (the cells=8 coarse assignment + the shared
+  * PqShared codebook/codes), then the query is answered entirely FROM
+  * the store — cell located by a column-pruned scan, query vector and
+  * candidates point-read from that cell's buckets, ADC-scored through
+  * the stored codebook. The DuckDB oracle is the `sim_ivf_pq_search`
+  * text verbatim, so a store that dropped, re-keyed or mis-encoded a
+  * single code row hash-mismatches against the inline semantics.
+  */
+object Round17 {
+
+  val queries: Map[String, Q] = Map(
+
+    // PQ-coded persisted ANN store: build (quantized corpus keyed by
+    // cell + codebook + per-vector codes keyed by cell), then serve the
+    // member-query ADC top-10 from the artifact alone. Bit-equal to the
+    // inline sim_ivf_pq_search by construction — same assignment, same
+    // codes, same exact-integer ADC chain, (adist asc, vid) order.
+    "sim_ivf_pq_store" -> ((s, dir) => {
+      // ONE stable scratch root per session, wiped up front (the
+      // etl_run_history convention): re-runs see a fresh initial build,
+      // and a bench loop reuses the directory instead of accumulating
+      // temp dirs.
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_pqstore_${s.sparkContext.applicationId}")
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = root.toString + "/pqidx"
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 8)
+        .select(col("vec_id").as("vid"), col("cell"))
+        .localCheckpoint(true) // feeds both tier writes
+      val (seeds, codes) = PqShared.seedsCodes(s, dir)
+      val quant = emb.select(col("vec_id").as("vid"),
+        Similarity.milliQuant(col("embedding")).as("xq"))
+      IvfIndex.buildPqStore(s, quant, assigned, seeds,
+        codes.select(col("vec_id").as("vid"), col("sub"), col("code")),
+        path, subs = PqShared.Subs, dim = PqShared.Dim, numBuckets = 16)
+      IvfIndex.searchPqById(s, path, 0L, 10, 16, idCol = "vec_id")
+    }),
+
+    // FORWARD as-of, NATIVE (plans.AsOfJoin mode=Forward): for each
+    // purchase, the user's next error at-or-after it — one shuffle+sort
+    // per side and a single O(1)-state merge pass, no union
+    // materialization, no window over the merged stream (the
+    // q_asof_join_native pattern applied to the flipped frame). The
+    // right side is pre-aggregated to unique (user, ts) so the forward
+    // pick is unambiguous in every engine; the composed q_asof_forward
+    // stays as the union+window cross-check.
+    "q_asof_forward_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("ts").isNotNull)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val errors = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("e_us"))
+        .agg(min(col("event_id")).as("next_err_id"))
+        .select(col("user_id").as("e_user"), col("e_us"),
+          col("next_err_id"))
+      graft.plans.AsOf.joinForward(purchases, errors,
+          "user_id", "e_user", "us", "e_us")
+        .select(col("event_id"), col("user_id"), col("next_err_id"),
+          idiv(col("e_us") - col("us"), lit(1000000L)).as("latency_s"))
+        .orderBy(col("event_id"))
+    }),
+
+    // NEAREST as-of, NATIVE (mode=Nearest): each error matched to its
+    // closest purchase in either direction, equal gaps → backward (the
+    // market-data convention). The merge keeps exactly two candidate
+    // rows of state (best backward + frontier) per partition; the
+    // nearest of the two is the global nearest because the gap is
+    // unimodal around the probe time. Right side pre-aggregated to
+    // unique (user, ts); composed q_asof_nearest stays as cross-check.
+    "q_asof_nearest_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("ts").isNotNull)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      val purchases = ev
+        .where(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .agg(min(col("event_id")).as("near_id"))
+        .select(col("user_id").as("p_user"), col("p_us"), col("near_id"))
+      graft.plans.AsOf.joinNearest(errors, purchases,
+          "user_id", "p_user", "us", "p_us")
+        .select(col("event_id"), col("user_id"), col("near_id"),
+          idiv(abs(col("p_us") - col("us")), lit(1000000L)).as("gap_s"),
+          when(col("p_us").isNull, lit(null).cast("string"))
+            .when(col("p_us") <= col("us"), lit("prev"))
+            .otherwise(lit("next")).as("dir"))
+        .orderBy(col("event_id"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    // the stored search must equal the inline composition EXACTLY, so
+    // the oracle is the sim_ivf_pq_search text itself — one source of
+    // truth, zero drift between the twins
+    "sim_ivf_pq_store" -> SimMm.oracle("sim_ivf_pq_search"),
+
+    // the oracles state the as-of semantics DIRECTLY as a pair join +
+    // per-left argmin (no window tricks): candidate fan-out is per-user
+    // errors×purchases — fine at oracle scale, and exactly the explosion
+    // the native single-pass merge avoids
+    "q_asof_forward_native" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'),
+        |e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us,
+        |    min(event_id) AS next_err_id
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+        |  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, e.next_err_id, e.e_us, p.us,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY e.e_us) AS rn
+        |  FROM p LEFT JOIN e
+        |    ON e.user_id = p.user_id AND e.e_us >= p.us)
+        |SELECT event_id, user_id, next_err_id,
+        |  CAST((e_us - us) // 1000000 AS BIGINT) AS latency_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_asof_nearest_native" ->
+      """WITH er AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'error'),
+        |p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+        |    min(event_id) AS near_id
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |    AND value IS NOT NULL
+        |  GROUP BY user_id, epoch_us(CAST(ts AS TIMESTAMP))),
+        |j AS (
+        |  SELECT er.event_id, er.user_id, p.near_id, p.p_us, er.us,
+        |    row_number() OVER (PARTITION BY er.event_id
+        |      ORDER BY abs(p.p_us - er.us),
+        |        CASE WHEN p.p_us <= er.us THEN 0 ELSE 1 END) AS rn
+        |  FROM er LEFT JOIN p ON p.user_id = er.user_id)
+        |SELECT event_id, user_id, near_id,
+        |  CAST(abs(p_us - us) // 1000000 AS BIGINT) AS gap_s,
+        |  CASE WHEN p_us IS NULL THEN NULL
+        |       WHEN p_us <= us THEN 'prev' ELSE 'next' END AS dir
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+  )
+}

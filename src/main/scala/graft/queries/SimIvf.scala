@@ -24,12 +24,13 @@ object SimIvf {
     // blocks are gone (same discipline as TextDedup.pairIndexCache)
     cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cache.getOrElseUpdate((s, dir), {
-      val t = Similarity.ivfAutoTrain(
+      val t0 = Similarity.ivfAutoTrain(
         Tables.embeddings(s, dir), "vec_id", "embedding")
-      graft.Caches.pin(t.quant)
-      graft.Caches.pin(t.centArr)
-      graft.Caches.pin(t.assigned)
-      t
+      // shared() re-homes each frame under the configured checkpoint
+      // mode (no-op copy in the default local mode — already rooted)
+      t0.copy(quant = graft.Caches.shared(t0.quant),
+        centArr = graft.Caches.shared(t0.centArr),
+        assigned = graft.Caches.shared(t0.assigned))
     })
   }
 

@@ -40,7 +40,7 @@ object SimMm {
     knnEdgeCache.filterInPlace { case ((sess, _), _) =>
       !sess.sparkContext.isStopped }
     knnEdgeCache.getOrElseUpdate((s, dir),
-      graft.Caches.pin(buildMutualKnnEdges(s, dir).localCheckpoint(true)))
+      graft.Caches.shared(buildMutualKnnEdges(s, dir)))
   }
 
   /** Materialize the shared kNN edge frame (bench warmup). */

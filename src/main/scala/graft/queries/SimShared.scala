@@ -28,10 +28,9 @@ object SimShared {
     // blocks are gone (same discipline as TextDedup.pairIndexCache)
     cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cache.getOrElseUpdate((s, dir), {
-      graft.Caches.pin(Tables.embeddings(s, dir)
+      graft.Caches.shared(Tables.embeddings(s, dir)
         .select(col("vec_id"), Similarity.milliQuant(col("embedding")).as("mq"))
-        .withColumn("nsq", Similarity.normSqMilli(col("mq")))
-        .localCheckpoint(true))
+        .withColumn("nsq", Similarity.normSqMilli(col("mq"))))
     })
   }
 

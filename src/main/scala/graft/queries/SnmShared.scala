@@ -21,9 +21,8 @@ object SnmShared {
   private[graft] def pairs4(s: SparkSession, dir: String): DataFrame = {
     cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cache.getOrElseUpdate((s, dir), {
-      graft.Caches.pin(graft.ops.Dedup.snmPairsDist(
-          Tables.documents(s, dir), "doc_id", "text", 3, 4)
-        .localCheckpoint(true))
+      graft.Caches.shared(graft.ops.Dedup.snmPairsDist(
+          Tables.documents(s, dir), "doc_id", "text", 3, 4))
     })
   }
 

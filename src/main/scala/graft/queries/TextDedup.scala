@@ -27,7 +27,7 @@ object TextDedup {
     pairIndexCache.filterInPlace { case ((sess, _), _) =>
       !sess.sparkContext.isStopped }
     pairIndexCache.getOrElseUpdate((s, dir),
-      graft.Caches.pin(
+      graft.Caches.shared(
         Dedup.pairIndex(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)))
   }
 

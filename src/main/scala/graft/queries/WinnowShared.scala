@@ -48,7 +48,7 @@ object WinnowShared {
           size(col("wins")).cast("long").as("nw"),
           size(array_distinct(col("wins"))).cast("long").as("nf"),
           array_distinct(col("wins")).as("fps"))
-      graft.Caches.pin(base.localCheckpoint(true))
+      graft.Caches.shared(base)
     })
   }
 
@@ -80,7 +80,7 @@ object WinnowShared {
         .where(col("a") < col("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
         .where(col("shared") >= 2)
-      graft.Caches.pin(pairs.localCheckpoint(true))
+      graft.Caches.shared(pairs)
     })
   }
 

@@ -48,7 +48,8 @@ import graft.etl.{Cron, Runner}
   */
 class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
                 historyPath: Option[String] = None,
-                requestedPort: Int = 0) {
+                requestedPort: Int = 0,
+                bindAddress: String = "127.0.0.1") {
 
   private val iso = DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
@@ -68,15 +69,26 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+  private val heartbeat = new AtomicReference[Option[Thread]](None)
 
-  /** Bind and start; returns the bound port (pass 0 to pick a free one). */
+  /** Bind and start; returns the bound port (pass 0 to pick a free one).
+    * Binds LOOPBACK by default: the shell is a control plane that can
+    * start/stop pipeline runs and clear logs, so exposing it beyond the
+    * host is an explicit caller decision (`bindAddress = "0.0.0.0"`) —
+    * the reference's open `app.listen(port)` is not inherited. */
   def start(): Int = {
-    server = HttpServer.create(new InetSocketAddress(requestedPort), 0)
+    server = HttpServer.create(new InetSocketAddress(
+      java.net.InetAddress.getByName(bindAddress), requestedPort), 0)
+    // exact-path dispatch: the JDK context matches by PREFIX, so without
+    // the path guards any POST /api/start-etl-anything would silently
+    // trigger a run instead of 404ing
     server.createContext("/api/start-etl", ex => route(ex) {
       case "POST" if ex.getRequestURI.getPath == "/api/start-etl" =>
         startScheduler(new String(
           ex.getRequestBody.readAllBytes(), UTF_8))
-      case "POST" => forceRun() // /api/start-etl-force shares the prefix
+      case "POST" if ex.getRequestURI.getPath == "/api/start-etl-force" =>
+        forceRun()
+      case "POST" => (404, obj("message" -> quote("not found")))
       case _ => (405, obj("message" -> quote("method not allowed")))
     })
     server.createContext("/api/stop-etl", ex => route(ex) {
@@ -92,11 +104,19 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
       case _ => (405, obj("message" -> quote("method not allowed")))
     })
     server.createContext("/api/logs", ex =>
-      if (ex.getRequestURI.getPath == "/api/logs/stream") sse(ex)
-      else route(ex) {
-        case "GET" => logsPage()
-        case "DELETE" => clearLogs()
-        case _ => (405, obj("message" -> quote("method not allowed")))
+      ex.getRequestURI.getPath match {
+        case "/api/logs/stream" if ex.getRequestMethod == "GET" => sse(ex)
+        case "/api/logs/stream" => route(ex) {
+          case _ => (405, obj("message" -> quote("method not allowed")))
+        }
+        case "/api/logs" => route(ex) {
+          case "GET" => logsPage()
+          case "DELETE" => clearLogs()
+          case _ => (405, obj("message" -> quote("method not allowed")))
+        }
+        case _ => route(ex) {
+          case _ => (404, obj("message" -> quote("not found")))
+        }
       })
     // a small worker pool: SSE clients hold their handler thread for the
     // lifetime of the connection, so the control endpoints need their
@@ -111,11 +131,28 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
     })
     server.setExecutor(pool)
     server.start()
+    // SSE heartbeat: a periodic comment line per attached client. Dead
+    // connections are only ever detected by a failed write, so without
+    // the heartbeat a vanished client lingers in sseClients until the
+    // next real event; with it, reaping is bounded by the ping period.
+    val hb = new Thread(() => {
+      try while (server != null) {
+        Thread.sleep(15000)
+        sseClients.forEach { out =>
+          try { out.write(":ping\n\n".getBytes(UTF_8)); out.flush() }
+          catch { case _: Throwable => sseClients.remove(out); () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, "graft-http-sse-heartbeat")
+    hb.setDaemon(true)
+    heartbeat.set(Some(hb))
+    hb.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = {
     stopScheduler()
+    heartbeat.getAndSet(None).foreach(_.interrupt())
     sseClients.forEach(out => try out.close() catch { case _: Throwable => () })
     sseClients.clear()
     if (server != null) server.stop(0)
@@ -124,13 +161,15 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
 
   // --- endpoint bodies ----------------------------------------------------
 
+  private def alreadyRunning(): (Int, String) =
+    (400, obj(
+      "message" -> quote("ETL scheduler is already running"),
+      "currentSchedule" -> schedule.get().map(quote).getOrElse("null"),
+      "startTime" -> startedAt.get().map(t => quote(iso.format(t)))
+        .getOrElse("null")))
+
   private def startScheduler(body: String): (Int, String) = {
-    if (running.get())
-      return (400, obj(
-        "message" -> quote("ETL scheduler is already running"),
-        "currentSchedule" -> schedule.get().map(quote).getOrElse("null"),
-        "startTime" -> startedAt.get().map(t => quote(iso.format(t)))
-          .getOrElse("null")))
+    if (running.get()) return alreadyRunning()
     // minimal {"schedule": "..."} body parse (the only field the
     // reference reads, index.js:65); absent → the reference's default
     val pat = """"schedule"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
@@ -142,8 +181,11 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
           "error" -> quote(err),
           "validExample" -> quote("* * * * * (every minute)")))
       case Right(cron) =>
+        // CAS is the real guard: two concurrent POSTs both passing the
+        // fast-path check above must not start two cron threads (the
+        // first would become untracked and uninterruptible)
+        if (!running.compareAndSet(false, true)) return alreadyRunning()
         Runner.clearStop()
-        running.set(true)
         schedule.set(Some(cronExpr))
         startedAt.set(Some(LocalDateTime.now()))
         val t = new Thread(() => {
@@ -168,12 +210,12 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
   }
 
   private def forceRun(): (Int, String) = {
-    if (running.get())
+    // CAS guard: concurrent POSTs must not double-run the pipeline
+    if (!running.compareAndSet(false, true))
       return (400, obj("message" -> quote(
         "ETL process is already running. Stop the scheduler first or " +
           "wait for it to complete."),
         "currentSchedule" -> schedule.get().map(quote).getOrElse("null")))
-    running.set(true)
     try {
       Runner.clearStop()
       log("Starting forced ETL process")
@@ -307,8 +349,12 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
       }
     }
 
-  /** SSE attach: chunked response held open; the handler thread parks
-    * until the client closes (reads return -1) or the server stops. */
+  /** SSE attach: chunked response left OPEN on handler return (the
+    * exchange is never closed here, which is what keeps the stream
+    * alive — for a bodiless GET the request-body read below returns -1
+    * immediately, it does NOT park). Later events arrive via
+    * [[broadcast]]; disconnected clients are reaped when a broadcast
+    * or the periodic heartbeat write to them fails. */
   private def sse(ex: HttpExchange): Unit = {
     ex.getResponseHeaders.set("Content-Type", "text/event-stream")
     ex.getResponseHeaders.set("Cache-Control", "no-cache")
@@ -319,7 +365,7 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
       .getBytes(UTF_8))
     out.flush()
     sseClients.add(out)
-    // park until the client disconnects; events arrive via broadcast()
+    // drain whatever request body exists (none for a GET: returns -1)
     try { ex.getRequestBody.read(); () }
     catch { case _: Throwable => () }
   }
