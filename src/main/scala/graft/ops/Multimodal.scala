@@ -147,6 +147,89 @@ object Multimodal {
       leHex4(lit(40L)),                   // BITMAPINFOHEADER size
       leHex4(w), leHex4(h))
 
+  // ---- PNG geometry (public layout, round 17) -------------------------
+  // 8-byte signature 89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk:
+  // 4-byte BIG-endian length (13), 'IHDR' at bytes 12-15, u32-BE width
+  // at byte offset 16, u32-BE height at offset 20. Pure byte slicing
+  // like the BMP path — no codec library anywhere.
+
+  /** Unsigned 32-bit BIG-endian int at 0-based byte offset `off` — PNG
+    * chunk fields are network order, no byte swap needed. */
+  def beU32(hexs: Column, off: Int): Column =
+    conv(substring(hexs, 2 * off + 1, 8), 16, 10).cast("long")
+
+  private val PngMagicHex = "89504e470d0a1a0a"
+
+  /** The 8-byte PNG signature at byte 0. */
+  def pngMagic(hexs: Column): Column =
+    substring(hexs, 1, 16) === lit(PngMagicHex)
+
+  /** Signature AND enough bytes for the IHDR geometry (through the
+    * height u32 at 20..23 = 24 bytes = 48 hex chars) AND the chunk at
+    * 12 really is IHDR — a signature-only prefix takes the opaque
+    * path, exactly like a truncated BMP. */
+  def pngParseable(hexs: Column): Column =
+    pngMagic(hexs) && length(hexs) >= lit(48) &&
+      substring(hexs, 25, 8) === lit("49484452") // 'IHDR'
+
+  /** PNG pixel width/height — u32-BE; the spec caps them at 2³¹−1 so
+    * the unsigned read is exact. */
+  def pngWidth(hexs: Column): Column = beU32(hexs, 16)
+  def pngHeight(hexs: Column): Column = beU32(hexs, 20)
+
+  /** 4-byte big-endian lowercase hex of a non-negative int. */
+  def beHex4(v: Column): Column = lpad(lower(hex(v)), 8, "0")
+
+  /** A real PNG file prefix (hex) for the given geometry: signature +
+    * IHDR length 13 + 'IHDR' + width + height + bit depth 8, color
+    * type 2 (truecolor), compression/filter/interlace 0 — the byte
+    * layout of an actual .png through the interlace flag, so
+    * [[pngWidth]]/[[pngHeight]] read synthesized and genuine files
+    * alike (spec-pinned against a hand-assembled real header). */
+  def pngHeaderHex(w: Column, h: Column): Column =
+    concat(lit(PngMagicHex),
+      lit("0000000d"),  // IHDR data length 13, BE
+      lit("49484452"),  // 'IHDR'
+      beHex4(w), beHex4(h),
+      lit("0802000000")) // depth 8, truecolor, deflate, filter 0, no interlace
+
+  // ---- GIF geometry (public layout, round 17) -------------------------
+  // 'GIF87a' or 'GIF89a' at byte 0, then the logical screen descriptor:
+  // u16 LITTLE-endian width at byte offset 6, height at offset 8.
+
+  /** Unsigned 16-bit little-endian int at 0-based byte offset `off`. */
+  def leU16(hexs: Column, off: Int): Column = {
+    val p = 2 * off + 1
+    conv(concat(substring(hexs, p + 2, 2), substring(hexs, p, 2)), 16, 10)
+      .cast("long")
+  }
+
+  /** 'GIF87a' / 'GIF89a' at byte 0. */
+  def gifMagic(hexs: Column): Column =
+    substring(hexs, 1, 8) === lit("47494638") &&
+      substring(hexs, 9, 4).isin("3761", "3961") // '7a' | '9a'
+
+  /** Magic AND the full 13-byte logical screen descriptor header
+    * region (header 6 + LSD 7 = 13 bytes = 26 hex chars). */
+  def gifParseable(hexs: Column): Column =
+    gifMagic(hexs) && length(hexs) >= lit(26)
+
+  /** GIF logical-screen width/height — u16-LE at offsets 6/8. */
+  def gifWidth(hexs: Column): Column = leU16(hexs, 6)
+  def gifHeight(hexs: Column): Column = leU16(hexs, 8)
+
+  /** 2-byte little-endian lowercase hex of an int in [0, 65535]. */
+  def leHex2(v: Column): Column = {
+    val be = lpad(lower(hex(v)), 4, "0")
+    concat(substring(be, 3, 2), substring(be, 1, 2))
+  }
+
+  /** A real GIF89a file prefix (hex): magic + LE screen size + GCT
+    * flags f7 (global table, 8-bit) + background 0 + aspect 0 — the
+    * complete 13-byte header of an actual .gif. */
+  def gifHeaderHex(w: Column, h: Column): Column =
+    concat(lit("474946383961"), leHex2(w), leHex2(h), lit("f70000"))
+
   /** Explode a document into sampled chunk rows (every `stride`-th chunk),
     * md5-fingerprinting each chunk — the "frame sampling" shape: one narrow
     * explode, no shuffle until the caller aggregates. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IvfIndex, Similarity}
+import graft.ops.{IvfIndex, Similarity, Multimodal => MM}
 import graft.sources.Tables
 
 /** Round-17 registry: the PQ-coded PERSISTED ANN store inside the
@@ -24,7 +24,60 @@ import graft.sources.Tables
   */
 object Round17 {
 
+  // container-synthesis inputs shared with the Round13 BMP trio: the
+  // image-class slice (text starting a-f) gets a REAL header for the
+  // entry's format, everything else an unmagiced digest blob
+  private def wSyn = lit(16L) + pmod(col("n_chars"), lit(640L))
+  private def hSyn = lit(16L) + pmod(col("n_chars") * 7L, lit(480L))
+  private def isImg = substring(col("text"), 1, 1).between("a", "f")
+
+  /** Band rollup over magic-parsed dims — the mm_resolution_bands_bmp
+    * shape, parameterized by the format's (parseable, width, height)
+    * expression triple over the payload hex. */
+  private def bandsOver(docs: org.apache.spark.sql.DataFrame,
+                        headerHex: org.apache.spark.sql.Column,
+                        parseable: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        width: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                        height: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    val stub = MM.fakeDims("text")
+    val withP = docs.withColumn("payload",
+      unhex(when(isImg, headerHex)
+        .otherwise(concat(lit("0000"), md5(col("text"))))))
+    val hx = MM.payloadHex(col("payload"))
+    withP
+      .withColumn("w", when(parseable(hx), width(hx))
+        .otherwise(stub._1.cast("long")))
+      .withColumn("h", when(parseable(hx), height(hx))
+        .otherwise(stub._2.cast("long")))
+      .withColumn("parsed", parseable(hx).cast("long"))
+      .withColumn("band", idiv(col("w") * col("h"), lit(8192L)))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("parsed")).as("n_parsed"),
+        sum((col("w") > col("h")).cast("long")).as("n_wide"),
+        sum((col("w") < col("h")).cast("long")).as("n_tall"),
+        min(col("w") * col("h")).as("area_min"),
+        max(col("w") * col("h")).as("area_max"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
+
+    // Resolution bands where the image slice's geometry comes out of a
+    // real PNG IHDR (u32 big-endian at offsets 16/20 behind the 8-byte
+    // signature) — the Round13 BMP audit extended to the second major
+    // container; opaque formats keep the deterministic stub. Pure
+    // per-row codegen'd hex slicing, one bounded rollup.
+    "mm_resolution_bands_png" -> ((s, dir) =>
+      bandsOver(Tables.documents(s, dir), MM.pngHeaderHex(wSyn, hSyn),
+        MM.pngParseable, MM.pngWidth, MM.pngHeight)),
+
+    // Same audit over the GIF logical screen descriptor (u16
+    // little-endian at offsets 6/8 behind 'GIF89a') — the third
+    // container magic, completing the BMP/PNG/GIF dispatch family.
+    "mm_resolution_bands_gif" -> ((s, dir) =>
+      bandsOver(Tables.documents(s, dir), MM.gifHeaderHex(wSyn, hSyn),
+        MM.gifParseable, MM.gifWidth, MM.gifHeight)),
 
     // PQ-coded persisted ANN store: build (quantized corpus keyed by
     // cell + codebook + per-vector codes keyed by cell), then serve the
@@ -112,7 +165,72 @@ object Round17 {
     }),
   )
 
+  // DuckDB synthesis/parse CTE builders for the PNG/GIF band oracles —
+  // the Round13 decodeCtes pattern with the format swapped out
+  private def bandSelect =
+    """SELECT CAST(w * h // 8192 AS BIGINT) AS band, count(*) AS n_docs,
+      |  CAST(sum(parsed) AS BIGINT) AS n_parsed,
+      |  CAST(sum(CASE WHEN w > h THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
+      |  CAST(sum(CASE WHEN w < h THEN 1 ELSE 0 END) AS BIGINT) AS n_tall,
+      |  min(w * h) AS area_min, max(w * h) AS area_max
+      |FROM g GROUP BY 1 ORDER BY band""".stripMargin
+
+  private def synthCte(headerSql: String) =
+    s"""d AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN substring(text,1,1) BETWEEN 'a' AND 'f'
+       |      THEN 1 ELSE 0 END AS isb,
+       |    16 + (n_chars % 640) AS ws,
+       |    16 + ((n_chars * 7) % 480) AS hs
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN isb = 1 THEN $headerSql
+       |    ELSE '0000' || md5(text) END AS hx
+       |  FROM d)""".stripMargin
+
+  private def parseCte(okSql: String, wSql: String, hSql: String) =
+    s"""g AS (
+       |  SELECT
+       |    CASE WHEN $okSql THEN $wSql
+       |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),1,1))
+       |        * 16 AS BIGINT) END AS w,
+       |    CASE WHEN $okSql THEN $hSql
+       |      ELSE CAST(strpos('0123456789abcdef', substring(md5(text),2,1))
+       |        * 16 AS BIGINT) END AS h,
+       |    CASE WHEN $okSql THEN 1 ELSE 0 END AS parsed
+       |  FROM p)""".stripMargin
+
+  private val pngOk =
+    "substring(hx,1,16) = '89504e470d0a1a0a' AND length(hx) >= 48 " +
+      "AND substring(hx,25,8) = '49484452'"
+  private val gifOk =
+    "substring(hx,1,8) = '47494638' AND substring(hx,9,4) IN " +
+      "('3761','3961') AND length(hx) >= 26"
+
   val oracle: Map[String, String] = Map(
+
+    "mm_resolution_bands_png" ->
+      s"""WITH ${synthCte(
+            "'89504e470d0a1a0a' || '0000000d' || '49484452' || " +
+              "lpad(lower(to_hex(ws)), 8, '0') || " +
+              "lpad(lower(to_hex(hs)), 8, '0') || '0802000000'")},
+         |${parseCte(pngOk,
+            "CAST(('0x' || substring(hx,33,8)) AS BIGINT)",
+            "CAST(('0x' || substring(hx,41,8)) AS BIGINT)")}
+         |$bandSelect""".stripMargin,
+
+    "mm_resolution_bands_gif" ->
+      s"""WITH ${synthCte(
+            "'474946383961' || " +
+              "substring(lpad(lower(to_hex(ws)),4,'0'),3,2) || " +
+              "substring(lpad(lower(to_hex(ws)),4,'0'),1,2) || " +
+              "substring(lpad(lower(to_hex(hs)),4,'0'),3,2) || " +
+              "substring(lpad(lower(to_hex(hs)),4,'0'),1,2) || 'f70000'")},
+         |${parseCte(gifOk,
+            "CAST(('0x' || substring(hx,15,2) || substring(hx,13,2)) AS BIGINT)",
+            "CAST(('0x' || substring(hx,19,2) || substring(hx,17,2)) AS BIGINT)")}
+         |$bandSelect""".stripMargin,
     // the stored search must equal the inline composition EXACTLY, so
     // the oracle is the sim_ivf_pq_search text itself — one source of
     // truth, zero drift between the twins
