@@ -81,4 +81,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"need >=80 SQL-surface shapes green, got ${matched.size} " +
         s"(${matched.mkString(",")}); unparsed: $failedParse")
   }
+
+  // --- the 27 strftime-dialect shapes, round 17 ------------------------
+  //
+  // The round-14 census left 27 §2 shapes whose oracle text parses on
+  // DuckDB only because of MECHANICALLY-translatable dialect: strftime
+  // with %-codes (→ date_format with Java patterns) and the `//`
+  // integer-division operator (→ infix `div`; both truncate toward
+  // zero on the non-negative operands these texts use, per the §6
+  // integer-division parity note). The map below is that translation —
+  // no semantic rewrites, so the committed DuckDB text stays the
+  // single source of truth and the Spark surface is derived from it.
+
+  private def sparkDialect(sql: String): String =
+    sql
+      .replace("strftime(", "date_format(")
+      .replace("'%Y-%m-%d %H:00'", "'yyyy-MM-dd HH:00'")
+      .replace("'%Y-%m-%d %H:00:00'", "'yyyy-MM-dd HH:00:00'")
+      .replace("'%Y-%m-%d %H:%M:%S'", "'yyyy-MM-dd HH:mm:ss'")
+      .replace("'%Y-%m-%d %H:%M'", "'yyyy-MM-dd HH:mm'")
+      .replace("'%Y-%m-%d %H'", "'yyyy-MM-dd HH'")
+      .replace("'%Y-%m-%d'", "'yyyy-MM-dd'")
+      .replace("'%Y-%m'", "'yyyy-MM'")
+      .replace(" // ", " div ")
+
+  private val translatedCandidates = Seq(
+    "etl_backfill_plan", "etl_clean_events", "etl_dedup_latest",
+    "etl_double_orders", "etl_erasure_audit", "etl_partition_stats",
+    "etl_scd2", "etl_scd2_asof", "etl_scd3", "etl_subject_access",
+    "etl_watermark", "events_burst", "events_control_chart",
+    "events_heavy_hitters", "events_retention", "events_sprt",
+    "events_time_rollup", "events_user_growth", "events_window_agg",
+    "q18_big_orders", "q3_join_agg", "q_backlog", "q_cohort_ltv",
+    "q_count_distinct_multi", "q_mode", "q_range_join", "q_topk")
+
+  test("the 27 strftime-dialect shapes run as spark.sql TEXT through " +
+      "the mechanical dialect map and match the DataFrame results") {
+    registerViews()
+    val results = translatedCandidates.map { q =>
+      val sqlText = sparkDialect(SparkEntry.oracleSql(q))
+      val viaSql =
+        try Right(norm(spark.sql(sqlText)))
+        catch { case e: Throwable => Left(s"$q: ${e.getMessage.linesIterator.next()}") }
+      q -> viaSql.map(s => s == norm(SparkEntry.queries(q)(spark, TestSpark.sf)))
+    }
+    val failedParse = results.collect { case (_, Left(m)) => m }
+    val mismatched = results.collect { case (q, Right(false)) => q }
+    assert(failedParse.isEmpty, s"translated texts must parse: $failedParse")
+    assert(mismatched.isEmpty,
+      s"translated SQL and DataFrame results diverge for: $mismatched")
+  }
 }
