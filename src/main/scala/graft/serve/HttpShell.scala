@@ -49,9 +49,17 @@ import graft.etl.{Cron, Runner}
 class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
                 historyPath: Option[String] = None,
                 requestedPort: Int = 0,
-                bindAddress: String = "127.0.0.1") {
+                bindAddress: String = "127.0.0.1",
+                logZone: Option[String] = None) {
 
   private val iso = DateTimeFormatter.ISO_LOCAL_DATE_TIME
+
+  /** Log-ring timestamp: UTC-naive ISO by default (the engine's
+    * UTC-everywhere convention); with `logZone` set (e.g.
+    * "Asia/Manila"), the reference logger's zone-offset shape
+    * `yyyy-MM-ddTHH:mm:ss.SSS+08:00` (utils/logger.js:23-43). */
+  private def stampNow(): String =
+    HttpShell.stamp(logZone, java.time.Instant.now())
 
   private val running = new AtomicBoolean(false)
   private val schedule = new AtomicReference[Option[String]](None)
@@ -333,7 +341,7 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
   }
 
   private def log(msg: String): Unit = {
-    val ts = iso.format(LocalDateTime.now())
+    val ts = stampNow()
     logRef.updateAndGet(l => ((ts, msg) :: l).take(LogLimit))
     broadcast("log",
       obj("timestamp" -> quote(ts), "message" -> quote(msg)))
@@ -390,5 +398,21 @@ class HttpShell(spark: SparkSession, stages: Seq[Runner.Stage],
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val out = ex.getResponseBody
     try { out.write(bytes); out.flush() } finally out.close()
+  }
+}
+
+object HttpShell {
+  /** Render `now` for the log ring: no zone → UTC-naive ISO (engine
+    * convention); with a zone id → the reference logger's millisecond
+    * ISO-8601-with-offset shape, e.g. Asia/Manila →
+    * `2026-08-17T06:15:42.123+08:00` (utils/logger.js getPHTTimestamp). */
+  private[serve] def stamp(zone: Option[String],
+                           now: java.time.Instant): String = zone match {
+    case Some(z) =>
+      java.time.ZonedDateTime.ofInstant(now, java.time.ZoneId.of(z))
+        .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxxx"))
+    case None =>
+      DateTimeFormatter.ISO_LOCAL_DATE_TIME.format(
+        LocalDateTime.ofInstant(now, java.time.ZoneOffset.UTC))
   }
 }

@@ -32,6 +32,42 @@ import org.apache.spark.sql.types._
   */
 object Jdbc {
 
+  /** Env-driven pool config ≡ the reference's config/db.js loader: the
+    * `SOURCE_`/`TARGET_`-prefixed variable family (<P>DB_HOST /
+    * <P>DB_USER / <P>DB_PASSWORD / <P>DB_NAME) becomes a MySQL JDBC
+    * url + option map carrying the same fixed pool settings the
+    * reference hardcodes (connectionLimit 10 → the numPartitions cap
+    * for [[readPartitioned]]/[[upsert]], connectTimeout 10000 ms,
+    * utf8mb4). Credentials stay OUT of the url (option map / connection
+    * properties), so they never land in plans or logs. */
+  final case class EnvPool(url: String, user: Option[String],
+                           password: Option[String],
+                           connectionLimit: Int = 10,
+                           connectTimeoutMs: Int = 10000) {
+    /** Options for `spark.read.format("jdbc").options(...)`. */
+    def options: Map[String, String] =
+      Map("url" -> url, "connectTimeout" -> connectTimeoutMs.toString) ++
+        user.map("user" -> _) ++ password.map("password" -> _)
+  }
+
+  /** Load a pool from the environment; `prefix` is "SOURCE_" or
+    * "TARGET_" (config/db.js:5-19, 21-35). Missing host/name fail
+    * loudly with the exact variable names — the reference would pass
+    * `undefined` into the driver and fail later, opaquely. `env` is
+    * injectable for tests. */
+  def fromEnv(prefix: String,
+              env: Map[String, String] = sys.env): EnvPool = {
+    def req(k: String): String = env.getOrElse(prefix + k,
+      throw new IllegalArgumentException(
+        s"jdbc fromEnv: missing env var $prefix$k"))
+    val host = req("DB_HOST")
+    val db = req("DB_NAME")
+    EnvPool(
+      url = s"jdbc:mysql://$host/$db?characterEncoding=utf8mb4",
+      user = env.get(prefix + "DB_USER"),
+      password = env.get(prefix + "DB_PASSWORD"))
+  }
+
   /** Whole-table read with pushdown: `.where`/`.select` on the result
     * reach the remote engine (PushedFilters in the scan). */
   def read(spark: SparkSession, url: String, table: String): DataFrame =

@@ -178,4 +178,36 @@ class HttpShellSpec extends AnyFunSuite {
       sock.close()
     } finally shell.stop()
   }
+
+  test("exact-path routing: unknown start-etl-prefixed POSTs 404 " +
+      "instead of silently force-running; /api/logs/stream is GET-only") {
+    val shell = new HttpShell(spark, stages)
+    val port = shell.start()
+    try {
+      // the JDK context matches by prefix — these must NOT reach forceRun
+      assert(post(port, "/api/start-etl-anything").statusCode() == 404)
+      assert(post(port, "/api/start-etl-force-x").statusCode() == 404)
+      assert(get(port, "/api/logs/nonsense").statusCode() == 404)
+      assert(post(port, "/api/logs/stream").statusCode() == 405)
+      // and the real paths still work
+      assert(post(port, "/api/start-etl-force").statusCode() == 200)
+    } finally shell.stop()
+  }
+
+  test("log-ring timestamps: UTC-naive by default, the reference " +
+      "logger's +08:00 shape with logZone=Asia/Manila") {
+    // the pure formatter, pinned at a fixed instant
+    val t = java.time.Instant.parse("2026-08-16T22:15:42.123Z")
+    assert(HttpShell.stamp(None, t) == "2026-08-16T22:15:42.123")
+    assert(HttpShell.stamp(Some("Asia/Manila"), t) ==
+      "2026-08-17T06:15:42.123+08:00") // utils/logger.js getPHTTimestamp
+    // and end-to-end: a Manila-zone shell's logs page carries the offset
+    val shell = new HttpShell(spark, stages, logZone = Some("Asia/Manila"))
+    val port = shell.start()
+    try {
+      assert(post(port, "/api/start-etl-force").statusCode() == 200)
+      val logs = get(port, "/api/logs").body()
+      assert(logs.contains("+08:00"), logs.take(300))
+    } finally shell.stop()
+  }
 }
