@@ -112,6 +112,34 @@ object Round17 {
       IvfIndex.searchPqById(s, path, 0L, 10, 16, idCol = "vec_id")
     }),
 
+    // Two-tier IVFADC + refine IN the hash gate: the query's IVF cell
+    // bounds candidates, ADC over codes shortlists 40, and ONLY those
+    // 40 ids' full-precision vectors are re-scored by the exact
+    // integer cosine — the serving composition searchPqRerank runs
+    // against the store, here in its stateless oracle-checkable form.
+    // Raw-vector reads after the coarse+code tiers: O(shortlist).
+    "sim_ivf_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (seeds, codes) = PqShared.seedsCodes(s, dir)
+      val short = Similarity.ivfPqSearchWith(emb, "vec_id", "embedding",
+          0L, 40, 8, PqShared.Dim, PqShared.Subs, seeds, codes)
+        .select(col("vec_id"))
+        .localCheckpoint(true) // 40-row shortlist; feeds the refine semi-join
+      val m = SimShared.miln(s, dir)
+      val q = m.where(col("vec_id") === 0L)
+        .select(col("mq").as("qmq"), col("nsq").as("qnsq"))
+        .localCheckpoint(true) // 1-row quantized query
+      m.join(broadcast(short), Seq("vec_id"), "left_semi")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          Similarity.cosBp(
+            graft.functions.LongVectorFunctions.vecDotLong(
+              col("mq"), col("qmq")),
+            col("nsq"), col("qnsq")).as("cos_bp"))
+        .orderBy(col("cos_bp").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // FORWARD as-of, NATIVE (plans.AsOfJoin mode=Forward): for each
     // purchase, the user's next error at-or-after it — one shuffle+sort
     // per side and a single O(1)-state merge pass, no union
@@ -235,6 +263,36 @@ object Round17 {
     // the oracle is the sim_ivf_pq_search text itself — one source of
     // truth, zero drift between the twins
     "sim_ivf_pq_store" -> SimMm.oracle("sim_ivf_pq_search"),
+
+    // composed two-tier oracle: the sim_ivf_pq_search ADC chain LIMITed
+    // to the 40-row shortlist, then the exact milli-cosine re-rank —
+    // the same CTE fragments as the standalone twins, so the refine
+    // cannot drift from its parts
+    "sim_ivf_pq_rerank" ->
+      s"""WITH ${SimMm.milliNormCte},
+         |${SimMm.ivfCte},
+         |${SimMm.pqCte},
+         |cells AS (SELECT vec_id, seed_id AS cell FROM ass WHERE rn = 1),
+         |qc AS (SELECT cell FROM cells WHERE vec_id = 0),
+         |q AS (SELECT d, xq AS qx FROM comp WHERE vec_id = 0),
+         |lut AS (
+         |  SELECT w.code, CAST(w.d // 16 AS INTEGER) AS sub,
+         |    CAST(sum((q.qx - w.cq) * (q.qx - w.cq)) AS BIGINT) AS qd
+         |  FROM cw w JOIN q ON q.d = w.d
+         |  GROUP BY w.code, CAST(w.d // 16 AS INTEGER)),
+         |adc AS (
+         |  SELECT e.vid, CAST(sum(l.qd) AS BIGINT) AS adist
+         |  FROM enc e JOIN lut l ON e.code = l.code AND e.sub = l.sub
+         |  JOIN cells c ON c.vec_id = e.vid
+         |  JOIN qc ON c.cell = qc.cell
+         |  WHERE e.rn = 1 AND e.vid <> 0 GROUP BY e.vid),
+         |short AS (SELECT vid FROM adc ORDER BY adist, vid LIMIT 40),
+         |qm AS (SELECT mq AS qmq, nsq AS qnsq FROM miln WHERE vec_id = 0)
+         |SELECT m.vec_id,
+         |  ${SimMm.cosBpSql(SimMm.dotmSql("m.mq", "qmq"), "m.nsq", "qnsq")}
+         |    AS cos_bp
+         |FROM miln m JOIN short s ON s.vid = m.vec_id CROSS JOIN qm
+         |ORDER BY cos_bp DESC, m.vec_id LIMIT 10""".stripMargin,
 
     // the oracles state the as-of semantics DIRECTLY as a pair join +
     // per-left argmin (no window tricks): candidate fan-out is per-user

@@ -290,7 +290,11 @@ class PlanSpec extends AnyFunSuite {
     //  - sim_routing_margin: every vector vs the broadcast ≤4096-row
     //    trained centroid table (the sim_ivf_cells assignment shape —
     //    the same lloydRankedArr cross the probe-curve family rides)
-    "sim_routing_margin")
+    "sim_routing_margin",
+    //  - sim_ivf_pq_rerank: 1-row quantized-query broadcast under the
+    //    ≤40-row ADC-shortlist refine semi-join (the q_scalar_subquery
+    //    shape — raw rows after the coarse+code tiers are O(shortlist))
+    "sim_ivf_pq_rerank")
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"plan of $name has no cartesian product / stray nested-loop join") {

@@ -223,4 +223,40 @@ class IvfIndexPqSpec extends AnyFunSuite {
       Seq(900001L).toDF("vec_id"), "vec_id", 16) == 0L)
     deleteRec(root)
   }
+
+  test("append-churn maintenance: compaction over BOTH tiers leaves " +
+      "ADC search row-identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pqcmp").toString
+    val t = Similarity.ivfAutoTrain(emb, "vec_id", "embedding")
+    IvfIndex.buildPq(spark, t, s"$root/idx", codebook = PqShared.Codebook,
+      subs = PqShared.Subs, dim = PqShared.Dim, numBuckets = 16)
+    // 4 small appends accrete ~1 file per touched bucket each (the
+    // production ingest cadence)
+    (0 until 4).foreach { i =>
+      val b = emb.where(pmod(col("vec_id"), lit(31L)) === i.toLong)
+        .select((col("vec_id") + 1000000L * (i + 1)).as("vec_id"),
+          col("embedding"))
+      IvfIndex.appendPq(spark, b, "vec_id", "embedding", s"$root/idx", 16)
+    }
+    val qv = emb.where(col("vec_id") === 2L)
+      .select(col("embedding")).head.getSeq[Float](0)
+    def top(): Seq[(Long, Long)] =
+      IvfIndex.searchPqAdc(spark, s"$root/idx", qv, 10, nprobe = 2,
+          numBuckets = 16, excludeId = Some(2L))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pre = top()
+    for (tier <- Seq("vectors", "pq_codes")) {
+      val before = graft.sinks.Compaction
+        .partitionStats(spark, s"$root/idx/$tier").map(_.nFiles.toLong).sum
+      graft.sinks.Compaction.compact(spark, s"$root/idx/$tier",
+        targetBytes = 64L * 1024 * 1024)
+      val after = graft.sinks.Compaction
+        .partitionStats(spark, s"$root/idx/$tier").map(_.nFiles.toLong).sum
+      assert(after < before,
+        s"$tier: compaction must merge the churn files ($before -> $after)")
+    }
+    assert(top() == pre, "ADC search identical through compaction")
+    deleteRec(root)
+  }
 }
