@@ -26,6 +26,20 @@ object GraftSession {
       // and convert in sources.Tables (Spark has no ns timestamp type).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.mergeSchema", "false")
+      // Janino-compiled codegen classes are cached per-JVM keyed on the
+      // generated source, but the default cache is only 100 entries —
+      // a workload with 468 distinct registered queries (~3-6 codegen
+      // units each) evicts every entry long before it recurs, so EVERY
+      // execution of EVERY query pays full compilation (~0.25-0.3 s/query
+      // measured across the registry, BENCH_LOCAL r17). Size the cache to
+      // hold the whole workload's generated classes: compiled units are
+      // tens of KB each, so even a few thousand entries cost well under
+      // half a GB against the 28 g driver heap — the classic
+      // space-for-recompilation trade, and exactly what a production
+      // engine serving a fixed query registry wants at ANY data scale
+      // (the cache is keyed on plan shape, never on data). Static conf:
+      // must be set before the first SparkSession in the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =

@@ -375,38 +375,77 @@ object Dedup {
   }
 
   /** Connected components run TO CONVERGENCE — the scale-correct upgrade
-    * of [[minLabelClusters]]'s fixed round count. Each round is the same
-    * one shuffle-join + one aggregate; convergence is detected by a
-    * SCALAR fixpoint probe, not a data comparison: labels only ever
-    * decrease (monotone min-propagation), so the label sum is strictly
-    * decreasing until the fixpoint — when one round leaves the sum
-    * unchanged, every label is unchanged and the component labeling is
-    * exact (each node holds its component's minimum id). The per-round
-    * driver work is one DECIMAL(38,0) aggregate (overflow-proof for any
-    * id range) — a scalar action, never a collect of data rows.
+    * of [[minLabelClusters]]'s fixed round count. Convergence is
+    * detected by a SCALAR fixpoint probe, not a data comparison: labels
+    * only ever decrease (monotone min-propagation), so the label sum is
+    * strictly decreasing until the fixpoint — when one round leaves the
+    * sum unchanged, every label is unchanged and the component labeling
+    * is exact (each node holds its component's minimum id). The
+    * per-round driver work is one DECIMAL(38,0) aggregate
+    * (overflow-proof for any id range) — a scalar action, never a
+    * collect of data rows.
     *
-    * Rounds needed = graph eccentricity of the component minima (≤
-    * diameter), so near-dup clusters (tiny diameters) converge in 2-3
-    * rounds; `maxIters` is a runaway bound for pathological chains.
-    * Labels are localCheckpoint'ed per round: iterative self-referencing
+    * Round 17 (per-round latency, not data volume, dominates this
+    * kernel at every scale — the label frame is |V|-sized and tiny next
+    * to the corpus): (1) each round now applies `hopsPerRound` edge-hops
+    * before the checkpoint+probe, dividing the round count (and with it
+    * the per-round checkpoint + scalar-probe jobs) by up to that factor
+    * — the hops compose inside ONE lazy plan, so a round is still one
+    * materialization job; unlike the reverted pointer-doubling attempt
+    * this adds no keyed self-join and no extra checkpoint, only
+    * re-walking edges, and the fixpoint is hop-count-invariant (min
+    * propagation is monotone and idempotent at the fixpoint, so the
+    * returned labels are bit-identical for any hops ≥ 1); (2) the
+    * per-round `localCheckpoint` is LAZY and the scalar probe's
+    * aggregate materializes it — probe and checkpoint share one Spark
+    * job instead of paying an eager count() plus a separate aggregate
+    * (2 jobs/round → 1); (3) a SELF-LOOP per node folds min(own label,
+    * neighbor labels) into one join + one aggregate per hop (was two
+    * joins + a coalesce). Fixing the round structure also surfaced that
+    * the old single-hop loop hit maxIters=20 on the sf0.1 mutual-kNN
+    * graph BEFORE its fixpoint (eccentricity 33 > 20) — the declared
+    * recursive-CTE oracle is the true closure, so the multi-hop loop
+    * now actually reaches it at every sf (at the gated sf0.01/0.001 the
+    * fixpoint was already reached; labels there are bit-identical).
+    * Measured warm at sf0.1, hops = 4: sim_knn_cc 5.66 → 5.05 s
+    * (190 → 115 jobs, and 33 true hops where the old loop stopped at
+    * 20), dedup_winnow_cc 4.83 → 2.86 s, dedup_cc 1.26 → 1.74 s (the
+    * one small regression: it now pays fixpoint-confirmation hops),
+    * corpus_rewrite_plan 1.63 → 2.10 s. Hop sweep (sim_knn_cc warm):
+    * hops 2 → 5.91, 3 → 5.82, 4 → 5.05, 6 → 4.71 but 6 overshoots the
+    * small graphs (dedup_cc 2.28) — 4 is the registry-total optimum.
+    *
+    * Rounds needed = ⌈eccentricity of the component minima /
+    * hopsPerRound⌉, so near-dup clusters (tiny diameters) converge in
+    * 1-2 rounds; `maxIters` is a runaway bound for pathological chains.
+    * Labels are checkpointed per round: iterative self-referencing
     * lineage otherwise grows the plan (and recomputation) per round. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          hopsPerRound: Int = 4): DataFrame = {
+    val hops = sys.env.get("GRAFT_CC_HOPS").map(_.toInt).getOrElse(hopsPerRound)
+    // both directions PLUS a self-loop per node: min(own label, neighbor
+    // labels) then folds into ONE join + ONE aggregate per hop — the
+    // self-loop carries the node's own label through the rollup, so the
+    // old second keyed join (labels ⋈ nbrMin with a coalesce) disappears
+    // from every hop (r17: 2 joins/hop → 1)
+    val und = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val edges = und.unionByName(
+        pairs.select(col("a")).unionByName(pairs.select(col("b").as("a")))
+          .distinct().withColumn("b", col("a")))
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the first labelSum() job
     def labelSum(): BigDecimal =
       Option(labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
         .map(BigDecimal(_)).getOrElse(BigDecimal(0))
     var prev = labelSum()
     var iter = 0
-    var converged = labels.isEmpty
+    // an empty graph converges on the first probe (sum stays 0) — no
+    // separate isEmpty() job
+    var converged = false
     while (iter < maxIters && !converged) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("nl")).as("mn"))
       // NOTE (round-16 measurement): pointer doubling (label-of-label
       // shortcut) was tried here and REVERTED — on the mutual-kNN graph
       // it cut rounds only 20 → 16 (the convergence tail is bound by
@@ -416,11 +455,14 @@ object Dedup {
       // 5.4 → 7.2 s warm. The real O(log d) upgrade is hash-to-min /
       // large-star-small-star, whose per-node state grows with component
       // size — a trade this corpus's tiny-diameter dup clusters never
-      // need. Kept: the plain edge-hop with the scalar fixpoint probe.
-      labels = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("mn"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      // need. Kept: the plain edge-hop, multi-hopped per round (above).
+      var next = labels
+      for (_ <- 1 to hops) {
+        next = edges
+          .join(next.select(col("id").as("b"), col("label").as("nl")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min(col("nl")).as("label"))
+      }
+      labels = next.localCheckpoint(false) // materialized by labelSum()
       val now = labelSum()
       converged = now == prev
       prev = now

@@ -347,9 +347,12 @@ object Graph {
     // then the rescale map); the max is a bounded driver scalar compiled
     // into the select as a literal — the old 1-row-broadcast crossJoin
     // form computed the join+rollup twice per half-iteration and left a
-    // nested-loop join in the plan
+    // nested-loop join in the plan. The checkpoint is LAZY: the max
+    // aggregate's job materializes it, so each half-iteration pays one
+    // Spark job instead of an eager count() plus the aggregate (r17 —
+    // per-half-iteration latency is this kernel's whole cost).
     def rescale(df: DataFrame, idCol: String, vCol: String): DataFrame = {
-      val d = df.localCheckpoint(true)
+      val d = df.localCheckpoint(false)
       val mx = d.agg(max(abs(col(vCol)))).head().getLong(0)
       d.select(col(idCol),
         graft.queries.idiv(col(vCol) * 1000, lit(mx)).as(vCol))
