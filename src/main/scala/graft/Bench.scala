@@ -81,6 +81,10 @@ object Bench {
     // dedup_winnow_pairs + text_template_fps — see WinnowShared)
     try graft.queries.WinnowShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared MinHash-LSH signature + candidate-pair frames (the k=8
+    // banding family — see LshShared)
+    try graft.queries.LshShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
 
     // per-query Spark-job counter (same structural signal BenchCheck
     // gates; recorded here so the driver artifact carries it too)

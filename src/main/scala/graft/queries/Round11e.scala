@@ -88,9 +88,10 @@ object Round11e {
     // sides are the SHARED kernels (lshCandidatePairs / sharedPairs05),
     // so the audit measures the deployed pipelines, not replicas.
     "dedup_pr_audit" -> ((s, dir) => {
-      val cand = Dedup.lshCandidatePairs(
-          Tables.documents(s, dir), "doc_id", "text", 8, 4)
-        .select(col("a"), col("b")).distinct().localCheckpoint(true)
+      // the shared pair frame is already materialized + distinct by
+      // construction (first-matching-band emission); consumers reference
+      // its pinned blocks directly — no per-entry re-checkpoint
+      val cand = LshShared.pairs84(s, dir).select(col("a"), col("b"))
       val truth = TextDedup.sharedPairs05(s, dir).select(col("a"), col("b"))
       val tp = cand.join(truth, Seq("a", "b"), "left_semi")
         .agg(count(lit(1)).as("tp"))

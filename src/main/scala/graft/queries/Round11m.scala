@@ -27,15 +27,15 @@ object Round11m {
     // pair-driven; the byte values are projected ONCE per doc (§6 HOF
     // rule) before any pair join.
     "dedup_bbit_sweep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sigs = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
+      // the b-bit view derives from the SHARED signature frame
+      // (LshShared.sigs8 — pinned, materialized once per session); the
+      // 8-slot transform re-runs per join side but reads checkpointed
+      // blocks, so the k-seed corpus fold itself never re-executes
+      val sigs = LshShared.sigs8(s, dir)
         .withColumn("bv", expr("transform(sig, x -> " +
           "cast(conv(substring(x, 31, 2), 16, 10) as bigint))"))
-        .localCheckpoint(true)
-      val toksets = docs.select(col("doc_id").as("doc"),
-        array_distinct(TA.tokens(col("text"))).as("ts"))
-        .localCheckpoint(true)
-      val pairs = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+      val toksets = LshShared.toksets(s, dir)
+      val pairs = LshShared.pairs84(s, dir)
         .join(sigs.select(col("doc").as("a"), col("sig").as("siga"),
           col("bv").as("bva")), Seq("a"))
         .join(sigs.select(col("doc").as("b"), col("sig").as("sigb"),

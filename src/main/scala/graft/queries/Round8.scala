@@ -221,7 +221,7 @@ object Round8 {
       val docs = Tables.documents(s, dir)
       val t = docs.select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
-      Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+      LshShared.pairs84(s, dir)
         .join(t.select(col("doc_id").as("a"), col("text").as("ta"),
           col("len").as("la")), "a")
         .join(t.select(col("doc_id").as("b"), col("text").as("tb"),
@@ -317,9 +317,14 @@ object Round8 {
     // PRODUCTION pair generator (Dedup.lshCandidatePairs) still dedups
     // locally via its first-matching-band rule, never a global distinct.
     "dedup_lsh_tune" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatureArray(
-        Tables.documents(s, dir), "doc_id", "text", 8)
-        .localCheckpoint(true)
+      // signatures from the shared family frame (LshShared.sigs8);
+      // the per-config occupancy rollup is NOT checkpointed — both its
+      // consumers sit in the one final action, where AQE's
+      // ReusedExchange serves the aggregate's shuffle to the stats agg
+      // and the kept-bucket join alike, and the three r-configs'
+      // independent stages then schedule concurrently instead of being
+      // serialized behind per-config eager materialization barriers
+      val sigs = LshShared.sigs8(s, dir)
       val perR = Seq(2, 4, 8).map { r =>
         val nB = 8 / r
         val bandKeys = (0 until nB).map(b =>
@@ -328,7 +333,6 @@ object Round8 {
           posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
         val occ = bands.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("m"))
-          .localCheckpoint(true) // feeds stats AND the kept-bucket join
         val stats = occ.agg(
           count(lit(1)).as("n_buckets"),
           count(when(col("m") > 50, 1)).as("n_overcap"),

@@ -119,15 +119,13 @@ object TextDedup {
     // candidate-driven (joins land on the small pair set, never the
     // corpus); the seed comparison is an 8-slot array zip per pair.
     "dedup_minhash_est_vs_exact" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      // both frames feed BOTH pair sides — materialize once each, so the
-      // k-seed fold and the tokenize run once, not per join side
-      val sigs = Dedup.minhashSignatureArray(docs, "doc_id", "text", 8)
-        .localCheckpoint(true)
-      val toksets = docs.select(col("doc_id").as("doc"),
-        array_distinct(TA.tokens(col("text"))).as("ts"))
-        .localCheckpoint(true)
-      Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+      // both frames feed BOTH pair sides — the shared family frames
+      // (LshShared) hold them materialized once per session, so the
+      // k-seed fold and the tokenize run once, not per join side or
+      // per registry entry
+      val sigs = LshShared.sigs8(s, dir)
+      val toksets = LshShared.toksets(s, dir)
+      LshShared.pairs84(s, dir)
         .join(sigs.select(col("doc").as("a"), col("sig").as("siga")), Seq("a"))
         .join(sigs.select(col("doc").as("b"), col("sig").as("sigb")), Seq("b"))
         .join(toksets.select(col("doc").as("a"), col("ts").as("ta")), Seq("a"))
@@ -194,9 +192,10 @@ object TextDedup {
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("h"))),
 
-    // MinHash (k=8) + LSH banding (2 bands × 4 rows) candidate pairs.
+    // MinHash (k=8) + LSH banding (2 bands × 4 rows) candidate pairs —
+    // served from the shared family frame (LshShared.pairs84).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.lshCandidatePairs(Tables.documents(s, dir), "doc_id", "text", 8, 4)
+      LshShared.pairs84(s, dir)
         .orderBy(col("a"), col("b"))),
 
     // 16-bit SimHash bucket summary.
