@@ -29,9 +29,12 @@ object Round9 {
         round(col("l_quantity")).cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
         .withColumn("blk", expr("cents div 100000"))
+      // feeds offsets AND group totals — both consumers sit in the one
+      // final action, so the aggregate's exchange is AQE-reused there;
+      // an eager checkpoint would serialize an extra job for a frame
+      // whose two readers already share the shuffle (r17)
       val grp = li.groupBy(col("rf"), col("blk"))
         .agg(sum(col("w")).as("bw"))
-        .localCheckpoint(true) // feeds offsets AND group totals
       val wB = Window.partitionBy(col("rf")).orderBy(col("blk"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = grp.withColumn("off", coalesce(sum(col("bw")).over(wB), lit(0L)))

@@ -30,7 +30,24 @@ object Tables {
   def nsToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     timestamp_micros(((c - pmod(c, lit(1000L))) / lit(1000L)).cast(LongType))
 
+  // Loaded-frame memo per (session, dir, table): every `apply` call pays
+  // synchronous driver work — a parquet footer read for the schema, a
+  // getContentSummary filesystem call, and an RDD conversion for the
+  // split count — and a 468-query registry calls the loader ~2-3× per
+  // query. The returned DataFrame is immutable and the testdata is
+  // static per dir, so handing every caller the same logical plan is
+  // semantics-free; it just stops re-listing and re-footer-reading the
+  // same files hundreds of times per sweep (r17 — guide §6 file-listing
+  // discipline, applied to the loader instead of a conf).
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    memo.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    memo.getOrElseUpdate((spark, dir, name), load(spark, dir, name))
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val df = spark.read.parquet(s"$dir/$name.parquet")
