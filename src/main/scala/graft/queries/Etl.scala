@@ -67,8 +67,12 @@ object Etl {
     // Keyed last-write-wins upsert (etlService.js:36-53): pending orders get
     // a recomputed price + finalized status, merged over the base table.
     "etl_upsert_merge" -> ((s, dir) => {
+      // checkpointed co-partitioned base (the etl_cdc_collapse
+      // discipline): base and updates are two views of one frame
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(col("o_orderkey"))
+        .localCheckpoint(true)
       val updates = base.where(col("o_orderstatus") === "P")
         .withColumn("o_orderstatus", lit("F"))
         // 2dp×1.1 → 3 true decimal places: scale 3 avoids round-half ties
@@ -143,8 +147,13 @@ object Etl {
     // pending-order prices exactly like the upsert path (→ updates);
     // unchanged keys never leave the join.
     "etl_snapshot_diff" -> ((s, dir) => {
+      // one up-front hash exchange on the join key, checkpointed (the
+      // etl_cdc_collapse discipline): both snapshot views derive from it
+      // co-partitioned, so the diff's full-outer join re-shuffles nothing
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(col("o_orderkey"))
+        .localCheckpoint(true)
       val prev = base.where(col("o_orderkey") % 5 =!= 0)
       val curr = base.where(col("o_orderkey") % 7 =!= 0)
         .withColumn("o_totalprice",
@@ -161,8 +170,12 @@ object Etl {
     // hash-checked cross-engine. applyChanges is a single-shuffle MERGE
     // with deletes (union + top-1-per-key), not upsert+anti-join.
     "etl_apply_changes" -> ((s, dir) => {
+      // same co-partitioned checkpointed base as etl_snapshot_diff: the
+      // diff join AND the merge's per-key window both key on o_orderkey
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(col("o_orderkey"))
+        .localCheckpoint(true)
       val prev = base.where(col("o_orderkey") % 5 =!= 0)
       val curr = base.where(col("o_orderkey") % 7 =!= 0)
         .withColumn("o_totalprice",
@@ -180,8 +193,12 @@ object Etl {
     // changed values for them — the "backfill without overwriting"
     // load. One single-shuffle Merge.merge kernel.
     "etl_merge_insert_only" -> ((s, dir) => {
+      // checkpointed base: `existing` and `src` are two views of the
+      // same frame — one scan feeds both sides of the merge
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(col("o_orderkey"))
+        .localCheckpoint(true)
       val existing = base.where(col("o_orderkey") % 5 =!= 0)
       val src = base // every key, prices bumped: must only land on new keys
         .withColumn("o_totalprice",
@@ -197,6 +214,8 @@ object Etl {
     "etl_merge_update_only" -> ((s, dir) => {
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(col("o_orderkey"))
+        .localCheckpoint(true)
       val existing = base.where(col("o_orderkey") % 5 =!= 0)
       val src = base.where(col("o_orderkey") % 3 === 0) // overlaps + new keys
         .withColumn("o_orderstatus", lit("F"))

@@ -203,9 +203,17 @@ object Round10c {
     // one keyed full-outer between the two (small) change sets plus one
     // left join back to prev.
     "etl_cdc_collapse" -> ((s, dir) => {
+      // ONE hash exchange on the join key up front (checkpointed —
+      // localCheckpoint preserves the partitioning in the LogicalRDD,
+      // the pagerank edge-list discipline): the three snapshot views
+      // derive from it by filters, so the diff/collapse full-outer
+      // joins on o_orderkey read co-partitioned inputs instead of each
+      // re-shuffling its own copy of the table (guide §2.4)
       val base = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))
+        .repartition(col("o_orderkey"))
+        .localCheckpoint(true)
       val prev = base.where(col("o_orderkey") % 5 =!= 0)
       val mid = base.where(col("o_orderkey") % 7 =!= 0)
         .withColumn("o_totalprice",
