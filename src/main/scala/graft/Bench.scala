@@ -49,6 +49,11 @@ object Bench {
     // reflects ITS cost, not the shared build's (see TextDedup).
     try { materialize("q_topk"); materialize("q3_join_agg") }
     catch { case _: Throwable => () }
+    // shared df-capped shingle array + all-pairs count frames (the
+    // t=0.5 pair index and the containment/jaccard/sweep entries all
+    // derive from them)
+    try graft.queries.ShingleShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     try graft.queries.TextDedup.warmSharedIndex(spark, sfDir)
     catch { case _: Throwable => () }
     // shared trained IVF index — same amortization for the 4-member

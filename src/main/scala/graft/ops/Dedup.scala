@@ -255,17 +255,39 @@ object Dedup {
     * candidates, never fewer — exactness is preserved by construction).
     *
     * Returns (a, b, inter, na, nb) for a < b. */
-  private def prefixCandidateCounts(shr: DataFrame, threshold: Double): DataFrame = {
+  /** Per-doc sorted shingle arrays (doc, set, n_sh) folded from a
+    * posting stream — the threshold-INDEPENDENT compact form every pair
+    * path derives from with narrow explodes. Exposed so one
+    * session-shared build ([[graft.queries.ShingleShared]]) can serve
+    * consumers at DIFFERENT thresholds (prefix-filtered at 0.5/0.8,
+    * all-pairs at 0.0/0.1): the corpus pass is identical for all of
+    * them, only the candidate generation downstream differs. */
+  private[graft] def arraysOf(shr: DataFrame): DataFrame =
+    shr.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("s"))).as("set"),
+        count(lit(1)).as("n_sh"))
+
+  /** The (doc, set, n_sh) corpus pass for `docs` — [[arraysOf]] over the
+    * df-filtered distinct postings. NOT materialized here; the caller
+    * checkpoints or session-shares it. */
+  def docShingleArrays(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int = 50): DataFrame =
+    arraysOf(filteredPostings(docs, idCol, textCol, n, maxDf))
+
+  private def prefixCandidateCounts(shr: DataFrame, threshold: Double): DataFrame =
     // The ONLY materialization barrier on this path: per-doc sorted
     // shingle arrays (one compact row per doc). Everything downstream —
     // the prefix index, the FULL posting side of the candidate join, and
     // the exact-intersection array lookups — re-derives from this frame
     // with narrow explodes, so the raw (doc, s) posting stream is never
     // checkpointed or shuffled a second time.
-    val arrs = shr.groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("s"))).as("set"),
-        count(lit(1)).as("n_sh"))
-      .localCheckpoint(true)
+    prefixPairsFromArrays(arraysOf(shr).localCheckpoint(true), threshold)
+
+  /** PPJoin prefix-filtered exact pair counts from a PREBUILT (and
+    * already materialized) per-doc array frame — see
+    * [[prefixCandidateCounts]] for the algorithm. */
+  private[graft] def prefixPairsFromArrays(arrs: DataFrame,
+                                           threshold: Double): DataFrame = {
     val prefLen =
       (floor((lit(1.0) - lit(threshold)) * col("n_sh") + lit(1e-4)) + 1).cast("int")
     val pref = arrs.select(col("doc"), explode(slice(col("set"), lit(1), prefLen)).as("s"))
@@ -300,6 +322,40 @@ object Dedup {
       .join(sizes.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
   }
 
+  /** [[allPairCounts]] from a PREBUILT materialized per-doc array frame:
+    * postings re-derive by a narrow explode and the sizes are the
+    * arrays' own n_sh (count of df-filtered distinct shingles per doc —
+    * the identical value the posting groupBy recomputed). Rows and
+    * values are bit-equal to the posting-stream form. */
+  private[graft] def allPairCountsFromArrays(arrs: DataFrame): DataFrame = {
+    val shr = arrs.select(col("doc"), explode(col("set")).as("s"))
+    shr.select(col("doc").as("a"), col("s"))
+      .join(shr.select(col("doc").as("b"), col("s")), Seq("s"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(arrs.select(col("doc").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(arrs.select(col("doc").as("b"), col("n_sh").as("nb")), Seq("b"))
+  }
+
+  /** Jaccard scoring + threshold over a pair-count frame
+    * (a, b, inter, na, nb) — the tail of [[ngramJaccardPairs]], split
+    * out so session-shared pair counts can serve several thresholds. */
+  private[graft] def jaccardFromCounts(pc: DataFrame,
+                                       threshold: Double): DataFrame =
+    pc.withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+
+  /** Containment scoring + threshold over a pair-count frame — the tail
+    * of [[containmentPairs]]. */
+  private[graft] def containmentFromCounts(pc: DataFrame,
+                                           threshold: Double): DataFrame =
+    pc.withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("containment") >= lit(threshold))
+      .select(col("a"), col("b"), col("inter"), col("containment"))
+
   /** Below this threshold the prefix is nearly the whole set and the
     * array-carrying candidate join costs more than it saves. */
   private val PrefixFilterMinThreshold = 0.3
@@ -310,11 +366,9 @@ object Dedup {
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDf: Int = 50): DataFrame =
-    pairCounts(filteredPostings(docs, idCol, textCol, n, maxDf), threshold)
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .where(col("jaccard") >= lit(threshold))
-      .select(col("a"), col("b"), col("inter"), col("jaccard"))
+    jaccardFromCounts(
+      pairCounts(filteredPostings(docs, idCol, textCol, n, maxDf), threshold),
+      threshold)
 
   /** The Jaccard candidate-pair index as a BUILD-ONCE, reusable frame:
     * [[ngramJaccardPairs]] materialized behind a localCheckpoint so the
@@ -341,11 +395,9 @@ object Dedup {
     * final score — no new shuffle. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double, maxDf: Int = 50): DataFrame =
-    pairCounts(filteredPostings(docs, idCol, textCol, n, maxDf), threshold)
-      .withColumn("containment",
-        col("inter").cast("double") / least(col("na"), col("nb")))
-      .where(col("containment") >= lit(threshold))
-      .select(col("a"), col("b"), col("inter"), col("containment"))
+    containmentFromCounts(
+      pairCounts(filteredPostings(docs, idCol, textCol, n, maxDf), threshold),
+      threshold)
 
   /** Duplicate-cluster assembly from candidate pairs: `iters` rounds of
     * min-label propagation (each node takes the least label among itself

@@ -27,8 +27,13 @@ object TextDedup {
     pairIndexCache.filterInPlace { case ((sess, _), _) =>
       !sess.sparkContext.isStopped }
     pairIndexCache.getOrElseUpdate((s, dir),
+      // rides the shared (doc, set, n_sh) array frame (ShingleShared):
+      // the t=0.5 prefix candidate join + Jaccard tail is all this
+      // build still pays — the corpus pass is shared with the t=0.8
+      // containment and the all-pairs consumers
       graft.Caches.shared(
-        Dedup.pairIndex(Tables.documents(s, dir), "doc_id", "text", 3, 0.5)))
+        Dedup.jaccardFromCounts(
+          Dedup.prefixPairsFromArrays(ShingleShared.arrs(s, dir), 0.5), 0.5)))
   }
 
   /** Materialize the shared t=0.5 pair index (bench warmup). The build is
@@ -203,16 +208,22 @@ object TextDedup {
       Dedup.simhashBuckets(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("simhash"))),
 
-    // Word-3-gram Jaccard pairs over a shared-shingle inverted index.
+    // Word-3-gram Jaccard pairs — a threshold projection of the shared
+    // all-pairs count frame (ShingleShared; t=0.1 < 0.3 rules out the
+    // prefix filter, and the full self-join is threshold-independent).
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.1)
+      Dedup.jaccardFromCounts(ShingleShared.allPairCounts(s, dir), 0.1)
         .orderBy(col("a"), col("b"))),
 
     // Asymmetric containment pairs (inter/min) over the SAME inverted
     // index: catches a short doc pasted inside a long one, which Jaccard
     // (inter/union) structurally underscores.
+    // t=0.8 ≥ 0.3 → the prefix-filtered path, from the SAME shared
+    // per-doc array frame (only the t-dependent candidate join is paid
+    // per query).
     "dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      Dedup.containmentFromCounts(
+        Dedup.prefixPairsFromArrays(ShingleShared.arrs(s, dir), 0.8), 0.8)
         .orderBy(col("a"), col("b"))),
 
     // Per-source near-dup rate report: docs sharing a 16-bit SimHash
@@ -243,7 +254,7 @@ object TextDedup {
         .when(col("jaccard") >= 0.3, "0.3-0.5")
         .when(col("jaccard") >= 0.1, "0.1-0.3")
         .otherwise("<0.1")
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.0)
+      Dedup.jaccardFromCounts(ShingleShared.allPairCounts(s, dir), 0.0)
         .groupBy(bands.as("band")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("band"))
     }),
