@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared iterative-graph kernels. ONE definition serves the
@@ -196,6 +196,31 @@ object Graph {
       .join(spc.select(col(viaCol), col(nodeCol).as("s2")), Seq(viaCol))
       .where(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+
+  /** [[projectionPairs]] extended with the hub-discounted link-prediction
+    * weight sums, computed in the SAME single fan-out + aggregate:
+    *   - `ra_ppm` = Σ_via ⌊1e6 / deg(via)⌋ (resource allocation)
+    *   - `aa_ppm` = Σ_via ⌊1e6 / ⌊log2 deg(via)⌋⌋ (Adamic–Adar)
+    * Every fan-out row's via node has deg ≥ 2 by construction (a
+    * deg-1 via cannot form an s1 < s2 pair), so the aa guard never
+    * drops a contributing row — it only mirrors the original pd ≥ 2
+    * pre-filter's protection of the ⌊log2 1⌋ = 0 divisor. The pair set
+    * and `inter` are bit-identical to [[projectionPairs]]; one shared
+    * build serves the count consumers AND the weighted rankers. */
+  def linkPredPairs(spc: DataFrame, nodeCol: String, viaCol: String): DataFrame = {
+    def idiv(a: Column, b: Column): Column = call_function("div", a, b)
+    val pd = spc.groupBy(col(viaCol)).agg(count(lit(1)).as("pd"))
+    spc.select(col(viaCol), col(nodeCol).as("s1"))
+      .join(pd, Seq(viaCol))
+      .join(spc.select(col(viaCol), col(nodeCol).as("s2")), Seq(viaCol))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("inter"),
+        sum(idiv(lit(1000000L), col("pd"))).as("ra_ppm"),
+        sum(when(col("pd") >= 2,
+          idiv(lit(1000000L), (length(bin(col("pd"))) - 1).cast("long"))))
+          .as("aa_ppm"))
+  }
 
   /** k-core peeling over an undirected pair frame (`a`/`b` columns):
     * `rounds` rounds of drop-nodes-with-degree-< k, each one node-sized

@@ -52,9 +52,13 @@ object GraphShared {
       val (deg, edgesOd) = graft.ops.Graph.degreeAnnotated(und)
       // one-mode projection pair counts (s1 < s2, shared-part count) —
       // five link-prediction/census entries and the BFS edge list all
-      // rode their own copy of this edges×cap self-join before round 15
+      // rode their own copy of this edges×cap self-join before round 15.
+      // Round 17: the stored frame is the WEIGHTED form (inter + RA/AA
+      // hub-discount sums, one extra join + two sum columns in the same
+      // fan-out), so the weighted rankers stop paying their own Σdeg²
+      // self-joins; count-only consumers project (s1, s2, inter) off it.
       val projPairs = graft.Caches.shared(
-        graft.ops.Graph.projectionPairs(cappedSp, "sk", "pk"))
+        graft.ops.Graph.linkPredPairs(cappedSp, "sk", "pk"))
       val skDeg = graft.Caches.shared(
         cappedSp.groupBy(col("sk")).agg(count(lit(1)).as("deg")))
       Frames(cappedSp, graft.Caches.shared(deg),
@@ -74,9 +78,14 @@ object GraphShared {
   private[graft] def prEdges(s: SparkSession, dir: String): DataFrame =
     frames(s, dir).prEdges
 
-  /** The checkpointed (s1, s2, inter) one-mode projection pair counts
-    * over the capped bipartite frame (s1 < s2). */
+  /** The (s1, s2, inter) one-mode projection pair counts over the
+    * capped bipartite frame (s1 < s2) — a projection of the stored
+    * weighted frame. */
   private[graft] def projPairs(s: SparkSession, dir: String): DataFrame =
+    frames(s, dir).projPairs.select(col("s1"), col("s2"), col("inter"))
+
+  /** The full weighted pair frame (s1, s2, inter, ra_ppm, aa_ppm). */
+  private[graft] def linkPred(s: SparkSession, dir: String): DataFrame =
     frames(s, dir).projPairs
 
   /** The checkpointed (sk, deg) supplier-degree rollup of cappedSp. */

@@ -255,15 +255,20 @@ object Round10b {
     // checkpointed edge list; the frontier is deduped per hop (the
     // BFS-on-Spark shape: distinct per level, never multiplicities).
     "graph_bfs_2hop" -> ((s, dir) => {
-      val spc = GraphShared.cappedSp(s, dir)
+      // both hops off the shared frames (the graph_harmonic_2hop
+      // derivation, filtered to the seed set): h1 = skDeg ∩ seeds, and
+      // the 2-hop distinct reach falls out of the projection-pair frame
       val seeds = Tables.supplier(s, dir)
         .where(col("s_suppkey") % 20 === 0)
         .select(col("s_suppkey").as("seed"))
-      val hop1 = seeds.join(spc.withColumnRenamed("sk", "seed"), Seq("seed"))
-      val h1 = hop1.groupBy(col("seed")).agg(count(lit(1)).as("n_parts"))
-      val h2 = hop1.join(spc, Seq("pk"))
-        .where(col("sk") =!= col("seed"))
-        .select(col("seed"), col("sk")).distinct()
+      val pp = GraphShared.projPairs(s, dir)
+      val h1 = seeds.join(
+        GraphShared.skDeg(s, dir)
+          .select(col("sk").as("seed"), col("deg").as("n_parts")),
+        Seq("seed"))
+      val h2 = pp.select(col("s1").as("seed"))
+        .unionAll(pp.select(col("s2").as("seed")))
+        .join(seeds, Seq("seed"), "left_semi")
         .groupBy(col("seed")).agg(count(lit(1)).as("n_reach"))
       h1.join(h2, Seq("seed"), "left")
         .select(col("seed"), col("n_parts"),

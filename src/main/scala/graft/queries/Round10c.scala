@@ -57,18 +57,13 @@ object Round10c {
     // parts above 64 suppliers are dropped BEFORE the pair fan-out, so
     // per-part work is C(deg ≤ 64, 2) and total work stays linear in
     // the edge list at any corpus size.
-    "graph_resource_alloc" -> ((s, dir) => {
-      // shared capped projection (GraphShared): one build per session
-      val spc = GraphShared.cappedSp(s, dir)
-      val pd = spc.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
-      val wtd = spc.join(pd, Seq("pk"))
-        .select(col("pk"), col("sk").as("s1"), idiv(lit(1000000L), col("pd")).as("w"))
-      wtd.join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))
-        .where(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(sum(col("w")).as("ra_ppm"), count(lit(1)).as("inter"))
-        .orderBy(col("ra_ppm").desc, col("s1"), col("s2")).limit(20)
-    }),
+    "graph_resource_alloc" -> ((s, dir) =>
+      // a ranked projection of the shared weighted pair frame
+      // (GraphShared.linkPred): the Σdeg² fan-out is built once for the
+      // whole link-prediction family
+      GraphShared.linkPred(s, dir)
+        .select(col("s1"), col("s2"), col("ra_ppm"), col("inter"))
+        .orderBy(col("ra_ppm").desc, col("s1"), col("s2")).limit(20)),
 
     // k-core peeling (k = 2, 3 rounds) of the near-dup pair graph: each
     // round drops nodes with degree < 2 and the edges they carried — the

@@ -281,20 +281,14 @@ object Round11 {
     // via bin(); degree-1 vias carry no co-occurrence signal and ilog2
     // would be 0, so pd ≥ 2). Same capped-postings bound: per-part
     // fan-out ≤ C(64,2) at any scale. Top-20 pairs by score.
-    "graph_adamic_adar" -> ((s, dir) => {
-      // shared capped projection (GraphShared): one build per session
-      val spc = GraphShared.cappedSp(s, dir)
-      val pd = spc.groupBy(col("pk")).agg(count(lit(1)).as("pd"))
-        .where(col("pd") >= 2)
-      val wtd = spc.join(pd, Seq("pk"))
-        .select(col("pk"), col("sk").as("s1"),
-          idiv(lit(1000000L), (length(bin(col("pd"))) - 1).cast("long")).as("w"))
-      wtd.join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))
-        .where(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2"))
-        .agg(sum(col("w")).as("aa_ppm"), count(lit(1)).as("inter"))
-        .orderBy(col("aa_ppm").desc, col("s1"), col("s2")).limit(20)
-    }),
+    "graph_adamic_adar" -> ((s, dir) =>
+      // a ranked projection of the shared weighted pair frame
+      // (GraphShared.linkPred); every via of a formed pair has pd ≥ 2
+      // by construction, so the shared aa_ppm ≡ the pd ≥ 2 pre-filtered
+      // build this entry used to run itself
+      GraphShared.linkPred(s, dir)
+        .select(col("s1"), col("s2"), col("aa_ppm"), col("inter"))
+        .orderBy(col("aa_ppm").desc, col("s1"), col("s2")).limit(20)),
 
     // Shewhart control chart (SPC): daily event volume per type flagged
     // when outside the 3σ band of that type's own history — the classic

@@ -41,13 +41,12 @@ object Round11p {
     // inter), top 20. Same cappedVia-64 bound as the siblings, so pair
     // fan-out stays Σ df² over capped parts at any corpus size.
     "graph_jaccard_linkpred" -> ((s, dir) => {
-      // shared capped projection (GraphShared): already checkpointed
-      val spc = GraphShared.cappedSp(s, dir)
-      val sd = spc.groupBy(col("sk")).agg(count(lit(1)).as("d"))
-      val pairs = spc.select(col("pk"), col("sk").as("s1"))
-        .join(spc.select(col("pk"), col("sk").as("s2")), Seq("pk"))
-        .where(col("s1") < col("s2"))
-        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("inter"))
+      // the pair fan-out IS the shared projection-pair frame, and the
+      // supplier degrees ARE the shared skDeg rollup — this entry
+      // re-derived both per run before round 17
+      val sd = GraphShared.skDeg(s, dir)
+        .select(col("sk"), col("deg").as("d"))
+      val pairs = GraphShared.projPairs(s, dir)
       pairs
         .join(sd.select(col("sk").as("s1"), col("d").as("d1")), Seq("s1"))
         .join(sd.select(col("sk").as("s2"), col("d").as("d2")), Seq("s2"))

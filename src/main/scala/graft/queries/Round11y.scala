@@ -21,14 +21,17 @@ object Round11y {
     // Σ capped-df², never |V|². Distinct per hop (BFS semantics, no
     // multiplicities).
     "graph_harmonic_2hop" -> ((s, dir) => {
-      // shared capped projection (GraphShared): already checkpointed
-      val spc = GraphShared.cappedSp(s, dir)
-      val h1 = spc.groupBy(col("sk")).agg(count(lit(1)).as("n_parts"))
-      val h2 = spc.select(col("pk"), col("sk").as("src"))
-        .join(spc.select(col("pk"), col("sk").as("dst")), Seq("pk"))
-        .where(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
-        .groupBy(col("src").as("sk")).agg(count(lit(1)).as("n_reach"))
+      // both hops derive from shared frames: h1 IS skDeg, and the 2-hop
+      // distinct reach falls out of the projection-pair frame (each
+      // unordered co-occurrence pair contributes exactly one distinct
+      // neighbor to each side) — the Σdeg² fan-out + distinct this
+      // entry re-ran per run is already paid by GraphShared.projPairs
+      val pp = GraphShared.projPairs(s, dir)
+      val h1 = GraphShared.skDeg(s, dir)
+        .select(col("sk"), col("deg").as("n_parts"))
+      val h2 = pp.select(col("s1").as("sk"))
+        .unionAll(pp.select(col("s2").as("sk")))
+        .groupBy(col("sk")).agg(count(lit(1)).as("n_reach"))
       h1.join(h2, Seq("sk"), "left")
         .select(col("sk"), col("n_parts"),
           coalesce(col("n_reach"), lit(0L)).as("n_reach"))
