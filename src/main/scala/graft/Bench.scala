@@ -54,6 +54,14 @@ object Bench {
     // derive from them)
     try graft.queries.ShingleShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared term-frequency frame + its derived vocab / BPE rounds
+    // (the ~19-member unigram text family)
+    try graft.queries.TokShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.queries.Vocab.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
+    try graft.queries.Round10.warmBpe(spark, sfDir)
+    catch { case _: Throwable => () }
     try graft.queries.TextDedup.warmSharedIndex(spark, sfDir)
     catch { case _: Throwable => () }
     // shared trained IVF index — same amortization for the 4-member

@@ -329,9 +329,8 @@ object Analytics {
     // arithmetic doesn't). The LLM-pipeline use: low gini_bp == highly
     // repetitive doc (boilerplate/spam), a standard pretraining filter.
     "text_gini_diversity" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-      tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      // the (doc, tok, c) rollup IS the shared term-frequency frame
+      TokShared.tf(s, dir).select(col("doc_id"), col("tok"), col("tf").as("c"))
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("n_tok"),
           count(lit(1)).as("n_types"),

@@ -107,9 +107,9 @@ object Round10c {
     // sources × 50 (bounded at any corpus size); the pair join fans out
     // C(sources, 2) per term, never touching the corpus again.
     "text_source_divergence" -> ((s, dir) => {
-      val cnt = Tables.documents(s, dir)
-        .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
-        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      // per-(source, tok) occurrence counts = Σtf off the shared frame
+      val cnt = TokShared.tf(s, dir)
+        .groupBy(col("source"), col("tok")).agg(sum(col("tf")).as("n"))
       val top = cnt.groupBy(col("tok")).agg(sum(col("n")).as("tf"))
         .orderBy(col("tf").desc, col("tok")).limit(50)
         .select(col("tok")).localCheckpoint(true)
@@ -509,9 +509,9 @@ object Round10c {
       val (cur, _) = Round10.bpeRounds(s, dir)
       val sy = cur.select(col("w"),
         size(split(trim(col("seq")), " ")).cast("long").as("na"))
-      Tables.documents(s, dir)
-        .select(col("lang"), explode(TA.tokens(col("text"))).as("w"))
-        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("lfreq"))
+      // per-(lang, word) occurrence counts = Σtf off the shared frame
+      TokShared.tf(s, dir)
+        .groupBy(col("lang"), col("tok").as("w")).agg(sum(col("tf")).as("lfreq"))
         .join(sy, Seq("w"))
         .groupBy(col("lang"))
         .agg(sum(col("lfreq")).as("n_tokens"),

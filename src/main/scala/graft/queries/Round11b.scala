@@ -72,15 +72,15 @@ object Round11b {
     // map-side-combinable rollup; the 16-weight model is a literal both
     // engines share — no join, the lookup codegens as an array index.
     "text_linear_score" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .where(length(trim(col("text"))) > 0)
-        .select(col("source"), col("doc_id"),
-          explode(TA.tokens(col("text"))).as("tok"))
-        .select(col("source"), col("doc_id"),
+      // per-occurrence weighted sums = Σ(w·tf) off the shared frame;
+      // the frame's nonblank flag IS the original doc-level guard
+      TokShared.tf(s, dir)
+        .where(col("nonblank"))
+        .select(col("source"), col("doc_id"), col("tf"),
           element_at(expr(wArr),
             (pmod(Sketch.h3(col("tok")), lit(16L)) + 1).cast("int")).as("w"))
         .groupBy(col("source"), col("doc_id"))
-        .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"))
+        .agg(sum(col("tf")).as("n"), sum(col("w") * col("tf")).as("sw"))
         .withColumn("spt",
           idiv(col("sw") + lit(200L) * col("n"), col("n")) - 200L)
         .groupBy(col("source"), idiv(col("spt") + 1000L, lit(100L)).as("band"))

@@ -27,17 +27,18 @@ object Round11g {
     // fastText-style filter runs, float-free and in one pass: two
     // map-side-combinable rollups, a 16-row artifact.
     "text_nb_train" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .where(length(trim(col("text"))) > 0)
-        .select((col("lang") === "en").cast("long").as("y"),
-          explode(TA.tokens(col("text"))).as("tok"))
-        .select(col("y"), pmod(Sketch.h3(col("tok")), lit(16L)).as("bucket"))
-      val tot = tok.groupBy(col("y")).agg(count(lit(1)).as("n"))
+      // per-occurrence label counts = Σ(y·tf) off the shared frame; the
+      // frame's nonblank flag IS the original doc-level guard
+      val tok = TokShared.tf(s, dir)
+        .where(col("nonblank"))
+        .select((col("lang") === "en").cast("long").as("y"), col("tf"),
+          pmod(Sketch.h3(col("tok")), lit(16L)).as("bucket"))
+      val tot = tok.groupBy(col("y")).agg(sum(col("tf")).as("n"))
       val nPos = tot.where(col("y") === 1).select(col("n").as("n_pos"))
       val nNeg = tot.where(col("y") === 0).select(col("n").as("n_neg"))
       tok.groupBy(col("bucket"))
-        .agg(sum(col("y")).as("pos"),
-          sum(lit(1L) - col("y")).as("neg"))
+        .agg(sum(col("y") * col("tf")).as("pos"),
+          sum((lit(1L) - col("y")) * col("tf")).as("neg"))
         .crossJoin(broadcast(nPos))
         .crossJoin(broadcast(nNeg))
         .withColumn("odds_bp",
@@ -57,16 +58,15 @@ object Round11g {
     "text_score_calibration" -> ((s, dir) => {
       val wArr = "array(-180L, -120L, -60L, -20L, 0L, 10L, 25L, 40L, " +
         "60L, 85L, 110L, 140L, 170L, 200L, 240L, 280L)"
-      Tables.documents(s, dir)
-        .where(length(trim(col("text"))) > 0)
+      TokShared.tf(s, dir)
+        .where(col("nonblank"))
         .select(col("doc_id"), (col("lang") === "en").cast("long").as("y"),
-          explode(TA.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), col("y"),
+          col("tf"),
           element_at(expr(wArr),
             (pmod(Sketch.h3(col("tok")), lit(16L)) + 1).cast("int")).as("w"))
         .groupBy(col("doc_id"))
-        .agg(max(col("y")).as("y"), count(lit(1)).as("n"),
-          sum(col("w")).as("sw"))
+        .agg(max(col("y")).as("y"), sum(col("tf")).as("n"),
+          sum(col("w") * col("tf")).as("sw"))
         .select(col("y"),
           idiv(idiv(col("sw") + lit(200L) * col("n"), col("n")) - 200L
             + 1000L, lit(100L)).as("band"))

@@ -75,9 +75,10 @@ object Round11s {
     "text_auto_stopwords" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val nd = docs.agg(count(lit(1)).as("n_docs"))
-      docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // distinct (doc, tok) ≡ the shared tf frame's keys; df = row
+      // count per token
+      TokShared.tf(s, dir)
         .where(length(col("tok")) > 0)
-        .distinct()
         .groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nd))
         .where(col("df") * 2 > col("n_docs"))

@@ -51,10 +51,11 @@ object Round11x {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val mx = docs.agg(max(col("doc_id")).as("dmax"))
-      val tok = docs
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // both rollups off the shared term-frequency frame (first-doc per
+      // token over the frame's keys; occurrence volume = Σtf)
+      val tok = TokShared.tf(s, dir)
+        .select(col("doc_id"), col("tok"), col("tf"))
         .where(length(col("tok")) > 0)
-        .localCheckpoint(true)
       def decile(c: org.apache.spark.sql.Column) =
         least(idiv(c * 10, col("dmax") + 1), lit(9L))
       val newVocab = tok.groupBy(col("tok"))
@@ -64,7 +65,7 @@ object Round11x {
         .agg(count(lit(1)).as("new_types"))
       val vol = tok.crossJoin(broadcast(mx))
         .groupBy(decile(col("doc_id")).as("dec"))
-        .agg(count(lit(1)).as("n_tokens"))
+        .agg(sum(col("tf")).as("n_tokens"))
       val w = Window.orderBy(col("dec"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       newVocab.join(vol, Seq("dec"), "full_outer")

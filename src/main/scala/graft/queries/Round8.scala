@@ -246,9 +246,8 @@ object Round8 {
     // boilerplate flood shows up as a flat head). TakeOrdered top-30;
     // the 30-row windows never see the full vocab.
     "text_zipf_audit" -> ((s, dir) => {
-      val freq = Tables.documents(s, dir)
-        .select(explode(TA.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      // corpus occurrence counts off the shared term-frequency frame
+      val freq = TokShared.tokenCounts(s, dir)
       val tot = freq.agg(sum(col("n")).as("total"))
       val top = freq.orderBy(col("n").desc, col("tok")).limit(30)
       val w = Window.orderBy(col("n").desc, col("tok"))
@@ -272,9 +271,8 @@ object Round8 {
     // head (a fat hapax band is the classic OCR-noise / tokenizer-damage
     // signal). One freq aggregate + one 4-row rollup.
     "text_hapax_rate" -> ((s, dir) => {
-      val freq = Tables.documents(s, dir)
-        .select(explode(TA.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      // corpus occurrence counts off the shared term-frequency frame
+      val freq = TokShared.tokenCounts(s, dir)
       val band = when(col("n") === 1, "1_hapax")
         .when(col("n") <= 10, "2_rare")
         .when(col("n") <= 100, "3_mid")

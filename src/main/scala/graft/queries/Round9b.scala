@@ -350,10 +350,10 @@ object Round9b {
     // HAVING, and top-20 is a distributed TakeOrdered.
     "text_keyword_search" -> ((s, dir) => {
       val terms = Seq("spark", "merge", "window")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // the per-(doc, term) tf rows are a filter of the shared frame
+      TokShared.tf(s, dir)
         .where(col("tok").isin(terms: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("tok"), col("tf"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("score"))
         .where(col("n_terms") === terms.length)
@@ -369,10 +369,10 @@ object Round9b {
     // per-doc pair fan-out is bounded at C(30,2); output is the
     // top-50 pair list.
     "text_cooccur_lift" -> ((s, dir) => {
-      val docTok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-        .distinct()
-        .localCheckpoint(true) // feeds df, the vocab cap, AND the pairs
+      // distinct (doc, tok) ≡ the shared tf frame's keys (already
+      // materialized — the multi-reference downstream re-derives by a
+      // narrow projection)
+      val docTok = TokShared.tf(s, dir).select(col("doc_id"), col("tok"))
       val nd = docTok.select(col("doc_id")).distinct()
         .agg(count(lit(1)).as("nd"))
       // shared kernel (graft.ops.Cooccur) — also what ScaleProbe runs

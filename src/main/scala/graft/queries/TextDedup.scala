@@ -109,10 +109,10 @@ object TextDedup {
     // lengths with distinct-type counts — tokenizer diagnostics (a heavy
     // long tail means the whitespace tokenizer is gluing punctuation).
     "text_token_len_hist" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(explode(TA.tokens(col("text"))).as("tok"))
+      // occurrence counts = Σtf over the shared term-frequency frame
+      TokShared.tf(s, dir)
         .groupBy(length(col("tok")).cast("long").as("tok_len"))
-        .agg(count(lit(1)).as("n_tokens"),
+        .agg(sum(col("tf")).as("n_tokens"),
           count_distinct(col("tok")).as("n_types"))
         .orderBy(col("tok_len"))),
 
@@ -265,11 +265,11 @@ object TextDedup {
     // hash function), one explode + one keyed aggregate; output width is
     // bounded by 64·docs regardless of vocabulary size.
     "text_hash_features" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
+      // occurrence counts = Σtf over the shared term-frequency frame
+      TokShared.tf(s, dir)
         .withColumn("bucket",
           pmod(conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int"), lit(64)))
-        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("bucket")).agg(sum(col("tf")).as("cnt"))
         .orderBy(col("doc_id"), col("bucket"))),
 
     // Log-free TF-IDF salience: top-3 tokens per doc by tf·N/df (exact
@@ -278,8 +278,8 @@ object TextDedup {
     "text_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("tok"))
-      val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // the (doc, tok, tf) rollup IS the shared term-frequency frame
+      val tf = TokShared.tf(s, dir).select(col("doc_id"), col("tok"), col("tf"))
       // df falls out of tf (one row per (doc, tok)) — no second explode of
       // the corpus and no distinct: df = row count per token
       val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -300,8 +300,8 @@ object TextDedup {
     // image of tf-idf salience, used as a corpus-level quality gate.
     "text_familiarity" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tok = docs.select(col("doc_id"),
-        explode(array_distinct(TA.tokens(col("text")))).as("tok"))
+      // per-doc DISTINCT tokens ≡ the shared tf frame's keys
+      val tok = TokShared.tf(s, dir).select(col("doc_id"), col("tok"))
       // df falls out of the per-doc-distinct rows: count per token
       val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
