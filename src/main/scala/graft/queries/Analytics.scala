@@ -518,18 +518,26 @@ object Analytics {
     // partition; ceil is integer arithmetic ((a+b-1) div b), so the picked
     // ranks are engine-exact even where p·n lands on an integer.
     "q_percentile_disc" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      // Round 17: the picked value at rank k depends only on the VALUE
+      // distribution, so ranks resolve from cumulative counts over the
+      // (flag, quantity) rollup — the whole-partition sort of the fact
+      // table (3 flags → 3 giant window partitions) is gone; the window
+      // runs over ≤ flags × distinct-quantity rows. The value at rank k
+      // in quantity order is the smallest quantity whose cumulative
+      // count reaches k — identical to the old max-over-first-k-rows.
+      val cnt = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val n = Window.partitionBy(col("l_returnflag"))
-      Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(n))
+      cnt
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(n))
         .groupBy(col("l_returnflag"))
         .agg(max(col("n")).as("n"),
-          max(when(col("rn") <= expr("(n + 1) div 2"), col("l_quantity"))).as("p50_disc"),
-          max(when(col("rn") <= expr("(9 * n + 9) div 10"), col("l_quantity"))).as("p90_disc"))
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("l_quantity"))).as("p50_disc"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("l_quantity"))).as("p90_disc"))
         .orderBy(col("l_returnflag"))
     })
   )

@@ -379,19 +379,49 @@ object Round8 {
     // replaces a range self-join at 100 TB. Hours are integer epoch-hour
     // indices (engine-portable).
     "events_sliding_users" -> ((s, dir) => {
+      // Round 17: the 24×-explode + count_distinct over the user-hour
+      // stream is replaced by value-grain arithmetic (guide §2.3 —
+      // shuffle proxies, not payloads):
+      //   n_user_hours(sh) = Σ hourly actives over [sh-23, sh] — a
+      //     rangeBetween rolling sum over the HOURLY rollup;
+      //   n_users(sh) = # users with ≥1 active hour in the window —
+      //     per-user activity ISLANDS (gap > 23 h starts a new one;
+      //     island [a, b] covers exactly the windows sh ∈ [a, b+23])
+      //     folded to ±1 deltas at hour grain, then one cumulative sum
+      //     over the hour axis. Both windows run over hour-grain frames
+      //     (bounded by the time span), never the user-hour stream —
+      //     results are row-identical to the exploded form.
       val uh = Tables.events(s, dir)
         .where(col("ts").isNotNull)
         .select(col("user_id"),
           expr("unix_micros(ts) div 3600000000").as("h"))
         .distinct()
-        .localCheckpoint(true) // feeds the spine AND the coverage explode
-      val spine = uh.select(col("h").as("sh")).distinct()
-      uh.select(col("user_id"),
-          explode(sequence(col("h"), col("h") + 23)).as("sh"))
-        .join(spine, Seq("sh"), "left_semi")
-        .groupBy(col("sh"))
-        .agg(count_distinct(col("user_id")).as("n_users"),
-          count(lit(1)).as("n_user_hours"))
+        .localCheckpoint(true) // feeds the hourly rollup AND the islands
+      val hourly = uh.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val nuh = hourly
+        .withColumn("n_user_hours",
+          sum(col("c")).over(Window.orderBy(col("h")).rangeBetween(-23, 0)))
+        .select(col("h").as("sh"), col("n_user_hours"))
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      val isl = uh
+        .withColumn("brk",
+          when(col("h") - lag(col("h"), 1).over(wU) > 23, 1L).otherwise(0L))
+        .withColumn("isl", sum(col("brk")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("h")).as("a"), max(col("h")).as("b"))
+      val deltas = isl.select(col("a").as("h"), lit(1L).as("d"))
+        .unionByName(isl.select((col("b") + 24).as("h"), lit(-1L).as("d")))
+        .groupBy(col("h")).agg(sum(col("d")).as("d"))
+      val nus = deltas
+        .join(hourly.select(col("h"), lit(1L).as("in_spine")), Seq("h"), "full_outer")
+        .withColumn("n_users", sum(coalesce(col("d"), lit(0L))).over(
+          Window.orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("in_spine") === 1L)
+        .select(col("h").as("sh"), col("n_users"))
+      nus.join(nuh, Seq("sh"))
+        .select(col("sh"), col("n_users"), col("n_user_hours"))
         .orderBy(col("sh"))
     }),
 

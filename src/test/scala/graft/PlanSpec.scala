@@ -318,6 +318,10 @@ class PlanSpec extends AnyFunSuite {
     "events_ewma", "events_forecast_naive", "events_psi_ingredients",
     "events_slo_burn", "events_sprt", "events_stl_lite",
     "events_user_growth", "q_backlog",
+    //   (events_sliding_users: HOUR-spine bound — the rolling-24h sum
+    //    and the island-delta cumulative both run over hour-grain
+    //    rollups, ≤ one row per hour of the time span)
+    "events_sliding_users",
     // TYPE/BAND/BUCKET-TABLE bound (≤ types × bands rows after the
     // rollup: quality bands, strata, temperature buckets, run-length
     // blocks, duration deciles):
