@@ -309,7 +309,7 @@ object Similarity {
     * Lloyd round's centroid aggregate AND re-assignment — without the
     * checkpoint the scan+quantization reruns per round (same pattern as
     * the dedup indexes). */
-  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("vid"),
       transform(col(vecCol), x =>
         (round(x.cast("double"), 3).cast("decimal(7,3)") * lit(1000)).cast("long")).as("xq"))
@@ -320,7 +320,7 @@ object Similarity {
     * exactly like DuckDB's `%`, so `(sx - sx % n) / n` truncates toward
     * zero on both engines — DuckDB's `//` truncates, it does NOT floor:
     * -7 // 2 = -3). Returns (cell, d, cq, n). */
-  private def lloydCent(quant: DataFrame, assign: DataFrame): DataFrame =
+  private[graft] def lloydCent(quant: DataFrame, assign: DataFrame): DataFrame =
     quant.join(assign.select(col("vid"), col("cell")), "vid")
       .select(col("cell"), posexplode(col("xq")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d"))
@@ -362,7 +362,7 @@ object Similarity {
   /** One Lloyd re-assignment step: integer-basis-point cosine argmax of
     * every vector against the broadcast centroid arrays (cell tiebreak).
     * Returns the checkpointed (vid, cell, dcc) frame. */
-  private def lloydAssign(quant: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def lloydAssign(quant: DataFrame, cent: DataFrame): DataFrame =
     lloydRanked(quant, cent)
       .where(col("rn") === 1)
       .select(col("vid"), col("cell"), col("dcc"))
@@ -677,14 +677,20 @@ object Similarity {
       .select(col(idCol).as("vid"), col("cell"))
     for (_ <- 1 to iters)
       assign = lloydAssign(quant, lloydCent(quant, assign))
-    // c_norm in integer MILLI-UNITS: floor over an IEEE-exact sqrt of the
-    // exact integer dcc — round(double, 4) emission (the r6 hash-break
-    // class) never appears
+    ivfStatsFrom(assign)
+  }
+
+  /** The per-cell stats tail of [[ivfTrainStats]] over a (vid, cell,
+    * dcc) assignment — split out so a session-shared Lloyd-round chain
+    * ([[graft.queries.LloydShared]]) can serve several iteration
+    * depths. c_norm in integer MILLI-UNITS: floor over an IEEE-exact
+    * sqrt of the exact integer dcc — round(double, 4) emission (the r6
+    * hash-break class) never appears. */
+  private[graft] def ivfStatsFrom(assign: DataFrame): DataFrame =
     assign.groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), min(col("vid")).as("min_id"),
         floor(sqrt(max(col("dcc")).cast("double"))).cast("long").as("c_norm_milli"))
       .orderBy(col("cell"))
-  }
 
   /** K-means convergence audit: per cell, the L1 centroid movement
     * (milli-units) between Lloyd round 1 and round 2, plus the worst
@@ -700,6 +706,13 @@ object Similarity {
     val cent1 = lloydCent(quant, a0).localCheckpoint(true) // read by a1 AND the diff
     val a1 = lloydAssign(quant, cent1)
     val cent2 = lloydCent(quant, a1)
+    ivfCentroidDriftFrom(cent1, cent2)
+  }
+
+  /** The diff tail of [[ivfCentroidDrift]] over two (cell, d, cq, n)
+    * centroid rounds — split out for the shared Lloyd-round chain. */
+  private[graft] def ivfCentroidDriftFrom(cent1: DataFrame,
+                                          cent2: DataFrame): DataFrame =
     cent1.select(col("cell"), col("d"), col("cq").as("cq1"))
       .join(cent2.select(col("cell"), col("d"), col("cq").as("cq2"), col("n")),
         Seq("cell", "d"))
@@ -708,7 +721,6 @@ object Similarity {
         sum(abs(col("cq2") - col("cq1"))).as("drift_l1_milli"),
         max(abs(col("cq2") - col("cq1"))).as("max_dim_shift_milli"))
       .orderBy(col("cell"))
-  }
 
   /** IVF search probing the query's `nprobe` CLOSEST cells (nprobe=1 ≡
     * ivfSearch) — the standard recall knob: neighbors assigned to the

@@ -134,22 +134,26 @@ object SimMm {
     // the trained cells are engine-reproducible (seeds upgraded from
     // stand-in to trained centroids).
     "sim_ivf_train" -> ((s, dir) =>
-      Similarity.ivfTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8)),
+      // per-cell stats tail over the shared Lloyd chain (LloydShared)
+      Similarity.ivfStatsFrom(LloydShared.assign1(s, dir))),
 
     // Two Lloyd rounds (convergence path): round 2 re-means from round
     // 1's assignment — each round is the same broadcast-centroids map
     // stage, so training cost is linear in iterations.
     "sim_ivf_train2" -> ((s, dir) =>
-      Similarity.ivfTrainStats(Tables.embeddings(s, dir), "vec_id", "embedding", 8,
-        iters = 2)),
+      // round-2 stats tail over the SAME shared chain
+      Similarity.ivfStatsFrom(LloydShared.assign2(s, dir))),
 
     // K-means convergence audit: per-cell L1 centroid movement between
     // Lloyd rounds 1 and 2 (+ worst single-dimension shift) — the
     // stop-condition readout an index build gates on. Shares the exact
     // lloydCent/lloydAssign kernels with sim_ivf_train2, diffed instead
     // of discarded; the oracle replays the same two chained rounds.
-    "sim_centroid_drift" -> ((s, dir) =>
-      Similarity.ivfCentroidDrift(Tables.embeddings(s, dir), "vec_id", "embedding", 8)),
+    "sim_centroid_drift" -> ((s, dir) => {
+      // diff tail over the SAME shared chain's two centroid rounds
+      val (c1, c2) = LloydShared.cents(s, dir)
+      Similarity.ivfCentroidDriftFrom(c1, c2)
+    }),
 
     // IVF search: exact cosine top-k within the query's cell.
     "sim_ivf_search" -> ((s, dir) =>
