@@ -65,6 +65,9 @@ object Bench {
     // shared cells=8 Lloyd-round chain (sim_ivf_train/train2/drift)
     try graft.queries.LloydShared.warmShared(spark, sfDir)
     catch { case _: Throwable => () }
+    // shared (source, bigram, count) rollup (the word-bigram trio)
+    try graft.queries.BigramShared.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     try graft.queries.TextDedup.warmSharedIndex(spark, sfDir)
     catch { case _: Throwable => () }
     // shared trained IVF index — same amortization for the 4-member

@@ -52,11 +52,10 @@ object Round11c {
     "text_bigram_entropy" -> ((s, dir) => {
       def ilog2(c: org.apache.spark.sql.Column) =
         (length(bin(c)) - 1).cast("long")
-      Tables.documents(s, dir)
-        .select(col("source"), TA.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
-        .select(col("source"), explode(TA.shinglesOf(col("toks"), 2)).as("bg"))
-        .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("c"))
+      // the (source, bg, c) rollup IS the shared BigramShared frame
+      // (a <2-token doc has no bigrams, so the old toks≥2 guard only
+      // pruned rows the shingle explode already dropped)
+      BigramShared.counts(s, dir)
         .groupBy(col("source"))
         .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
           sum(col("c") * ilog2(col("c"))).as("sclog"),

@@ -454,10 +454,10 @@ object Round8 {
     // decides how big an n-gram table (or tokenizer merge list) needs to
     // be. TakeOrdered top-64; the windows only ever see 64 rows.
     "text_bigram_coverage" -> ((s, dir) => {
-      val bi = Tables.documents(s, dir)
-        .select(TA.tokens(col("text")).as("toks")) // split once; see shinglesOf
-        .select(explode(TA.shinglesOf(col("toks"), 2)).as("bg"))
-        .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      // corpus-wide bigram counts = Σc over the shared (source, bg, c)
+      // frame (BigramShared)
+      val bi = BigramShared.counts(s, dir)
+        .groupBy(col("bg")).agg(sum(col("c")).as("n"))
       val tot = bi.agg(sum(col("n")).as("total"))
       val w = Window.orderBy(col("n").desc, col("bg"))
       val top = bi.orderBy(col("n").desc, col("bg")).limit(64)

@@ -558,12 +558,11 @@ object TextDedup {
     "text_bigram_lm" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("w1")).orderBy(col("n2").desc, col("w2"))
-      val big = Tables.documents(s, dir)
-        .select(TA.tokens(col("text")).as("toks")) // split once; see shinglesOf
-        .select(explode(TA.shinglesOf(col("toks"), 2)).as("bg"))
+      // (w1, w2) counts = Σc over the shared (source, bg, c) frame
+      val big = BigramShared.counts(s, dir)
         .select(split(col("bg"), " ").getItem(0).as("w1"),
-          split(col("bg"), " ").getItem(1).as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+          split(col("bg"), " ").getItem(1).as("w2"), col("c"))
+        .groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("n2"))
       val uni = big.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
       big.join(uni, "w1")
         .withColumn("rn", row_number().over(w))
